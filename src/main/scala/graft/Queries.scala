@@ -1,0 +1,475 @@
+package graft
+
+import graft.dedup.Dedup
+import graft.fixpoint.Fixpoint
+import graft.functions.{CozoAggregates => CA, TextFunctions => TF}
+import graft.graphs.Graphs
+import graft.operators.{Mutations, TimeTravel, TopK}
+import graft.search.Fts
+import graft.similarity.Ann
+import graft.text.TextAnalysis
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The driver-facing query inventory: one entry per operator family of
+  * SURVEY.md §2, each paired (where ANSI-SQL-expressible) with a DuckDB
+  * oracle over the same parquet tables. Column names and rounding are
+  * deliberately identical on both sides — the driver hash-compares
+  * values after sorting columns by name.
+  */
+object Queries {
+
+  final case class Spec(name: String,
+                        fn: (SparkSession, String) => DataFrame,
+                        oracle: Option[String])
+
+  /** Derived event graph: per event_type, an edge from each event's user
+    * to the next event's user in (ts, event_id) order — the pokec-style
+    * traversal graph over the driver's synthetic `events` table.
+    */
+  def eventEdges(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("ts"), col("event_id"))
+    events.select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("next_user", lead(col("user_id"), 1).over(w))
+      .filter(col("next_user").isNotNull && col("next_user") =!= col("user_id"))
+      .select(col("user_id").as("src"), col("next_user").as("dst"))
+      .distinct()
+  }
+
+  /** DuckDB rendering of [[eventEdges]] (ts truncated to µs to match
+    * Spark's timestamp precision on the ns-precision parquet column). */
+  private val edgesSql =
+    """edges AS (
+      |  SELECT DISTINCT user_id AS src, next_user AS dst FROM (
+      |    SELECT user_id, lead(user_id) OVER (PARTITION BY event_type ORDER BY date_trunc('microseconds', ts), event_id) AS next_user
+      |    FROM events) t
+      |  WHERE next_user IS NOT NULL AND next_user <> user_id)""".stripMargin
+
+  /** DuckDB tokenizer identical to TextFunctions.tokens (ASCII corpus). */
+  private val toksSql =
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0)"
+
+  private def T(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
+
+  // ——————————————————— relational operators (SURVEY §2.1) ———————————————————
+
+  val specs: Seq[Spec] = Seq(
+
+    Spec("rel_scan_filter", (s, d) =>
+      T(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+                col("l_shipdate") < lit("1996-01-01").cast("timestamp") &&
+                col("l_quantity") >= 47)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"),
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice FROM lineitem
+             |WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1996-01-01'
+             |  AND l_quantity >= 47""".stripMargin)),
+
+    Spec("rel_agg_q1", (s, d) =>
+      T(s, d, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(avg(col("l_quantity")), 4).as("avg_qty"),
+          count(lit(1)).as("cnt"),
+          count_distinct(col("l_orderkey")).as("n_orders")),
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  round(sum(l_quantity), 2) AS sum_qty,
+             |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+             |  round(avg(l_quantity), 4) AS avg_qty,
+             |  count(*) AS cnt,
+             |  count(DISTINCT l_orderkey) AS n_orders
+             |FROM lineitem GROUP BY 1, 2""".stripMargin)),
+
+    Spec("rel_join_revenue", (s, d) => {
+      val c = T(s, d, "customer"); val o = T(s, d, "orders"); val n = T(s, d, "nation")
+      c.join(o, c("c_custkey") === o("o_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy("n_name")
+        .agg(round(sum(col("o_totalprice")), 2).as("revenue"), count(lit(1)).as("n_orders"))
+    },
+      Some("""SELECT n_name, round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+             |FROM customer JOIN orders ON c_custkey = o_custkey
+             |JOIN nation ON c_nationkey = n_nationkey
+             |GROUP BY 1""".stripMargin)),
+
+    Spec("rel_anti_no_orders", (s, d) => {
+      val c = T(s, d, "customer"); val o = T(s, d, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti").select("c_custkey", "c_name")
+    },
+      Some("""SELECT c_custkey, c_name FROM customer
+             |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin)),
+
+    Spec("rel_semi_exists", (s, d) => {
+      val c = T(s, d, "customer")
+      val big = T(s, d, "orders").filter(col("o_totalprice") > 4500)
+      c.join(big, c("c_custkey") === big("o_custkey"), "left_semi").select("c_custkey", "c_name")
+    },
+      Some("""SELECT c_custkey, c_name FROM customer
+             |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 4500)""".stripMargin)),
+
+    Spec("rel_union_clauses", (s, d) => {
+      val a = T(s, d, "part").filter(col("p_size") > 45).select(col("p_partkey").as("partkey"))
+      val b = T(s, d, "lineitem").filter(col("l_quantity") >= 49).select(col("l_partkey").as("partkey"))
+      a.union(b).distinct()
+    },
+      Some("""SELECT p_partkey AS partkey FROM part WHERE p_size > 45
+             |UNION
+             |SELECT l_partkey AS partkey FROM lineitem WHERE l_quantity >= 49""".stripMargin)),
+
+    Spec("rel_const_inline", (s, d) => {
+      val segs = s.createDataFrame(Seq(Tuple1("AUTOMOBILE"), Tuple1("BUILDING")))
+        .toDF("seg")
+      val c = T(s, d, "customer")
+      c.join(broadcast(segs), c("c_mktsegment") === segs("seg"))
+        .groupBy("seg").agg(count(lit(1)).as("cnt"), round(avg(col("c_acctbal")), 4).as("avg_bal"))
+    },
+      Some("""SELECT seg, count(*) AS cnt, round(avg(c_acctbal), 4) AS avg_bal
+             |FROM customer JOIN (VALUES ('AUTOMOBILE'), ('BUILDING')) AS t(seg) ON c_mktsegment = seg
+             |GROUP BY 1""".stripMargin)),
+
+    Spec("rel_sort_limit", (s, d) =>
+      T(s, d, "orders").orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .select("o_orderkey", "o_totalprice").limit(10),
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+             |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin)),
+
+    Spec("rel_topk_group", (s, d) =>
+      TopK.perGroup(T(s, d, "orders").select("o_orderpriority", "o_orderkey", "o_totalprice"),
+          Seq("o_orderpriority"), Seq(col("o_totalprice").desc, col("o_orderkey").asc), 3,
+          rankCol = Some("rank"))
+        .withColumn("rank", col("rank").cast("long")),
+      Some("""SELECT o_orderpriority, o_orderkey, o_totalprice, rank FROM (
+             |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+             |    row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) AS rank
+             |  FROM orders) t WHERE rank <= 3""".stripMargin)),
+
+    Spec("rel_explode_words", (s, d) =>
+      T(s, d, "documents")
+        .select(explode(TF.tokens(col("text"))).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("cnt")),
+      Some(s"""SELECT w AS word, count(*) AS cnt FROM (
+              |  SELECT unnest($toksSql) AS w FROM documents) t
+              |GROUP BY 1""".stripMargin)),
+
+    Spec("rel_json_extract", (s, d) => {
+      val k = regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1)
+      T(s, d, "events")
+        .select(col("event_type"), when(length(k) > 0, k.cast("long")).as("k"))
+        .groupBy("event_type")
+        .agg(sum(col("k")).as("sum_k"), count(col("k")).as("cnt"))
+    },
+      Some("""SELECT event_type, sum(k) AS sum_k, count(k) AS cnt FROM (
+             |  SELECT event_type, CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT) AS k
+             |  FROM events) t GROUP BY 1""".stripMargin)),
+
+    // ——————————————————— aggregations (SURVEY §2.4) ———————————————————
+
+    Spec("agg_stats", (s, d) =>
+      T(s, d, "lineitem").groupBy("l_returnflag")
+        .agg(round(CA.variance(col("l_quantity")), 4).as("var_qty"),
+          round(CA.stdDev(col("l_quantity")), 4).as("std_qty"),
+          min(col("l_quantity")).as("min_qty"),
+          max(col("l_quantity")).as("max_qty"),
+          round(avg(col("l_quantity")), 4).as("avg_qty")),
+      Some("""SELECT l_returnflag, round(var_samp(l_quantity), 4) AS var_qty,
+             |  round(stddev_samp(l_quantity), 4) AS std_qty,
+             |  min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+             |  round(avg(l_quantity), 4) AS avg_qty
+             |FROM lineitem GROUP BY 1""".stripMargin)),
+
+    Spec("agg_argmax", (s, d) => {
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("value").desc, col("event_id").desc)
+      T(s, d, "events").withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).select("event_type", "user_id", "value")
+    },
+      Some("""SELECT event_type, user_id, value FROM (
+             |  SELECT event_type, user_id, value,
+             |    row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id DESC) AS rn
+             |  FROM events) t WHERE rn = 1""".stripMargin)),
+
+    Spec("agg_product", (s, d) =>
+      T(s, d, "lineitem").groupBy("l_orderkey")
+        .agg(round(CA.product(lit(1.0) - col("l_discount")), 6).as("prod_disc")),
+      Some("""SELECT l_orderkey, round(product(1.0 - l_discount), 6) AS prod_disc
+             |FROM lineitem GROUP BY 1""".stripMargin)),
+
+    Spec("agg_collect_str", (s, d) => {
+      val sp = T(s, d, "supplier"); val n = T(s, d, "nation")
+      sp.join(broadcast(n), sp("s_nationkey") === n("n_nationkey"))
+        .groupBy("n_name")
+        .agg(array_join(CA.unique(col("s_name")), ",").as("supp_names"),
+          count(lit(1)).as("n_supp"))
+    },
+      Some("""SELECT n_name, string_agg(s_name, ',' ORDER BY s_name) AS supp_names, count(*) AS n_supp
+             |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+             |GROUP BY 1""".stripMargin)),
+
+    Spec("agg_bool", (s, d) =>
+      T(s, d, "orders").groupBy("o_orderpriority")
+        .agg(CA.andAgg(col("o_totalprice") > 100).as("all_above_100"),
+          CA.orAgg(col("o_totalprice") > 5000).as("any_above_5000"),
+          count(lit(1)).as("cnt")),
+      Some("""SELECT o_orderpriority, bool_and(o_totalprice > 100) AS all_above_100,
+             |  bool_or(o_totalprice > 5000) AS any_above_5000, count(*) AS cnt
+             |FROM orders GROUP BY 1""".stripMargin)),
+
+    // ——————————— recursion / fixpoint (SURVEY §3.1 step 7, §7.1 layer 5) ———————————
+
+    Spec("rec_reach", (s, d) => {
+      val e = eventEdges(T(s, d, "events")).localCheckpoint()
+      val starts = e.filter(col("src") < 10).select(col("src").as("start")).distinct()
+      Graphs.reachable(e, starts, hops = 3)
+    },
+      Some(s"""WITH RECURSIVE $edgesSql,
+              |reach(start, node, depth) AS (
+              |  SELECT src, src, 0 FROM (SELECT DISTINCT src FROM edges WHERE src < 10) s
+              |  UNION
+              |  SELECT r.start, e.dst, r.depth + 1 FROM reach r JOIN edges e ON r.node = e.src WHERE r.depth < 3)
+              |SELECT DISTINCT start, node FROM reach""".stripMargin)),
+
+    Spec("rec_sssp", (s, d) => {
+      val e = eventEdges(T(s, d, "events")).localCheckpoint()
+      val starts = e.filter(col("src") < 5).select(col("src").as("start")).distinct()
+      Graphs.shortestPaths(e, starts, maxIter = 8)
+        .select(col("start"), col("node"), col("cost").cast("long").as("cost"))
+    },
+      Some(s"""WITH RECURSIVE $edgesSql,
+              |sp(start, node, cost) AS (
+              |  SELECT src, src, 0 FROM (SELECT DISTINCT src FROM edges WHERE src < 5) s
+              |  UNION
+              |  SELECT s.start, e.dst, s.cost + 1 FROM sp s JOIN edges e ON s.node = e.src WHERE s.cost < 8)
+              |SELECT start, node, CAST(min(cost) AS BIGINT) AS cost FROM sp GROUP BY 1, 2""".stripMargin)),
+
+    // ——————————————————— graph fixed rules (SURVEY §2.6) ———————————————————
+
+    Spec("graph_degree", (s, d) =>
+      Graphs.degreeCentrality(eventEdges(T(s, d, "events"))),
+      Some(s"""WITH RECURSIVE $edgesSql,
+              |outd AS (SELECT src AS node, count(*) AS out_degree FROM edges GROUP BY 1),
+              |ind AS (SELECT dst AS node, count(*) AS in_degree FROM edges GROUP BY 1),
+              |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges)
+              |SELECT n.node,
+              |  COALESCE(o.out_degree, 0) + COALESCE(i.in_degree, 0) AS total_degree,
+              |  COALESCE(i.in_degree, 0) AS in_degree,
+              |  COALESCE(o.out_degree, 0) AS out_degree
+              |FROM nodes n LEFT JOIN outd o ON n.node = o.node LEFT JOIN ind i ON n.node = i.node""".stripMargin)),
+
+    Spec("graph_cc", (s, d) =>
+      Graphs.connectedComponents(eventEdges(T(s, d, "events"))),
+      Some(s"""WITH RECURSIVE $edgesSql,
+              |und AS (SELECT src, dst FROM edges WHERE src <> dst UNION SELECT dst, src FROM edges WHERE src <> dst),
+              |reach(a, b) AS (
+              |  SELECT src, src FROM und
+              |  UNION
+              |  SELECT r.a, u.dst FROM reach r JOIN und u ON r.b = u.src)
+              |SELECT a AS node, min(b) AS comp FROM reach GROUP BY 1""".stripMargin)),
+
+    Spec("graph_triangles", (s, d) =>
+      Graphs.clusteringCoefficients(eventEdges(T(s, d, "events")))
+        .withColumn("clustering_coefficient", round(col("clustering_coefficient"), 4)),
+      Some(s"""WITH RECURSIVE $edgesSql,
+              |und AS (SELECT src, dst FROM edges WHERE src <> dst UNION SELECT dst, src FROM edges WHERE src <> dst),
+              |canon AS (SELECT src AS a, dst AS b FROM und WHERE src < dst),
+              |tri AS (
+              |  SELECT e1.a, e1.b, e2.c FROM canon e1
+              |  JOIN (SELECT a AS b2, b AS c FROM canon) e2 ON e1.b = e2.b2
+              |  WHERE EXISTS (SELECT 1 FROM canon e3 WHERE e3.a = e1.a AND e3.b = e2.c)),
+              |pernode AS (SELECT node, count(*) AS triangles FROM (
+              |  SELECT a AS node FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri) t GROUP BY 1),
+              |deg AS (SELECT src AS node, count(*) AS degree FROM und GROUP BY 1)
+              |SELECT d.node, d.degree, COALESCE(p.triangles, 0) AS triangles,
+              |  CASE WHEN d.degree >= 2
+              |    THEN round(2.0 * COALESCE(p.triangles, 0) / (d.degree * (d.degree - 1)), 4)
+              |    ELSE 0.0 END AS clustering_coefficient
+              |FROM deg d LEFT JOIN pernode p ON d.node = p.node""".stripMargin)),
+
+    Spec("graph_pagerank", (s, d) =>
+      Graphs.pageRank(eventEdges(T(s, d, "events")), iters = 10)
+        .withColumn("rank", round(col("rank"), 6)),
+      None),
+
+    Spec("graph_labelprop", (s, d) =>
+      Graphs.labelPropagation(eventEdges(T(s, d, "events")), iters = 5),
+      None),
+
+    Spec("graph_walk", (s, d) => {
+      val e = eventEdges(T(s, d, "events"))
+      val starts = e.filter(col("src") < 5).select(col("src").as("start")).distinct()
+        .withColumn("walk_id", col("start"))
+      Graphs.randomWalk(e, starts, steps = 5)
+    },
+      None),
+
+    // ——————————————————— time travel (SURVEY §1.4) ———————————————————
+
+    Spec("tt_asof", (s, d) =>
+      TimeTravel.asOf(T(s, d, "events"), Seq("user_id"), "ts",
+          lit("2024-01-15").cast("timestamp"), tieBreak = Seq("event_id"))
+        .select("user_id", "event_type", "value"),
+      Some("""SELECT user_id, event_type, value FROM (
+             |  SELECT user_id, event_type, value,
+             |    row_number() OVER (PARTITION BY user_id ORDER BY date_trunc('microseconds', ts) DESC, event_id DESC) AS rn
+             |  FROM events WHERE ts <= TIMESTAMP '2024-01-15') t
+             |WHERE rn = 1""".stripMargin)),
+
+    // ——————————————— dedup (north-star; ref ::lsh minhash_lsh.rs) ———————————————
+
+    Spec("dedup_exact", (s, d) =>
+      Dedup.exact(T(s, d, "documents"), "doc_id", "text"),
+      Some("""SELECT doc_id, md5(text) AS content_hash,
+             |  count(*) OVER (PARTITION BY md5(text)) AS group_size,
+             |  (row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1) AS keep
+             |FROM documents""".stripMargin)),
+
+    Spec("dedup_jaccard", (s, d) =>
+      Dedup.ngramJaccard(T(s, d, "documents"), "doc_id", "text", shingleN = 3, threshold = 0.5)
+        .withColumn("jaccard", round(col("jaccard"), 4)),
+      Some(s"""WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
+              |idx AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS i FROM d),
+              |sh AS (SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS s FROM idx),
+              |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+              |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+              |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+              |SELECT id_a, id_b, round(common * 1.0 / (sa.n + sb.n - common), 4) AS jaccard
+              |FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+              |WHERE common * 1.0 / (sa.n + sb.n - common) >= 0.5""".stripMargin)),
+
+    Spec("dedup_minhash", (s, d) =>
+      Dedup.minhashLsh(T(s, d, "documents"), "doc_id", "text",
+        shingleN = 3, bands = 16, rowsPerBand = 4, threshold = 0.5),
+      None),
+
+    Spec("dedup_simhash", (s, d) =>
+      Dedup.simhashPairs(T(s, d, "documents"), "doc_id", "text", maxHamming = 3),
+      None),
+
+    Spec("dedup_embed", (s, d) =>
+      Dedup.embeddingNearDup(T(s, d, "embeddings"), "vec_id", "embedding",
+          threshold = 0.4, planes = 0)
+        .withColumn("cosine", round(col("cosine"), 4)),
+      Some("""WITH pairs AS (
+             |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.embedding AS ea, b.embedding AS eb
+             |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id),
+             |un AS (SELECT id_a, id_b, ea, eb, unnest(generate_series(1, len(ea))) AS i FROM pairs),
+             |dots AS (SELECT id_a, id_b,
+             |    sum(CAST(ea[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE)) AS dot,
+             |    sum(CAST(ea[i] AS DOUBLE) * CAST(ea[i] AS DOUBLE)) AS na,
+             |    sum(CAST(eb[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE)) AS nb
+             |  FROM un GROUP BY 1, 2)
+             |SELECT id_a, id_b, round(dot / (sqrt(na) * sqrt(nb)), 4) AS cosine
+             |FROM dots WHERE dot / (sqrt(na) * sqrt(nb)) >= 0.4""".stripMargin)),
+
+    // ————————————— similarity search (north-star; ref HNSW hnsw.rs) —————————————
+
+    Spec("ann_knn", (s, d) => {
+      val emb = T(s, d, "embeddings")
+      val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val queries = emb.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("embedding").as("vec"))
+      Ann.bruteForceTopK(corpus, queries, k = 5)
+        .withColumn("cosine", round(col("cosine"), 4))
+        .withColumn("rank", col("rank").cast("long"))
+    },
+      Some("""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 20),
+             |pairs AS (SELECT query_id, e.vec_id AS id, qv, e.embedding AS ev
+             |          FROM q, embeddings e WHERE e.vec_id <> query_id),
+             |un AS (SELECT query_id, id, qv, ev, unnest(generate_series(1, len(qv))) AS i FROM pairs),
+             |dots AS (SELECT query_id, id,
+             |    sum(CAST(qv[i] AS DOUBLE) * CAST(ev[i] AS DOUBLE)) AS dot,
+             |    sum(CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)) AS nq,
+             |    sum(CAST(ev[i] AS DOUBLE) * CAST(ev[i] AS DOUBLE)) AS ne
+             |  FROM un GROUP BY 1, 2),
+             |scored AS (SELECT query_id, id, dot / (sqrt(nq) * sqrt(ne)) AS cosine FROM dots)
+             |SELECT query_id, id, round(cosine, 4) AS cosine, rank FROM (
+             |  SELECT query_id, id, cosine,
+             |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, id) AS rank
+             |  FROM scored) t WHERE rank <= 5""".stripMargin)),
+
+    Spec("ann_lsh", (s, d) => {
+      val emb = T(s, d, "embeddings")
+      val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val queries = emb.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("embedding").as("vec"))
+      Ann.lshTopK(corpus, queries, k = 5)
+    },
+      None),
+
+    // ——————————————————— text analysis (north-star) ———————————————————
+
+    Spec("text_stats", (s, d) =>
+      TextAnalysis.stats(T(s, d, "documents"), "doc_id", "text")
+        .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"), col("n_chars").cast("long").as("n_chars"),
+          round(col("mean_token_len"), 4).as("mean_token_len"),
+          round(col("punct_ratio"), 4).as("punct_ratio"),
+          round(col("stopword_ratio"), 4).as("stopword_ratio")),
+      Some(s"""SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, CAST(len(text) AS BIGINT) AS n_chars,
+              |  round(CASE WHEN len(toks) > 0 THEN CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE) / len(toks) ELSE 0.0 END, 4) AS mean_token_len,
+              |  round(CASE WHEN len(text) > 0 THEN CAST(len(text) - len(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) / len(text) ELSE 0.0 END, 4) AS punct_ratio,
+              |  round(CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, x -> list_contains(['the','a','an','of','to','in','and','is','on','for','with','as','by','at','or'], x))) AS DOUBLE) / len(toks) ELSE 0.0 END, 4) AS stopword_ratio
+              |FROM (SELECT doc_id, text, $toksSql AS toks FROM documents) t""".stripMargin)),
+
+    Spec("text_langid", (s, d) =>
+      T(s, d, "documents").select(col("doc_id"),
+        TextAnalysis.langId(col("text")).as("pred_lang")),
+      Some("""SELECT doc_id, CASE
+             |  WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]') THEN 'zh'
+             |  WHEN regexp_matches(text, '[\x{0400}-\x{04ff}]') THEN 'ru'
+             |  WHEN regexp_matches(text, '[\x{0600}-\x{06ff}]') THEN 'ar'
+             |  WHEN regexp_matches(lower(text), '(^| )(der|die|das|und|nicht|ist)( |$)') THEN 'de'
+             |  WHEN regexp_matches(lower(text), '(^| )(le|la|les|et|est|une)( |$)') THEN 'fr'
+             |  WHEN regexp_matches(lower(text), '(^| )(el|los|las|es|una|y)( |$)') THEN 'es'
+             |  ELSE 'en' END AS pred_lang
+             |FROM documents""".stripMargin)),
+
+    Spec("text_quality", (s, d) =>
+      TextAnalysis.qualityScore(T(s, d, "documents"), "doc_id", "text")
+        .select("doc_id", "quality"),
+      None),
+
+    Spec("text_fingerprint", (s, d) =>
+      TextAnalysis.fingerprint(T(s, d, "documents"), "doc_id", "text"),
+      None),
+
+    // ——————————————————— FTS (SURVEY §2.1 op 11) ———————————————————
+
+    Spec("fts_search", (s, d) =>
+      Fts.searchBm25(T(s, d, "documents"), "doc_id", "text",
+          Seq("spark", "hash", "join", "merge"))
+        .select(col("id"), round(col("score"), 4).as("score")),
+      Some(s"""WITH toks AS (SELECT doc_id, unnest($toksSql) AS term FROM documents),
+              |dl AS (SELECT doc_id, CAST(len($toksSql) AS DOUBLE) AS dl FROM documents),
+              |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+              |avgdl AS (SELECT avg(dl) AS avgdl FROM dl),
+              |tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf FROM toks
+              |       WHERE term IN ('spark', 'hash', 'join', 'merge') GROUP BY 1, 2),
+              |df AS (SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df FROM toks
+              |       WHERE term IN ('spark', 'hash', 'join', 'merge') GROUP BY 1)
+              |SELECT tf.doc_id AS id,
+              |  round(sum(ln(1.0 + (n.n - df.df + 0.5) / (df.df + 0.5)) *
+              |    (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / avgdl.avgdl))), 4) AS score
+              |FROM tf JOIN df ON tf.term = df.term JOIN dl ON tf.doc_id = dl.doc_id, n, avgdl
+              |GROUP BY 1""".stripMargin)),
+
+    // ——————————————————— mutations (SURVEY §2.2 sinks) ———————————————————
+
+    Spec("mut_upsert", (s, d) => {
+      val o = T(s, d, "orders")
+      val delta = o.filter(col("o_custkey") < 5)
+        .withColumn("o_totalprice", col("o_totalprice") * 1.1)
+      Mutations.put(o, delta, Seq("o_orderkey"))
+        .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("o_totalprice"))
+    },
+      Some("""SELECT o_orderkey,
+             |  round(CASE WHEN o_custkey < 5 THEN o_totalprice * 1.1 ELSE o_totalprice END, 2) AS o_totalprice
+             |FROM orders""".stripMargin))
+  )
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    specs.map(sp => sp.name -> sp.fn).toMap
+
+  def oracleSql: Map[String, String] =
+    specs.flatMap(sp => sp.oracle.map(sp.name -> _)).toMap
+}

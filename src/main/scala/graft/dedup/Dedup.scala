@@ -1,0 +1,149 @@
+package graft.dedup
+
+import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Document deduplication for large-scale training-data pipelines.
+  *
+  * The reference ships MinHash-LSH near-duplicate indexes
+  * (`::lsh create`, cozo-core/src/runtime/minhash_lsh.rs; banding
+  * optimizer minhash_lsh.rs:260-289). This module re-expresses that and
+  * the standard neighbors (exact, SimHash, n-gram Jaccard, embedding
+  * cosine) as shuffle-conscious DataFrame programs:
+  *   - candidate generation is always a band/bucket equi-join (never an
+  *     all-pairs cross join) so it scales linearly with collisions;
+  *   - verification runs only on candidates;
+  *   - all hashes are xxhash64-based and deterministic across runs,
+  *     partitionings and cluster sizes.
+  */
+object Dedup {
+
+  /** Exact dedup by content hash: one keeper (min id) per distinct
+    * content; returns (id, content_hash, group_size, keep).
+    */
+  def exact(df: DataFrame, idCol: String, contentCol: String): DataFrame = {
+    val w = Window.partitionBy(col("content_hash")).orderBy(col(idCol))
+    df.select(col(idCol), md5(col(contentCol).cast("string")).as("content_hash"))
+      .withColumn("group_size", count(lit(1)).over(Window.partitionBy(col("content_hash"))))
+      .withColumn("keep", row_number().over(w) === 1)
+  }
+
+  /** MinHash-LSH candidate pairs (minhash_lsh.rs:29-204): shingle →
+    * k-minhash signature → `bands`×`rowsPerBand` banding → band-key
+    * equi-self-join → estimated Jaccard from signature agreement.
+    * Returns (id_a, id_b, est_jaccard) with id_a < id_b, est ≥ `threshold`.
+    */
+  def minhashLsh(df: DataFrame, idCol: String, textCol: String,
+                 shingleN: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
+                 threshold: Double = 0.5): DataFrame = {
+    val k = bands * rowsPerBand
+    val sigs = df.select(col(idCol).as("id"),
+        TF.minhashSignature(TF.wordShingles(col(textCol), shingleN), k).as("sig"))
+      .withColumn("band", explode(TF.lshBandKeys(col("sig"), bands, rowsPerBand)))
+    val a = sigs.select(col("id").as("id_a"), col("sig").as("sig_a"), col("band"))
+    val b = sigs.select(col("id").as("id_b"), col("sig").as("sig_b"), col("band"))
+    a.join(b, Seq("band")).filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("est_jaccard",
+        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
+          .cast("double") / lit(k))
+      .filter(col("est_jaccard") >= threshold)
+      .select("id_a", "id_b", "est_jaccard")
+  }
+
+  /** Exact n-gram Jaccard pairs: distinct shingles exploded, candidate
+    * pairs via shared-shingle equi-join, |A∩B| counted in the join and
+    * |A|,|B| joined back. Returns (id_a, id_b, jaccard ≥ threshold).
+    * At 100 TB, hot shingles need a frequency cut (drop shingles in
+    * > maxDocFreq docs — boilerplate shingles generate quadratic
+    * candidates without distinguishing power).
+    */
+  def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
+                   shingleN: Int = 3, threshold: Double = 0.5,
+                   maxDocFreq: Long = 1000000L): DataFrame = {
+    val sh = df.select(col(idCol).as("id"),
+        explode(TF.wordShingles(col(textCol), shingleN)).as("s"))
+      .distinct().localCheckpoint()
+    val freqOk = sh.groupBy("s").agg(count(lit(1)).as("df")).filter(col("df") <= maxDocFreq)
+    val shf = sh.join(freqOk.select("s"), Seq("s"), "left_semi")
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
+    val inter = shf.select(col("id").as("id_a"), col("s"))
+      .join(shf.select(col("id").as("id_b"), col("s")), Seq("s"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("common"))
+    inter
+      .join(sizes.select(col("id").as("id_a"), col("n").as("n_a")), Seq("id_a"))
+      .join(sizes.select(col("id").as("id_b"), col("n").as("n_b")), Seq("id_b"))
+      .withColumn("jaccard", col("common").cast("double") / (col("n_a") + col("n_b") - col("common")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** SimHash near-dup pairs: 64-bit simhash per doc, banded into four
+    * 16-bit blocks (pigeonhole: hamming ≤ 3 ⇒ at least one block equal),
+    * candidates verified by exact hamming distance.
+    * Returns (id_a, id_b, hamming ≤ maxHamming).
+    */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    val fp = df.select(col(idCol).as("id"), TF.simhash64(TF.tokens(col(textCol))).as("fp"))
+      .localCheckpoint()
+    val banded = fp.select(col("id"), col("fp"), explode(array((0 until 4).map { b =>
+      struct(lit(b).as("block"), shiftright(col("fp"), b * 16).bitwiseAND(lit(0xFFFFL)).as("key"))
+    }: _*)).as("bk"))
+      .select(col("id"), col("fp"), col("bk.block"), col("bk.key"))
+    val a = banded.select(col("id").as("id_a"), col("fp").as("fp_a"), col("block"), col("key"))
+    val b = banded.select(col("id").as("id_b"), col("fp").as("fp_b"), col("block"), col("key"))
+    a.join(b, Seq("block", "key")).filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("hamming", TF.hamming64(col("fp_a"), col("fp_b")))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
+  /** SimHash fingerprints only (id, fp). */
+  def simhashFingerprints(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"), TF.simhash64(TF.tokens(col(textCol))).as("fp"))
+
+  /** Embedding near-duplicates: pairs with cosine ≥ threshold.
+    * Candidates come from random-hyperplane LSH sign-buckets (planes are
+    * hash-derived, deterministic); exact cosine verifies. `planes`=0
+    * falls back to brute force (only for small inputs / oracles).
+    */
+  def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String,
+                       threshold: Double = 0.9, planes: Int = 0): DataFrame = {
+    val base = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val pairs =
+      if (planes <= 0) {
+        base.select(col("id").as("id_a"), col("vec").as("vec_a"))
+          .crossJoin(base.select(col("id").as("id_b"), col("vec").as("vec_b")))
+          .filter(col("id_a") < col("id_b"))
+      } else {
+        val sig = base.withColumn("bucket", hyperplaneSignature(col("vec"), planes))
+        sig.select(col("id").as("id_a"), col("vec").as("vec_a"), col("bucket"))
+          .join(sig.select(col("id").as("id_b"), col("vec").as("vec_b"), col("bucket")), Seq("bucket"))
+          .filter(col("id_a") < col("id_b"))
+          .dropDuplicates("id_a", "id_b")
+      }
+    pairs.withColumn("cosine", VF.cosineSimilarity(col("vec_a"), col("vec_b")))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+
+  /** Sign pattern of `planes` pseudo-random hyperplanes; plane weights
+    * are derived from xxhash64(plane, dim) mapped to [-1,1] — fully
+    * deterministic, no RNG state shipped to executors.
+    */
+  private[graft] def hyperplaneSignature(vec: Column, planes: Int): Column = {
+    val signs = (0 until planes).map { p =>
+      val proj = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1),
+          (v, i) => v * (pmod(xxhash64(lit(p), i), lit(2000000L)).cast("double") / lit(1000000.0) - lit(1.0))),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+    }
+    signs.reduce((a, b) => a.bitwiseOR(b))
+  }
+}

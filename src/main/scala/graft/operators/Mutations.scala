@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Keyed mutation semantics of the reference's relation sinks
+  * (`RelationOp`, cozo-core/src/data/program.rs:195-205; execution
+  * query/stored.rs:44-207): `put`=upsert, `insert`=error on existing
+  * key, `update`=partial non-key update, `rm`=delete by key (missing
+  * ok), `delete`=error on missing key, `ensure`/`ensure_not`=assertions.
+  *
+  * Spark-first shape: each mutation is a read-join-write producing the
+  * new table state (Delta-style MERGE composed from anti/semi joins).
+  * All joins are key-equi joins, so at scale they broadcast when the
+  * delta is small and shuffle-hash otherwise; the write is a full or
+  * partition-overwrite commit.
+  */
+object Mutations {
+
+  /** Upsert: rows of `delta` replace current rows with the same key
+    * (stored.rs:208 put_into_relation). */
+  def put(current: DataFrame, delta: DataFrame, keys: Seq[String]): DataFrame = {
+    val kept = current.join(delta.select(keys.map(col): _*).dropDuplicates(), keys, "left_anti")
+    kept.unionByName(delta.select(current.columns.map(col): _*))
+  }
+
+  /** Insert: like put, but raises if any key already exists (stored.rs:199). */
+  def insert(current: DataFrame, delta: DataFrame, keys: Seq[String]): DataFrame = {
+    val clash = current.join(delta, keys, "left_semi")
+    if (!clash.isEmpty)
+      throw new IllegalStateException(s"insert: ${clash.count()} key(s) already exist")
+    current.unionByName(delta.select(current.columns.map(col): _*))
+  }
+
+  /** Partial update of non-key columns for matching keys; other rows and
+    * columns untouched (stored.rs:520 update_in_relation). `delta` carries
+    * keys + the subset of non-key columns to overwrite. */
+  def update(current: DataFrame, delta: DataFrame, keys: Seq[String]): DataFrame = {
+    val updCols = delta.columns.filterNot(keys.contains)
+    val renamed = updCols.foldLeft(delta)((d, c) => d.withColumnRenamed(c, s"__new_$c"))
+    current.join(renamed, keys, "left")
+      .select(current.columns.map { c =>
+        if (updCols.contains(c)) coalesce(col(s"__new_$c"), col(c)).as(c) else col(c)
+      }: _*)
+  }
+
+  /** Delete by key; missing keys are ignored (stored.rs `rm`). */
+  def rm(current: DataFrame, keysDf: DataFrame, keys: Seq[String]): DataFrame =
+    current.join(keysDf.select(keys.map(col): _*).dropDuplicates(), keys, "left_anti")
+
+  /** Delete by key; raises if any key is missing (stored.rs:148). */
+  def delete(current: DataFrame, keysDf: DataFrame, keys: Seq[String]): DataFrame = {
+    val missing = keysDf.join(current, keys, "left_anti")
+    if (!missing.isEmpty)
+      throw new IllegalStateException(s"delete: ${missing.count()} key(s) not present")
+    rm(current, keysDf, keys)
+  }
+
+  /** Assert rows exist exactly as given (stored.rs:152-169 `ensure`). */
+  def ensure(current: DataFrame, rows: DataFrame): Unit = {
+    val missing = rows.except(current.select(rows.columns.map(col): _*))
+    if (!missing.isEmpty)
+      throw new IllegalStateException(s"ensure: ${missing.count()} row(s) absent")
+  }
+
+  /** Assert no such rows exist (stored.rs `ensure_not`). */
+  def ensureNot(current: DataFrame, rows: DataFrame): Unit = {
+    val present = rows.intersect(current.select(rows.columns.map(col): _*))
+    if (!present.isEmpty)
+      throw new IllegalStateException(s"ensure_not: ${present.count()} row(s) present")
+  }
+}

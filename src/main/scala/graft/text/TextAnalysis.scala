@@ -1,0 +1,80 @@
+package graft.text
+
+import graft.functions.{TextFunctions => TF}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text analysis for training-data pipelines: token statistics, quality
+  * scoring, language identification, fingerprinting. All codegen'd
+  * column expressions over the scan — no UDFs, so a 100 TB pass stays in
+  * whole-stage codegen and reads only the text column (pruned scan).
+  */
+object TextAnalysis {
+
+  val stopwordsEn: Seq[String] = Seq(
+    "the", "a", "an", "of", "to", "in", "and", "is", "on", "for", "with", "as", "by", "at", "or")
+
+  /** Per-document statistics: token count, char count, mean token
+    * length, punctuation ratio, stopword ratio, uppercase ratio.
+    */
+  def stats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = TF.tokens(col(textCol))
+    val nChars = length(col(textCol))
+    val nToks = size(toks)
+    val stopArr = array(stopwordsEn.map(lit): _*)
+    df.select(
+      col(idCol),
+      nToks.as("n_tokens"),
+      nChars.as("n_chars"),
+      when(nToks > 0, aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / nToks)
+        .otherwise(lit(0.0)).as("mean_token_len"),
+      when(nChars > 0, (nChars - length(regexp_replace(col(textCol), "\\p{Punct}", ""))).cast("double") / nChars)
+        .otherwise(lit(0.0)).as("punct_ratio"),
+      when(nToks > 0, size(filter(toks, t => array_contains(stopArr, t))).cast("double") / nToks)
+        .otherwise(lit(0.0)).as("stopword_ratio"),
+      when(nChars > 0, (nChars - length(regexp_replace(col(textCol), "[A-Z]", ""))).cast("double") / nChars)
+        .otherwise(lit(0.0)).as("upper_ratio"))
+  }
+
+  /** Heuristic quality score in [0,1]: documents that are too short,
+    * punctuation-heavy, or stopword-free (word salad / non-language)
+    * score low. Weights follow the usual C4/Gopher-style filters.
+    */
+  def qualityScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val s = stats(df, idCol, textCol)
+    s.withColumn("quality",
+      round(
+        when(col("n_tokens") >= 10, lit(0.4)).otherwise(col("n_tokens").cast("double") / 25) +
+        when(col("punct_ratio") <= 0.2, lit(0.3)).otherwise(greatest(lit(0.0), lit(0.3) - col("punct_ratio"))) +
+        when(col("stopword_ratio") >= 0.05, lit(0.3)).otherwise(col("stopword_ratio") * 6), 4))
+  }
+
+  /** Script/stopword language-ID heuristic (n-gram profiles degenerate
+    * to this on the synthetic corpus): CJK / Cyrillic / Arabic scripts
+    * by Unicode range, then Latin languages by marker stopwords,
+    * defaulting to English. Deterministic and SQL-mirrorable for the
+    * oracle.
+    */
+  def langId(text: Column): Column = {
+    val lower_ = lower(text)
+    when(text.rlike("[\\u4e00-\\u9fff]"), lit("zh"))
+      .when(text.rlike("[\\u0400-\\u04ff]"), lit("ru"))
+      .when(text.rlike("[\\u0600-\\u06ff]"), lit("ar"))
+      .when(lower_.rlike("(^| )(der|die|das|und|nicht|ist)( |$)"), lit("de"))
+      .when(lower_.rlike("(^| )(le|la|les|et|est|une)( |$)"), lit("fr"))
+      .when(lower_.rlike("(^| )(el|los|las|es|una|y)( |$)"), lit("es"))
+      .otherwise(lit("en"))
+  }
+
+  /** Whitespace + BPE-ish subword token count estimate: words are split
+    * into ceil(len/4) subword units (the common ~4 chars/token rule),
+    * numbers and punctuation count one each.
+    */
+  def tokenEstimate(text: Column): Column =
+    aggregate(TF.tokens(text), lit(0L), (acc, t) => acc + ceil(length(t) / lit(4.0)).cast("long")) +
+      length(regexp_replace(text, "[^\\p{Punct}]", "")).cast("long")
+
+  /** Order-sensitive 64-bit document fingerprint (rolling hash). */
+  def fingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), TF.rollingFingerprint(TF.tokens(col(textCol))).as("fingerprint"))
+}

@@ -1,24 +1,53 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: one JSON line with per-query wall seconds.
+  *
+  * Honesty requirements (round-1 verdict): a warmup query absorbs JVM /
+  * codegen first-run cost; results are forced through a `noop`-format
+  * write (computes every column — `.count()` lets Catalyst prune the
+  * projections being measured); failures are reported per-query in an
+  * `errors` map instead of being swallowed; and all persisted RDD blocks
+  * (localCheckpoint intermediates) are dropped between queries so one
+  * query's lineage truncation can't degrade the rest of the session.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+
+    def sweep(): Unit = {
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def runOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Either[String, Double] = {
+      val t0 = System.nanoTime()
+      try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        Right((System.nanoTime() - t0) / 1e9)
+      } catch {
+        case e: Throwable => Left(Option(e.getMessage).getOrElse(e.getClass.getName).take(300))
+      } finally sweep()
+    }
+
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    // warmup: cheapest scan query, untimed
+    ordered.find(_._1 == "rel_scan_filter").foreach { case (n, f) => runOne(n, f) }
+
+    val results = ordered.map { case (name, fn) => name -> runOne(name, fn) }
+    def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
+      .replaceAll("[\\n\\r\\t]", " ") + "\""
+    val qs = results.collect { case (k, Right(v)) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
+    val errs = results.collect { case (k, Left(e)) => s"${jstr(k)}:${jstr(e)}" }.mkString("{", ",", "}")
+    val total = results.collect { case (_, Right(v)) => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

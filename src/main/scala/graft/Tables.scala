@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Catalog of the driver's synthetic star-schema tables (TESTDATA.md).
   *
@@ -8,14 +9,26 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * (cozo-core/src/data/tuple.rs:22-39); here a relation is a Parquet
   * path read through the DataFrame API so Catalyst gets pushdown,
   * pruning and partition statistics for free.
+  *
+  * `events.ts` is INT64 TIMESTAMP(NANOS) in the parquet footer, which
+  * Spark 4 rejects at analysis time (PARQUET_TYPE_ILLEGAL). We read it
+  * as a raw nanosecond Long (legacy.parquet.nanosAsLong) and truncate
+  * to microsecond precision — the same `date_trunc('microseconds')`
+  * the DuckDB oracle applies, so both engines see identical instants.
   */
 object Tables {
   val all: Seq[String] = Seq(
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    if (name == "events") {
+      // runtime-settable SQLConf; must be on before the scan is analyzed
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$dir/$name.parquet")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    } else spark.read.parquet(s"$dir/$name.parquet")
+  }
 
   def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "orders")

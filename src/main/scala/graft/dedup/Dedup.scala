@@ -14,6 +14,8 @@ import org.apache.spark.sql.functions._
   * cosine) as shuffle-conscious DataFrame programs:
   *   - candidate generation is always a band/bucket equi-join (never an
   *     all-pairs cross join) so it scales linearly with collisions;
+  *   - signature computation is explode-once + k codegen'd aggregates
+  *     (one shuffle, linear work — no interpreted HOF re-walks);
   *   - verification runs only on candidates;
   *   - all hashes are xxhash64-based and deterministic across runs,
   *     partitionings and cluster sizes.
@@ -31,17 +33,20 @@ object Dedup {
   }
 
   /** MinHash-LSH candidate pairs (minhash_lsh.rs:29-204): shingle →
-    * k-minhash signature → `bands`×`rowsPerBand` banding → band-key
-    * equi-self-join → estimated Jaccard from signature agreement.
+    * k-minhash signature (explode + groupBy, one linear shuffle) →
+    * `bands`×`rowsPerBand` banding → band-key equi-self-join → estimated
+    * Jaccard from signature agreement.
     * Returns (id_a, id_b, est_jaccard) with id_a < id_b, est ≥ `threshold`.
+    * The signature relation is localCheckpoint'd so the self-join reads
+    * it twice instead of recomputing it (callers sweep blocks after).
     */
   def minhashLsh(df: DataFrame, idCol: String, textCol: String,
                  shingleN: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
                  threshold: Double = 0.5): DataFrame = {
     val k = bands * rowsPerBand
-    val sigs = df.select(col(idCol).as("id"),
-        TF.minhashSignature(TF.wordShingles(col(textCol), shingleN), k).as("sig"))
+    val sigs = TF.minhashSignatures(df, idCol, TF.wordShingles(col(textCol), shingleN), k)
       .withColumn("band", explode(TF.lshBandKeys(col("sig"), bands, rowsPerBand)))
+      .localCheckpoint()
     val a = sigs.select(col("id").as("id_a"), col("sig").as("sig_a"), col("band"))
     val b = sigs.select(col("id").as("id_b"), col("sig").as("sig_b"), col("band"))
     a.join(b, Seq("band")).filter(col("id_a") < col("id_b"))
@@ -53,22 +58,65 @@ object Dedup {
       .select("id_a", "id_b", "est_jaccard")
   }
 
+  /** MinHash-LSH with EXACT Jaccard verification — the production dedup
+    * shape (and the reference's: LSH candidates then real similarity,
+    * minhash_lsh.rs:206-258). Banding generates candidates in
+    * O(collisions); the exact Jaccard is then computed only for
+    * candidate pairs by joining back to the distinct-shingle relation.
+    * With r=2 rows/band and b=32 bands, a true pair at j≥0.5 is missed
+    * with prob (1-j²)^32 ≤ 7e-5 — so at the oracle's scale the output
+    * equals the full-quadratic exact-Jaccard answer, while the plan
+    * stays linear-in-collisions. Returns (id_a, id_b, jaccard ≥ threshold).
+    */
+  def minhashDedup(df: DataFrame, idCol: String, textCol: String,
+                   shingleN: Int = 3, bands: Int = 32, rowsPerBand: Int = 2,
+                   threshold: Double = 0.5): DataFrame = {
+    val k = bands * rowsPerBand
+    val sh = df.select(col(idCol).as("id"),
+        explode(TF.wordShingles(col(textCol), shingleN)).as("s"))
+      .distinct().localCheckpoint()
+    val aggs = (0 until k).map(i => min(xxhash64(col("s"), lit(i))).as(s"__h$i"))
+    val banded = sh.groupBy("id").agg(aggs.head, aggs.tail: _*)
+      .select(col("id"), array((0 until k).map(i => col(s"__h$i")): _*).as("sig"))
+      .withColumn("band", explode(TF.lshBandKeys(col("sig"), bands, rowsPerBand)))
+      .select("id", "band")
+    val cand = banded.select(col("id").as("id_a"), col("band"))
+      .join(banded.select(col("id").as("id_b"), col("band")), Seq("band"))
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .select("id_a", "id_b")
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
+    val common = cand
+      .join(sh.select(col("id").as("id_a"), col("s")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("s")), Seq("id_b", "s"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.select(col("id").as("id_a"), col("n").as("n_a")), Seq("id_a"))
+      .join(sizes.select(col("id").as("id_b"), col("n").as("n_b")), Seq("id_b"))
+      .withColumn("jaccard", col("common").cast("double") / (col("n_a") + col("n_b") - col("common")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
   /** Exact n-gram Jaccard pairs: distinct shingles exploded, candidate
     * pairs via shared-shingle equi-join, |A∩B| counted in the join and
     * |A|,|B| joined back. Returns (id_a, id_b, jaccard ≥ threshold).
-    * At 100 TB, hot shingles need a frequency cut (drop shingles in
-    * > maxDocFreq docs — boilerplate shingles generate quadratic
-    * candidates without distinguishing power).
+    * Hot shingles (docFreq > maxDocFreq) are cut from the WHOLE universe
+    * — candidates, intersections AND set sizes — so the estimate stays a
+    * consistent Jaccard over the filtered shingle space (an inconsistent
+    * mix biases true near-dups below threshold). At 100 TB the cut is
+    * what keeps boilerplate shingles from generating quadratic
+    * candidates.
     */
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
                    shingleN: Int = 3, threshold: Double = 0.5,
                    maxDocFreq: Long = 1000000L): DataFrame = {
     val sh = df.select(col(idCol).as("id"),
         explode(TF.wordShingles(col(textCol), shingleN)).as("s"))
-      .distinct().localCheckpoint()
+      .distinct()
     val freqOk = sh.groupBy("s").agg(count(lit(1)).as("df")).filter(col("df") <= maxDocFreq)
-    val shf = sh.join(freqOk.select("s"), Seq("s"), "left_semi")
-    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
+    val shf = sh.join(freqOk.select("s"), Seq("s"), "left_semi").localCheckpoint()
+    val sizes = shf.groupBy("id").agg(count(lit(1)).as("n"))
     val inter = shf.select(col("id").as("id_a"), col("s"))
       .join(shf.select(col("id").as("id_b"), col("s")), Seq("s"))
       .filter(col("id_a") < col("id_b"))
@@ -81,15 +129,15 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
-  /** SimHash near-dup pairs: 64-bit simhash per doc, banded into four
-    * 16-bit blocks (pigeonhole: hamming ≤ 3 ⇒ at least one block equal),
-    * candidates verified by exact hamming distance.
+  /** SimHash near-dup pairs: 64-bit simhash per doc (explode + 64
+    * codegen'd vote-sums, one shuffle), banded into four 16-bit blocks
+    * (pigeonhole: hamming ≤ 3 ⇒ at least one block equal), candidates
+    * verified by exact hamming distance.
     * Returns (id_a, id_b, hamming ≤ maxHamming).
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3): DataFrame = {
-    val fp = df.select(col(idCol).as("id"), TF.simhash64(TF.tokens(col(textCol))).as("fp"))
-      .localCheckpoint()
+    val fp = TF.simhashFingerprints(df, idCol, TF.tokens(col(textCol))).localCheckpoint()
     val banded = fp.select(col("id"), col("fp"), explode(array((0 until 4).map { b =>
       struct(lit(b).as("block"), shiftright(col("fp"), b * 16).bitwiseAND(lit(0xFFFFL)).as("key"))
     }: _*)).as("bk"))
@@ -105,15 +153,45 @@ object Dedup {
 
   /** SimHash fingerprints only (id, fp). */
   def simhashFingerprints(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol).as("id"), TF.simhash64(TF.tokens(col(textCol))).as("fp"))
+    TF.simhashFingerprints(df, idCol, TF.tokens(col(textCol)))
+
+  /** Random-hyperplane sign buckets for `tables` independent hash
+    * families of `planes` planes each, in ONE pass over the vectors:
+    * posexplode dims → groupBy(id) with planes×tables codegen'd
+    * projection sums → (id, table, bucket). Plane weights derive from
+    * xxhash64(table·planes + plane, dim) mapped to [-1, 1] — fully
+    * deterministic, each table an independent family (seeding per table
+    * is what makes multi-probe recall multiply; identical families
+    * would just repeat one table's buckets).
+    */
+  def hyperplaneBuckets(df: DataFrame, idCol: String, vecCol: String,
+                        planes: Int, tables: Int = 1): DataFrame = {
+    val nSig = planes * tables
+    val dims = df.select(col(idCol).as("id"), posexplode(col(vecCol)))
+      .toDF("id", "i", "v")
+    val projs = (0 until nSig).map { s =>
+      val w = pmod(xxhash64(lit(s), col("i")), lit(2000000L)).cast("double") / lit(1000000.0) - lit(1.0)
+      sum(col("v") * w).as(s"__p$s")
+    }
+    val buckets = (0 until tables).map { t =>
+      (0 until planes).map { p =>
+        when(col(s"__p${t * planes + p}") >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+      }.reduce(_ bitwiseOR _)
+    }
+    dims.groupBy("id").agg(projs.head, projs.tail: _*)
+      .select(col("id"), posexplode(array(buckets: _*)))
+      .toDF("id", "table", "bucket")
+  }
 
   /** Embedding near-duplicates: pairs with cosine ≥ threshold.
-    * Candidates come from random-hyperplane LSH sign-buckets (planes are
-    * hash-derived, deterministic); exact cosine verifies. `planes`=0
-    * falls back to brute force (only for small inputs / oracles).
+    * Candidates come from `tables` independent hyperplane-LSH
+    * sign-bucket joins; exact cosine (codegen'd kernel) verifies.
+    * `planes`=0 falls back to brute force (only for small inputs /
+    * oracle cross-checks — all-pairs is not a 100 TB plan).
     */
   def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String,
-                       threshold: Double = 0.9, planes: Int = 0): DataFrame = {
+                       threshold: Double = 0.9, planes: Int = 8,
+                       tables: Int = 8): DataFrame = {
     val base = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
     val pairs =
       if (planes <= 0) {
@@ -121,9 +199,11 @@ object Dedup {
           .crossJoin(base.select(col("id").as("id_b"), col("vec").as("vec_b")))
           .filter(col("id_a") < col("id_b"))
       } else {
-        val sig = base.withColumn("bucket", hyperplaneSignature(col("vec"), planes))
-        sig.select(col("id").as("id_a"), col("vec").as("vec_a"), col("bucket"))
-          .join(sig.select(col("id").as("id_b"), col("vec").as("vec_b"), col("bucket")), Seq("bucket"))
+        val bk = hyperplaneBuckets(df, idCol, vecCol, planes, tables)
+          .join(base, Seq("id")).localCheckpoint()
+        bk.select(col("id").as("id_a"), col("vec").as("vec_a"), col("table"), col("bucket"))
+          .join(bk.select(col("id").as("id_b"), col("vec").as("vec_b"), col("table"), col("bucket")),
+            Seq("table", "bucket"))
           .filter(col("id_a") < col("id_b"))
           .dropDuplicates("id_a", "id_b")
       }
@@ -132,15 +212,13 @@ object Dedup {
       .select("id_a", "id_b", "cosine")
   }
 
-  /** Sign pattern of `planes` pseudo-random hyperplanes; plane weights
-    * are derived from xxhash64(plane, dim) mapped to [-1,1] — fully
-    * deterministic, no RNG state shipped to executors.
-    */
-  private[graft] def hyperplaneSignature(vec: Column, planes: Int): Column = {
+  /** Single-table hyperplane signature as a column-level helper (tests;
+    * the scale path is [[hyperplaneBuckets]]). */
+  private[graft] def hyperplaneSignature(vec: Column, planes: Int, seed: Int = 0): Column = {
     val signs = (0 until planes).map { p =>
       val proj = aggregate(
         zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (v, i) => v * (pmod(xxhash64(lit(p), i), lit(2000000L)).cast("double") / lit(1000000.0) - lit(1.0))),
+          (v, i) => v * (pmod(xxhash64(lit(seed * planes + p), i), lit(2000000L)).cast("double") / lit(1000000.0) - lit(1.0))),
         lit(0.0), (acc, x) => acc + x)
       when(proj >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
     }

@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Column-level text primitives shared by dedup / FTS / text-analysis
@@ -44,9 +44,45 @@ object TextFunctions {
   def minhash(shingles: Column, seed: Int): Column =
     array_min(transform(shingles, s => xxhash64(s, lit(seed))))
 
-  /** Full minhash signature as an array column of `k` hashes. */
+  /** Full minhash signature as an array column of `k` hashes.
+    * NOTE: inlines the shingle expression k times in interpreted HOF
+    * evaluation — fine for tests/small inputs; the scale path is
+    * [[minhashSignatures]] (explode once, k codegen'd min-aggregates).
+    */
   def minhashSignature(shingles: Column, k: Int): Column =
     array((0 until k).map(i => minhash(shingles, i)): _*)
+
+  /** Scale path for minhash: explode shingles once, then ONE shuffle with
+    * `k` whole-stage-codegen `min(xxhash64(s, i))` aggregates — work is
+    * O(total shingles · k hash calls), linear in corpus size, no
+    * interpreted higher-order functions. Docs with zero shingles produce
+    * no row (they cannot near-dup by shingle overlap anyway, and a shared
+    * null signature would otherwise collide in every LSH band).
+    * Returns (id, sig: array<long> of length k).
+    */
+  def minhashSignatures(df: DataFrame, idCol: String, shingles: Column, k: Int): DataFrame = {
+    val sh = df.select(col(idCol).as("id"), explode(shingles).as("s"))
+    val aggs = (0 until k).map(i => min(xxhash64(col("s"), lit(i))).as(s"__h$i"))
+    sh.groupBy("id").agg(aggs.head, aggs.tail: _*)
+      .select(col("id"), array((0 until k).map(i => col(s"__h$i")): _*).as("sig"))
+  }
+
+  /** Scale path for simhash: explode tokens once (keeping multiplicity),
+    * hash each token once, then 64 codegen'd sum-aggregates count the
+    * +1/-1 bit votes in a single shuffle. Docs with zero tokens produce
+    * no row. Returns (id, fp: long).
+    */
+  def simhashFingerprints(df: DataFrame, idCol: String, toks: Column): DataFrame = {
+    val th = df.select(col(idCol).as("id"), explode(toks).as("t"))
+      .select(col("id"), xxhash64(col("t")).as("h"))
+    val votes = (0 until 64).map { b =>
+      sum(shiftright(col("h"), b).bitwiseAND(lit(1L)) * lit(2L) - lit(1L)).as(s"__b$b")
+    }
+    th.groupBy("id").agg(votes.head, votes.tail: _*)
+      .select(col("id"),
+        (0 until 64).map(b => when(col(s"__b$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L)))
+          .reduce(_ bitwiseOR _).as("fp"))
+  }
 
   /** LSH band keys: the signature split into `bands` groups of `rowsPerBand`,
     * each group hashed to one 64-bit band key (banding scheme of
@@ -77,9 +113,11 @@ object TextFunctions {
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b)).cast("int")
 
-  /** Polynomial rolling-hash document fingerprint (order-sensitive, unlike
-    * simhash): h = fold(h * 31 + xxhash64(token)).
+  /** Order-sensitive rolling document fingerprint: h = fold(xxhash64(h, t)).
+    * Hash-chaining instead of polynomial accumulation — `acc * 31 + h`
+    * deterministically overflows Long and throws under Spark 4 ANSI mode;
+    * xxhash64 mixing never relies on wraparound arithmetic.
     */
   def rollingFingerprint(toks: Column): Column =
-    aggregate(toks, lit(1125899906842597L), (acc, t) => acc * lit(31L) + xxhash64(t))
+    aggregate(toks, lit(1125899906842597L), (acc, t) => xxhash64(acc, t))
 }

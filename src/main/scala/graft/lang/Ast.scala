@@ -1,0 +1,55 @@
+package graft.lang
+
+/** AST for the CozoScript subset (grammar:
+  * cozo-core/src/cozoscript.pest:67-160, parse dispatch
+  * cozo-core/src/parse/query.rs:260-400). The shapes mirror the
+  * grammar, not the reference's internal normalized program — the
+  * compiler lowers straight onto DataFrames.
+  */
+object Ast {
+
+  sealed trait Expr
+  case class Lit(v: Any) extends Expr // null | Boolean | Long | Double | String
+  case class V(name: String) extends Expr
+  case class Param(name: String) extends Expr // $name
+  case class ListE(items: Seq[Expr]) extends Expr
+  case class App(fn: String, args: Seq[Expr]) extends Expr
+  case class Bin(op: String, l: Expr, r: Expr) extends Expr
+  case class Un(op: String, e: Expr) extends Expr
+
+  sealed trait Atom
+  /** *stored[args] (relation_apply) or rule[args] (rule_apply) — which
+    * one is decided by the leading `*`. */
+  case class RelApply(name: String, args: Seq[Expr], stored: Boolean,
+                      validity: Option[Expr] = None) extends Atom
+  /** *stored{col: expr, col2, ...} */
+  case class NamedApply(name: String, pairs: Seq[(String, Option[Expr])],
+                        validity: Option[Expr] = None) extends Atom
+  case class Cond(e: Expr) extends Atom
+  case class Unify(v: String, e: Expr) extends Atom
+  case class UnifyIn(v: String, e: Expr) extends Atom
+  case class Neg(a: Atom) extends Atom
+  /** or-connected alternatives, each a conjunction. */
+  case class Or(alts: Seq[Seq[Atom]]) extends Atom
+
+  /** Head argument: plain var or aggr(var, extra...). */
+  case class HeadArg(aggr: Option[String], v: String, extra: Seq[Expr] = Nil)
+
+  sealed trait RuleDef { def name: String; def head: Seq[HeadArg] }
+  case class HornClause(name: String, head: Seq[HeadArg], body: Seq[Atom]) extends RuleDef
+  case class ConstRule(name: String, head: Seq[HeadArg], data: Expr) extends RuleDef
+  case class FixedApply(name: String, head: Seq[HeadArg], algo: String,
+                        rels: Seq[FixedRel], opts: Map[String, Expr]) extends RuleDef
+
+  sealed trait FixedRel
+  case class FixedRuleRel(name: String) extends FixedRel
+  case class FixedStoredRel(name: String, cols: Seq[String]) extends FixedRel
+
+  /** :limit / :offset / :sort / :assert / relation ops. */
+  case class Options(limit: Option[Long] = None, offset: Option[Long] = None,
+                     sort: Seq[(String, Boolean)] = Nil, // (var, descending)
+                     assertNone: Boolean = false, assertSome: Boolean = false,
+                     relationOp: Option[(String, String, Seq[String])] = None) // (op, relName, keyCols)
+
+  case class Program(rules: Seq[RuleDef], options: Options, sysOp: Option[String] = None)
+}

@@ -38,21 +38,23 @@ object Ann {
       Seq(col("cosine").desc, col("id").asc), k, rankCol = Some("rank"))
   }
 
-  /** Approximate top-k: candidates from multi-probe hyperplane-LSH
-    * bucket join (several independent `tables` of `planes`-bit
-    * signatures, unioned), exact cosine re-rank of candidates only.
+  /** Approximate top-k: candidates from a multi-table hyperplane-LSH
+    * bucket join — `tables` independent `planes`-bit sign families
+    * computed in ONE pass over each side (Dedup.hyperplaneBuckets), one
+    * equi-join on (table, bucket), then exact cosine re-rank of the
+    * candidate set only. Each table is seeded independently, so recall
+    * compounds as 1-(1-p^planes)^tables.
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               planes: Int = 12, tables: Int = 4): DataFrame = {
-    val cand = (0 until tables).map { t =>
-      val sigC = corpus.withColumn("bucket",
-        Dedup.hyperplaneSignature(col("vec"), planes) + lit(t.toLong << 32))
-      val sigQ = queries.withColumn("bucket",
-        Dedup.hyperplaneSignature(col("vec"), planes) + lit(t.toLong << 32))
-      sigQ.select(col("query_id"), col("vec").as("qvec"), col("bucket"))
-        .join(sigC.select(col("id"), col("vec"), col("bucket")), Seq("bucket"))
-        .select("query_id", "qvec", "id", "vec")
-    }.reduce(_ union _).dropDuplicates("query_id", "id")
+    val bkC = Dedup.hyperplaneBuckets(corpus, "id", "vec", planes, tables)
+      .join(corpus.select(col("id"), col("vec")), Seq("id"))
+    val bkQ = Dedup.hyperplaneBuckets(queries, "query_id", "vec", planes, tables)
+      .withColumnRenamed("id", "query_id")
+      .join(queries.select(col("query_id"), col("vec").as("qvec")), Seq("query_id"))
+    val cand = bkQ.join(bkC, Seq("table", "bucket"))
+      .select("query_id", "qvec", "id", "vec")
+      .dropDuplicates("query_id", "id")
       .filter(col("query_id") =!= col("id"))
     val scored = cand.withColumn("cosine", VF.cosineSimilarity(col("qvec"), col("vec")))
       .select("query_id", "id", "cosine")

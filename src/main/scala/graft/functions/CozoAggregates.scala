@@ -38,17 +38,37 @@ object CozoAggregates {
     cap.fold(l)(n => slice(l, 1, n))
   }
 
-  /** aggr.rs:171 `group_count`: list of [value, count] pairs — use
-    * `groupBy(v).count()` upstream then collect; provided here as
-    * map-side variant. */
-  def groupCount(c: Column): Column =
-    sort_array(collect_list(c)) // callers pair with count via groupBy; see Queries
+  /** aggr.rs:171 `group_count`: distinct values with their counts,
+    * sorted by value (the reference returns [value, count] 2-lists; a
+    * typed engine returns array<struct<value, count>>). */
+  def groupCount(c: Column): Column = {
+    val lst = collect_list(c)
+    transform(array_sort(array_distinct(lst)),
+      v => struct(v.as("value"), size(filter(lst, x => x === v)).cast("long").as("count")))
+  }
 
   /** aggr.rs:217 `union` (set union of list values). */
   def unionAgg(c: Column): Column = array_distinct(flatten(collect_list(c)))
 
+  /** aggr.rs:273 `intersection` (set intersection of list values). */
+  def intersectionAgg(c: Column): Column = {
+    val lst = collect_list(c)
+    when(size(lst) === 0, array()).otherwise(
+      aggregate(slice(lst, lit(2), greatest(size(lst) - 1, lit(0))),
+        element_at(lst, 1), (acc, x) => array_intersect(acc, x)))
+  }
+
   /** aggr.rs:941 `choice`: deterministic first non-null. */
   def choice(c: Column): Column = first(c, ignoreNulls = true)
+
+  /** aggr.rs:388 `choice_rand`: uniform-ish random member. True RNG is
+    * not reproducible across cluster sizes; we pick the member
+    * minimizing its own hash — pseudo-random yet deterministic. */
+  def choiceRand(c: Column): Column = min_by(c, xxhash64(c))
+
+  /** aggr.rs:799 `min_cost` over [payload, cost] pairs: keep the pair
+    * with the least cost. */
+  def minCost(c: Column): Column = min_by(c, element_at(c, 2))
 
   /** aggr.rs:719 `latest_by` → max_by; :759 `smallest_by` → min_by;
     * :799 `min_cost` → min_by + min. */

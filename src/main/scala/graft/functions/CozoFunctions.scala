@@ -58,12 +58,21 @@ object CozoFunctions {
   def first_(l: Column): Column = element_at(l, 1) // 1657
   def last_(l: Column): Column = element_at(l, -1) // 1667
   def sorted(l: Column): Column = sort_array(l) // 1591
-  def chunksExact(l: Column, n: Int): Column = // 1693
-    when(size(l) >= n, transform(sequence(lit(0), size(l) / n - 1),
-      i => slice(l, i * n + 1, lit(n)))).otherwise(array().cast("array<array<string>>"))
-  def windows(l: Column, n: Int): Column = // 1709
+  /** Empty array<array<elem>> with the element type of `l` — the
+    * filter-to-nothing trick keeps the expression generic (a literal
+    * `array()` cast needs a concrete type name). */
+  private def emptyNested(l: Column): Column = filter(array(l), _ => lit(false))
+  def chunksExact(l: Column, n: Int): Column = chunksExactC(l, lit(n))
+  def chunksExactC(l: Column, n: Column): Column = // 1693
+    when(size(l) >= n, transform(sequence(lit(0), (size(l) / n).cast("int") - 1),
+      i => slice(l, i * n + 1, n))).otherwise(emptyNested(l))
+  def chunks(l: Column, n: Column): Column = // 1677 (last chunk may be short)
+    when(size(l) > 0, transform(sequence(lit(0), ceil(size(l).cast("double") / n).cast("int") - 1),
+      i => slice(l, i * n + 1, n))).otherwise(emptyNested(l))
+  def windows(l: Column, n: Int): Column = windowsC(l, lit(n))
+  def windowsC(l: Column, n: Column): Column = // 1709
     when(size(l) >= n, transform(sequence(lit(0), size(l) - n),
-      i => slice(l, i + 1, lit(n)))).otherwise(array().cast("array<array<string>>"))
+      i => slice(l, i + 1, n))).otherwise(emptyNested(l))
   def intRange(from: Column, to: Column): Column = // 2257 [from, to)
     when(from < to, sequence(from, to - 1)).otherwise(array().cast("array<long>"))
 

@@ -198,6 +198,162 @@ object Graphs {
     if (out == null) live.withColumn("layer", lit(0)).limit(0) else out
   }
 
+  /** StronglyConnectedComponents
+    * (algos/strongly_connected_components.rs:1-149 runs Tarjan on a
+    * materialized graph — driver-sequential). Distributed shape: the
+    * forward-min coloring algorithm (FW-BW-MIN): propagate the minimum
+    * reaching node id forward to a fixpoint; nodes whose color equals
+    * themselves are SCC roots; each SCC is the set of same-colored
+    * nodes that can reach their root (backward propagation restricted
+    * to the color); peel and repeat. O(log·diameter) joins per round,
+    * few rounds on real graphs. Returns (node, comp) with comp = min
+    * member id.
+    */
+  def stronglyConnectedComponents(edges: DataFrame, maxRounds: Int = 20): DataFrame = {
+    var live = edges.select("src", "dst").filter(col("src") =!= col("dst"))
+      .distinct().localCheckpoint()
+    var unassigned = nodes(live).localCheckpoint()
+    var result: DataFrame = null
+    var round = 0
+    while (round < maxRounds && !unassigned.isEmpty) {
+      // forward min-label: color(v) = min id of any node reaching v
+      var color = unassigned.withColumn("color", col("node")).localCheckpoint()
+      var stable = false
+      var i = 0
+      while (!stable && i < 50) {
+        val viaEdge = live.join(color.withColumnRenamed("node", "src"), Seq("src"))
+          .groupBy(col("dst").as("node")).agg(min(col("color")).as("in_color"))
+        val next = color.join(viaEdge, Seq("node"), "left")
+          .select(col("node"), least(col("color"), coalesce(col("in_color"), col("color"))).as("color"))
+          .localCheckpoint()
+        stable = next.except(color).isEmpty
+        color = next
+        i += 1
+      }
+      // backward: SCC(r) = same-color nodes that reach r
+      var inScc = color.filter(col("node") === col("color"))
+        .select(col("node"), col("color")).localCheckpoint()
+      stable = false
+      i = 0
+      while (!stable && i < 50) {
+        val grown = live.join(inScc.withColumnRenamed("node", "dst"), Seq("dst"))
+          .select(col("src").as("node"), col("color"))
+          .join(color, Seq("node", "color"), "left_semi")
+          .unionByName(inScc).dropDuplicates().localCheckpoint()
+        stable = grown.except(inScc).isEmpty
+        inScc = grown
+        i += 1
+      }
+      val assigned = inScc.select(col("node"), col("color").as("comp"))
+      result = if (result == null) assigned.localCheckpoint()
+        else result.unionByName(assigned).localCheckpoint()
+      unassigned = unassigned.join(assigned.select("node"), Seq("node"), "left_anti").localCheckpoint()
+      live = live.join(assigned.select(col("node").as("src")), Seq("src"), "left_anti")
+        .join(assigned.select(col("node").as("dst")), Seq("dst"), "left_anti")
+        .localCheckpoint()
+      round += 1
+    }
+    if (!unassigned.isEmpty) // isolated leftovers: singleton SCCs
+      result = result.unionByName(unassigned.select(col("node"), col("node").as("comp")))
+    result
+  }
+
+  /** CommunityDetectionLouvain (algos/louvain.rs:1-318) as distributed
+    * synchronous label moves + graph contraction. Each inner round every
+    * node evaluates the modularity gain of adopting a neighboring
+    * community — ΔQ ∝ k_i→c − k_i·Σtot(c)/2m — and all positive moves
+    * apply simultaneously (ties to the smaller community id for
+    * determinism); after convergence the graph contracts communities to
+    * nodes and repeats. Returns (node, community).
+    */
+  def louvain(edges: DataFrame, maxOuter: Int = 3, maxInner: Int = 8): DataFrame = {
+    val base = edges.select("src", "dst")
+    val und0 = base.unionByName(base.select(col("dst").as("src"), col("src").as("dst")))
+      .filter(col("src") =!= col("dst"))
+      .groupBy("src", "dst").agg(lit(1.0).as("w")).localCheckpoint()
+    // mapping original node -> current community (refined per level)
+    var mapping = nodes(und0).withColumn("community", col("node")).localCheckpoint()
+    var g = und0
+    var level = 0
+    var improvedOuter = true
+    while (level < maxOuter && improvedOuter) {
+      val m2 = g.agg(sum(col("w"))).head().getDouble(0) // = 2m (both directions)
+      val deg = g.groupBy(col("src").as("node")).agg(sum(col("w")).as("k")).localCheckpoint()
+      var comm = deg.select(col("node"), col("node").as("comm")).localCheckpoint()
+      var inner = 0
+      var moved = true
+      while (moved && inner < maxInner) {
+        val sigma = comm.join(deg, Seq("node"))
+          .groupBy(col("comm")).agg(sum(col("k")).as("sigma")).localCheckpoint()
+        // weight from each node to each neighboring community
+        val toComm = g.join(comm.withColumnRenamed("node", "dst"), Seq("dst"))
+          .groupBy(col("src").as("node"), col("comm")).agg(sum(col("w")).as("k_in"))
+        val cand = toComm
+          .join(deg, Seq("node"))
+          .join(sigma, Seq("comm"))
+          .join(comm.withColumnRenamed("comm", "cur"), Seq("node"))
+          // leaving the current community removes own k from its sigma
+          .withColumn("sigma_adj",
+            when(col("comm") === col("cur"), col("sigma") - col("k")).otherwise(col("sigma")))
+          .withColumn("gain", col("k_in") - col("k") * col("sigma_adj") / lit(m2))
+        val w = Window.partitionBy(col("node"))
+          .orderBy(col("gain").desc, col("comm").asc)
+        val best = cand.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+          .select(col("node"), col("cur"),
+            when(col("gain") > 1e-12, col("comm")).otherwise(col("cur")).as("next"))
+        val nextComm = comm.join(best.select(col("node"), col("next")), Seq("node"), "left")
+          .select(col("node"), coalesce(col("next"), col("comm")).as("comm"))
+          .localCheckpoint()
+        moved = !nextComm.except(comm).isEmpty
+        comm = nextComm
+        inner += 1
+      }
+      improvedOuter = inner > 1
+      mapping = mapping.join(comm.withColumnRenamed("node", "community"), Seq("community"))
+        .select(col("node"), col("comm").as("community")).localCheckpoint()
+      // contract: communities become nodes, parallel edge weights sum
+      g = g.join(comm.withColumnRenamed("node", "src").withColumnRenamed("comm", "csrc"), Seq("src"))
+        .join(comm.withColumnRenamed("node", "dst").withColumnRenamed("comm", "cdst"), Seq("dst"))
+        .filter(col("csrc") =!= col("cdst"))
+        .groupBy(col("csrc").as("src"), col("cdst").as("dst")).agg(sum(col("w")).as("w"))
+        .localCheckpoint()
+      level += 1
+    }
+    mapping.select(col("node"), col("community"))
+  }
+
+  /** DepthFirstSearch (algos/dfs.rs): DFS preorder from each start.
+    * DFS order is inherently a sequential pointer walk — the reference
+    * materializes the graph in memory and walks it; we do the same on
+    * the driver over the collected (capped) edge list. Only for graphs
+    * that fit the driver (DFS *order* is meaningless at 100 TB; use
+    * bfs/reachable for distributed traversal). Returns
+    * (start, node, order).
+    */
+  def dfs(edges: DataFrame, starts: DataFrame, maxDepth: Int = Int.MaxValue,
+          maxEdges: Long = 10000000L): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val es = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .limit(math.min(maxEdges, Int.MaxValue).toInt).as[(Long, Long)].collect()
+    val adj = es.groupBy(_._1).map { case (s, arr) => s -> arr.map(_._2).sorted }.toMap
+    val ss = starts.select(col("start").cast("long")).as[Long].collect().sorted
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    ss.foreach { s =>
+      val seen = scala.collection.mutable.HashSet.empty[Long]
+      var order = 0L
+      def walk(v: Long, depth: Int): Unit = {
+        if (depth <= maxDepth && !seen(v)) {
+          seen += v
+          out += ((s, v, order)); order += 1
+          adj.getOrElse(v, Array.empty[Long]).foreach(walk(_, depth + 1))
+        }
+      }
+      walk(s, 0)
+    }
+    out.toSeq.toDF("start", "node", "order")
+  }
+
   /** ClusteringCoefficients (algos/triangles.rs): per-node triangle count
     * and local clustering coefficient over the undirected graph.
     */

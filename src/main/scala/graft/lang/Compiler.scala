@@ -1,0 +1,255 @@
+package graft.lang
+
+import Ast._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Lowers parsed CozoScript clauses onto DataFrames.
+  *
+  * The reference compiles rules to a pipeline of RA nodes
+  * (cozo-core/src/query/ra.rs) and evaluates bottom-up with semi-naive
+  * deltas (query/eval.rs:65-303). Here a clause body IS the logical
+  * plan: each atom extends a growing DataFrame by a (pushdown-friendly)
+  * filtered scan + natural join, negation is a left-anti join, and the
+  * head is a project/dedup or groupBy/agg — Catalyst then reorders /
+  * pushes / broadcasts as it sees fit, which is the whole point of
+  * building on Spark instead of porting the reference's tuple-at-a-time
+  * iterators.
+  */
+class Compiler(spark: SparkSession,
+               storedResolve: String => DataFrame,
+               ruleResolve: String => Option[DataFrame],
+               params: Map[String, Any]) {
+
+  import Compiler.CompileException
+
+  // ———————————————————————— expressions ————————————————————————
+
+  def compileExpr(e: Expr): Column = e match {
+    case Lit(null) => lit(null)
+    case Lit(v) => lit(v)
+    case V(name) => col(name)
+    case Param(name) => lit(params.getOrElse(name,
+      throw CompileException(s"missing parameter $$$name")))
+    case ListE(items) =>
+      if (items.isEmpty) array()
+      else array(items.map(compileExpr): _*)
+    case Un("-", x) => -compileExpr(x)
+    case Un("!", x) => !compileExpr(x)
+    case Un(op, _) => throw CompileException(s"unknown unary op $op")
+    case Bin(op, l, r) =>
+      val (cl, cr) = (compileExpr(l), compileExpr(r))
+      op match {
+        case "+" => cl + cr
+        case "-" => cl - cr
+        case "*" => cl * cr
+        case "/" => cl / cr
+        case "%" => cl % cr
+        case "^" => pow(cl, cr)
+        case "++" => concat(cl, cr)
+        case "==" => cl === cr
+        case "!=" => cl =!= cr
+        case "<" => cl < cr
+        case ">" => cl > cr
+        case "<=" => cl <= cr
+        case ">=" => cl >= cr
+        case "&&" => cl && cr
+        case "||" => cl || cr
+        case "~" => coalesce(cl, cr)
+        case "->" => r match {
+          case Lit(s: String) => get_json_object(cl, "$." + s)
+          case _ => get_json_object(cl, concat(lit("$."), cr).toString)
+        }
+        case other => throw CompileException(s"unknown operator $other")
+      }
+    case App("cond", args) =>
+      // cond(c1, v1, c2, v2, ..., [default])
+      val pairs = args.grouped(2).toSeq
+      val branches = pairs.filter(_.length == 2)
+      val default = if (args.length % 2 == 1) compileExpr(args.last) else lit(null)
+      branches.foldRight(default) { case (Seq(c, v), acc) =>
+        when(compileExpr(c), compileExpr(v)).otherwise(acc)
+      }
+    case App("length", Seq(x)) if isListValued(x) => size(compileExpr(x))
+    case App("unicode_normalize", Seq(x, Lit(form: String))) =>
+      graft.functions.CozoFunctions.unicodeNormalize(compileExpr(x), form)
+    case App(fn, args) =>
+      Builtins.scalar.get(fn) match {
+        case Some(impl) => impl(args.map(compileExpr))
+        case None => throw CompileException(s"unknown function $fn/${args.length}")
+      }
+  }
+
+  private def isListValued(e: Expr): Boolean = e match {
+    case ListE(_) => true
+    case App(fn, _) => Builtins.listReturning.contains(fn)
+    case Bin("++", l, _) => isListValued(l)
+    case _ => false
+  }
+
+  /** Free variables of an expression. */
+  def freeVars(e: Expr): Set[String] = e match {
+    case V(n) => Set(n)
+    case ListE(items) => items.flatMap(freeVars).toSet
+    case App(_, args) => args.flatMap(freeVars).toSet
+    case Bin(_, l, r) => freeVars(l) ++ freeVars(r)
+    case Un(_, x) => freeVars(x)
+    case _ => Set.empty
+  }
+
+  // ———————————————————————— body compilation ————————————————————————
+
+  /** Compile a conjunction of atoms to a DataFrame whose columns are the
+    * bound variable names. */
+  def compileBody(atoms: Seq[Atom]): DataFrame =
+    atoms.foldLeft(Option.empty[DataFrame])((cur, a) => Some(step(cur, a)))
+      .getOrElse(throw CompileException("empty rule body"))
+
+  private def one(): DataFrame = spark.range(1).toDF("__one").drop("__one")
+
+  private def step(cur: Option[DataFrame], atom: Atom): DataFrame = atom match {
+    case RelApply(name, args, stored, validity) =>
+      // in-SCC rule with no facts yet: the whole clause derives nothing
+      val df = resolveAtomRel(name, stored).getOrElse(throw Compiler.EmptyRelation(name))
+      if (validity.isDefined)
+        throw CompileException(s"validity scan @ not supported on *$name (use TimeTravel API)")
+      if (args.length != df.columns.length)
+        throw CompileException(
+          s"*$name has arity ${df.columns.length}, applied with ${args.length} args")
+      applyPositional(cur, df, df.columns.toSeq.zip(args))
+
+    case NamedApply(name, pairs, validity) =>
+      val df = resolveAtomRel(name, stored = true).getOrElse(throw Compiler.EmptyRelation(name))
+      if (validity.isDefined)
+        throw CompileException(s"validity scan @ not supported on *$name")
+      val cols = df.columns.toSet
+      val binds = pairs.map {
+        case (f, _) if !cols.contains(f) =>
+          throw CompileException(s"*$name has no column $f (has: ${df.columns.mkString(", ")})")
+        case (f, None) => f -> V(f)
+        case (f, Some(e)) => f -> e
+      }
+      applyPositional(cur, df.select(binds.map(_._1).map(col): _*), binds)
+
+    case Cond(e) =>
+      val base = cur.getOrElse(throw CompileException(s"filter $e with no bound relation"))
+      base.filter(compileExpr(e))
+
+    case Unify(v, e) =>
+      cur match {
+        case Some(df) if df.columns.contains(v) => df.filter(col(v) === compileExpr(e))
+        case Some(df) => df.withColumn(v, compileExpr(e))
+        case None => one().select(compileExpr(e).as(v))
+      }
+
+    case UnifyIn(v, e) =>
+      cur match {
+        case Some(df) if df.columns.contains(v) => df.filter(array_contains(compileExpr(e), col(v)))
+        case Some(df) => df.withColumn(v, explode(compileExpr(e)))
+        case None => one().select(explode(compileExpr(e)).as(v))
+      }
+
+    case Neg(inner) =>
+      val base = cur.getOrElse(throw CompileException("negation with no bound relation (unsafe)"))
+      val ndf = step(None, inner)
+      val shared = base.columns.intersect(ndf.columns)
+      if (shared.isEmpty)
+        throw CompileException("negated atom shares no variable with the rest of the body (unsafe)")
+      base.join(ndf.select(shared.map(col): _*).dropDuplicates(), shared.toSeq, "left_anti")
+
+    case Or(alts) =>
+      val branches = alts.map(conj => conj.foldLeft(cur)((c, a) => Some(step(c, a)))
+        .getOrElse(throw CompileException("empty or-branch")))
+      val common = branches.map(_.columns.toSet).reduce(_ intersect _).toSeq.sorted
+      if (common.isEmpty) throw CompileException("or-branches bind no common variable")
+      branches.map(_.select(common.map(col): _*)).reduce(_ unionByName _)
+  }
+
+  private def resolveAtomRel(name: String, stored: Boolean): Option[DataFrame] =
+    if (stored) Some(storedResolve(name)) else ruleResolve(name)
+
+  /** Bind a relation's columns to argument expressions positionally and
+    * join into the current frame. Literal/duplicate-var equalities are
+    * applied BEFORE the join (they reach the parquet scan as pushed
+    * filters); expressions over outer variables are applied after.
+    */
+  private def applyPositional(cur: Option[DataFrame], df: DataFrame,
+                              colArgs: Seq[(String, Expr)]): DataFrame = {
+    var varOf = Map.empty[String, String] // var -> original column
+    var preFilters = List.empty[Column]
+    var postFilters = List.empty[(String, Expr)] // fresh col -> expr
+    var keepCols = List.empty[Column]
+    var newVars = List.empty[String]
+    var freshIdx = 0
+    colArgs.foreach { case (orig, arg) =>
+      arg match {
+        case V("_") => ()
+        case V(v) if varOf.contains(v) =>
+          preFilters ::= (col(orig) === col(varOf(v)))
+        case V(v) =>
+          varOf += v -> orig
+          keepCols ::= col(orig).as(v)
+          newVars ::= v
+        case Lit(x) =>
+          preFilters ::= (if (x == null) col(orig).isNull else col(orig) === lit(x))
+        case e =>
+          val fresh = s"__a$freshIdx"; freshIdx += 1
+          keepCols ::= col(orig).as(fresh)
+          postFilters ::= (fresh, e)
+      }
+    }
+    val filtered = preFilters.foldLeft(df)(_ filter _)
+    val projected = filtered.select(keepCols.reverse: _*)
+    val joined = cur match {
+      case None => projected
+      case Some(c) =>
+        val shared = c.columns.toSeq.intersect(newVars)
+        if (shared.nonEmpty) c.join(projected, shared.toSeq)
+        else c.crossJoin(projected)
+    }
+    postFilters.foldLeft(joined) { case (d, (fresh, e)) =>
+      d.filter(col(fresh) === compileExpr(e)).drop(fresh)
+    }
+  }
+
+  // ———————————————————————— heads ————————————————————————
+
+  /** Apply a clause head to a compiled body: project + set-dedup, or
+    * groupBy + aggregations when any head arg is an aggregation
+    * (cozo head aggrs, data/aggr.rs). Output column names are the head
+    * variable names, in head order.
+    */
+  def applyHead(head: Seq[HeadArg], body: DataFrame): DataFrame = {
+    head.foreach { h =>
+      if (!body.columns.contains(h.v))
+        throw CompileException(s"head variable ${h.v} is not bound in rule body")
+    }
+    val plain = head.filter(_.aggr.isEmpty).map(_.v)
+    if (!head.exists(_.aggr.isDefined)) {
+      body.select(plain.map(col): _*).dropDuplicates()
+    } else {
+      val aggs = head.collect { case HeadArg(Some(a), v, extra) =>
+        val impl = Builtins.aggr.getOrElse(a,
+          throw CompileException(s"unknown aggregation $a"))
+        val c = impl(col(v), extra.map(compileExpr))
+        // collect(v, cap) caps the list length post-aggregation
+        val capped = (a, extra) match {
+          case ("collect", Seq(Lit(n: Long))) => slice(c, 1, n.toInt)
+          case _ => c
+        }
+        capped.as(v)
+      }
+      val grouped =
+        if (plain.nonEmpty) body.groupBy(plain.map(col): _*).agg(aggs.head, aggs.tail: _*)
+        else body.agg(aggs.head, aggs.tail: _*)
+      grouped.select(head.map(h => col(h.v)): _*)
+    }
+  }
+}
+
+object Compiler {
+  final case class CompileException(msg: String) extends RuntimeException(msg)
+  /** Signals that a referenced rule has derived no facts yet (recursion
+    * round 0): the enclosing clause contributes nothing this round. */
+  final case class EmptyRelation(name: String) extends RuntimeException(name)
+}

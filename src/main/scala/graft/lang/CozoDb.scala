@@ -1,0 +1,482 @@
+package graft.lang
+
+import Ast._
+import graft.operators.Mutations
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import scala.collection.mutable
+
+/** The queryable engine facade: stored relations + `run(script)`.
+  *
+  * Mirrors the reference's Db surface (cozo-core/src/runtime/db.rs:
+  * run_script:298, relation store relation.rs, triggers
+  * relation.rs:553-585, callbacks db.rs:789-830) on Spark terms: a
+  * stored relation is a named DataFrame (parquet/delta-backed in
+  * production, in-memory registered here), a script run builds one
+  * Catalyst plan per rule stratum, and mutations produce the relation's
+  * next state via key-equi joins (Mutations).
+  *
+  * Rule evaluation is stratified bottom-up: rules are grouped into
+  * strongly-connected components (query/stratify.rs:225), evaluated in
+  * topological order; recursive components run a driver-side fixpoint
+  * loop with set semantics (eval.rs:113-303). Negation and aggregation
+  * must not cross a recursive component (the reference raises the same
+  * stratification error).
+  */
+class CozoDb(val spark: SparkSession) {
+
+  import Compiler.CompileException
+
+  private val relations = mutable.LinkedHashMap.empty[String, DataFrame]
+  private val relationKeys = mutable.HashMap.empty[String, Seq[String]]
+  private val putTriggers = mutable.HashMap.empty[String, List[DataFrame => Unit]]
+  private val rmTriggers = mutable.HashMap.empty[String, List[DataFrame => Unit]]
+
+  def registerTable(name: String, df: DataFrame, keys: Seq[String] = Nil): Unit = {
+    relations(name) = df
+    relationKeys(name) = if (keys.nonEmpty) keys else df.columns.toSeq
+  }
+  def relation(name: String): DataFrame =
+    relations.getOrElse(name, throw CompileException(s"stored relation *$name not found"))
+  def relationNames: Seq[String] = relations.keys.toSeq
+  def removeRelation(name: String): Unit = { relations.remove(name); relationKeys.remove(name) }
+
+  /** Register a trigger fired after a put/rm mutation on `rel` with the
+    * mutation delta (relation.rs:553-585). */
+  def onPut(rel: String)(f: DataFrame => Unit): Unit =
+    putTriggers(rel) = f :: putTriggers.getOrElse(rel, Nil)
+  def onRm(rel: String)(f: DataFrame => Unit): Unit =
+    rmTriggers(rel) = f :: rmTriggers.getOrElse(rel, Nil)
+
+  def run(script: String, params: Map[String, Any] = Map.empty): DataFrame = {
+    val prog = Parser.parse(script)
+    prog.sysOp match {
+      case Some(op) => return sysOp(op.trim)
+      case None => ()
+    }
+    val result = evalProgram(prog, params)
+    applyOptions(prog.options, result)
+  }
+
+  // ———————————————————————— sys ops (parse/sys.rs) ————————————————————————
+
+  private def sysOp(op: String): DataFrame = {
+    import spark.implicits._
+    val parts = op.split("\\s+").toSeq
+    parts.head match {
+      case "relations" =>
+        relations.toSeq.map { case (n, df) =>
+          (n, df.columns.length, relationKeys.getOrElse(n, Nil).mkString(","))
+        }.toDF("name", "arity", "keys")
+      case "columns" =>
+        val rel = parts(1).stripPrefix("*")
+        relation(rel).columns.zipWithIndex
+          .map { case (c, i) => (c, i, relationKeys.getOrElse(rel, Nil).contains(c)) }
+          .toSeq.toDF("column", "index", "is_key")
+      case "remove" =>
+        val rel = parts(1).stripPrefix("*")
+        removeRelation(rel)
+        Seq(("removed", rel)).toDF("status", "relation")
+      case "fixed_rules" =>
+        FixedRules.names.map(Tuple1(_)).toDF("name")
+      case "explain" =>
+        val inner = op.stripPrefix("explain").trim.stripPrefix("{").stripSuffix("}")
+        val df = run(inner)
+        Seq(Tuple1(df.queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))).toDF("plan")
+      case other => throw CompileException(s"unknown sys op ::$other")
+    }
+  }
+
+  // ———————————————————————— program evaluation ————————————————————————
+
+  private def evalProgram(prog: Program, params: Map[String, Any]): DataFrame = {
+    if (prog.rules.isEmpty) throw CompileException("program has no rules")
+    val byName: Map[String, Seq[RuleDef]] = prog.rules.groupBy(_.name)
+    byName.foreach { case (n, defs) =>
+      val arities = defs.map(_.head.length).distinct
+      if (arities.length > 1)
+        throw CompileException(s"rule $n defined with conflicting arities $arities")
+      if (defs.exists(!_.isInstanceOf[HornClause]) && defs.length > 1)
+        throw CompileException(s"rule $n mixes <- / <~ with other definitions")
+    }
+
+    // dependency graph over rule names
+    def atomDeps(a: Atom): Set[String] = a match {
+      case RelApply(n, _, false, _) => Set(n)
+      case Neg(inner) => atomDeps(inner)
+      case Or(alts) => alts.flatten.flatMap(atomDeps).toSet
+      case _ => Set.empty
+    }
+    def ruleDeps(r: RuleDef): Set[String] = r match {
+      case HornClause(_, _, body) => body.flatMap(atomDeps).toSet
+      case FixedApply(_, _, _, rels, _) => rels.collect { case FixedRuleRel(n) => n }.toSet
+      case _: ConstRule => Set.empty
+    }
+    val deps: Map[String, Set[String]] =
+      byName.map { case (n, defs) =>
+        val ds = defs.flatMap(ruleDeps).toSet
+        ds.foreach { d =>
+          if (!byName.contains(d))
+            throw CompileException(s"rule $n references undefined rule $d")
+        }
+        n -> ds
+      }
+
+    val sccs = tarjan(byName.keys.toSeq, deps)
+    val evaluated = mutable.HashMap.empty[String, DataFrame]
+
+    for (scc <- sccs) {
+      val recursive = scc.size > 1 || deps(scc.head).contains(scc.head)
+      if (!recursive) {
+        val name = scc.head
+        evalRule(byName(name), n => evaluated.get(n), params).foreach(evaluated(name) = _)
+      } else {
+        evalRecursive(scc, byName, deps, evaluated, params)
+      }
+    }
+    val entry = byName.getOrElse("?", throw CompileException("no ? entry rule"))
+    evaluated.getOrElse("?", {
+      // entry derived no facts (e.g. only references empty recursion)
+      val names = entry.head.head.map(_.v)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+        StructType(names.map(n => StructField(n, StringType, nullable = true))))
+    })
+  }
+
+  private def compiler(resolve: String => Option[DataFrame], params: Map[String, Any]) =
+    new Compiler(spark, relation, resolve, params)
+
+  /** Evaluate one rule (all its clauses). Aggregation semantics follow
+    * the reference's aggregation store (eval.rs + aggr.rs): the
+    * aggregate folds over the BAG-union of all clause bodies' rows —
+    * `rc[a, count(a)] := *r{fr: a}; rc[a, count(a)] := *r{to: a}`
+    * counts from+to together (air_routes.rs most_routes golden) — and
+    * body rows keep their multiplicities. Non-aggregated rules are
+    * set-semantic: per-clause project + dedup + union.
+    */
+  private def evalRule(defs: Seq[RuleDef], resolve: String => Option[DataFrame],
+                       params: Map[String, Any]): Option[DataFrame] = {
+    val horn = defs.collect { case h: HornClause => h }
+    if (horn.length == defs.length && horn.head.head.exists(_.aggr.isDefined))
+      return evalAggRule(horn, resolve, params)
+    val dfs = defs.flatMap { d => try Some(evalOneDef(d, resolve, params))
+      catch { case _: Compiler.EmptyRelation => None } }
+    if (dfs.isEmpty) None
+    else if (dfs.length == 1) Some(dfs.head)
+    else Some(dfs.map(df => df.toDF(dfs.head.columns: _*)).reduce(_ unionByName _).dropDuplicates())
+  }
+
+  private def evalOneDef(d: RuleDef, resolve: String => Option[DataFrame],
+                         params: Map[String, Any]): DataFrame = {
+    d match {
+      case HornClause(_, head, body) =>
+        val c = compiler(resolve, params)
+        c.applyHead(head, c.compileBody(body))
+      case ConstRule(_, head, data) =>
+        val rows = evalConst(data, params) match {
+          case s: Seq[_] => s
+          case other => throw CompileException(s"const rule body must be a list, got $other")
+        }
+        CozoDb.rowsToDf(spark, rows, if (head.nonEmpty) Some(head.map(_.v)) else None)
+      case FixedApply(_, head, algo, rels, opts) =>
+        val impl = FixedRules.get(algo)
+          .getOrElse(throw CompileException(s"unknown fixed rule $algo"))
+        val inputs = rels.map {
+          case FixedRuleRel(n) => resolve(n)
+            .getOrElse(throw CompileException(s"fixed rule input $n not evaluated"))
+          case FixedStoredRel(n, cols) =>
+            val df = relation(n)
+            if (cols.nonEmpty && cols.forall(df.columns.contains))
+              df.select(cols.map(col): _*)
+            else df
+        }
+        val out = impl(inputs, opts.map { case (k, v) => k -> evalConst(v, params) }, spark)
+        if (head.nonEmpty) {
+          if (head.length != out.columns.length)
+            throw CompileException(
+              s"fixed rule $algo returns ${out.columns.length} columns, head has ${head.length}")
+          out.toDF(head.map(_.v): _*)
+        } else out
+    }
+  }
+
+  private def evalAggRule(clauses: Seq[HornClause], resolve: String => Option[DataFrame],
+                          params: Map[String, Any]): Option[DataFrame] = {
+    val h0 = clauses.head.head
+    clauses.foreach { h =>
+      if (h.head.map(_.aggr) != h0.map(_.aggr))
+        throw CompileException(
+          s"rule ${h.name}: all clauses must share the same aggregation shape")
+    }
+    val c0 = compiler(resolve, params)
+    // project each clause body to positional columns so clauses may use
+    // different variable names, and a var may appear both plain and
+    // aggregated (?[region, count(region)])
+    val bodies = clauses.flatMap { h =>
+      try {
+        val c = compiler(resolve, params)
+        val b = c.compileBody(h.body)
+        h.head.foreach { a =>
+          if (!b.columns.contains(a.v))
+            throw CompileException(s"head variable ${a.v} is not bound in rule body")
+        }
+        Some(b.select(h.head.zipWithIndex.map { case (a, i) => col(a.v).as(s"_h$i") }: _*))
+      } catch { case _: Compiler.EmptyRelation => None }
+    }
+    if (bodies.isEmpty) return None
+    val all = bodies.reduce(_ unionByName _)
+    val plainIdx = h0.zipWithIndex.collect { case (HeadArg(None, _, _), i) => i }
+    val aggs = h0.zipWithIndex.collect { case (HeadArg(Some(a), _, extra), i) =>
+      val impl = Builtins.aggr.getOrElse(a, throw CompileException(s"unknown aggregation $a"))
+      val c = impl(col(s"_h$i"), extra.map(c0.compileExpr))
+      val capped = (a, extra) match {
+        case ("collect", Seq(Lit(n: Long))) => slice(c, 1, n.toInt)
+        case _ => c
+      }
+      capped.as(s"_h$i")
+    }
+    val grouped =
+      if (plainIdx.nonEmpty) all.groupBy(plainIdx.map(i => col(s"_h$i")): _*).agg(aggs.head, aggs.tail: _*)
+      else all.agg(aggs.head, aggs.tail: _*)
+    // output names: head var names; an aggregated var colliding with a
+    // plain var surfaces as aggr(var), mirroring cozo's display headers
+    val plainNames = h0.filter(_.aggr.isEmpty).map(_.v).toSet
+    val outNames = h0.map {
+      case HeadArg(Some(a), v, _) if plainNames.contains(v) => s"$a($v)"
+      case h => h.v
+    }
+    Some(grouped.select(h0.indices.map(i => col(s"_h$i")): _*).toDF(outNames: _*))
+  }
+
+  /** Naive bottom-up fixpoint for a recursive component: iterate all
+    * member rules against the accumulated totals until no rule grows.
+    * Set semantics via dropDuplicates/except; per-round localCheckpoint
+    * truncates lineage (the driver loop of eval.rs:113-303 — semi-naive
+    * deltas are a planned refinement; naive iteration is correct and
+    * each round is one distributed plan).
+    */
+  private def evalRecursive(scc: Seq[String], byName: Map[String, Seq[RuleDef]],
+                            deps: Map[String, Set[String]],
+                            evaluated: mutable.HashMap[String, DataFrame],
+                            params: Map[String, Any], maxIter: Int = 50): Unit = {
+    val inScc = scc.toSet
+    // stratification checks (query/stratify.rs:225)
+    scc.foreach { n =>
+      byName(n).foreach {
+        case HornClause(_, head, body) =>
+          if (head.exists(_.aggr.isDefined) && bodyDepsInScc(body, inScc))
+            throw CompileException(s"rule $n: aggregation through recursion is unstratifiable")
+          if (negDepsInScc(body, inScc))
+            throw CompileException(s"rule $n: negation through recursion is unstratifiable")
+        case other =>
+          throw CompileException(s"rule ${other.name}: only := rules may be recursive")
+      }
+    }
+    val totals = mutable.HashMap.empty[String, DataFrame]
+    def resolve(n: String): Option[DataFrame] =
+      if (inScc(n)) totals.get(n) else evaluated.get(n)
+    var changed = true
+    var iter = 0
+    while (changed && iter < maxIter) {
+      changed = false
+      for (n <- scc) {
+        evalRule(byName(n), resolve, params).foreach { nextRaw =>
+          val next = nextRaw.localCheckpoint()
+          val grew = totals.get(n) match {
+            case None => !next.isEmpty
+            case Some(prev) => !next.except(prev).isEmpty
+          }
+          if (grew) {
+            changed = true
+            totals(n) = totals.get(n)
+              .map(prev => prev.unionByName(next).dropDuplicates().localCheckpoint())
+              .getOrElse(next)
+          }
+        }
+      }
+      iter += 1
+    }
+    if (iter >= maxIter)
+      throw CompileException(s"recursion did not converge in $maxIter rounds: ${scc.mkString(",")}")
+    scc.foreach(n => totals.get(n).foreach(evaluated(n) = _))
+  }
+
+  private def bodyDepsInScc(body: Seq[Atom], inScc: Set[String]): Boolean = {
+    def check(a: Atom): Boolean = a match {
+      case RelApply(n, _, false, _) => inScc(n)
+      case Neg(inner) => check(inner)
+      case Or(alts) => alts.flatten.exists(check)
+      case _ => false
+    }
+    body.exists(check)
+  }
+  private def negDepsInScc(body: Seq[Atom], inScc: Set[String]): Boolean = {
+    def inNeg(a: Atom): Boolean = a match {
+      case Neg(inner) => bodyDepsInScc(Seq(inner), inScc)
+      case Or(alts) => alts.flatten.exists(inNeg)
+      case _ => false
+    }
+    body.exists(inNeg)
+  }
+
+  // ———————————————————————— options & mutations ————————————————————————
+
+  private def applyOptions(o: Options, df0: DataFrame): DataFrame = {
+    var df = df0
+    if (o.sort.nonEmpty) {
+      // cozo results are BTree-sorted by the full head tuple, so :sort
+      // ties resolve by the remaining head columns in order — append
+      // them as ascending tie-breakers for identical row order
+      val explicit = o.sort.map(_._1).toSet
+      val tieBreak = df.columns.filterNot(explicit.contains).map(col(_).asc)
+      df = df.orderBy(o.sort.map { case (v, desc) =>
+        if (desc) col(v).desc else col(v).asc } ++ tieBreak: _*)
+    }
+    o.offset.foreach(n => df = df.offset(n.toInt))
+    o.limit.foreach(n => df = df.limit(n.toInt))
+    if (o.assertNone && !df.isEmpty)
+      throw new IllegalStateException(":assert none failed — result is not empty")
+    if (o.assertSome && df.isEmpty)
+      throw new IllegalStateException(":assert some failed — result is empty")
+    o.relationOp.foreach { case (op, rel, keysOpt) =>
+      df = relationMutation(op, rel, keysOpt, df)
+    }
+    df
+  }
+
+  private def relationMutation(op: String, rel: String, schemaKeys: Seq[String],
+                               delta0: DataFrame): DataFrame = {
+    // materialize the mutation result lazily (first action) so repeated
+    // reads of the stored relation don't recompute its defining query,
+    // and mutation chains don't grow unbounded lineage
+    val delta = delta0.localCheckpoint(eager = false)
+    def keys: Seq[String] = relationKeys.getOrElse(rel,
+      if (schemaKeys.nonEmpty) schemaKeys else delta.columns.toSeq)
+    op match {
+      case "create" =>
+        if (relations.contains(rel))
+          throw new IllegalStateException(s":create $rel — relation already exists")
+        registerTable(rel, delta, if (schemaKeys.nonEmpty) schemaKeys else delta.columns.toSeq)
+      case "replace" =>
+        registerTable(rel, delta, if (schemaKeys.nonEmpty) schemaKeys
+          else relationKeys.getOrElse(rel, delta.columns.toSeq))
+      case "put" =>
+        relations(rel) = Mutations.put(relation(rel), delta, keys).localCheckpoint(eager = false)
+        putTriggers.getOrElse(rel, Nil).foreach(_(delta))
+      case "insert" =>
+        relations(rel) = Mutations.insert(relation(rel), delta, keys).localCheckpoint(eager = false)
+        putTriggers.getOrElse(rel, Nil).foreach(_(delta))
+      case "update" =>
+        relations(rel) = Mutations.update(relation(rel), delta, keys).localCheckpoint(eager = false)
+        putTriggers.getOrElse(rel, Nil).foreach(_(delta))
+      case "rm" =>
+        relations(rel) = Mutations.rm(relation(rel), delta, keys).localCheckpoint(eager = false)
+        rmTriggers.getOrElse(rel, Nil).foreach(_(delta))
+      case "delete" =>
+        relations(rel) = Mutations.delete(relation(rel), delta, keys).localCheckpoint(eager = false)
+        rmTriggers.getOrElse(rel, Nil).foreach(_(delta))
+      case "ensure" => Mutations.ensure(relation(rel), delta)
+      case "ensure_not" => Mutations.ensureNot(relation(rel), delta)
+      case other => throw CompileException(s"unknown relation op :$other")
+    }
+    delta
+  }
+
+  // ———————————————————————— helpers ————————————————————————
+
+  private def evalConst(e: Expr, params: Map[String, Any]): Any = e match {
+    case Lit(v) => v
+    case Un("-", inner) => evalConst(inner, params) match {
+      case l: Long => -l
+      case d: Double => -d
+      case other => throw CompileException(s"cannot negate $other")
+    }
+    case ListE(items) => items.map(evalConst(_, params))
+    case Param(name) => params.getOrElse(name, throw CompileException(s"missing parameter $$$name"))
+    case Bin(op, l, r) =>
+      (op, evalConst(l, params), evalConst(r, params)) match {
+        case ("++", a: String, b: String) => a + b
+        case ("++", a: Seq[_], b: Seq[_]) => a ++ b
+        case ("+", a: Long, b: Long) => a + b
+        case ("+", a: Double, b: Double) => a + b
+        case ("-", a: Long, b: Long) => a - b
+        case ("*", a: Long, b: Long) => a * b
+        case (o, a, b) => throw CompileException(s"cannot fold constant $a $o $b")
+      }
+    case other => throw CompileException(s"expected a constant, got $other")
+  }
+
+  /** Tarjan SCC, emitted in reverse topological order (dependencies
+    * first) — the stratum order. */
+  private def tarjan(nodes: Seq[String], edges: Map[String, Set[String]]): Seq[Seq[String]] = {
+    val index = mutable.HashMap.empty[String, Int]
+    val low = mutable.HashMap.empty[String, Int]
+    val onStack = mutable.HashSet.empty[String]
+    val stack = mutable.Stack.empty[String]
+    val out = mutable.ArrayBuffer.empty[Seq[String]]
+    var counter = 0
+    def strongconnect(v: String): Unit = {
+      index(v) = counter; low(v) = counter; counter += 1
+      stack.push(v); onStack += v
+      for (w <- edges.getOrElse(v, Set.empty).toSeq.sorted) {
+        if (!index.contains(w)) { strongconnect(w); low(v) = math.min(low(v), low(w)) }
+        else if (onStack(w)) low(v) = math.min(low(v), index(w))
+      }
+      if (low(v) == index(v)) {
+        val comp = mutable.ArrayBuffer.empty[String]
+        var w = ""
+        while ({ w = stack.pop(); onStack -= w; comp += w; w != v }) ()
+        out += comp.toSeq
+      }
+    }
+    nodes.sorted.foreach(v => if (!index.contains(v)) strongconnect(v))
+    out.toSeq
+  }
+}
+
+object CozoDb {
+
+  /** Build a DataFrame from rows of literals (const rules `<-`,
+    * Constant fixed rule). Column types are inferred column-wise with
+    * Long+Double unifying to Double; names default to _0.._n.
+    */
+  def rowsToDf(spark: SparkSession, rows: Seq[Any], names: Option[Seq[String]]): DataFrame = {
+    val tuples: Seq[Seq[Any]] = rows.map {
+      case s: Seq[_] => s
+      case other => Seq(other) // list of scalars = single-column rows
+    }
+    val arity = tuples.headOption.map(_.length)
+      .getOrElse(names.map(_.length).getOrElse(0))
+    if (tuples.exists(_.length != arity))
+      throw Compiler.CompileException("const rows have inconsistent arities")
+    val colNames = names.getOrElse((0 until arity).map(i => s"_$i"))
+    if (colNames.length != arity)
+      throw Compiler.CompileException(
+        s"const rule arity $arity does not match head ${colNames.length}")
+
+    def typeOf(values: Seq[Any]): DataType = {
+      val nonNull = values.filter(_ != null)
+      if (nonNull.isEmpty) StringType
+      else if (nonNull.forall(_.isInstanceOf[Boolean])) BooleanType
+      else if (nonNull.forall(_.isInstanceOf[Long])) LongType
+      else if (nonNull.forall(v => v.isInstanceOf[Long] || v.isInstanceOf[Double])) DoubleType
+      else if (nonNull.forall(_.isInstanceOf[String])) StringType
+      else if (nonNull.forall(_.isInstanceOf[Seq[_]]))
+        ArrayType(typeOf(nonNull.flatMap(_.asInstanceOf[Seq[Any]])))
+      else StringType
+    }
+    val types = (0 until arity).map(i => typeOf(tuples.map(_(i))))
+    def coerce(v: Any, t: DataType): Any = (v, t) match {
+      case (null, _) => null
+      case (l: Long, DoubleType) => l.toDouble
+      case (s: Seq[_], ArrayType(et, _)) => s.map(coerce(_, et))
+      case (x, StringType) if !x.isInstanceOf[String] => x.toString
+      case (x, _) => x
+    }
+    val schema = StructType(colNames.zip(types).map { case (n, t) => StructField(n, t, nullable = true) })
+    val data = tuples.map(t => Row.fromSeq(t.zip(types).map { case (v, ty) => coerce(v, ty) }))
+    spark.createDataFrame(spark.sparkContext.parallelize(data, math.max(1, data.length / 10000)), schema)
+  }
+}

@@ -1,0 +1,154 @@
+package graft.lang
+
+import graft.graphs.Graphs
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Fixed-rule registry: `head[...] <~ Algo(rels..., opt: v)` dispatch.
+  * Mirrors the reference registry (cozo-core/src/fixed_rule/mod.rs:
+  * 706-835) including user registration (db.rs:760
+  * register_fixed_rule); implementations are the distributed DataFrame
+  * programs in graft.graphs / graft.sources.
+  */
+object FixedRules {
+
+  /** (input relations, options, spark) => result. Column names of the
+    * result are repositioned to the rule head by the caller. */
+  type Impl = (Seq[DataFrame], Map[String, Any], SparkSession) => DataFrame
+
+  private val registry = scala.collection.concurrent.TrieMap.empty[String, Impl]
+
+  def register(name: String, impl: Impl): Unit = registry(name) = impl
+  def unregister(name: String): Unit = registry.remove(name)
+  def get(name: String): Option[Impl] = registry.get(name)
+  def names: Seq[String] = registry.keys.toSeq.sorted
+
+  private def edges(rels: Seq[DataFrame]): DataFrame = {
+    val e = rels.headOption.getOrElse(
+      throw Compiler.CompileException("graph fixed rule needs an edges relation"))
+    val cols = e.columns
+    if (cols.length < 2)
+      throw Compiler.CompileException("edges relation needs at least (from, to)")
+    if (cols.length >= 3)
+      e.select(col(cols(0)).as("src"), col(cols(1)).as("dst"), col(cols(2)).cast("double").as("weight"))
+    else e.select(col(cols(0)).as("src"), col(cols(1)).as("dst"))
+  }
+
+  private def starts(rels: Seq[DataFrame], i: Int): Option[DataFrame] =
+    rels.lift(i).map(df => df.select(col(df.columns.head).as("start")).distinct())
+
+  private def optInt(o: Map[String, Any], k: String, d: Int): Int = o.get(k) match {
+    case Some(v: Long) => v.toInt
+    case Some(v: Int) => v
+    case Some(v: Double) => v.toInt
+    case None => d
+    case Some(other) => throw Compiler.CompileException(s"option $k: expected integer, got $other")
+  }
+  private def optDouble(o: Map[String, Any], k: String, d: Double): Double = o.get(k) match {
+    case Some(v: Long) => v.toDouble
+    case Some(v: Double) => v
+    case None => d
+    case Some(other) => throw Compiler.CompileException(s"option $k: expected number, got $other")
+  }
+
+  // graph algorithm suite (fixed_rule/algos/*.rs)
+  register("PageRank", (rels, o, _) =>
+    Graphs.pageRank(edges(rels), iters = optInt(o, "iterations", 10),
+      damping = optDouble(o, "theta", 0.85)))
+  register("DegreeCentrality", (rels, _, _) => Graphs.degreeCentrality(edges(rels)))
+  register("ConnectedComponents", (rels, _, _) => Graphs.connectedComponents(edges(rels)))
+  register("StronglyConnectedComponent", (rels, _, _) => Graphs.stronglyConnectedComponents(edges(rels)))
+  register("StronglyConnectedComponents", (rels, _, _) => Graphs.stronglyConnectedComponents(edges(rels)))
+  register("CommunityDetectionLouvain", (rels, o, _) =>
+    Graphs.louvain(edges(rels), maxOuter = optInt(o, "max_iter", 5)))
+  register("LabelPropagation", (rels, o, _) =>
+    Graphs.labelPropagation(edges(rels), iters = optInt(o, "max_iter", 5)))
+  register("ClusteringCoefficients", (rels, _, _) => Graphs.clusteringCoefficients(edges(rels)))
+  register("TopSort", (rels, _, _) => Graphs.topSort(edges(rels)))
+  register("BFS", (rels, o, _) => {
+    val st = starts(rels, 1).getOrElse(
+      throw Compiler.CompileException("BFS needs a starting-nodes relation"))
+    Graphs.bfs(edges(rels), st, maxHops = optInt(o, "limit", 10))
+  })
+  register("DFS", (rels, o, _) => {
+    val st = starts(rels, 1).getOrElse(
+      throw Compiler.CompileException("DFS needs a starting-nodes relation"))
+    Graphs.dfs(edges(rels), st, maxDepth = optInt(o, "limit", 10))
+  })
+  register("ShortestPathBFS", (rels, _, _) => {
+    val st = starts(rels, 1).getOrElse(
+      throw Compiler.CompileException("ShortestPathBFS needs starting nodes"))
+    Graphs.shortestPaths(edges(rels), st)
+  })
+  register("ShortestPathDijkstra", (rels, _, _) => {
+    val st = starts(rels, 1).getOrElse(
+      throw Compiler.CompileException("ShortestPathDijkstra needs starting nodes"))
+    Graphs.shortestPaths(edges(rels), st)
+  })
+  register("RandomWalk", (rels, o, _) => {
+    val st = starts(rels, 1).getOrElse(
+      throw Compiler.CompileException("RandomWalk needs starting nodes"))
+    Graphs.randomWalk(edges(rels), st.withColumn("walk_id", col("start")),
+      steps = optInt(o, "steps", 10))
+  })
+
+  // utilities (fixed_rule/utilities/*.rs)
+  register("Constant", (_, o, spark) => o.get("data") match {
+    case Some(rows: Seq[_]) => CozoDb.rowsToDf(spark, rows, None)
+    case _ => throw Compiler.CompileException("Constant needs data: [[...], ...]")
+  })
+  register("ReorderSort", (rels, o, _) => {
+    val df = rels.headOption.getOrElse(
+      throw Compiler.CompileException("ReorderSort needs a relation"))
+    val descending = o.get("descending").contains(true)
+    val skip = optInt(o, "skip", 0)
+    val take = optInt(o, "take", Int.MaxValue)
+    // sort by all columns (the reference sorts by evaluated out() exprs;
+    // column order is the common case), emit sort index
+    val ordering = df.columns.map(c => if (descending) col(c).desc else col(c).asc)
+    val w = org.apache.spark.sql.expressions.Window.orderBy(ordering: _*)
+    val sorted = df.withColumn("__idx", row_number().over(w).cast("long"))
+      .filter(col("__idx") > skip)
+    val limited = if (take == Int.MaxValue) sorted else sorted.filter(col("__idx") <= skip + take)
+    limited.select((col("__idx") +: df.columns.map(col)): _*)
+  })
+  register("CsvReader", (_, o, spark) => {
+    val url = o.get("url") match {
+      case Some(s: String) => s.stripPrefix("file://")
+      case _ => throw Compiler.CompileException("CsvReader needs url: 'file://...'")
+    }
+    val delimiter = o.get("delimiter") match { case Some(s: String) => s; case _ => "," }
+    val hasHeaders = !o.get("has_headers").contains(false)
+    val raw = spark.read
+      .option("header", hasHeaders.toString)
+      .option("delimiter", delimiter)
+      .csv(url)
+    // `types` truncates to the first N columns and casts them
+    // (fixed_rule/utilities/csv.rs:46-88): Int/Float coerce, ? marks
+    // nullable (CSV columns are nullable on Spark regardless)
+    o.get("types") match {
+      case Some(ts: Seq[_]) =>
+        val types = ts.map(_.toString)
+        if (types.length > raw.columns.length)
+          throw Compiler.CompileException(
+            s"CsvReader: ${types.length} types for ${raw.columns.length} columns")
+        raw.select(types.zipWithIndex.map { case (t, i) =>
+          val c = col(raw.columns(i))
+          t.stripSuffix("?") match {
+            case "Int" => c.cast("long")
+            case "Float" => c.cast("double")
+            case "Bool" => c.cast("boolean")
+            case _ => c
+          }
+        }: _*)
+      case _ => raw
+    }
+  })
+  register("JsonReader", (_, o, spark) => {
+    val url = o.get("url") match {
+      case Some(s: String) => s.stripPrefix("file://")
+      case _ => throw Compiler.CompileException("JsonReader needs url: 'file://...'")
+    }
+    spark.read.json(url)
+  })
+}

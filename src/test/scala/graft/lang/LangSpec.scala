@@ -1,0 +1,241 @@
+package graft.lang
+
+import graft.SparkFixture
+import org.apache.spark.sql.Row
+import org.scalatest.funsuite.AnyFunSuite
+
+/** CozoScript front-end: parser + compiler semantics on small
+  * in-memory relations. Golden behaviors follow the reference's test
+  * corpus (cozo-core/src/runtime/tests.rs, tests/air_routes.rs).
+  */
+class LangSpec extends AnyFunSuite {
+  lazy val spark = SparkFixture.spark
+  import spark.implicits._
+
+  def freshDb(): CozoDb = {
+    val db = new CozoDb(spark)
+    db.registerTable("edge",
+      Seq((1L, 2L), (2L, 3L), (3L, 4L), (2L, 5L), (5L, 1L)).toDF("fr", "to"), Seq("fr", "to"))
+    db.registerTable("person",
+      Seq((1L, "alice", 30L), (2L, "bob", 25L), (3L, "carol", 41L), (4L, "dave", 25L))
+        .toDF("id", "name", "age"), Seq("id"))
+    db
+  }
+
+  def rows(db: CozoDb, script: String): Seq[Seq[Any]] =
+    db.run(script).collect().toSeq.map(_.toSeq)
+
+  test("const rule returns literal rows") {
+    val db = freshDb()
+    assert(rows(db, "?[a, b] <- [[1, 'x'], [2, 'y']]").toSet ==
+      Set(Seq(1L, "x"), Seq(2L, "y")))
+  }
+
+  test("stored relation scan with positional args and filter") {
+    val db = freshDb()
+    assert(rows(db, "?[n] := *person[id, n, age], age > 28").map(_.head).toSet ==
+      Set("alice", "carol"))
+  }
+
+  test("named-field scan binds selected columns only") {
+    val db = freshDb()
+    assert(rows(db, "?[name] := *person{name, age: 25}").map(_.head).toSet ==
+      Set("bob", "dave"))
+  }
+
+  test("literal argument is a pushdown filter") {
+    val db = freshDb()
+    assert(rows(db, "?[to] := *edge[2, to]").map(_.head).toSet == Set(3L, 5L))
+  }
+
+  test("join through shared variable") {
+    val db = freshDb()
+    assert(rows(db, "?[a, c] := *edge[a, b], *edge[b, c]").toSet ==
+      Set(Seq(1L, 3L), Seq(1L, 5L), Seq(2L, 4L), Seq(2L, 1L), Seq(5L, 2L)))
+  }
+
+  test("negation is an anti-join") {
+    val db = freshDb()
+    // persons that have no outgoing edge from their id
+    assert(rows(db, "?[id] := *person{id}, not *edge{fr: id}").map(_.head).toSet ==
+      Set(4L))
+  }
+
+  test("unification binds and filters") {
+    val db = freshDb()
+    assert(rows(db, "?[x, y] := x = 3, y = x * 2 + 1") == Seq(Seq(3L, 7L)))
+    assert(rows(db, "?[n] := *person[id, n, age], id = 2").map(_.head) == Seq("bob"))
+  }
+
+  test("unify-multi explodes a list") {
+    val db = freshDb()
+    assert(rows(db, "?[x] := x in [1, 2, 3]").map(_.head).toSet == Set(1L, 2L, 3L))
+  }
+
+  test("or-branches union") {
+    val db = freshDb()
+    assert(rows(db, "?[n] := *person{id, name: n}, (id == 1 or id == 3)")
+      .map(_.head).toSet == Set("alice", "carol"))
+  }
+
+  test("head aggregation with grouping") {
+    val db = freshDb()
+    assert(rows(db, "?[age, count(id)] := *person{id, age}").toSet ==
+      Set(Seq(30L, 1L), Seq(25L, 2L), Seq(41L, 1L)))
+  }
+
+  test("aggregation across multiple clauses accumulates (bag union)") {
+    val db = freshDb()
+    // degree = out + in, the air_routes most_routes golden shape
+    val res = rows(db,
+      """deg[n, count(n)] := *edge[n, _]
+        |deg[n, count(n)] := *edge[_, n]
+        |?[n, d] := deg[n, d]""".stripMargin).map(r => r.head -> r(1)).toMap
+    assert(res == Map(1L -> 2L, 2L -> 3L, 3L -> 2L, 4L -> 1L, 5L -> 2L))
+  }
+
+  test("plain and aggregated same var gets display name") {
+    val db = freshDb()
+    val df = db.run("?[age, count(age)] := *person{age}")
+    assert(df.columns.toSeq == Seq("age", "count(age)"))
+  }
+
+  test("global aggregation without grouping") {
+    val db = freshDb()
+    assert(rows(db, "?[count(id), mean(age)] := *person{id, age}").head ==
+      Seq(4L, 30.25))
+  }
+
+  test("sort, limit, offset") {
+    val db = freshDb()
+    assert(rows(db,
+      """?[name, age] := *person{name, age}
+        |:sort -age, +name
+        |:limit 2""".stripMargin) ==
+      Seq(Seq("carol", 41L), Seq("alice", 30L)))
+    assert(rows(db,
+      """?[name] := *person{name}
+        |:sort name
+        |:offset 2
+        |:limit 1""".stripMargin) == Seq(Seq("carol")))
+  }
+
+  test("recursion: transitive closure (semi-naive fixpoint)") {
+    val db = freshDb()
+    val reach = rows(db,
+      """reach[a, b] := *edge[a, b]
+        |reach[a, c] := reach[a, b], *edge[b, c]
+        |?[b] := reach[1, b]""".stripMargin).map(_.head).toSet
+    assert(reach == Set(1L, 2L, 3L, 4L, 5L)) // 1→2→{3→4, 5→1 cycle}
+  }
+
+  test("mutual recursion across two rules") {
+    val db = freshDb()
+    val res = rows(db,
+      """even[x] := x = 0
+        |even[x] := odd[y], x = y + 1, x <= 6
+        |odd[x] := even[y], x = y + 1, x <= 6
+        |?[x] := even[x]""".stripMargin).map(_.head).toSet
+    assert(res == Set(0L, 2L, 4L, 6L))
+  }
+
+  test("unstratifiable recursion through aggregation errors") {
+    val db = freshDb()
+    val e = intercept[Exception](db.run(
+      """r[a, count(b)] := *edge[a, b]
+        |r[a, count(b)] := r[b, a]
+        |?[a, b] := r[a, b]""".stripMargin))
+    assert(e.getMessage.contains("unstratifiable"))
+  }
+
+  test("expression functions and operators") {
+    val db = freshDb()
+    assert(rows(db, "?[x] := x = abs(-3) + max(2, 5) * 2").head == Seq(13L))
+    assert(rows(db, "?[x] := x = lowercase('AbC') ++ 'd'").head == Seq("abcd"))
+    assert(rows(db, "?[x] := x = length([1, 2, 3])").head == Seq(3))
+    assert(rows(db, "?[x] := x = if(2 > 1, 'yes', 'no')").head == Seq("yes"))
+    assert(rows(db, "?[x] := x = round(2.0 ^ 0.5 * 100) / 100").head == Seq(1.41))
+  }
+
+  test("parameters substitute") {
+    val db = freshDb()
+    val df = db.run("?[n] := *person{id: $target, name: n}", Map("target" -> 2L))
+    assert(df.collect().map(_.getString(0)).toSeq == Seq("bob"))
+  }
+
+  test(":put upserts into a stored relation and fires trigger") {
+    val db = freshDb()
+    var fired = 0L
+    db.onPut("person")(delta => fired += delta.count())
+    db.run("?[id, name, age] <- [[9, 'erin', 22]] :put person {id}")
+    assert(db.relation("person").count() == 5)
+    assert(fired == 1L)
+    // upsert overwrites by key
+    db.run("?[id, name, age] <- [[9, 'erin2', 23]] :put person {id}")
+    assert(db.relation("person").filter("id = 9").collect().head.getString(1) == "erin2")
+  }
+
+  test(":rm deletes by key; :create and :ensure work") {
+    val db = freshDb()
+    db.run("?[id, name, age] <- [[1, '', 0]] :rm person {id}")
+    assert(db.relation("person").count() == 3)
+    db.run("?[a, b] <- [[1, 'one']] :create pairs {a}")
+    assert(db.relation("pairs").count() == 1)
+    intercept[Exception](db.run("?[a, b] <- [[1, 'one']] :create pairs {a}"))
+  }
+
+  test(":assert none / some") {
+    val db = freshDb()
+    db.run("?[id] := *person{id}, id > 100 :assert none")
+    intercept[IllegalStateException](db.run("?[id] := *person{id} :assert none"))
+    db.run("?[id] := *person{id} :assert some")
+  }
+
+  test("fixed rule Constant and ReorderSort") {
+    val db = freshDb()
+    assert(rows(db, "?[a, b] <~ Constant(data: [[1, 'x'], [2, 'y']])").toSet ==
+      Set(Seq(1L, "x"), Seq(2L, "y")))
+    val sorted = rows(db,
+      """r[] <- [[3], [1], [2]]
+        |?[idx, v] <~ ReorderSort(r[])""".stripMargin)
+    assert(sorted == Seq(Seq(1L, 1L), Seq(2L, 2L), Seq(3L, 3L)))
+  }
+
+  test("fixed rule PageRank/CC run from script over stored edges") {
+    val db = freshDb()
+    val pr = db.run("?[node, rank] <~ PageRank(*edge[])")
+    assert(pr.count() == 5)
+    val cc = db.run("?[node, comp] <~ ConnectedComponents(*edge[])")
+    assert(cc.collect().map(_.getLong(1)).toSet == Set(1L)) // one component
+  }
+
+  test("fixed rule StronglyConnectedComponents") {
+    val db = freshDb()
+    val scc = db.run("?[node, comp] <~ StronglyConnectedComponents(*edge[])")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // cycle 1→2→5→1 is one SCC; 3 and 4 are singletons
+    assert(scc(1L) == scc(2L) && scc(2L) == scc(5L))
+    assert(scc(3L) != scc(1L) && scc(4L) != scc(3L))
+  }
+
+  test("sys ops: relations / columns / fixed_rules") {
+    val db = freshDb()
+    assert(db.run("::relations").collect().map(_.getString(0)).toSet ==
+      Set("edge", "person"))
+    assert(db.run("::columns person").collect().map(_.getString(0)).toSeq ==
+      Seq("id", "name", "age"))
+    assert(db.run("::fixed_rules").count() >= 10)
+  }
+
+  test("group_count / choice_rand / intersection aggregations") {
+    val db = freshDb()
+    val gc = db.run("?[group_count(age)] := *person{age}").collect().head.getSeq[Row](0)
+    assert(gc.map(r => (r.getLong(0), r.getLong(1))) == Seq((25L, 2L), (30L, 1L), (41L, 1L)))
+    val cr = rows(db, "?[choice_rand(id)] := *person{id}").head.head
+    assert(Set(1L, 2L, 3L, 4L).contains(cr.asInstanceOf[Long]))
+    val inter = db.run(
+      """r[] <- [[[1, 2, 3]], [[2, 3, 4]], [[2, 5, 3]]]
+        |?[intersection(x)] := r[x]""".stripMargin).collect().head.getSeq[Long](0)
+    assert(inter.toSet == Set(2L, 3L))
+  }
+}

@@ -232,6 +232,51 @@ object Queries {
              |  bool_or(o_totalprice > 5000) AS any_above_5000, count(*) AS cnt
              |FROM orders GROUP BY 1""".stripMargin)),
 
+    Spec("agg_latest_by", (s, d) =>
+      T(s, d, "events").groupBy("user_id")
+        .agg(CA.latestBy(col("event_type"), struct(col("ts"), col("event_id"))).as("last_type"),
+          count(lit(1)).as("n_events")),
+      Some("""SELECT user_id, last_type, n_events FROM (
+             |  SELECT user_id, event_type AS last_type,
+             |    count(*) OVER (PARTITION BY user_id) AS n_events,
+             |    row_number() OVER (PARTITION BY user_id ORDER BY date_trunc('microseconds', ts) DESC, event_id DESC) AS rn
+             |  FROM events) t WHERE rn = 1""".stripMargin)),
+
+    Spec("agg_smallest_by", (s, d) =>
+      T(s, d, "orders").groupBy("o_orderpriority")
+        .agg(CA.smallestBy(col("o_orderkey"), struct(col("o_totalprice"), col("o_orderkey"))).as("cheapest_order"),
+          round(min(col("o_totalprice")), 2).as("min_price")),
+      Some("""SELECT o_orderpriority, cheapest_order, min_price FROM (
+             |  SELECT o_orderpriority, o_orderkey AS cheapest_order,
+             |    round(min(o_totalprice) OVER (PARTITION BY o_orderpriority), 2) AS min_price,
+             |    row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey) AS rn
+             |  FROM orders) t WHERE rn = 1""".stripMargin)),
+
+    Spec("agg_collect_cap", (s, d) => {
+      val sp = T(s, d, "supplier"); val n = T(s, d, "nation")
+      sp.join(broadcast(n), sp("s_nationkey") === n("n_nationkey"))
+        .groupBy("n_name")
+        .agg(array_join(CA.collect(col("s_name"), Some(3)), ",").as("first3"))
+    },
+      Some("""SELECT n_name, array_to_string((array_agg(s_name ORDER BY s_name))[1:3], ',') AS first3
+             |FROM supplier JOIN nation ON s_nationkey = n_nationkey GROUP BY 1""".stripMargin)),
+
+    Spec("agg_union_sets", (s, d) =>
+      T(s, d, "documents").filter(col("doc_id") < 50)
+        .groupBy("lang")
+        .agg(array_join(sort_array(CA.unionAgg(TF.tokens(col("text")))), " ").as("vocab")),
+      Some(s"""SELECT lang, array_to_string(list_sort(list_distinct(flatten(list($toksSql)))), ' ') AS vocab
+              |FROM documents WHERE doc_id < 50 GROUP BY 1""".stripMargin)),
+
+    Spec("agg_group_count", (s, d) =>
+      T(s, d, "orders").groupBy("o_orderpriority")
+        .agg(array_join(transform(CA.groupCount(col("o_orderstatus")),
+          x => concat_ws(":", x.getField("value"), x.getField("count"))), ",").as("status_counts")),
+      Some("""SELECT o_orderpriority, string_agg(v || ':' || c, ',' ORDER BY v) AS status_counts
+             |FROM (SELECT o_orderpriority, o_orderstatus AS v, count(*) AS c
+             |      FROM orders GROUP BY 1, 2) t
+             |GROUP BY 1""".stripMargin)),
+
     // ——————————— recursion / fixpoint (SURVEY §3.1 step 7, §7.1 layer 5) ———————————
 
     Spec("rec_reach", (s, d) => {
@@ -309,6 +354,38 @@ object Queries {
 
     Spec("graph_labelprop", (s, d) =>
       Graphs.labelPropagation(eventEdges(T(s, d, "events")), iters = 5),
+      None),
+
+    // SCC via forward-min coloring; oracle = mutual-reachability closure
+    // (feasible at sf0.01: ≤150 event-graph nodes)
+    Spec("graph_scc", (s, d) =>
+      Graphs.stronglyConnectedComponents(eventEdges(T(s, d, "events"))),
+      Some(s"""WITH RECURSIVE $edgesSql,
+              |nodes AS (SELECT DISTINCT node FROM (SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges) t),
+              |reach(a, b) AS (
+              |  SELECT node, node FROM nodes
+              |  UNION
+              |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src)
+              |SELECT r1.a AS node, min(r1.b) AS comp FROM reach r1
+              |WHERE EXISTS (SELECT 1 FROM reach r2 WHERE r2.a = r1.b AND r2.b = r1.a)
+              |GROUP BY 1""".stripMargin)),
+
+    // Kahn layering on the DAG subgraph (src<dst); layer = longest
+    // distance from any source, which the bounded-dedup CTE mirrors
+    Spec("graph_topsort", (s, d) =>
+      Graphs.topSort(eventEdges(T(s, d, "events")).filter(col("src") < col("dst")))
+        .withColumn("layer", col("layer").cast("long")),
+      Some(s"""WITH RECURSIVE $edgesSql,
+              |dag AS (SELECT src, dst FROM edges WHERE src < dst),
+              |dnodes AS (SELECT DISTINCT node FROM (SELECT src AS node FROM dag UNION ALL SELECT dst FROM dag) t),
+              |paths(node, d) AS (
+              |  SELECT node, 0 FROM dnodes WHERE node NOT IN (SELECT dst FROM dag)
+              |  UNION
+              |  SELECT e.dst, p.d + 1 FROM paths p JOIN dag e ON p.node = e.src)
+              |SELECT node, CAST(max(d) AS BIGINT) AS layer FROM paths GROUP BY 1""".stripMargin)),
+
+    Spec("graph_louvain", (s, d) =>
+      Graphs.louvain(eventEdges(T(s, d, "events")), maxOuter = 2, maxInner = 5),
       None),
 
     Spec("graph_walk", (s, d) => {
@@ -493,7 +570,60 @@ object Queries {
     },
       Some("""SELECT o_orderkey,
              |  round(CASE WHEN o_custkey < 5 THEN o_totalprice * 1.1 ELSE o_totalprice END, 2) AS o_totalprice
-             |FROM orders""".stripMargin))
+             |FROM orders""".stripMargin)),
+
+    // partial non-key update (stored.rs:520): delta carries keys + the
+    // columns to overwrite; untouched rows/columns pass through
+    Spec("mut_update", (s, d) => {
+      val o = T(s, d, "orders")
+      val delta = o.filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"), lit("F").as("o_orderstatus"))
+      Mutations.update(o, delta, Seq("o_orderkey"))
+        .select("o_orderkey", "o_orderstatus", "o_orderpriority")
+    },
+      Some("""SELECT o_orderkey,
+             |  CASE WHEN o_orderpriority = '1-URGENT' THEN 'F' ELSE o_orderstatus END AS o_orderstatus,
+             |  o_orderpriority
+             |FROM orders""".stripMargin)),
+
+    // rm deletes by key; (l_orderkey, l_linenumber) is not unique in the
+    // synthetic lineitem, so the key includes l_quantity to make
+    // key-delete and predicate-delete coincide for the oracle
+    Spec("mut_rm", (s, d) => {
+      val li = T(s, d, "lineitem")
+      val victims = li.filter(col("l_quantity") >= 50)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+      Mutations.rm(li, victims, Seq("l_orderkey", "l_linenumber", "l_quantity"))
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+    },
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+             |WHERE l_quantity < 50""".stripMargin)),
+
+    // ——————————— sources: CSV / JSON round-trips (SURVEY §2.2) ———————————
+
+    Spec("src_csv_roundtrip", (s, d) => {
+      val tmp = s"/tmp/graft_csv_${d.replaceAll("[^0-9a-z.]", "_")}"
+      T(s, d, "events").select("event_id", "user_id", "value")
+        .write.mode("overwrite").option("header", "true").csv(tmp)
+      s.read.option("header", "true")
+        .schema("event_id long, user_id long, value double")
+        .csv(tmp)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 4).as("sum_value"))
+    },
+      Some("""SELECT user_id, count(*) AS cnt, round(sum(value), 4) AS sum_value
+             |FROM events GROUP BY 1""".stripMargin)),
+
+    Spec("src_json_roundtrip", (s, d) => {
+      val tmp = s"/tmp/graft_json_${d.replaceAll("[^0-9a-z.]", "_")}"
+      T(s, d, "events").select("event_id", "event_type", "value")
+        .write.mode("overwrite").json(tmp)
+      s.read.schema("event_id long, event_type string, value double").json(tmp)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("cnt"), round(avg(col("value")), 4).as("avg_value"))
+    },
+      Some("""SELECT event_type, count(*) AS cnt, round(avg(value), 4) AS avg_value
+             |FROM events GROUP BY 1""".stripMargin))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

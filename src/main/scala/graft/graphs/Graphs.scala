@@ -62,12 +62,16 @@ object Graphs {
         .join(e, col("node") === col("src"))
         .groupBy(col("dst").as("node"))
         .agg(sum(col("rank") / col("deg")).as("contrib"))
-      val danglingMass = withDeg.filter(col("deg").isNull)
-        .agg(coalesce(sum(col("rank")), lit(0.0))).head().getDouble(0)
+      // dangling mass folded in-plan as a broadcast 1-row aggregate —
+      // a driver-side .head() here would serialize every iteration on
+      // an extra job (round-1 verdict)
+      val dangling = withDeg.filter(col("deg").isNull)
+        .agg(coalesce(sum(col("rank")), lit(0.0)).as("__dangling"))
       ranks = ns.join(contribs, Seq("node"), "left")
+        .crossJoin(broadcast(dangling))
         .select(col("node"),
           (lit((1 - damping) / n) +
-            lit(damping) * (coalesce(col("contrib"), lit(0.0)) + lit(danglingMass / n))).as("rank"))
+            lit(damping) * (coalesce(col("contrib"), lit(0.0)) + col("__dangling") / n)).as("rank"))
         .localCheckpoint()
       i += 1
     }

@@ -1,5 +1,6 @@
 package graft
 
+import graft.plan._
 import graft.dedup.Dedup
 import graft.fixpoint.Fixpoint
 import graft.functions.{CozoAggregates => CA, TextFunctions => TF}
@@ -280,7 +281,7 @@ object Queries {
     // ——————————— recursion / fixpoint (SURVEY §3.1 step 7, §7.1 layer 5) ———————————
 
     Spec("rec_reach", (s, d) => {
-      val e = eventEdges(T(s, d, "events")).localCheckpoint()
+      val e = eventEdges(T(s, d, "events")).ckpt()
       val starts = e.filter(col("src") < 10).select(col("src").as("start")).distinct()
       Graphs.reachable(e, starts, hops = 3)
     },
@@ -292,7 +293,7 @@ object Queries {
               |SELECT DISTINCT start, node FROM reach""".stripMargin)),
 
     Spec("rec_sssp", (s, d) => {
-      val e = eventEdges(T(s, d, "events")).localCheckpoint()
+      val e = eventEdges(T(s, d, "events")).ckpt()
       val starts = e.filter(col("src") < 5).select(col("src").as("start")).distinct()
       Graphs.shortestPaths(e, starts, maxIter = 8)
         .select(col("start"), col("node"), col("cost").cast("long").as("cost"))
@@ -558,6 +559,91 @@ object Queries {
               |    (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / avgdl.avgdl))), 4) AS score
               |FROM tf JOIN df ON tf.term = df.term JOIN dl ON tf.doc_id = dl.doc_id, n, avgdl
               |GROUP BY 1""".stripMargin)),
+
+    // boolean FTS AST (fts/ast.rs): (spark AND join) OR (hash NOT merge)
+    Spec("fts_bool", (s, d) => {
+      val ix = Fts.Index.build(T(s, d, "documents"), "doc_id", "text")
+      Fts.search(ix, Fts.parseQuery("(spark AND join) OR (hash NOT merge)"))
+        .select(col("id"), round(col("score"), 4).as("score"))
+    },
+      Some(s"""WITH toks AS (SELECT doc_id, unnest($toksSql) AS term FROM documents),
+              |dl AS (SELECT doc_id, CAST(len($toksSql) AS DOUBLE) AS dl FROM documents),
+              |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+              |avgdl AS (SELECT avg(dl) AS avgdl FROM dl),
+              |has AS (SELECT DISTINCT doc_id, term FROM toks),
+              |matched AS (
+              |  SELECT a.doc_id FROM has a JOIN has b ON a.doc_id = b.doc_id
+              |  WHERE a.term = 'spark' AND b.term = 'join'
+              |  UNION
+              |  SELECT doc_id FROM has WHERE term = 'hash'
+              |    AND doc_id NOT IN (SELECT doc_id FROM has WHERE term = 'merge')),
+              |tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf FROM toks
+              |       WHERE term IN ('spark', 'join', 'hash') GROUP BY 1, 2),
+              |df AS (SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df FROM toks
+              |       WHERE term IN ('spark', 'join', 'hash') GROUP BY 1)
+              |SELECT tf.doc_id AS id,
+              |  round(sum(ln(1.0 + (n.n - df.df + 0.5) / (df.df + 0.5)) *
+              |    (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / avgdl.avgdl))), 4) AS score
+              |FROM tf JOIN df ON tf.term = df.term JOIN dl ON tf.doc_id = dl.doc_id, n, avgdl
+              |WHERE tf.doc_id IN (SELECT doc_id FROM matched)
+              |GROUP BY 1""".stripMargin)),
+
+    // positional NEAR: 'hash' and 'join' within 5 tokens
+    Spec("fts_near", (s, d) => {
+      val ix = Fts.Index.build(T(s, d, "documents"), "doc_id", "text")
+      Fts.search(ix, Fts.Near(Seq("hash", "join"), dist = 5))
+        .select(col("id"), round(col("score"), 4).as("score"))
+    },
+      Some(s"""WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
+              |pos AS (SELECT doc_id, toks[i] AS term, i FROM
+              |        (SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS i FROM d)),
+              |toks AS (SELECT doc_id, term FROM pos),
+              |dl AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl FROM d),
+              |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM d),
+              |avgdl AS (SELECT avg(dl) AS avgdl FROM dl),
+              |matched AS (SELECT DISTINCT p1.doc_id FROM pos p1 JOIN pos p2 ON p1.doc_id = p2.doc_id
+              |            WHERE p1.term = 'hash' AND p2.term = 'join' AND abs(p1.i - p2.i) <= 5),
+              |tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf FROM toks
+              |       WHERE term IN ('hash', 'join') GROUP BY 1, 2),
+              |df AS (SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df FROM toks
+              |       WHERE term IN ('hash', 'join') GROUP BY 1)
+              |SELECT tf.doc_id AS id,
+              |  round(sum(ln(1.0 + (n.n - df.df + 0.5) / (df.df + 0.5)) *
+              |    (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / avgdl.avgdl))), 4) AS score
+              |FROM tf JOIN df ON tf.term = df.term JOIN dl ON tf.doc_id = dl.doc_id, n, avgdl
+              |WHERE tf.doc_id IN (SELECT doc_id FROM matched)
+              |GROUP BY 1""".stripMargin)),
+
+    // ——————————— multimodal binary columns (training-data pipeline) ———————————
+
+    // binary media wrapping + metadata + byte-level digest; the decode
+    // stage itself is a documented stub (no codecs in this env) but the
+    // schema/partitioning plumbing is exercised end-to-end
+    Spec("mm_bytes", (s, d) => {
+      val media = graft.multimodal.Multimodal.asMedia(
+        T(s, d, "documents"), "doc_id", "text", "utf8")
+      media.select(col("id").as("doc_id"),
+        length(col("media")).cast("long").as("n_bytes"),
+        md5(col("media")).as("digest"),
+        col("meta.format").as("format"))
+    },
+      Some("""SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
+             |  md5(text) AS digest, 'utf8' AS format
+             |FROM documents""".stripMargin)),
+
+    // frame-sampling explode shape over fake video metadata: count of
+    // sampled frames per doc is (n_frames + stride - 1) div stride where
+    // n_frames = xxhash-derived — not SQL-expressible, so assert the
+    // aggregate row count relation instead via embedding extraction
+    Spec("mm_features_knn", (s, d) => {
+      val media = graft.multimodal.Multimodal.asMedia(
+        T(s, d, "documents").filter(col("doc_id") < 100), "doc_id", "text", "utf8")
+      val feats = graft.multimodal.Multimodal.extractFeatures(media, dim = 16)
+      val corpus = feats.select(col("id"), col("embedding").as("vec"))
+      val queries = feats.filter(col("id") < 5).select(col("id").as("query_id"), col("embedding").as("vec"))
+      Ann.bruteForceTopK(corpus, queries, k = 3).select("query_id", "id", "rank")
+    },
+      None),
 
     // ——————————————————— mutations (SURVEY §2.2 sinks) ———————————————————
 

@@ -1,5 +1,6 @@
 package graft.dedup
 
+import graft.plan._
 import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
@@ -46,7 +47,7 @@ object Dedup {
     val k = bands * rowsPerBand
     val sigs = TF.minhashSignatures(df, idCol, TF.wordShingles(col(textCol), shingleN), k)
       .withColumn("band", explode(TF.lshBandKeys(col("sig"), bands, rowsPerBand)))
-      .localCheckpoint()
+      .ckpt()
     val a = sigs.select(col("id").as("id_a"), col("sig").as("sig_a"), col("band"))
     val b = sigs.select(col("id").as("id_b"), col("sig").as("sig_b"), col("band"))
     a.join(b, Seq("band")).filter(col("id_a") < col("id_b"))
@@ -74,7 +75,7 @@ object Dedup {
     val k = bands * rowsPerBand
     val sh = df.select(col(idCol).as("id"),
         explode(TF.wordShingles(col(textCol), shingleN)).as("s"))
-      .distinct().localCheckpoint()
+      .distinct().ckpt()
     val aggs = (0 until k).map(i => min(xxhash64(col("s"), lit(i))).as(s"__h$i"))
     val banded = sh.groupBy("id").agg(aggs.head, aggs.tail: _*)
       .select(col("id"), array((0 until k).map(i => col(s"__h$i")): _*).as("sig"))
@@ -115,7 +116,7 @@ object Dedup {
         explode(TF.wordShingles(col(textCol), shingleN)).as("s"))
       .distinct()
     val freqOk = sh.groupBy("s").agg(count(lit(1)).as("df")).filter(col("df") <= maxDocFreq)
-    val shf = sh.join(freqOk.select("s"), Seq("s"), "left_semi").localCheckpoint()
+    val shf = sh.join(freqOk.select("s"), Seq("s"), "left_semi").ckpt()
     val sizes = shf.groupBy("id").agg(count(lit(1)).as("n"))
     val inter = shf.select(col("id").as("id_a"), col("s"))
       .join(shf.select(col("id").as("id_b"), col("s")), Seq("s"))
@@ -137,7 +138,7 @@ object Dedup {
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3): DataFrame = {
-    val fp = TF.simhashFingerprints(df, idCol, TF.tokens(col(textCol))).localCheckpoint()
+    val fp = TF.simhashFingerprints(df, idCol, TF.tokens(col(textCol))).ckpt()
     val banded = fp.select(col("id"), col("fp"), explode(array((0 until 4).map { b =>
       struct(lit(b).as("block"), shiftright(col("fp"), b * 16).bitwiseAND(lit(0xFFFFL)).as("key"))
     }: _*)).as("bk"))
@@ -200,7 +201,7 @@ object Dedup {
           .filter(col("id_a") < col("id_b"))
       } else {
         val bk = hyperplaneBuckets(df, idCol, vecCol, planes, tables)
-          .join(base, Seq("id")).localCheckpoint()
+          .join(base, Seq("id")).ckpt()
         bk.select(col("id").as("id_a"), col("vec").as("vec_a"), col("table"), col("bucket"))
           .join(bk.select(col("id").as("id_b"), col("vec").as("vec_b"), col("table"), col("bucket")),
             Seq("table", "bucket"))

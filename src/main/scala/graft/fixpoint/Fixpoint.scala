@@ -1,5 +1,6 @@
 package graft.fixpoint
 
+import graft.plan._
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -27,14 +28,14 @@ object Fixpoint {
     */
   def semiNaive(base: DataFrame, step: DataFrame => DataFrame,
                 maxIter: Int = 100): DataFrame = {
-    var total = base.dropDuplicates().localCheckpoint()
+    var total = base.dropDuplicates().ckpt()
     var delta = total
     var iter = 0
     var converged = delta.isEmpty
     while (!converged && iter < maxIter) {
-      delta = step(delta).dropDuplicates().except(total).localCheckpoint()
+      delta = step(delta).dropDuplicates().except(total).ckpt()
       if (delta.isEmpty) converged = true
-      else total = total.union(delta).localCheckpoint()
+      else total = total.union(delta).ckpt()
       iter += 1
     }
     total
@@ -45,12 +46,12 @@ object Fixpoint {
     */
   def boundedExpand(base: DataFrame, step: DataFrame => DataFrame,
                     hops: Int): DataFrame = {
-    var total = base.dropDuplicates().localCheckpoint()
+    var total = base.dropDuplicates().ckpt()
     var frontier = total
     var i = 0
     while (i < hops && !frontier.isEmpty) {
-      frontier = step(frontier).dropDuplicates().except(total).localCheckpoint()
-      total = total.union(frontier).localCheckpoint()
+      frontier = step(frontier).dropDuplicates().except(total).ckpt()
+      total = total.union(frontier).ckpt()
       i += 1
     }
     total
@@ -72,14 +73,14 @@ object Fixpoint {
     def fold(df: DataFrame): DataFrame =
       df.groupBy(keyCols.map(col): _*).agg(min(col(valCol)).as(valCol))
         .select((keyCols :+ valCol).map(col): _*)
-    var total = fold(base).localCheckpoint()
+    var total = fold(base).ckpt()
     var delta = total
     var iter = 0
     var converged = delta.isEmpty
     while (!converged && iter < maxIter) {
       val candidates = fold(step(delta))
-      val merged = fold(total.union(candidates)).localCheckpoint()
-      delta = merged.except(total).localCheckpoint()
+      val merged = fold(total.union(candidates)).ckpt()
+      delta = merged.except(total).ckpt()
       if (delta.isEmpty) converged = true
       else total = merged
       iter += 1

@@ -97,7 +97,49 @@ object CozoFunctions {
     when(n > 0, transform(v, x => (x / n).cast("float"))).otherwise(v)
   }
 
-  // — time / uuid / validity (2441-2571): now → current_timestamp,
-  // format_timestamp → date_format, parse_timestamp → to_timestamp,
-  // uuid v4 → uuid(); uuid v1 timestamp extraction is a UDF if needed.
+  // — bitwise over packed bool lists (functions.rs:1194-1216). The
+  // reference packs into Bytes; a cold-path UDF is acceptable here
+  // (never in a scan hot loop — use array<boolean> columns directly
+  // for analytical predicates).
+  private lazy val packBitsUdf = udf((bits: Seq[Boolean]) => {
+    if (bits == null) null
+    else {
+      val out = new Array[Byte]((bits.length + 7) / 8)
+      bits.zipWithIndex.foreach { case (b, i) => if (b) out(i / 8) = (out(i / 8) | (0x80 >> (i % 8))).toByte }
+      out
+    }
+  })
+  private lazy val unpackBitsUdf = udf((bytes: Array[Byte]) =>
+    if (bytes == null) null
+    else bytes.flatMap(b => (0 until 8).map(i => ((b >> (7 - i)) & 1) == 1)))
+  def packBits(bools: Column): Column = packBitsUdf(bools)
+  def unpackBits(bytes: Column): Column = unpackBitsUdf(bytes)
+
+  // — JSON path set/remove (functions.rs:81-156) for top-level keys,
+  // via map manipulation; keys re-emitted sorted for canonical output.
+  private def jsonAsMap(j: Column): Column =
+    from_json(j, org.apache.spark.sql.types.DataType.fromDDL("map<string,string>"))
+  private def mapToJson(m: Column): Column =
+    to_json(map_from_entries(array_sort(map_entries(m))))
+  def jsonSet(j: Column, key: String, value: Column): Column =
+    mapToJson(map_concat(map_filter(jsonAsMap(j), (k, _) => k =!= key), map(lit(key), value.cast("string"))))
+  def jsonRemove(j: Column, key: String): Column =
+    mapToJson(map_filter(jsonAsMap(j), (k, _) => k =!= key))
+
+  // — time (functions.rs:2441-2520): cozo represents instants as epoch
+  // seconds (float); formatting is RFC3339-ish.
+  def nowSeconds(): Column = unix_timestamp(current_timestamp()).cast("double")
+  def formatTimestamp(epochSecs: Column, fmt: String = "yyyy-MM-dd'T'HH:mm:ssXXX"): Column =
+    date_format(timestamp_seconds(epochSecs), fmt)
+  def parseTimestamp(s: Column): Column = unix_timestamp(to_timestamp(s)).cast("double")
+
+  // — uuid (functions.rs:2305-2571): v4 random; v1 is time-ordered —
+  // a deterministic time-ordered surrogate built from a timestamp and
+  // a hash suffix (sortable like v1, stable across engines).
+  def uuidV4(): Column = uuid()
+  def timeUuid(ts: Column, salt: Column): Column =
+    concat_ws("-",
+      lpad(hex(unix_timestamp(ts)), 12, "0"),
+      lpad(hex(pmod(xxhash64(salt), lit(65536L))), 4, "0"),
+      lit("4000-8000-000000000000"))
 }

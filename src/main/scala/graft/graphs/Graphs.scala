@@ -1,5 +1,6 @@
 package graft.graphs
 
+import graft.plan._
 import graft.fixpoint.Fixpoint
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
@@ -50,8 +51,8 @@ object Graphs {
     * Returns (node, rank) with ranks summing to ~1.
     */
   def pageRank(edges: DataFrame, iters: Int = 10, damping: Double = 0.85): DataFrame = {
-    val e = edges.select("src", "dst").distinct().localCheckpoint()
-    val ns = nodes(e).localCheckpoint()
+    val e = edges.select("src", "dst").distinct().ckpt()
+    val ns = nodes(e).ckpt()
     val n = ns.count().toDouble
     val outDeg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
     var ranks = ns.withColumn("rank", lit(1.0 / n))
@@ -72,7 +73,7 @@ object Graphs {
         .select(col("node"),
           (lit((1 - damping) / n) +
             lit(damping) * (coalesce(col("contrib"), lit(0.0)) + col("__dangling") / n)).as("rank"))
-        .localCheckpoint()
+        .ckpt()
       i += 1
     }
     ranks
@@ -86,8 +87,8 @@ object Graphs {
     * naive propagation would need O(diameter) shuffles.
     */
   def connectedComponents(edges: DataFrame, maxIter: Int = 50): DataFrame = {
-    val und = undirected(edges).localCheckpoint()
-    var lab = nodes(und).withColumn("comp", col("node")).localCheckpoint()
+    val und = undirected(edges).ckpt()
+    var lab = nodes(und).withColumn("comp", col("node")).ckpt()
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -101,7 +102,7 @@ object Graphs {
         .dropDuplicates("comp")
       val jumped = prop.join(ptr, Seq("comp"), "left")
         .select(col("node"), coalesce(col("comp2"), col("comp")).as("comp"))
-        .localCheckpoint()
+        .ckpt()
       converged = jumped.except(lab).isEmpty
       lab = jumped
       i += 1
@@ -114,8 +115,8 @@ object Graphs {
     * the smaller label for determinism.
     */
   def labelPropagation(edges: DataFrame, iters: Int = 5): DataFrame = {
-    val und = undirected(edges).localCheckpoint()
-    var lab = nodes(und).withColumn("label", col("node")).localCheckpoint()
+    val und = undirected(edges).ckpt()
+    var lab = nodes(und).withColumn("label", col("node")).ckpt()
     var i = 0
     while (i < iters) {
       val votes = und.join(lab.withColumnRenamed("node", "dst"), Seq("dst"))
@@ -126,7 +127,7 @@ object Graphs {
         .filter(col("__rn") === 1).select(col("node"), col("label"))
       lab = lab.select("node").join(best, Seq("node"), "left")
         .select(col("node"), coalesce(col("label"), col("node")).as("label"))
-        .localCheckpoint()
+        .ckpt()
       i += 1
     }
     lab
@@ -181,8 +182,8 @@ object Graphs {
     * grading; nodes on cycles are absent (the reference errors on
     * cycles). */
   def topSort(edges: DataFrame, maxIter: Int = 100): DataFrame = {
-    var remaining = edges.select("src", "dst").distinct().localCheckpoint()
-    var live = nodes(remaining).localCheckpoint()
+    var remaining = edges.select("src", "dst").distinct().ckpt()
+    var live = nodes(remaining).ckpt()
     var out: DataFrame = null
     var layer = 0
     var done = false
@@ -191,10 +192,10 @@ object Graphs {
       if (withIn.isEmpty) done = true
       else {
         val peeled = withIn.withColumn("layer", lit(layer))
-        out = if (out == null) peeled.localCheckpoint() else out.union(peeled).localCheckpoint()
-        live = live.join(peeled.select("node"), Seq("node"), "left_anti").localCheckpoint()
+        out = if (out == null) peeled.ckpt() else out.union(peeled).ckpt()
+        live = live.join(peeled.select("node"), Seq("node"), "left_anti").ckpt()
         remaining = remaining.join(peeled.select(col("node").as("src")), Seq("src"), "left_anti")
-          .localCheckpoint()
+          .ckpt()
         layer += 1
       }
       if (live.isEmpty) done = true
@@ -215,13 +216,13 @@ object Graphs {
     */
   def stronglyConnectedComponents(edges: DataFrame, maxRounds: Int = 20): DataFrame = {
     var live = edges.select("src", "dst").filter(col("src") =!= col("dst"))
-      .distinct().localCheckpoint()
-    var unassigned = nodes(live).localCheckpoint()
+      .distinct().ckpt()
+    var unassigned = nodes(live).ckpt()
     var result: DataFrame = null
     var round = 0
     while (round < maxRounds && !unassigned.isEmpty) {
       // forward min-label: color(v) = min id of any node reaching v
-      var color = unassigned.withColumn("color", col("node")).localCheckpoint()
+      var color = unassigned.withColumn("color", col("node")).ckpt()
       var stable = false
       var i = 0
       while (!stable && i < 50) {
@@ -229,32 +230,32 @@ object Graphs {
           .groupBy(col("dst").as("node")).agg(min(col("color")).as("in_color"))
         val next = color.join(viaEdge, Seq("node"), "left")
           .select(col("node"), least(col("color"), coalesce(col("in_color"), col("color"))).as("color"))
-          .localCheckpoint()
+          .ckpt()
         stable = next.except(color).isEmpty
         color = next
         i += 1
       }
       // backward: SCC(r) = same-color nodes that reach r
       var inScc = color.filter(col("node") === col("color"))
-        .select(col("node"), col("color")).localCheckpoint()
+        .select(col("node"), col("color")).ckpt()
       stable = false
       i = 0
       while (!stable && i < 50) {
         val grown = live.join(inScc.withColumnRenamed("node", "dst"), Seq("dst"))
           .select(col("src").as("node"), col("color"))
           .join(color, Seq("node", "color"), "left_semi")
-          .unionByName(inScc).dropDuplicates().localCheckpoint()
+          .unionByName(inScc).dropDuplicates().ckpt()
         stable = grown.except(inScc).isEmpty
         inScc = grown
         i += 1
       }
       val assigned = inScc.select(col("node"), col("color").as("comp"))
-      result = if (result == null) assigned.localCheckpoint()
-        else result.unionByName(assigned).localCheckpoint()
-      unassigned = unassigned.join(assigned.select("node"), Seq("node"), "left_anti").localCheckpoint()
+      result = if (result == null) assigned.ckpt()
+        else result.unionByName(assigned).ckpt()
+      unassigned = unassigned.join(assigned.select("node"), Seq("node"), "left_anti").ckpt()
       live = live.join(assigned.select(col("node").as("src")), Seq("src"), "left_anti")
         .join(assigned.select(col("node").as("dst")), Seq("dst"), "left_anti")
-        .localCheckpoint()
+        .ckpt()
       round += 1
     }
     if (!unassigned.isEmpty) // isolated leftovers: singleton SCCs
@@ -274,21 +275,22 @@ object Graphs {
     val base = edges.select("src", "dst")
     val und0 = base.unionByName(base.select(col("dst").as("src"), col("src").as("dst")))
       .filter(col("src") =!= col("dst"))
-      .groupBy("src", "dst").agg(lit(1.0).as("w")).localCheckpoint()
+      .groupBy("src", "dst").agg(lit(1.0).as("w")).ckpt()
     // mapping original node -> current community (refined per level)
-    var mapping = nodes(und0).withColumn("community", col("node")).localCheckpoint()
+    var mapping = nodes(und0).withColumn("community", col("node")).ckpt()
     var g = und0
     var level = 0
     var improvedOuter = true
-    while (level < maxOuter && improvedOuter) {
+    while (level < maxOuter && improvedOuter && !g.isEmpty) {
       val m2 = g.agg(sum(col("w"))).head().getDouble(0) // = 2m (both directions)
-      val deg = g.groupBy(col("src").as("node")).agg(sum(col("w")).as("k")).localCheckpoint()
-      var comm = deg.select(col("node"), col("node").as("comm")).localCheckpoint()
+      val deg = g.groupBy(col("src").as("node")).agg(sum(col("w")).as("k")).ckpt()
+      var comm = deg.select(col("node"), col("node").as("comm")).ckpt()
       var inner = 0
       var moved = true
-      while (moved && inner < maxInner) {
+      var movedPrev = true // converged = two still rounds (one per parity)
+      while ((moved || movedPrev) && inner < maxInner) {
         val sigma = comm.join(deg, Seq("node"))
-          .groupBy(col("comm")).agg(sum(col("k")).as("sigma")).localCheckpoint()
+          .groupBy(col("comm")).agg(sum(col("k")).as("sigma")).ckpt()
         // weight from each node to each neighboring community
         val toComm = g.join(comm.withColumnRenamed("node", "dst"), Seq("dst"))
           .groupBy(col("src").as("node"), col("comm")).agg(sum(col("w")).as("k_in"))
@@ -302,25 +304,32 @@ object Graphs {
           .withColumn("gain", col("k_in") - col("k") * col("sigma_adj") / lit(m2))
         val w = Window.partitionBy(col("node"))
           .orderBy(col("gain").desc, col("comm").asc)
+        // parity gating: only half the nodes (by hash) may move each
+        // round — synchronous moves otherwise oscillate (two nodes
+        // swapping communities forever) and the loop never converges
         val best = cand.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+          .filter(pmod(xxhash64(col("node")), lit(2)) === lit(inner % 2))
           .select(col("node"), col("cur"),
             when(col("gain") > 1e-12, col("comm")).otherwise(col("cur")).as("next"))
         val nextComm = comm.join(best.select(col("node"), col("next")), Seq("node"), "left")
           .select(col("node"), coalesce(col("next"), col("comm")).as("comm"))
-          .localCheckpoint()
+          .ckpt()
+        movedPrev = moved
         moved = !nextComm.except(comm).isEmpty
         comm = nextComm
         inner += 1
       }
-      improvedOuter = inner > 1
+      improvedOuter = inner > 2
       mapping = mapping.join(comm.withColumnRenamed("node", "community"), Seq("community"))
-        .select(col("node"), col("comm").as("community")).localCheckpoint()
-      // contract: communities become nodes, parallel edge weights sum
+        .select(col("node"), col("comm").as("community")).ckpt()
+      // contract: communities become nodes, parallel edge weights sum.
+      // Self-loops are KEPT — they carry the intra-community weight that
+      // anchors contracted nodes (dropping them deflates m and degrees,
+      // making every merge look profitable)
       g = g.join(comm.withColumnRenamed("node", "src").withColumnRenamed("comm", "csrc"), Seq("src"))
         .join(comm.withColumnRenamed("node", "dst").withColumnRenamed("comm", "cdst"), Seq("dst"))
-        .filter(col("csrc") =!= col("cdst"))
         .groupBy(col("csrc").as("src"), col("cdst").as("dst")).agg(sum(col("w")).as("w"))
-        .localCheckpoint()
+        .ckpt()
       level += 1
     }
     mapping.select(col("node"), col("community"))
@@ -362,7 +371,7 @@ object Graphs {
     * and local clustering coefficient over the undirected graph.
     */
   def clusteringCoefficients(edges: DataFrame): DataFrame = {
-    val und = undirected(edges).localCheckpoint()
+    val und = undirected(edges).ckpt()
     // canonical edges a<b for triangle enumeration
     val canon = und.filter(col("src") < col("dst"))
       .select(col("src").as("a"), col("dst").as("b"))
@@ -386,15 +395,249 @@ object Graphs {
           .otherwise(lit(0.0)).as("clustering_coefficient"))
   }
 
+  /** MinimumSpanningForest (algos/prim.rs, algos/kruskal.rs — both
+    * driver-sequential in the reference). The distributed shape is
+    * Borůvka: every component picks its minimum outgoing edge, the
+    * chosen edges merge components (pointer-jump to canonical labels),
+    * O(log V) rounds — each round two joins and an aggregation, so a
+    * 100 TB edge set never leaves the cluster. Weight ties break by
+    * (weight, src, dst) for determinism. Returns the forest's edges
+    * (src, dst, weight) with src < dst.
+    */
+  def minimumSpanningForest(edges: DataFrame, maxRounds: Int = 30): DataFrame = {
+    val w = if (edges.columns.contains("weight")) col("weight").cast("double") else lit(1.0)
+    // canonical undirected edges a<b, min weight per pair
+    val es = edges.select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"), w.as("weight"))
+      .filter(col("a") =!= col("b"))
+      .groupBy("a", "b").agg(min(col("weight")).as("weight"))
+      .ckpt()
+    var comp = es.select(col("a").as("node")).union(es.select(col("b").as("node")))
+      .distinct().withColumn("comp", col("node")).ckpt()
+    var forest: DataFrame = null
+    var round = 0
+    var done = false
+    while (!done && round < maxRounds) {
+      val labeled = es
+        .join(comp.select(col("node").as("a"), col("comp").as("ca")), Seq("a"))
+        .join(comp.select(col("node").as("b"), col("comp").as("cb")), Seq("b"))
+        .filter(col("ca") =!= col("cb"))
+      if (labeled.isEmpty) done = true
+      else {
+        // min outgoing edge per component (both endpoints' views)
+        val cand = labeled.select(col("ca").as("comp"), col("a"), col("b"), col("weight"), col("cb").as("other"))
+          .union(labeled.select(col("cb").as("comp"), col("a"), col("b"), col("weight"), col("ca").as("other")))
+        val wnd = Window.partitionBy(col("comp"))
+          .orderBy(col("weight"), col("a"), col("b"))
+        val chosen = cand.withColumn("__rn", row_number().over(wnd)).filter(col("__rn") === 1)
+          .select(col("a"), col("b"), col("weight"), col("comp"), col("other"))
+          .ckpt()
+        val newEdges = chosen.select(col("a").as("src"), col("b").as("dst"), col("weight"))
+          .dropDuplicates()
+        forest = if (forest == null) newEdges.ckpt()
+          else forest.union(newEdges).dropDuplicates().ckpt()
+        // merge: each comp points to min(comp, other); pointer-jump to fixpoint
+        var ptr = chosen.select(col("comp"), least(col("comp"), col("other")).as("to"))
+          .groupBy("comp").agg(min(col("to")).as("to"))
+          .ckpt()
+        var stable = false
+        var hops = 0
+        while (!stable && hops < 20) {
+          val jumped = ptr.as("p1")
+            .join(ptr.select(col("comp").as("to"), col("to").as("to2")), Seq("to"), "left")
+            .select(col("comp"), least(col("to"), coalesce(col("to2"), col("to"))).as("to"))
+            .ckpt()
+          stable = jumped.except(ptr).isEmpty
+          ptr = jumped
+          hops += 1
+        }
+        comp = comp.join(ptr, Seq("comp"), "left")
+          .select(col("node"), coalesce(col("to"), col("comp")).as("comp"))
+          .ckpt()
+        round += 1
+      }
+    }
+    if (forest == null)
+      es.limit(0).select(col("a").as("src"), col("b").as("dst"), col("weight"))
+    else forest
+  }
+
+  /** ClosenessCentrality (algos/all_pairs_shortest_path.rs): harmonic-free
+    * classic closeness c(v) = (|reach(v)|-1) / Σ d(v,u), computed from a
+    * multi-source distributed BFS over ALL nodes at once — the frontier
+    * relation is (start, node, cost), so the cluster carries the whole
+    * all-pairs state instead of looping per source. O(V·E) work like any
+    * exact closeness; sample `starts` upstream to approximate at scale.
+    * Unweighted hops unless a `weight` column exists.
+    */
+  def closenessCentrality(edges: DataFrame, maxIter: Int = 30): DataFrame = {
+    val sp = shortestPaths(undirected(edges), nodes(edges).select(col("node").as("start")), maxIter)
+    sp.groupBy(col("start").as("node"))
+      .agg(count(lit(1)).as("n_reach"), sum(col("cost")).as("total_dist"))
+      .select(col("node"),
+        when(col("total_dist") > 0, (col("n_reach") - 1).cast("double") / col("total_dist"))
+          .otherwise(lit(0.0)).as("closeness"))
+  }
+
+  /** BetweennessCentrality — Brandes' accumulation is inherently
+    * order-sensitive; like the reference (all_pairs_shortest_path.rs)
+    * we run it on a materialized graph on the driver, capped. Returns
+    * (node, betweenness) for the undirected unweighted graph.
+    */
+  def betweennessCentrality(edges: DataFrame, maxEdges: Long = 10000000L): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val es = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .limit(math.min(maxEdges, Int.MaxValue).toInt).as[(Long, Long)].collect()
+    val adj = scala.collection.mutable.HashMap.empty[Long, scala.collection.mutable.ArrayBuffer[Long]]
+    es.foreach { case (a, b) =>
+      if (a != b) {
+        adj.getOrElseUpdate(a, scala.collection.mutable.ArrayBuffer.empty) += b
+        adj.getOrElseUpdate(b, scala.collection.mutable.ArrayBuffer.empty) += a
+      }
+    }
+    val vs = adj.keys.toArray.sorted
+    val bc = scala.collection.mutable.HashMap.empty[Long, Double].withDefaultValue(0.0)
+    vs.foreach { s =>
+      // Brandes single-source accumulation
+      val stack = scala.collection.mutable.Stack.empty[Long]
+      val preds = scala.collection.mutable.HashMap.empty[Long, scala.collection.mutable.ArrayBuffer[Long]]
+      val sigma = scala.collection.mutable.HashMap.empty[Long, Double].withDefaultValue(0.0)
+      val dist = scala.collection.mutable.HashMap.empty[Long, Long]
+      sigma(s) = 1.0; dist(s) = 0L
+      val queue = scala.collection.mutable.Queue(s)
+      while (queue.nonEmpty) {
+        val v = queue.dequeue()
+        stack.push(v)
+        adj.getOrElse(v, Nil).foreach { u =>
+          if (!dist.contains(u)) { dist(u) = dist(v) + 1; queue += u }
+          if (dist(u) == dist(v) + 1) {
+            sigma(u) += sigma(v)
+            preds.getOrElseUpdate(u, scala.collection.mutable.ArrayBuffer.empty) += v
+          }
+        }
+      }
+      val delta = scala.collection.mutable.HashMap.empty[Long, Double].withDefaultValue(0.0)
+      while (stack.nonEmpty) {
+        val u = stack.pop()
+        preds.getOrElse(u, Nil).foreach { v =>
+          delta(v) += sigma(v) / sigma(u) * (1.0 + delta(u))
+        }
+        if (u != s) bc(u) += delta(u)
+      }
+    }
+    vs.map(v => (v, bc(v) / 2.0)).toSeq.toDF("node", "betweenness")
+  }
+
+  /** ShortestPathAStar (algos/astar.rs): driver-side A* over the
+    * collected graph, like the reference's in-memory walk. `heuristic`
+    * gives an admissible estimate to the goal (default 0 = Dijkstra).
+    * Returns (start, goal, cost, path).
+    */
+  def aStar(edges: DataFrame, queries: Seq[(Long, Long)],
+            heuristic: (Long, Long) => Double = (_, _) => 0.0,
+            maxEdges: Long = 10000000L): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val w = if (edges.columns.contains("weight")) col("weight").cast("double") else lit(1.0)
+    val es = edges.select(col("src").cast("long"), col("dst").cast("long"), w)
+      .limit(math.min(maxEdges, Int.MaxValue).toInt)
+      .as[(Long, Long, Double)].collect()
+    val adj = es.groupBy(_._1).map { case (s, arr) => s -> arr.map(t => (t._2, t._3)) }.toMap
+    val out = queries.flatMap { case (start, goal) =>
+      astarOne(adj, start, goal, heuristic).map { case (cost, path) => (start, goal, cost, path) }
+    }
+    out.toDF("start", "goal", "cost", "path")
+  }
+
+  private def astarOne(adj: Map[Long, Array[(Long, Double)]], start: Long, goal: Long,
+                       h: (Long, Long) => Double): Option[(Double, Seq[Long])] = {
+    val dist = scala.collection.mutable.HashMap.empty[Long, Double]
+    val prev = scala.collection.mutable.HashMap.empty[Long, Long]
+    val pq = scala.collection.mutable.PriorityQueue.empty[(Double, Double, Long)](
+      Ordering.by[(Double, Double, Long), Double](_._1).reverse)
+    dist(start) = 0.0
+    pq.enqueue((h(start, goal), 0.0, start))
+    while (pq.nonEmpty) {
+      val (_, d, v) = pq.dequeue()
+      if (v == goal) {
+        var path = List(goal); var cur = goal
+        while (cur != start) { cur = prev(cur); path = cur :: path }
+        return Some((d, path))
+      }
+      if (d <= dist.getOrElse(v, Double.MaxValue)) {
+        adj.getOrElse(v, Array.empty[(Long, Double)]).foreach { case (u, wu) =>
+          val nd = d + wu
+          if (nd < dist.getOrElse(u, Double.MaxValue)) {
+            dist(u) = nd; prev(u) = v
+            pq.enqueue((nd + h(u, goal), nd, u))
+          }
+        }
+      }
+    }
+    None
+  }
+
+  /** KShortestPathYen (algos/yen.rs): Yen's algorithm on the driver
+    * over the collected graph (loopless k-shortest paths). Returns
+    * (start, goal, rank, cost, path).
+    */
+  def kShortestPaths(edges: DataFrame, start: Long, goal: Long, k: Int,
+                     maxEdges: Long = 10000000L): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val w = if (edges.columns.contains("weight")) col("weight").cast("double") else lit(1.0)
+    val es = edges.select(col("src").cast("long"), col("dst").cast("long"), w)
+      .limit(math.min(maxEdges, Int.MaxValue).toInt)
+      .as[(Long, Long, Double)].collect()
+    val baseAdj = es.groupBy(_._1).map { case (s, arr) => s -> arr.map(t => (t._2, t._3)) }.toMap
+    def shortest(banned: Set[(Long, Long)], bannedNodes: Set[Long],
+                 from: Long): Option[(Double, Seq[Long])] = {
+      val adj = baseAdj.map { case (s, arr) =>
+        s -> arr.filter { case (u, _) => !banned.contains((s, u)) && !bannedNodes.contains(u) }
+      }
+      if (bannedNodes.contains(from)) None else astarOne(adj, from, goal, (_, _) => 0.0)
+    }
+    val found = scala.collection.mutable.ArrayBuffer.empty[(Double, Seq[Long])]
+    val candidates = scala.collection.mutable.PriorityQueue.empty[(Double, Seq[Long])](
+      Ordering.by[(Double, Seq[Long]), Double](_._1).reverse)
+    shortest(Set.empty, Set.empty, start).foreach(found += _)
+    var i = 1
+    while (i < k && found.nonEmpty) {
+      val (_, prevPath) = found(i - 1)
+      for (j <- prevPath.indices.dropRight(1)) {
+        val spurNode = prevPath(j)
+        val rootPath = prevPath.take(j + 1)
+        val banned = found.map(_._2).filter(_.take(j + 1) == rootPath)
+          .filter(_.length > j + 1)
+          .map(p => (p(j), p(j + 1))).toSet
+        val bannedNodes = rootPath.dropRight(1).toSet
+        shortest(banned, bannedNodes, spurNode).foreach { case (spurCost, spurPath) =>
+          val rootCost = rootPath.sliding(2).collect { case Seq(a, b) =>
+            baseAdj.getOrElse(a, Array.empty[(Long, Double)]).find(_._1 == b).map(_._2).getOrElse(0.0)
+          }.sum
+          val full = (rootCost + spurCost, rootPath.dropRight(1) ++ spurPath)
+          if (!found.exists(_._2 == full._2) && !candidates.exists(_._2 == full._2))
+            candidates.enqueue(full)
+        }
+      }
+      if (candidates.isEmpty) i = k
+      else { found += candidates.dequeue(); i += 1 }
+    }
+    found.zipWithIndex
+      .map { case ((cost, path), rank) => (start, goal, (rank + 1).toLong, cost, path) }
+      .toSeq.toDF("start", "goal", "rank", "cost", "path")
+  }
+
   /** RandomWalk (algos/random_walk.rs) made deterministic: at each step
     * pick the neighbor minimizing xxhash64(walk_id, step, neighbor) — a
     * seeded pseudo-random choice that is reproducible across engines and
     * cluster sizes (true RNG per task is not).
     */
   def randomWalk(edges: DataFrame, starts: DataFrame, steps: Int): DataFrame = {
-    val e = edges.select("src", "dst").distinct().localCheckpoint()
+    val e = edges.select("src", "dst").distinct().ckpt()
     var walk = starts.select(col("walk_id"), col("start"), col("start").as("node"), lit(0).as("step"))
-      .localCheckpoint()
+      .ckpt()
     var frontier = walk
     var s = 0
     while (s < steps && !frontier.isEmpty) {
@@ -404,8 +647,8 @@ object Graphs {
       val w = Window.partitionBy(col("walk_id"), col("step")).orderBy(col("__h"), col("dst"))
       frontier = cand.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
         .select(col("walk_id"), col("start"), col("dst").as("node"), col("step"))
-        .localCheckpoint()
-      walk = walk.union(frontier).localCheckpoint()
+        .ckpt()
+      walk = walk.union(frontier).ckpt()
       s += 1
     }
     walk

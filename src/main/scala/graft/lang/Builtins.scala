@@ -136,6 +136,8 @@ object Builtins {
     "parse_json" -> (a => a(0)), // JSON kept as string; access via get_json_object / ->
     "dump_json" -> (a => to_json(a(0))),
     "get_json_path" -> (a => get_json_object(a(0), a(1).toString)),
+    "pack_bits" -> (a => CF.packBits(a(0))),
+    "unpack_bits" -> (a => CF.unpackBits(a(0))),
     // — encoding / hashing
     "encode_base64" -> (a => base64(a(0))),
     "decode_base64" -> (a => unbase64(a(0))),

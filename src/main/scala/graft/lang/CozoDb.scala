@@ -1,5 +1,6 @@
 package graft.lang
 
+import graft.plan._
 import Ast._
 import graft.operators.Mutations
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
@@ -41,6 +42,43 @@ class CozoDb(val spark: SparkSession) {
     relations.getOrElse(name, throw CompileException(s"stored relation *$name not found"))
   def relationNames: Seq[String] = relations.keys.toSeq
   def removeRelation(name: String): Unit = { relations.remove(name); relationKeys.remove(name) }
+
+  /** Export stored relations as DataFrames (db.rs:448-474
+    * export_relations). */
+  def exportRelations(names: Seq[String]): Map[String, DataFrame] =
+    names.map(n => n -> relation(n)).toMap
+
+  /** Import relations wholesale, replacing existing state
+    * (db.rs:476-503 import_relations). */
+  def importRelations(rels: Map[String, DataFrame],
+                      keys: Map[String, Seq[String]] = Map.empty): Unit =
+    rels.foreach { case (n, df) => registerTable(n, df, keys.getOrElse(n, df.columns.toSeq)) }
+
+  /** Backup every stored relation to `dir` as parquet + a key manifest
+    * (db.rs:644-700 backup_db). */
+  def backup(dir: String): Unit = {
+    new java.io.File(dir).mkdirs()
+    relations.foreach { case (n, df) =>
+      df.write.mode("overwrite").parquet(s"$dir/$n.parquet")
+    }
+    val manifest = relations.keys.map { n =>
+      s"$n\t${relationKeys.getOrElse(n, Nil).mkString(",")}"
+    }.mkString("\n")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/_keys.tsv"), manifest)
+  }
+
+  /** Restore relations from a [[backup]] directory (db.rs:702-758). */
+  def restore(dir: String): Unit = {
+    val manifestPath = java.nio.file.Paths.get(s"$dir/_keys.tsv")
+    if (!java.nio.file.Files.exists(manifestPath))
+      throw new IllegalStateException(s"restore: no backup manifest in $dir")
+    java.nio.file.Files.readString(manifestPath).split("\n").filter(_.nonEmpty).foreach { line =>
+      val parts = line.split("\t", -1)
+      val name = parts(0)
+      val keys = if (parts.length > 1 && parts(1).nonEmpty) parts(1).split(",").toSeq else Nil
+      registerTable(name, spark.read.parquet(s"$dir/$name.parquet"), keys)
+    }
+  }
 
   /** Register a trigger fired after a put/rm mutation on `rel` with the
     * mutation delta (relation.rs:553-585). */
@@ -283,7 +321,7 @@ class CozoDb(val spark: SparkSession) {
       changed = false
       for (n <- scc) {
         evalRule(byName(n), resolve, params).foreach { nextRaw =>
-          val next = nextRaw.localCheckpoint()
+          val next = nextRaw.ckpt()
           val grew = totals.get(n) match {
             case None => !next.isEmpty
             case Some(prev) => !next.except(prev).isEmpty
@@ -291,7 +329,7 @@ class CozoDb(val spark: SparkSession) {
           if (grew) {
             changed = true
             totals(n) = totals.get(n)
-              .map(prev => prev.unionByName(next).dropDuplicates().localCheckpoint())
+              .map(prev => prev.unionByName(next).dropDuplicates().ckpt())
               .getOrElse(next)
           }
         }
@@ -351,7 +389,7 @@ class CozoDb(val spark: SparkSession) {
     // materialize the mutation result lazily (first action) so repeated
     // reads of the stored relation don't recompute its defining query,
     // and mutation chains don't grow unbounded lineage
-    val delta = delta0.localCheckpoint(eager = false)
+    val delta = delta0.ckptLazy()
     def keys: Seq[String] = relationKeys.getOrElse(rel,
       if (schemaKeys.nonEmpty) schemaKeys else delta.columns.toSeq)
     op match {
@@ -363,19 +401,19 @@ class CozoDb(val spark: SparkSession) {
         registerTable(rel, delta, if (schemaKeys.nonEmpty) schemaKeys
           else relationKeys.getOrElse(rel, delta.columns.toSeq))
       case "put" =>
-        relations(rel) = Mutations.put(relation(rel), delta, keys).localCheckpoint(eager = false)
+        relations(rel) = Mutations.put(relation(rel), delta, keys).ckptLazy()
         putTriggers.getOrElse(rel, Nil).foreach(_(delta))
       case "insert" =>
-        relations(rel) = Mutations.insert(relation(rel), delta, keys).localCheckpoint(eager = false)
+        relations(rel) = Mutations.insert(relation(rel), delta, keys).ckptLazy()
         putTriggers.getOrElse(rel, Nil).foreach(_(delta))
       case "update" =>
-        relations(rel) = Mutations.update(relation(rel), delta, keys).localCheckpoint(eager = false)
+        relations(rel) = Mutations.update(relation(rel), delta, keys).ckptLazy()
         putTriggers.getOrElse(rel, Nil).foreach(_(delta))
       case "rm" =>
-        relations(rel) = Mutations.rm(relation(rel), delta, keys).localCheckpoint(eager = false)
+        relations(rel) = Mutations.rm(relation(rel), delta, keys).ckptLazy()
         rmTriggers.getOrElse(rel, Nil).foreach(_(delta))
       case "delete" =>
-        relations(rel) = Mutations.delete(relation(rel), delta, keys).localCheckpoint(eager = false)
+        relations(rel) = Mutations.delete(relation(rel), delta, keys).ckptLazy()
         rmTriggers.getOrElse(rel, Nil).foreach(_(delta))
       case "ensure" => Mutations.ensure(relation(rel), delta)
       case "ensure_not" => Mutations.ensureNot(relation(rel), delta)

@@ -92,6 +92,27 @@ object FixedRules {
       steps = optInt(o, "steps", 10))
   })
 
+  register("MinimumSpanningTreePrim", (rels, _, _) => Graphs.minimumSpanningForest(edges(rels)))
+  register("MinimumSpanningForestKruskal", (rels, _, _) => Graphs.minimumSpanningForest(edges(rels)))
+  register("ClosenessCentrality", (rels, _, _) => Graphs.closenessCentrality(edges(rels)))
+  register("BetweennessCentrality", (rels, _, _) => Graphs.betweennessCentrality(edges(rels)))
+  register("ShortestPathAStar", (rels, o, _) => {
+    val e = edges(rels)
+    val q = (o.get("starting"), o.get("goal")) match {
+      case (Some(s: Long), Some(g: Long)) => Seq((s, g))
+      case _ => throw Compiler.CompileException("ShortestPathAStar needs starting: <id>, goal: <id>")
+    }
+    Graphs.aStar(e, q)
+  })
+  register("KShortestPathYen", (rels, o, _) => {
+    val e = edges(rels)
+    (o.get("starting"), o.get("goal")) match {
+      case (Some(s: Long), Some(g: Long)) =>
+        Graphs.kShortestPaths(e, s, g, optInt(o, "k", 3))
+      case _ => throw Compiler.CompileException("KShortestPathYen needs starting: <id>, goal: <id>")
+    }
+  })
+
   // utilities (fixed_rule/utilities/*.rs)
   register("Constant", (_, o, spark) => o.get("data") match {
     case Some(rows: Seq[_]) => CozoDb.rowsToDf(spark, rows, None)

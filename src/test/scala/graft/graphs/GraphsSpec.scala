@@ -1,0 +1,77 @@
+package graft.graphs
+
+import graft.SparkFixture
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+class GraphsSpec extends AnyFunSuite {
+  lazy val spark = SparkFixture.spark
+  import spark.implicits._
+
+  // weighted diamond + tail: 1→2 (1), 1→3 (4), 2→3 (1), 3→4 (1), 2→4 (5)
+  def wEdges = Seq((1L, 2L, 1.0), (1L, 3L, 4.0), (2L, 3L, 1.0), (3L, 4L, 1.0), (2L, 4L, 5.0))
+    .toDF("src", "dst", "weight")
+
+  test("minimumSpanningForest picks the light edges (Borůvka)") {
+    val mst = Graphs.minimumSpanningForest(wEdges)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // MST of the diamond: 1-2 (1), 2-3 (1), 3-4 (1); total weight 3
+    assert(mst == Set((1L, 2L, 1.0), (2L, 3L, 1.0), (3L, 4L, 1.0)))
+  }
+
+  test("minimumSpanningForest spans disconnected components separately") {
+    val e = Seq((1L, 2L, 2.0), (10L, 11L, 3.0), (11L, 12L, 1.0), (10L, 12L, 5.0))
+      .toDF("src", "dst", "weight")
+    val mst = Graphs.minimumSpanningForest(e)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mst == Set((1L, 2L), (10L, 11L), (11L, 12L)))
+  }
+
+  test("closenessCentrality on a path graph") {
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val c = Graphs.closenessCentrality(path)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // node 2: distances 1+1 → (3-1)/2 = 1.0; nodes 1,3: 1+2 → 2/3
+    assert(c(2L) == 1.0)
+    assert(math.abs(c(1L) - 2.0 / 3) < 1e-9 && math.abs(c(3L) - 2.0 / 3) < 1e-9)
+  }
+
+  test("betweennessCentrality puts all shortest paths through the middle") {
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val b = Graphs.betweennessCentrality(path)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(b(2L) == 1.0 && b(1L) == 0.0 && b(3L) == 0.0)
+  }
+
+  test("aStar finds the weighted shortest path") {
+    val r = Graphs.aStar(wEdges, Seq((1L, 4L))).collect().head
+    assert(r.getDouble(2) == 3.0) // 1→2→3→4
+    assert(r.getSeq[Long](3) == Seq(1L, 2L, 3L, 4L))
+  }
+
+  test("kShortestPaths ranks loopless alternatives (Yen)") {
+    val rows = Graphs.kShortestPaths(wEdges, 1L, 4L, 3)
+      .orderBy("rank").collect()
+    // 1→2→3→4 (3), 1→3→4 (5), 1→2→4 (6)
+    assert(rows.map(_.getDouble(3)).toSeq == Seq(3.0, 5.0, 6.0))
+    assert(rows.head.getSeq[Long](4) == Seq(1L, 2L, 3L, 4L))
+  }
+
+  test("dfs preorder from a start node") {
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 4L)).toDF("src", "dst")
+    val starts = Seq(1L).toDF("start")
+    val order = Graphs.dfs(e, starts).orderBy("order")
+      .collect().map(_.getLong(1)).toSeq
+    assert(order == Seq(1L, 2L, 4L, 3L)) // children visited in sorted order
+  }
+
+  test("louvain groups two cliques joined by one edge") {
+    val clique1 = for (a <- 1L to 4L; b <- 1L to 4L if a < b) yield (a, b)
+    val clique2 = for (a <- 11L to 14L; b <- 11L to 14L if a < b) yield (a, b)
+    val e = (clique1 ++ clique2 :+ (4L, 11L)).toDF("src", "dst")
+    val comm = Graphs.louvain(e).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 4L).map(comm).toSet.size == 1)
+    assert((11L to 14L).map(comm).toSet.size == 1)
+    assert(comm(1L) != comm(11L))
+  }
+}

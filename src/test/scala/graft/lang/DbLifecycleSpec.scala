@@ -1,0 +1,87 @@
+package graft.lang
+
+import graft.SparkFixture
+import graft.functions.CozoFunctions
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Export/import/backup/restore (db.rs:448-758), custom fixed-rule
+  * registration (db.rs:760), and the scalar gap functions. */
+class DbLifecycleSpec extends AnyFunSuite {
+  lazy val spark = SparkFixture.spark
+  import spark.implicits._
+
+  test("export/import round-trips relations") {
+    val db = new CozoDb(spark)
+    db.registerTable("t", Seq((1L, "a"), (2L, "b")).toDF("k", "v"), Seq("k"))
+    val dumped = db.exportRelations(Seq("t"))
+    val db2 = new CozoDb(spark)
+    db2.importRelations(dumped, Map("t" -> Seq("k")))
+    assert(db2.run("?[k, v] := *t[k, v]").count() == 2)
+  }
+
+  test("backup/restore through parquet") {
+    val dir = Files.createTempDirectory("graft_backup").toString
+    val db = new CozoDb(spark)
+    db.registerTable("t", Seq((1L, "a"), (2L, "b")).toDF("k", "v"), Seq("k"))
+    db.backup(dir)
+    val db2 = new CozoDb(spark)
+    db2.restore(dir)
+    assert(db2.run("?[v] := *t[1, v]").collect().map(_.getString(0)).toSeq == Seq("a"))
+    // keys survive: :put upserts by k
+    db2.run("?[k, v] <- [[1, 'z']] :put t {k}")
+    assert(db2.relation("t").count() == 2)
+  }
+
+  test("register_fixed_rule: user-defined fixed rules dispatch from scripts") {
+    FixedRules.register("DoubleUp", (rels, _, _) =>
+      rels.head.select((col(rels.head.columns.head) * 2).as("doubled")))
+    try {
+      val db = new CozoDb(spark)
+      val res = db.run(
+        """nums[] <- [[1], [2], [3]]
+          |?[d] <~ DoubleUp(nums[])""".stripMargin)
+      assert(res.collect().map(_.getLong(0)).toSet == Set(2L, 4L, 6L))
+    } finally FixedRules.unregister("DoubleUp")
+  }
+
+  test("pack_bits/unpack_bits round-trip") {
+    val df = Seq(Tuple1(Seq(true, false, true, true))).toDF("bits")
+    val packed = df.select(CozoFunctions.packBits(col("bits")).as("b"))
+    assert(packed.collect().head.getAs[Array[Byte]](0).head == 0xB0.toByte)
+    val roundTrip = packed.select(CozoFunctions.unpackBits(col("b")).as("bits"))
+      .collect().head.getSeq[Boolean](0)
+    assert(roundTrip.take(4) == Seq(true, false, true, true))
+    assert(roundTrip.drop(4).forall(!_)) // padding bits are false
+  }
+
+  test("jsonSet / jsonRemove manipulate top-level keys canonically") {
+    val df = Seq(Tuple1("""{"b": "2", "a": "1"}""")).toDF("j")
+    val set = df.select(CozoFunctions.jsonSet(col("j"), "c", lit(3)).as("j"))
+      .collect().head.getString(0)
+    assert(set == """{"a":"1","b":"2","c":"3"}""")
+    val rm = df.select(CozoFunctions.jsonRemove(col("j"), "b").as("j"))
+      .collect().head.getString(0)
+    assert(rm == """{"a":"1"}""")
+  }
+
+  test("time functions: format/parse round-trip") {
+    val df = Seq(Tuple1(1700000000L)).toDF("secs")
+    val formatted = df.select(
+      CozoFunctions.formatTimestamp(col("secs"), "yyyy-MM-dd HH:mm:ss").as("f"))
+      .collect().head.getString(0)
+    assert(formatted == "2023-11-14 22:13:20") // UTC session timezone
+    val parsed = Seq(Tuple1(formatted)).toDF("s")
+      .select(CozoFunctions.parseTimestamp(col("s"))).collect().head.getDouble(0)
+    assert(parsed == 1700000000.0)
+  }
+
+  test("timeUuid is sortable by timestamp") {
+    val df = Seq((1L, "2020-01-01"), (2L, "2024-01-01")).toDF("id", "d")
+      .select(col("id"), CozoFunctions.timeUuid(col("d").cast("timestamp"), col("id")).as("u"))
+    val us = df.orderBy("id").collect().map(_.getString(1))
+    assert(us(0) < us(1))
+    assert(us(0).matches("[0-9a-fA-F]{12}-[0-9a-fA-F]{4}-4000-8000-000000000000"))
+  }
+}

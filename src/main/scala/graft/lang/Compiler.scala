@@ -19,7 +19,10 @@ import org.apache.spark.sql.functions._
 class Compiler(spark: SparkSession,
                storedResolve: String => DataFrame,
                ruleResolve: String => Option[DataFrame],
-               params: Map[String, Any]) {
+               params: Map[String, Any],
+               validityScan: (String, Column) => DataFrame =
+                 (n, _) => throw Compiler.CompileException(
+                   s"relation *$n has no validity column (register with validity=...)")) {
 
   import Compiler.CompileException
 
@@ -110,18 +113,21 @@ class Compiler(spark: SparkSession,
   private def step(cur: Option[DataFrame], atom: Atom): DataFrame = atom match {
     case RelApply(name, args, stored, validity) =>
       // in-SCC rule with no facts yet: the whole clause derives nothing
-      val df = resolveAtomRel(name, stored).getOrElse(throw Compiler.EmptyRelation(name))
-      if (validity.isDefined)
-        throw CompileException(s"validity scan @ not supported on *$name (use TimeTravel API)")
+      val df = validity match {
+        case Some(v) if stored => validityScan(name, compileExpr(v))
+        case Some(_) => throw CompileException(s"validity scan @ only applies to stored relations")
+        case None => resolveAtomRel(name, stored).getOrElse(throw Compiler.EmptyRelation(name))
+      }
       if (args.length != df.columns.length)
         throw CompileException(
           s"*$name has arity ${df.columns.length}, applied with ${args.length} args")
       applyPositional(cur, df, df.columns.toSeq.zip(args))
 
     case NamedApply(name, pairs, validity) =>
-      val df = resolveAtomRel(name, stored = true).getOrElse(throw Compiler.EmptyRelation(name))
-      if (validity.isDefined)
-        throw CompileException(s"validity scan @ not supported on *$name")
+      val df = validity match {
+        case Some(v) => validityScan(name, compileExpr(v))
+        case None => resolveAtomRel(name, stored = true).getOrElse(throw Compiler.EmptyRelation(name))
+      }
       val cols = df.columns.toSet
       val binds = pairs.map {
         case (f, _) if !cols.contains(f) =>

@@ -34,9 +34,27 @@ class CozoDb(val spark: SparkSession) {
   private val putTriggers = mutable.HashMap.empty[String, List[DataFrame => Unit]]
   private val rmTriggers = mutable.HashMap.empty[String, List[DataFrame => Unit]]
 
-  def registerTable(name: String, df: DataFrame, keys: Seq[String] = Nil): Unit = {
+  private val relationValidity = mutable.HashMap.empty[String, String]
+
+  def registerTable(name: String, df: DataFrame, keys: Seq[String] = Nil,
+                    validity: Option[String] = None): Unit = {
     relations(name) = df
     relationKeys(name) = if (keys.nonEmpty) keys else df.columns.toSeq
+    validity.foreach { v =>
+      if (!df.columns.contains(v))
+        throw CompileException(s"validity column $v not in $name")
+      relationValidity(name) = v
+    }
+  }
+
+  /** `*rel[...] @ t` (StoredWithValidityRA, data/value.rs:112-131,
+    * relation.rs:370): newest version per logical key at time t. */
+  private def validityScan(name: String, asOf: org.apache.spark.sql.Column): DataFrame = {
+    val vcol = relationValidity.getOrElse(name,
+      throw CompileException(s"relation *$name has no validity column (register with validity=...)"))
+    val df = relation(name)
+    val keys = relationKeys.getOrElse(name, df.columns.toSeq).filterNot(_ == vcol)
+    graft.operators.TimeTravel.asOf(df, keys, vcol, asOf.cast("timestamp"))
   }
   def relation(name: String): DataFrame =
     relations.getOrElse(name, throw CompileException(s"stored relation *$name not found"))
@@ -88,6 +106,18 @@ class CozoDb(val spark: SparkSession) {
     rmTriggers(rel) = f :: rmTriggers.getOrElse(rel, Nil)
 
   def run(script: String, params: Map[String, Any] = Map.empty): DataFrame = {
+    val trimmed = script.trim
+    // multi-statement script: sequential top-level { ... } blocks share
+    // the relation store; the last block's result is returned
+    // (db.rs:298-397 multi-transaction scripts; imperative.rs blocks)
+    if (trimmed.startsWith("{")) {
+      val blocks = splitBlocks(trimmed)
+      return blocks.map(b => runSingle(b, params)).last
+    }
+    runSingle(trimmed, params)
+  }
+
+  private def runSingle(script: String, params: Map[String, Any]): DataFrame = {
     val prog = Parser.parse(script)
     prog.sysOp match {
       case Some(op) => return sysOp(op.trim)
@@ -95,6 +125,34 @@ class CozoDb(val spark: SparkSession) {
     }
     val result = evalProgram(prog, params)
     applyOptions(prog.options, result)
+  }
+
+  /** Split `{ a } { b }` into top-level blocks, respecting nested
+    * braces and string literals. */
+  private def splitBlocks(s: String): Seq[String] = {
+    val out = mutable.ArrayBuffer.empty[String]
+    var depth = 0
+    var start = -1
+    var i = 0
+    var inStr: Char = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inStr != 0) {
+        if (c == '\\') i += 1
+        else if (c == inStr) inStr = 0
+      } else c match {
+        case '\'' | '"' => inStr = c
+        case '{' => if (depth == 0) start = i + 1; depth += 1
+        case '}' =>
+          depth -= 1
+          if (depth == 0) { out += s.substring(start, i); start = -1 }
+        case _ => ()
+      }
+      i += 1
+    }
+    if (depth != 0) throw CompileException("unbalanced { } blocks")
+    if (out.isEmpty) throw CompileException("empty script")
+    out.toSeq
   }
 
   // ———————————————————————— sys ops (parse/sys.rs) ————————————————————————
@@ -184,7 +242,7 @@ class CozoDb(val spark: SparkSession) {
   }
 
   private def compiler(resolve: String => Option[DataFrame], params: Map[String, Any]) =
-    new Compiler(spark, relation, resolve, params)
+    new Compiler(spark, relation, resolve, params, validityScan)
 
   /** Evaluate one rule (all its clauses). Aggregation semantics follow
     * the reference's aggregation store (eval.rs + aggr.rs): the

@@ -46,6 +46,31 @@ class DbLifecycleSpec extends AnyFunSuite {
     } finally FixedRules.unregister("DoubleUp")
   }
 
+  test("validity scan @ t returns newest version per key") {
+    val db = new CozoDb(spark)
+    val hist = Seq(
+      (1L, "v1", "2024-01-01 00:00:00"),
+      (1L, "v2", "2024-06-01 00:00:00"),
+      (2L, "w1", "2024-03-01 00:00:00"))
+      .toDF("k", "v", "ts").withColumn("ts", col("ts").cast("timestamp"))
+    db.registerTable("versions", hist, keys = Seq("k", "ts"), validity = Some("ts"))
+    val at = db.run("?[k, v] := *versions{k, v, @ '2024-04-01'}")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(at == Map(1L -> "v1", 2L -> "w1"))
+    val later = db.run("?[k, v] := *versions[k, v, ts, @ '2024-07-01']")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(later == Map(1L -> "v2", 2L -> "w1"))
+  }
+
+  test("multi-block scripts run sequentially sharing the store") {
+    val db = new CozoDb(spark)
+    val res = db.run(
+      """{ ?[k, v] <- [[1, 'a'], [2, 'b']] :create kv {k} }
+        |{ ?[k, v] <- [[3, 'c']] :put kv {k} }
+        |{ ?[k, v] := *kv[k, v] :sort k }""".stripMargin)
+    assert(res.collect().map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+  }
+
   test("pack_bits/unpack_bits round-trip") {
     val df = Seq(Tuple1(Seq(true, false, true, true))).toDF("bits")
     val packed = df.select(CozoFunctions.packBits(col("bits")).as("b"))

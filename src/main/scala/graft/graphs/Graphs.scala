@@ -578,6 +578,117 @@ object Graphs {
     None
   }
 
+  /** ShortestPathDijkstra in the reference's fixed-rule shape
+    * (algos/shortest_path_dijkstra.rs surface): explicit start/goal
+    * relations, witness paths in the output. Node ids of any type
+    * (stringly keyed on the driver, like the reference's in-memory
+    * walk). Returns (src, dst, cost, path array<string>).
+    */
+  def dijkstraPaths(edges: DataFrame, starts: DataFrame, goals: DataFrame,
+                    maxEdges: Long = 10000000L): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val adj = collectAdj(edges, maxEdges)
+    val ss = starts.select(starts.columns.head).collect().map(_.get(0).toString)
+    val gs = goals.select(goals.columns.head).collect().map(_.get(0).toString)
+    val out = for { s <- ss.toSeq; g <- gs.toSeq
+                    r <- astarOneS(adj, s, g, (_, _) => 0.0) }
+      yield (s, g, r._1, r._2)
+    out.toDF("src", "dst", "cost", "path")
+  }
+
+  /** KShortestPathYen in the reference's fixed-rule shape:
+    * (src, dst, rank, cost, path array<string>). */
+  def yenPaths(edges: DataFrame, starts: DataFrame, goals: DataFrame, k: Int,
+               maxEdges: Long = 10000000L): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val adj = collectAdj(edges, maxEdges)
+    val ss = starts.select(starts.columns.head).collect().map(_.get(0).toString)
+    val gs = goals.select(goals.columns.head).collect().map(_.get(0).toString)
+    val out = for { s <- ss.toSeq; g <- gs.toSeq
+                    (r, i) <- yenOneS(adj, s, g, k).zipWithIndex }
+      yield (s, g, (i + 1).toLong, r._1, r._2)
+    out.toDF("src", "dst", "rank", "cost", "path")
+  }
+
+  private def collectAdj(edges: DataFrame, maxEdges: Long): Map[String, Array[(String, Double)]] = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val w = if (edges.columns.contains("weight")) col("weight").cast("double") else lit(1.0)
+    val cs = edges.columns
+    edges.select(col(cs(0)).cast("string"), col(cs(1)).cast("string"),
+        (if (cs.length >= 3) col(cs(2)).cast("double") else w))
+      .limit(math.min(maxEdges, Int.MaxValue).toInt)
+      .as[(String, String, Double)].collect()
+      .groupBy(_._1).map { case (s, arr) => s -> arr.map(t => (t._2, t._3)).sortBy(x => (x._2, x._1)) }
+  }
+
+  private def astarOneS(adj: Map[String, Array[(String, Double)]], start: String, goal: String,
+                        h: (String, String) => Double): Option[(Double, Seq[String])] = {
+    val dist = scala.collection.mutable.HashMap.empty[String, Double]
+    val prev = scala.collection.mutable.HashMap.empty[String, String]
+    val pq = scala.collection.mutable.PriorityQueue.empty[(Double, Double, String)](
+      Ordering.by[(Double, Double, String), Double](_._1).reverse)
+    dist(start) = 0.0
+    pq.enqueue((h(start, goal), 0.0, start))
+    while (pq.nonEmpty) {
+      val (_, d, v) = pq.dequeue()
+      if (v == goal) {
+        var path = List(goal); var cur = goal
+        while (cur != start) { cur = prev(cur); path = cur :: path }
+        return Some((d, path))
+      }
+      if (d <= dist.getOrElse(v, Double.MaxValue)) {
+        adj.getOrElse(v, Array.empty[(String, Double)]).foreach { case (u, wu) =>
+          val nd = d + wu
+          if (nd < dist.getOrElse(u, Double.MaxValue)) {
+            dist(u) = nd; prev(u) = v
+            pq.enqueue((nd + h(u, goal), nd, u))
+          }
+        }
+      }
+    }
+    None
+  }
+
+  private def yenOneS(adj: Map[String, Array[(String, Double)]], start: String, goal: String,
+                      k: Int): Seq[(Double, Seq[String])] = {
+    def shortest(banned: Set[(String, String)], bannedNodes: Set[String],
+                 from: String): Option[(Double, Seq[String])] = {
+      val filtered = adj.map { case (s, arr) =>
+        s -> arr.filter { case (u, _) => !banned.contains((s, u)) && !bannedNodes.contains(u) }
+      }
+      if (bannedNodes.contains(from)) None else astarOneS(filtered, from, goal, (_, _) => 0.0)
+    }
+    val found = scala.collection.mutable.ArrayBuffer.empty[(Double, Seq[String])]
+    val candidates = scala.collection.mutable.PriorityQueue.empty[(Double, Seq[String])](
+      Ordering.by[(Double, Seq[String]), Double](_._1).reverse)
+    shortest(Set.empty, Set.empty, start).foreach(found += _)
+    var i = 1
+    while (i < k && found.nonEmpty && i <= found.length) {
+      val (_, prevPath) = found(i - 1)
+      for (j <- prevPath.indices.dropRight(1)) {
+        val spurNode = prevPath(j)
+        val rootPath = prevPath.take(j + 1)
+        val banned = found.map(_._2).filter(p => p.length > j + 1 && p.take(j + 1) == rootPath)
+          .map(p => (p(j), p(j + 1))).toSet
+        val bannedNodes = rootPath.dropRight(1).toSet
+        shortest(banned, bannedNodes, spurNode).foreach { case (spurCost, spurPath) =>
+          val rootCost = rootPath.sliding(2).collect { case Seq(a, b) =>
+            adj.getOrElse(a, Array.empty[(String, Double)]).find(_._1 == b).map(_._2).getOrElse(0.0)
+          }.sum
+          val full = (rootCost + spurCost, rootPath.dropRight(1) ++ spurPath)
+          if (!found.exists(_._2 == full._2) && !candidates.exists(_._2 == full._2))
+            candidates.enqueue(full)
+        }
+      }
+      if (candidates.nonEmpty) found += candidates.dequeue()
+      i += 1
+    }
+    found.toSeq
+  }
+
   /** KShortestPathYen (algos/yen.rs): Yen's algorithm on the driver
     * over the collected graph (loopless k-shortest paths). Returns
     * (start, goal, rank, cost, path).

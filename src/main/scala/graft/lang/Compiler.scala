@@ -73,7 +73,13 @@ class Compiler(spark: SparkSession,
       branches.foldRight(default) { case (Seq(c, v), acc) =>
         when(compileExpr(c), compileExpr(v)).otherwise(acc)
       }
-    case App("length", Seq(x)) if isListValued(x) => size(compileExpr(x))
+    case App("length", Seq(x)) =>
+      val cx = compileExpr(x)
+      if (isListValued(x)) size(cx)
+      else typed(cx) match {
+        case Some(_: org.apache.spark.sql.types.ArrayType) => size(cx)
+        case _ => length(cx)
+      }
     case App("unicode_normalize", Seq(x, Lit(form: String))) =>
       graft.functions.CozoFunctions.unicodeNormalize(compileExpr(x), form)
     case App(fn, args) =>
@@ -82,6 +88,12 @@ class Compiler(spark: SparkSession,
         case None => throw CompileException(s"unknown function $fn/${args.length}")
       }
   }
+
+  /** Frame the current atom compiles against — lets generic functions
+    * (`length`) resolve an argument's Spark type at compile time. */
+  private var frame: Option[DataFrame] = None
+  private def typed(c: Column): Option[org.apache.spark.sql.types.DataType] =
+    frame.flatMap(f => scala.util.Try(f.select(c).schema.head.dataType).toOption)
 
   private def isListValued(e: Expr): Boolean = e match {
     case ListE(_) => true
@@ -139,9 +151,11 @@ class Compiler(spark: SparkSession,
 
     case Cond(e) =>
       val base = cur.getOrElse(throw CompileException(s"filter $e with no bound relation"))
+      frame = Some(base)
       base.filter(compileExpr(e))
 
     case Unify(v, e) =>
+      frame = cur
       cur match {
         case Some(df) if df.columns.contains(v) => df.filter(col(v) === compileExpr(e))
         case Some(df) => df.withColumn(v, compileExpr(e))
@@ -149,6 +163,7 @@ class Compiler(spark: SparkSession,
       }
 
     case UnifyIn(v, e) =>
+      frame = cur
       cur match {
         case Some(df) if df.columns.contains(v) => df.filter(array_contains(compileExpr(e), col(v)))
         case Some(df) => df.withColumn(v, explode(compileExpr(e)))
@@ -214,6 +229,7 @@ class Compiler(spark: SparkSession,
         else c.crossJoin(projected)
     }
     postFilters.foldLeft(joined) { case (d, (fresh, e)) =>
+      frame = Some(d)
       d.filter(col(fresh) === compileExpr(e)).drop(fresh)
     }
   }

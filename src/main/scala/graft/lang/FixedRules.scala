@@ -80,11 +80,15 @@ object FixedRules {
       throw Compiler.CompileException("ShortestPathBFS needs starting nodes"))
     Graphs.shortestPaths(edges(rels), st)
   })
-  register("ShortestPathDijkstra", (rels, _, _) => {
-    val st = starts(rels, 1).getOrElse(
-      throw Compiler.CompileException("ShortestPathDijkstra needs starting nodes"))
-    Graphs.shortestPaths(edges(rels), st)
-  })
+  register("ShortestPathDijkstra", (rels, _, _) =>
+    // with an ending relation: the reference shape (src, dst, cost,
+    // path); with starts only: distributed (start, node, cost)
+    if (rels.length >= 3) Graphs.dijkstraPaths(edges(rels), rels(1), rels(2))
+    else {
+      val st = starts(rels, 1).getOrElse(
+        throw Compiler.CompileException("ShortestPathDijkstra needs starting nodes"))
+      Graphs.shortestPaths(edges(rels), st)
+    })
   register("RandomWalk", (rels, o, _) => {
     val st = starts(rels, 1).getOrElse(
       throw Compiler.CompileException("RandomWalk needs starting nodes"))
@@ -98,18 +102,26 @@ object FixedRules {
   register("BetweennessCentrality", (rels, _, _) => Graphs.betweennessCentrality(edges(rels)))
   register("ShortestPathAStar", (rels, o, _) => {
     val e = edges(rels)
-    val q = (o.get("starting"), o.get("goal")) match {
-      case (Some(s: Long), Some(g: Long)) => Seq((s, g))
-      case _ => throw Compiler.CompileException("ShortestPathAStar needs starting: <id>, goal: <id>")
+    // reference shape: (edges, nodes_with_coords, starting, goal,
+    // heuristic: expr). The expression heuristic isn't compiled here —
+    // h=0 (plain Dijkstra) stays admissible, trading speed not
+    // correctness
+    if (rels.length >= 4) Graphs.dijkstraPaths(e, rels(2), rels(3))
+    else if (rels.length >= 3) Graphs.dijkstraPaths(e, rels(1), rels(2))
+    else (o.get("starting"), o.get("goal")) match {
+      case (Some(s: Long), Some(g: Long)) => Graphs.aStar(e, Seq((s, g)))
+      case _ => throw Compiler.CompileException(
+        "ShortestPathAStar needs starting/goal relations or starting:/goal: options")
     }
-    Graphs.aStar(e, q)
   })
   register("KShortestPathYen", (rels, o, _) => {
     val e = edges(rels)
-    (o.get("starting"), o.get("goal")) match {
+    if (rels.length >= 3) Graphs.yenPaths(e, rels(1), rels(2), optInt(o, "k", 3))
+    else (o.get("starting"), o.get("goal")) match {
       case (Some(s: Long), Some(g: Long)) =>
         Graphs.kShortestPaths(e, s, g, optInt(o, "k", 3))
-      case _ => throw Compiler.CompileException("KShortestPathYen needs starting: <id>, goal: <id>")
+      case _ => throw Compiler.CompileException(
+        "KShortestPathYen needs starting/ending relations or starting:/goal: options")
     }
   })
 

@@ -259,6 +259,50 @@ class AirRoutesSpec extends AnyFunSuite {
       Seq(Seq(3504L, 6L, 3204L, 53L, 59L)))
   }
 
+  test("multi_unification: collect cap + var in rule-bound list (air_routes.rs:872)") {
+    assert(rows(
+      """target_airports[collect(code, 5)] := *airport{code}
+        |?[a, count(a)] := target_airports[targets], a in targets, *route{fr: a}""".stripMargin)
+      .map(r => (r.head, r(1))).sortBy(_._1.toString) ==
+      Seq(("AAA", 4L), ("AAE", 8L), ("AAL", 17L), ("AAN", 5L), ("AAQ", 11L)))
+  }
+
+  test("num_routes_from_eu_to_us: unique of pair lists + length (air_routes.rs:~920)") {
+    assert(rows(
+      """routes[unique(r)] := *contain['EU', fr],
+        |                     *route{fr, to},
+        |                     *airport{code: to, country: 'US'},
+        |                     r = [fr, to]
+        |?[n] := routes[rs], n = length(rs);""".stripMargin) == Seq(Seq(435)))
+  }
+
+  test("dijkstra with ending relation returns witness path (air_routes.rs:299)") {
+    val r = db.run(
+      """starting[] <- [['JFK']];
+        |ending[] <- [['KUL']];
+        |res[] <~ ShortestPathDijkstra(*route[], starting[], ending[]);
+        |?[src, dst, cost, path] := res[src, dst, cost, path];""".stripMargin).collect()
+    assert(r.length == 1)
+    val path = r.head.getSeq[String](3)
+    assert(path.head == "JFK" && path.last == "KUL")
+    assert(r.head.getDouble(2) > 0)
+  }
+
+  test("yen k-shortest with ending relation (air_routes.rs:319)") {
+    val r = db.run(
+      """starting[] <- [['PEK']];
+        |ending[] <- [['SIN']];
+        |?[src, dst, rank, cost, path] <~ KShortestPathYen(*route[], starting[], ending[], k: 5);""".stripMargin)
+      .orderBy("rank").collect()
+    assert(r.length == 5)
+    val costs = r.map(_.getDouble(3)).toSeq
+    assert(costs == costs.sorted)
+    r.foreach { row =>
+      val p = row.getSeq[String](4)
+      assert(p.head == "PEK" && p.last == "SIN")
+    }
+  }
+
   test("SCC fixed rule over routes groups PEK with LHR (air_routes.rs:236 shape)") {
     val scc = db.run(
       """r[fr, to] := *route{fr, to}

@@ -1,0 +1,64 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming operators for continuous pipelines.
+  *
+  * The reference has no streaming surface (SURVEY §2.7) — its callback
+  * system (db.rs:789-830) is the closest analogue. On Spark the same
+  * capabilities are first-class: `readStream` → transforms →
+  * `writeStream`, watermarked windowed aggregation, streaming dedup,
+  * and `mapGroupsWithState` for custom per-key state — so a training
+  * pipeline's ingest (dedup + quality gates + rolling stats) runs
+  * identically over batch parquet and a live stream.
+  */
+object Streaming {
+
+  /** Watermarked sliding-window counts/sums per key — the standard
+    * stream aggregation; late events beyond `watermark` are dropped so
+    * state is bounded. */
+  def windowedStats(events: DataFrame, tsCol: String, keyCol: String,
+                    window: String = "1 hour", slide: String = "30 minutes",
+                    watermark: String = "2 hours"): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col(tsCol), window, slide), col(keyCol))
+      .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sum_value"))
+
+  /** Streaming exact dedup by content key within the watermark horizon —
+    * the streaming face of Dedup.exact; state for a key is dropped once
+    * the watermark passes it. */
+  def streamingDedup(events: DataFrame, tsCol: String, keyCols: Seq[String],
+                     watermark: String = "1 hour"): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
+  final case class SessionState(count: Long, firstTs: Long, lastTs: Long)
+  final case class SessionUpdate(key: Long, count: Long, durationSecs: Long, closed: Boolean)
+
+  /** Custom per-key session tracking via mapGroupsWithState
+    * (KeyValueGroupedDataset) — event-time sessions close when an
+    * incoming event is more than `gapSecs` past the session's last
+    * event. Demonstrates the arbitrary-stateful shape the reference's
+    * triggers/callbacks approximate. Input: (key, epochSecs). */
+  def sessionize(events: Dataset[(Long, Long)], gapSecs: Long = 1800): Dataset[SessionUpdate] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_._1)
+      .mapGroupsWithState[SessionState, SessionUpdate](GroupStateTimeout.NoTimeout) {
+        case (key, rows, state: GroupState[SessionState]) =>
+          val ts = rows.map(_._2).toSeq.sorted
+          val prev = state.getOption.getOrElse(SessionState(0L, ts.min, ts.min))
+          if (prev.count > 0 && ts.min - prev.lastTs > gapSecs) {
+            // gap exceeded: the old session closes, a new one starts
+            state.update(SessionState(ts.length, ts.min, ts.max))
+            SessionUpdate(key, prev.count, prev.lastTs - prev.firstTs, closed = true)
+          } else {
+            val next = SessionState(prev.count + ts.length,
+              math.min(prev.firstTs, ts.min), math.max(prev.lastTs, ts.max))
+            state.update(next)
+            SessionUpdate(key, next.count, next.lastTs - next.firstTs, closed = false)
+          }
+      }
+  }
+}

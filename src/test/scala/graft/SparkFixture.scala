@@ -12,6 +12,11 @@ object SparkFixture {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Spark 4.1's checksum checkpoint manager deadlocks its write
+      // pool under local[] test sessions (all executor tasks park in
+      // ChecksumCheckpointFileManager.awaitResult) — plain checkpoint
+      // files are fine for tests
+      .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s

@@ -1,0 +1,77 @@
+package graft.streaming
+
+import graft.SparkFixture
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.sql.Timestamp
+
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = SparkFixture.spark
+
+  def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("windowedStats aggregates a micro-batch stream with watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, Double)]
+    val df = input.toDF().toDF("ts", "user_id", "value")
+    val agg = Streaming.windowedStats(df, "ts", "user_id",
+      window = "10 minutes", slide = "10 minutes", watermark = "1 minute")
+    val q = agg.writeStream.format("memory").queryName("win_stats")
+      .outputMode("complete").start()
+    try {
+      input.addData(
+        (ts("2024-01-01 00:01:00"), 1L, 2.0),
+        (ts("2024-01-01 00:02:00"), 1L, 3.0),
+        (ts("2024-01-01 00:11:00"), 1L, 5.0),
+        (ts("2024-01-01 00:03:00"), 2L, 7.0))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT user_id, cnt, sum_value FROM win_stats ORDER BY user_id, cnt")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      assert(rows.contains((1L, 2L, 5.0))) // first window for user 1
+      assert(rows.contains((1L, 1L, 5.0))) // second window
+      assert(rows.contains((2L, 1L, 7.0)))
+    } finally q.stop()
+  }
+
+  test("streamingDedup drops duplicate keys within the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val df = input.toDF().toDF("ts", "id", "payload")
+    val deduped = Streaming.streamingDedup(df, "ts", Seq("id"), watermark = "10 minutes")
+    val q = deduped.writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (ts("2024-01-01 00:00:00"), 1L, "a"),
+        (ts("2024-01-01 00:00:30"), 1L, "a-dup"),
+        (ts("2024-01-01 00:01:00"), 2L, "b"))
+      q.processAllAvailable()
+      input.addData((ts("2024-01-01 00:02:00"), 2L, "b-dup"))
+      q.processAllAvailable()
+      val ids = spark.sql("SELECT id FROM dedup_stream").collect().map(_.getLong(0)).toSeq
+      assert(ids.sorted == Seq(1L, 2L))
+    } finally q.stop()
+  }
+
+  test("sessionize tracks per-key state across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long)]
+    val sessions = Streaming.sessionize(input.toDS(), gapSecs = 3600)
+    val q = sessions.writeStream.format("memory").queryName("sessions")
+      .outputMode("update").start()
+    try {
+      input.addData((1L, 1000L), (1L, 1060L), (2L, 2000L))
+      q.processAllAvailable()
+      input.addData((1L, 1120L))
+      q.processAllAvailable()
+      val byKey = spark.sql("SELECT key, max(count) AS c, max(durationSecs) AS d FROM sessions GROUP BY key")
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(byKey(1L) == ((3L, 120L))) // three events spanning 120s
+      assert(byKey(2L)._1 == 1L)
+    } finally q.stop()
+  }
+}

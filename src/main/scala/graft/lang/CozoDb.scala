@@ -107,15 +107,17 @@ class CozoDb(val spark: SparkSession) {
 
   def run(script: String, params: Map[String, Any] = Map.empty): DataFrame = {
     val trimmed = script.trim
-    // multi-statement script: sequential top-level { ... } blocks share
-    // the relation store; the last block's result is returned
-    // (db.rs:298-397 multi-transaction scripts; imperative.rs blocks)
-    if (trimmed.startsWith("{")) {
-      val blocks = splitBlocks(trimmed)
-      return blocks.map(b => runSingle(b, params)).last
-    }
-    runSingle(trimmed, params)
+    // imperative script: { query } blocks with `as _temp`, %if/%loop/
+    // %return/%swap control flow (imperative.rs:67-250); plain
+    // sequential { } blocks are the degenerate case
+    if (Imperative.looksImperative(trimmed))
+      Imperative.execute(this, Imperative.parse(trimmed), params)
+    else runSingle(trimmed, params)
   }
+
+  /** Single query program (used by the imperative interpreter). */
+  private[lang] def runQueryText(script: String, params: Map[String, Any]): DataFrame =
+    runSingle(script.trim, params)
 
   private def runSingle(script: String, params: Map[String, Any]): DataFrame = {
     val prog = Parser.parse(script)
@@ -125,34 +127,6 @@ class CozoDb(val spark: SparkSession) {
     }
     val result = evalProgram(prog, params)
     applyOptions(prog.options, result)
-  }
-
-  /** Split `{ a } { b }` into top-level blocks, respecting nested
-    * braces and string literals. */
-  private def splitBlocks(s: String): Seq[String] = {
-    val out = mutable.ArrayBuffer.empty[String]
-    var depth = 0
-    var start = -1
-    var i = 0
-    var inStr: Char = 0
-    while (i < s.length) {
-      val c = s.charAt(i)
-      if (inStr != 0) {
-        if (c == '\\') i += 1
-        else if (c == inStr) inStr = 0
-      } else c match {
-        case '\'' | '"' => inStr = c
-        case '{' => if (depth == 0) start = i + 1; depth += 1
-        case '}' =>
-          depth -= 1
-          if (depth == 0) { out += s.substring(start, i); start = -1 }
-        case _ => ()
-      }
-      i += 1
-    }
-    if (depth != 0) throw CompileException("unbalanced { } blocks")
-    if (out.isEmpty) throw CompileException("empty script")
-    out.toSeq
   }
 
   // ———————————————————————— sys ops (parse/sys.rs) ————————————————————————
@@ -358,12 +332,22 @@ class CozoDb(val spark: SparkSession) {
                             evaluated: mutable.HashMap[String, DataFrame],
                             params: Map[String, Any], maxIter: Int = 50): Unit = {
     val inScc = scc.toSet
-    // stratification checks (query/stratify.rs:225)
+    // stratification checks (query/stratify.rs:225). MEET-semilattice
+    // aggregations (aggr.rs:1190-1206: idempotent, commutative,
+    // monotone folds like min/max/min_cost/shortest) ARE allowed
+    // through recursion — that is how cozo expresses Dijkstra in
+    // Datalog; the fixpoint folds the meet per round instead of
+    // set-unioning (MeetAggrStore, temp_store.rs:92-220).
+    val meetRules = mutable.HashSet.empty[String]
     scc.foreach { n =>
       byName(n).foreach {
         case HornClause(_, head, body) =>
-          if (head.exists(_.aggr.isDefined) && bodyDepsInScc(body, inScc))
-            throw CompileException(s"rule $n: aggregation through recursion is unstratifiable")
+          if (head.exists(_.aggr.isDefined)) {
+            if (head.flatMap(_.aggr).forall(CozoDb.meetAggrs.contains)) meetRules += n
+            else throw CompileException(
+              s"rule $n: non-meet aggregation through recursion is unstratifiable " +
+                s"(meet aggregations: ${CozoDb.meetAggrs.mkString(", ")})")
+          }
           if (negDepsInScc(body, inScc))
             throw CompileException(s"rule $n: negation through recursion is unstratifiable")
         case other =>
@@ -373,6 +357,25 @@ class CozoDb(val spark: SparkSession) {
     val totals = mutable.HashMap.empty[String, DataFrame]
     def resolve(n: String): Option[DataFrame] =
       if (inScc(n)) totals.get(n) else evaluated.get(n)
+
+    /** Merge a round's result into the accumulated total: set-union for
+      * plain rules, per-key meet fold for meet-aggregated rules. */
+    def merge(n: String, prev: DataFrame, next: DataFrame): DataFrame =
+      if (!meetRules.contains(n)) prev.unionByName(next).dropDuplicates()
+      else {
+        val head = byName(n).head.asInstanceOf[HornClause].head
+        val cols = prev.columns
+        val keyIdx = head.zipWithIndex.collect { case (HeadArg(None, _, _), i) => i }
+        val aggIdx = head.zipWithIndex.collect { case (HeadArg(Some(a), _, _), i) => (a, i) }
+        val both = prev.unionByName(next.toDF(cols: _*))
+        val aggs = aggIdx.map { case (a, i) =>
+          Builtins.aggr(a)(col(cols(i)), Nil).as(cols(i)) }
+        val folded =
+          if (keyIdx.nonEmpty) both.groupBy(keyIdx.map(i => col(cols(i))): _*).agg(aggs.head, aggs.tail: _*)
+          else both.agg(aggs.head, aggs.tail: _*)
+        folded.select(cols.map(col): _*)
+      }
+
     var changed = true
     var iter = 0
     while (changed && iter < maxIter) {
@@ -380,16 +383,15 @@ class CozoDb(val spark: SparkSession) {
       for (n <- scc) {
         evalRule(byName(n), resolve, params).foreach { nextRaw =>
           val next = nextRaw.ckpt()
-          val grew = totals.get(n) match {
-            case None => !next.isEmpty
-            case Some(prev) => !next.except(prev).isEmpty
+          val merged = totals.get(n) match {
+            case None => next
+            case Some(prev) => merge(n, prev, next).ckpt()
           }
-          if (grew) {
-            changed = true
-            totals(n) = totals.get(n)
-              .map(prev => prev.unionByName(next).dropDuplicates().ckpt())
-              .getOrElse(next)
+          val grewOrImproved = totals.get(n) match {
+            case None => !merged.isEmpty
+            case Some(prev) => !merged.except(prev).isEmpty
           }
+          if (grewOrImproved) { changed = true; totals(n) = merged }
         }
       }
       iter += 1
@@ -533,6 +535,11 @@ class CozoDb(val spark: SparkSession) {
 }
 
 object CozoDb {
+
+  /** Meet-semilattice aggregations — idempotent, commutative, monotone
+    * folds safe inside recursion (aggr.rs:1190-1206 meet_op). */
+  val meetAggrs: Set[String] =
+    Set("min", "max", "min_cost", "shortest", "and", "or", "bit_and", "bit_or")
 
   /** Build a DataFrame from rows of literals (const rules `<-`,
     * Constant fixed rule). Column types are inferred column-wise with

@@ -1,0 +1,233 @@
+package graft.lang
+
+import org.apache.spark.sql.DataFrame
+import scala.collection.mutable.ArrayBuffer
+
+/** Imperative mini-language over query blocks
+  * (cozo-core/src/runtime/imperative.rs:67-250, grammar
+  * cozoscript.pest:238-260): sequences of `{ query }` blocks with
+  * `as _temp` captures, `%if`/`%if_not` chains, `%loop` with
+  * `%break`/`%continue`, `%return`, `%swap`, `%debug`. A condition is a
+  * temp relation name or a query block; truthy = at least one row
+  * (imperative.rs:63). Temp relations (`_name`) live in the CozoDb
+  * relation store for the session.
+  */
+object Imperative {
+
+  sealed trait Stmt
+  final case class QueryStmt(script: String, storeAs: Option[String]) extends Stmt
+  final case class IfStmt(cond: Cond, negated: Boolean,
+                          thenB: Seq[Stmt], elseB: Seq[Stmt]) extends Stmt
+  final case class LoopStmt(body: Seq[Stmt]) extends Stmt
+  case object BreakStmt extends Stmt
+  case object ContinueStmt extends Stmt
+  final case class ReturnStmt(value: Option[Cond]) extends Stmt
+  final case class SwapStmt(a: String, b: String) extends Stmt
+  final case class DebugStmt(name: String) extends Stmt
+
+  sealed trait Cond
+  final case class RelCond(name: String) extends Cond
+  final case class QueryCond(script: String, storeAs: Option[String]) extends Cond
+
+  final case class ImperativeException(msg: String) extends RuntimeException(msg)
+
+  def looksImperative(script: String): Boolean = {
+    val t = script.trim
+    t.startsWith("%") || t.startsWith("{")
+  }
+
+  // ———————————————————————— parsing ————————————————————————
+
+  def parse(src: String): Seq[Stmt] = {
+    val p = new P(src)
+    val stmts = p.stmts(atTop = true)
+    p.skipWs()
+    if (!p.eof) throw ImperativeException(s"unexpected input at offset ${p.pos}")
+    stmts
+  }
+
+  private final class P(src: String) {
+    var pos = 0
+    def eof: Boolean = pos >= src.length
+    def skipWs(): Unit = {
+      var go = true
+      while (go && !eof) {
+        val c = src.charAt(pos)
+        if (c.isWhitespace) pos += 1
+        else if (c == '#') { while (!eof && src.charAt(pos) != '\n') pos += 1 }
+        else go = false
+      }
+    }
+    def peekWord(): String = {
+      skipWs()
+      var k = pos
+      while (k < src.length && (src.charAt(k).isLetterOrDigit || src.charAt(k) == '_' || src.charAt(k) == '%')) k += 1
+      src.substring(pos, k)
+    }
+    def word(): String = { val w = peekWord(); pos += w.length; w }
+
+    def block(): String = { // balanced { ... }, strings respected
+      skipWs()
+      if (eof || src.charAt(pos) != '{') throw ImperativeException(s"expected {{ at $pos")
+      var depth = 0
+      var i = pos
+      var inStr: Char = 0
+      while (i < src.length) {
+        val c = src.charAt(i)
+        if (inStr != 0) {
+          if (c == '\\') i += 1 else if (c == inStr) inStr = 0
+        } else c match {
+          case '\'' | '"' => inStr = c
+          case '{' => depth += 1
+          case '}' =>
+            depth -= 1
+            if (depth == 0) {
+              val inner = src.substring(pos + 1, i)
+              pos = i + 1
+              return inner
+            }
+          case _ => ()
+        }
+        i += 1
+      }
+      throw ImperativeException("unbalanced { }")
+    }
+
+    private def storeAs(): Option[String] = {
+      val save = pos
+      if (peekWord() == "as") {
+        word()
+        val n = word()
+        if (n.startsWith("_")) Some(n)
+        else throw ImperativeException(s"temp relation name must start with _: $n")
+      } else { pos = save; None }
+    }
+
+    def cond(): Cond = {
+      skipWs()
+      if (!eof && src.charAt(pos) == '{') {
+        val b = block()
+        QueryCond(b, storeAs())
+      } else {
+        val n = word()
+        if (!n.startsWith("_")) throw ImperativeException(s"condition must be _temp or {{query}}: $n")
+        RelCond(n)
+      }
+    }
+
+    def stmts(atTop: Boolean): Seq[Stmt] = {
+      val out = ArrayBuffer.empty[Stmt]
+      var go = true
+      while (go) {
+        skipWs()
+        if (eof) go = false
+        else if (src.charAt(pos) == '{') {
+          val b = block()
+          out += QueryStmt(b, storeAs())
+        } else {
+          peekWord() match {
+            case "%if" | "%if_not" =>
+              val negated = word() == "%if_not"
+              val c = cond()
+              if (peekWord() == "%then") word()
+              val thenB = stmts(atTop = false)
+              val elseB = if (peekWord() == "%else") { word(); stmts(atTop = false) } else Nil
+              if (word() != "%end") throw ImperativeException("%if without %end")
+              out += IfStmt(c, negated, thenB, elseB)
+            case "%loop" =>
+              word()
+              val body = stmts(atTop = false)
+              if (word() != "%end") throw ImperativeException("%loop without %end")
+              out += LoopStmt(body)
+            case "%break" => word(); out += BreakStmt
+            case "%continue" => word(); out += ContinueStmt
+            case "%return" =>
+              word()
+              skipWs()
+              val v =
+                if (!eof && src.charAt(pos) == '{') Some(cond())
+                else if (peekWord().startsWith("_")) Some(RelCond(word()))
+                else None
+              out += ReturnStmt(v)
+            case "%swap" =>
+              word(); out += SwapStmt(word(), word())
+            case "%debug" =>
+              word(); out += DebugStmt(word())
+            case "%else" | "%end" | "%then" => go = false // closed by caller
+            case "" => go = false
+            case other => throw ImperativeException(s"unknown statement $other at $pos")
+          }
+        }
+      }
+      out.toSeq
+    }
+  }
+
+  // ———————————————————————— execution ————————————————————————
+
+  private final case class BreakEx() extends RuntimeException
+  private final case class ContinueEx() extends RuntimeException
+  private final case class ReturnEx(df: DataFrame) extends RuntimeException
+
+  def execute(db: CozoDb, stmts: Seq[Stmt], params: Map[String, Any]): DataFrame = {
+    var ret: DataFrame = db.spark.emptyDataFrame
+
+    def evalCond(c: Cond): (Boolean, DataFrame) = c match {
+      case RelCond(n) =>
+        val df = db.relation(n)
+        (!df.isEmpty, df)
+      case QueryCond(script, as) =>
+        val df = db.runQueryText(script, params)
+        as.foreach(n => db.registerTable(n, df.ckptLazy()))
+        (!df.isEmpty, df)
+    }
+
+    def exec(ss: Seq[Stmt]): Unit = ss.foreach {
+      case QueryStmt(script, as) =>
+        ret = db.runQueryText(script, params)
+        as.foreach(n => db.registerTable(n, ret.ckptLazy()))
+      case IfStmt(c, negated, thenB, elseB) =>
+        val (truthy, _) = evalCond(c)
+        if (truthy != negated) exec(thenB) else exec(elseB)
+      case LoopStmt(body) =>
+        var iters = 0
+        var looping = true
+        while (looping) {
+          if (iters > 100000) throw ImperativeException("%loop exceeded 100000 iterations")
+          try exec(body)
+          catch {
+            case _: BreakEx => looping = false
+            case _: ContinueEx => ()
+          }
+          iters += 1
+        }
+      case BreakStmt => throw BreakEx()
+      case ContinueStmt => throw ContinueEx()
+      case ReturnStmt(v) =>
+        val out = v match {
+          case None => ret
+          case Some(c) => evalCond(c)._2
+        }
+        throw ReturnEx(out)
+      case SwapStmt(a, b) =>
+        val (da, db_) = (db.relation(a), db.relation(b))
+        db.registerTable(a, db_)
+        db.registerTable(b, da)
+      case DebugStmt(n) =>
+        System.err.println(s"[%debug] $n:")
+        db.relation(n).show(20, truncate = false)
+    }
+
+    try { exec(stmts); ret }
+    catch {
+      case ReturnEx(df) => df
+      case _: BreakEx => throw ImperativeException("%break outside %loop")
+      case _: ContinueEx => throw ImperativeException("%continue outside %loop")
+    }
+  }
+
+  private implicit class LazyCkpt(private val df: DataFrame) extends AnyVal {
+    def ckptLazy(): DataFrame =
+      org.apache.spark.sql.graftbridge.CheckpointBridge.truncate(df, eager = false)
+  }
+}

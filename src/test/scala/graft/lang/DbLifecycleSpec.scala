@@ -62,6 +62,41 @@ class DbLifecycleSpec extends AnyFunSuite {
     assert(later == Map(1L -> "v2", 2L -> "w1"))
   }
 
+  test("imperative %if branches on a query condition") {
+    val db = new CozoDb(spark)
+    db.registerTable("t", Seq((1L, "a")).toDF("k", "v"), Seq("k"))
+    val r = db.run(
+      """%if { ?[k] := *t[k, v], k > 100 }
+        |  %then { ?[x] <- [['big']] }
+        |  %else { ?[x] <- [['small']] }
+        |%end""".stripMargin)
+    assert(r.collect().head.getString(0) == "small")
+  }
+
+  test("imperative %loop with %break accumulates via temp relations") {
+    val db = new CozoDb(spark)
+    val r = db.run(
+      """{ ?[x] <- [[0]] :replace _acc {x} }
+        |%loop
+        |  %if { ?[x] := *_acc[x], x >= 5 }
+        |    %then { ?[x] := *_acc[x] } %break
+        |  %end
+        |  { ?[x] := *_acc[y], x = y + 1 :replace _acc {x} }
+        |%end
+        |%return { ?[x] := *_acc[x] }""".stripMargin)
+    assert(r.collect().head.getLong(0) == 5L)
+  }
+
+  test("imperative as _temp capture and %swap") {
+    val db = new CozoDb(spark)
+    val r = db.run(
+      """{ ?[x] <- [[1]] } as _a
+        |{ ?[x] <- [[2]] } as _b
+        |%swap _a _b
+        |%return _a""".stripMargin)
+    assert(r.collect().head.getLong(0) == 2L)
+  }
+
   test("multi-block scripts run sequentially sharing the store") {
     val db = new CozoDb(spark)
     val res = db.run(

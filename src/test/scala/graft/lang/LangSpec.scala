@@ -139,6 +139,30 @@ class LangSpec extends AnyFunSuite {
     assert(res == Set(0L, 2L, 4L, 6L))
   }
 
+  test("meet aggregation through recursion: Dijkstra in Datalog") {
+    val db = freshDb()
+    db.registerTable("wedge",
+      Seq((1L, 2L, 1.0), (1L, 3L, 4.0), (2L, 3L, 1.0), (3L, 4L, 1.0), (2L, 4L, 5.0))
+        .toDF("fr", "to", "w"), Seq("fr", "to"))
+    val costs = rows(db,
+      """sp[n, min(c)] := n = 1, c = 0.0
+        |sp[n, min(c)] := sp[m, c0], *wedge[m, n, w], c = c0 + w
+        |?[n, c] := sp[n, c]""".stripMargin)
+      .map(r => r.head -> r(1)).toMap
+    assert(costs == Map(1L -> 0.0, 2L -> 1.0, 3L -> 2.0, 4L -> 3.0))
+  }
+
+  test("shortest (meet on lists) through recursion keeps the shortest path") {
+    val db = freshDb()
+    val paths = rows(db,
+      """reach[n, shortest(p)] := n = 1, p = [1]
+        |reach[n, shortest(p)] := reach[m, p0], *edge[m, n], p = append(p0, n)
+        |?[n, p] := reach[n, p]""".stripMargin)
+      .map(r => r.head -> r(1).asInstanceOf[collection.Seq[Long]].toSeq).toMap
+    assert(paths(4L) == Seq(1L, 2L, 3L, 4L))
+    assert(paths(5L) == Seq(1L, 2L, 5L))
+  }
+
   test("unstratifiable recursion through aggregation errors") {
     val db = freshDb()
     val e = intercept[Exception](db.run(

@@ -97,6 +97,33 @@ object CozoFunctions {
     when(n > 0, transform(v, x => (x / n).cast("float"))).otherwise(v)
   }
 
+  // — t2s (functions.rs:1446): traditional→simplified Chinese. The
+  // reference embeds a full OpenCC table; this covers the common
+  // single-character mappings via codegen'd translate() — multi-char
+  // phrase conversion would need the full shipped table.
+  private val t2sTraditional =
+    "萬與醜專業叢東絲丟兩嚴喪個爿豐臨為麗舉麼義烏樂喬習鄉書買亂爭於虧雲亙" +
+    "產畝親褻嚲億僅從侖倉儀們價眾優夥會傴傘偉傳傷倀倆傖偽佇體餘傭僉俠侶僥" +
+    "偵側僑儈儕儂侄儔儼倫偉悵閆門問聞閩罔惘煩釩釓訂計訃認譏訐訌討讓訕訖訓" +
+    "議訊記講諱謳詎訝訥許訛論訩訟諷設訪訣證詁訶評詛識詗詐訴診詆謅詞詘詔譯" +
+    "國圖圓團壙場壞塊堅壇壢壩塢墳墜長門開閉閑間悶閒們" +
+    "漢滅澩灩滬淚風颱鳳凰鬥鬧鬨馬駁駛駝驅騰驢驥魚魯鯨鳥鳴鴉鳳雞" +
+    "車軋軌軒連運進違這還邊遼達遷過邁" +
+    "紅紂紃約級紀紉緯紜紘純紕紗綱納紝縱綸紛紙紋紡" +
+    "語學話說誰請讀寫聽見視覺觀點線練組經給統繼"
+  private val t2sSimplified =
+    "万与丑专业丛东丝丢两严丧个丬丰临为丽举么义乌乐乔习乡书买乱争于亏云亘" +
+    "产亩亲亵亸亿仅从仑仓仪们价众优伙会伛伞伟传伤伥俩伧伪伫体余佣佥侠侣侥" +
+    "侦侧侨侩侪侬侄俦俨伦伟怅闫门问闻闽罔惘烦钒钆订计讣认讥讦讧讨让讪讫训" +
+    "议讯记讲讳讴讵讶讷许讹论讻讼讽设访诀证诂诃评诅识诇诈诉诊诋诌词诎诏译" +
+    "国图圆团圹场坏块坚坛坜坝坞坟坠长门开闭闲间闷闲们" +
+    "汉灭学滟沪泪风台凤凰斗闹哄马驳驶驼驱腾驴骥鱼鲁鲸鸟鸣鸦凤鸡" +
+    "车轧轨轩连运进违这还边辽达迁过迈" +
+    "红纣紃约级纪纫纬纭纮纯纰纱纲纳纴纵纶纷纸纹纺" +
+    "语学话说谁请读写听见视觉观点线练组经给统继"
+  /** functions.rs:1446 `t2s` — common-character subset. */
+  def t2s(c: Column): Column = translate(c, t2sTraditional, t2sSimplified)
+
   // — bitwise over packed bool lists (functions.rs:1194-1216). The
   // reference packs into Bytes; a cold-path UDF is acceptable here
   // (never in a scan hot loop — use array<boolean> columns directly

@@ -82,6 +82,7 @@ object Builtins {
     "chars" -> (a => CF.chars(a(0))),
     "from_substrings" -> (a => CF.fromSubstrings(a(0))),
     "unicode_normalize" -> (a => a(0)), // normalization form handled at call site when literal
+    "t2s" -> (a => CF.t2s(a(0))),
     "pad_start" -> (a => lpad(a(0), 0, " ")),
     "slice_string" -> (a => CF.sliceString(a(0), a(1), a(2))),
     // — regex (functions.rs:1380-1435)

@@ -106,6 +106,16 @@ class DbLifecycleSpec extends AnyFunSuite {
     assert(res.collect().map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
   }
 
+  test("t2s converts common traditional characters") {
+    val df = Seq(Tuple1("漢語 國家 馬車 紅學")).toDF("s")
+    val out = df.select(CozoFunctions.t2s(col("s"))).collect().head.getString(0)
+    assert(out == "汉语 国家 马车 红学")
+    // already-simplified text passes through untouched
+    val df2 = Seq(Tuple1("simplified 简体 text")).toDF("s")
+    assert(df2.select(CozoFunctions.t2s(col("s"))).collect().head.getString(0)
+      == "simplified 简体 text")
+  }
+
   test("pack_bits/unpack_bits round-trip") {
     val df = Seq(Tuple1(Seq(true, false, true, true))).toDF("bits")
     val packed = df.select(CozoFunctions.packBits(col("bits")).as("b"))

@@ -542,12 +542,16 @@ object Queries {
              |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, id) AS rank
              |  FROM scored) t WHERE rank <= 5""".stripMargin)),
 
+    // planes/tables matched to this corpus's similarity regime: top
+    // neighbors sit at cosine ~0.3-0.5, so short 3-bit signatures with
+    // many independent tables are needed for recall (12-bit signatures
+    // almost never collide below cosine 0.8 — measured recall 0.01)
     Spec("ann_lsh", (s, d) => {
       val emb = T(s, d, "embeddings")
       val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
       val queries = emb.filter(col("vec_id") < 20)
         .select(col("vec_id").as("query_id"), col("embedding").as("vec"))
-      Ann.lshTopK(corpus, queries, k = 5)
+      Ann.lshTopK(corpus, queries, k = 5, planes = 3, tables = 16)
     },
       None),
 

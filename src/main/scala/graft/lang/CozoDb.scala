@@ -150,6 +150,18 @@ class CozoDb(val spark: SparkSession) {
         Seq(("removed", rel)).toDF("status", "relation")
       case "fixed_rules" =>
         FixedRules.names.map(Tuple1(_)).toDF("name")
+      case "rename" =>
+        // ::rename old new (parse/sys.rs rename_relations_op)
+        val (from, to) = (parts(1).stripPrefix("*"), parts(2).stripPrefix("*"))
+        if (relations.contains(to))
+          throw new IllegalStateException(s"::rename — relation $to already exists")
+        val df = relation(from)
+        val keys = relationKeys.getOrElse(from, df.columns.toSeq)
+        val validity = relationValidity.get(from)
+        removeRelation(from)
+        relationValidity.remove(from)
+        registerTable(to, df, keys, validity)
+        Seq(("renamed", from, to)).toDF("status", "from", "to")
       case "explain" =>
         val inner = op.stripPrefix("explain").trim.stripPrefix("{").stripSuffix("}")
         val df = run(inner)

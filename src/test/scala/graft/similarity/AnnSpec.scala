@@ -1,0 +1,41 @@
+package graft.similarity
+
+import graft.SparkFixture
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** ANN quality: the LSH path is approximate — quantify its recall
+  * against the exact brute-force ranking on real testdata (the
+  * correctness contract for a rows-only driver entry). */
+class AnnSpec extends AnyFunSuite {
+  lazy val spark = SparkFixture.spark
+
+  test("lshTopK recall@5 vs brute force on sf0.001 embeddings") {
+    val emb = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val queries = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("embedding").as("vec"))
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Ann.bruteForceTopK(corpus, queries, k = 5).select("query_id", "id"))
+    // parameters matched to this corpus: neighbors at cosine ~0.3-0.5
+    // need short signatures × many tables (the 12-plane default targets
+    // high-similarity corpora and measures recall ~0.01 here)
+    val approx = pairs(Ann.lshTopK(corpus, queries, k = 5, planes = 3, tables = 16)
+      .select("query_id", "id"))
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.6, s"LSH recall@5 too low: $recall")
+  }
+
+  test("bruteForceTopK excludes self and ranks by cosine") {
+    val emb = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val queries = emb.filter(col("vec_id") === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("vec"))
+    val rows = Ann.bruteForceTopK(corpus, queries, k = 10)
+      .orderBy("rank").collect()
+    assert(rows.forall(_.getLong(1) != 0L))
+    val cosines = rows.map(_.getDouble(2)).toSeq
+    assert(cosines == cosines.sorted.reverse)
+  }
+}

@@ -3,7 +3,7 @@ package graft
 import graft.plan._
 import graft.dedup.Dedup
 import graft.fixpoint.Fixpoint
-import graft.functions.{CozoAggregates => CA, TextFunctions => TF}
+import graft.functions.{CozoAggregates => CA, CozoFunctions => CozoFn, TextFunctions => TF}
 import graft.graphs.Graphs
 import graft.operators.{Mutations, TimeTravel, TopK}
 import graft.search.Fts
@@ -326,6 +326,39 @@ object Queries {
              |FROM (SELECT o_orderpriority, o_orderstatus AS v, count(*) AS c
              |      FROM orders GROUP BY 1, 2) t
              |GROUP BY 1""".stripMargin)),
+
+    // ——————————————————— scalar-function groups (SURVEY §2.5) ———————————————————
+
+    // haversine great-circle distance (functions.rs:1611) on synthetic
+    // coordinates derived from customer keys — identical formula on
+    // both engines
+    Spec("fn_haversine", (s, d) => {
+      val c = T(s, d, "customer")
+      val lat = (col("c_custkey") % 170 - 85).cast("double")
+      val lon = (col("c_custkey") % 350 - 175).cast("double")
+      c.select(col("c_custkey"),
+        round(CozoFn.haversineDeg(lat, lon, lit(0.0), lit(0.0)), 6).as("dist"))
+    },
+      Some("""SELECT c_custkey,
+             |  round(2 * asin(least(1.0, sqrt(
+             |    sin(radians(CAST(c_custkey % 170 - 85 AS DOUBLE)) / 2) ^ 2 +
+             |    cos(radians(CAST(c_custkey % 170 - 85 AS DOUBLE))) * cos(radians(0.0)) *
+             |    sin(radians(CAST(c_custkey % 350 - 175 AS DOUBLE)) / 2) ^ 2))), 6) AS dist
+             |FROM customer""".stripMargin)),
+
+    // list windows / exact chunks (functions.rs:1693-1709) over token
+    // arrays, serialized for comparison
+    Spec("fn_list_ops", (s, d) => {
+      val toks = TF.tokens(col("text"))
+      T(s, d, "documents").filter(col("doc_id") < 50)
+        .select(col("doc_id"),
+          array_join(transform(CozoFn.windowsC(toks, lit(2)), w => concat_ws(" ", w)), "|").as("bigrams"),
+          array_join(transform(CozoFn.chunksExactC(toks, lit(3)), w => concat_ws(" ", w)), "|").as("triples"))
+    },
+      Some(s"""SELECT doc_id,
+              |  CASE WHEN len(toks) >= 2 THEN array_to_string(list_transform(generate_series(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1]), '|') ELSE '' END AS bigrams,
+              |  CASE WHEN len(toks) >= 3 THEN array_to_string(list_transform(generate_series(1, len(toks) // 3), i -> toks[3*i-2] || ' ' || toks[3*i-1] || ' ' || toks[3*i]), '|') ELSE '' END AS triples
+              |FROM (SELECT doc_id, $toksSql AS toks FROM documents WHERE doc_id < 50) t""".stripMargin)),
 
     // ——————————— recursion / fixpoint (SURVEY §3.1 step 7, §7.1 layer 5) ———————————
 

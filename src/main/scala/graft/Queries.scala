@@ -226,7 +226,9 @@ object Queries {
         .groupBy("event_type")
         .agg(sum(col("k")).as("sum_k"), count(col("k")).as("cnt"))
     },
-      Some("""SELECT event_type, sum(k) AS sum_k, count(k) AS cnt FROM (
+      // CAST the sum: DuckDB widens sum(BIGINT) to HUGEINT, which the driver's
+      // pandas bridge renders as float64 — hash-mismatching Spark's LongType.
+      Some("""SELECT event_type, CAST(sum(k) AS BIGINT) AS sum_k, count(k) AS cnt FROM (
              |  SELECT event_type, CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT) AS k
              |  FROM events) t GROUP BY 1""".stripMargin)),
 

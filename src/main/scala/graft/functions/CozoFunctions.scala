@@ -50,8 +50,13 @@ object CozoFunctions {
     u(s)
   }
 
-  // — regex (1380-1435): rlike / regexp_replace / regexp_extract /
-  // regexp_extract_all are 1:1.
+  // — regex (1380-1435): regexp_like / regexp_extract_all /
+  // regexp_substr are 1:1; `regex_replace` (1401) replaces only the
+  // FIRST occurrence (Rust `Regex::replace`), which Spark's
+  // regexp_replace (= replace_all, 1411) cannot express — UDF with a
+  // per-executor compiled-pattern cache.
+  def regexReplaceFirst(s: Column, pattern: Column, rep: Column): Column =
+    RegexCache.replaceFirstUdf(s, pattern, rep)
 
   // — lists (71-2409)
   def listGet(l: Column, i: Column): Column = element_at(l, i + 1) // 1741 (0-based)
@@ -169,4 +174,54 @@ object CozoFunctions {
       lpad(hex(unix_timestamp(ts)), 12, "0"),
       lpad(hex(pmod(xxhash64(salt), lit(65536L))), 4, "0"),
       lit("4000-8000-000000000000"))
+  /** functions.rs:2556 `uuid_timestamp` — epoch seconds for time-ordered
+    * uuids, null otherwise. Our v1 surrogate (timeUuid above) carries the
+    * timestamp as a 12-hex-char first group; real v4s have an 8-char
+    * first group and yield null, matching the reference's None for
+    * non-v1 uuids. */
+  def uuidTimestamp(u: Column): Column = {
+    val first = substring_index(u, "-", 1)
+    when(length(first) === 12, conv(first, 16, 10).cast("double"))
+  }
+
+  // — bytes bitwise (functions.rs:1126-1176): byte-wise and/or/xor over
+  // equal-length Bytes (reference bails on length mismatch → null here),
+  // not over packed-bool longs.
+  private lazy val bytesAndUdf = udf((a: Array[Byte], b: Array[Byte]) =>
+    if (a == null || b == null || a.length != b.length) null
+    else a.indices.map(i => (a(i) & b(i)).toByte).toArray)
+  private lazy val bytesOrUdf = udf((a: Array[Byte], b: Array[Byte]) =>
+    if (a == null || b == null || a.length != b.length) null
+    else a.indices.map(i => (a(i) | b(i)).toByte).toArray)
+  private lazy val bytesXorUdf = udf((a: Array[Byte], b: Array[Byte]) =>
+    if (a == null || b == null || a.length != b.length) null
+    else a.indices.map(i => (a(i) ^ b(i)).toByte).toArray)
+  private lazy val bytesNotUdf = udf((a: Array[Byte]) =>
+    if (a == null) null else a.map(x => (~x).toByte))
+  def bytesAnd(a: Column, b: Column): Column = bytesAndUdf(a, b)
+  def bytesOr(a: Column, b: Column): Column = bytesOrUdf(a, b)
+  def bytesXor(a: Column, b: Column): Column = bytesXorUdf(a, b)
+  def bytesNot(a: Column): Column = bytesNotUdf(a)
+
+  // — random (functions.rs:2310/2134): bernoulli draw; dim-n random unit
+  // vector (reference: standard normal components).
+  def randBernoulli(p: Column): Column = rand() < p
+  private lazy val randVecUdf = udf((n: Int) =>
+    Array.fill(n)(scala.util.Random.nextGaussian().toFloat)).asNondeterministic()
+  def randVec(n: Column): Column = randVecUdf(n.cast("int"))
+}
+
+/** Serializable compiled-regex cache shared by regex UDF closures —
+  * avoids per-row Pattern.compile on executors. */
+private[functions] object RegexCache extends Serializable {
+  @transient private lazy val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.regex.Pattern]()
+  private def compiled(p: String): java.util.regex.Pattern = {
+    val hit = cache.get(p)
+    if (hit != null) hit
+    else { val c = java.util.regex.Pattern.compile(p); cache.putIfAbsent(p, c); c }
+  }
+  val replaceFirstUdf = udf((s: String, p: String, r: String) =>
+    if (s == null || p == null || r == null) null
+    else compiled(p).matcher(s).replaceFirst(r))
 }

@@ -78,19 +78,26 @@ object Builtins {
     "ends_with" -> (a => a(0).endsWith(a(1))),
     "str_includes" -> (a => a(0).contains(a(1))),
     "concat" -> (a => concat(a: _*)),
-    "split" -> (a => split(a(0), a(1).toString)),
+    "split" -> (a => call_function("split", a(0), a(1))),
     "chars" -> (a => CF.chars(a(0))),
     "from_substrings" -> (a => CF.fromSubstrings(a(0))),
-    "unicode_normalize" -> (a => a(0)), // normalization form handled at call site when literal
+    // literal form handled at the App call site; anything else is an error,
+    // never a silent no-op
+    "unicode_normalize" -> (_ => throw Compiler.CompileException(
+      "unicode_normalize requires a literal normalization-form argument ('nfc'|'nfd'|'nfkc'|'nfkd')")),
     "t2s" -> (a => CF.t2s(a(0))),
-    "pad_start" -> (a => lpad(a(0), 0, " ")),
+    "pad_start" -> (a => lpad(a(0), a(1).cast("int"),
+      if (a.length > 2) a(2) else lit(" "))),
+    "pad_end" -> (a => rpad(a(0), a(1).cast("int"),
+      if (a.length > 2) a(2) else lit(" "))),
     "slice_string" -> (a => CF.sliceString(a(0), a(1), a(2))),
-    // — regex (functions.rs:1380-1435)
-    "regex_matches" -> (a => a(0).rlike(a(1).toString)),
-    "regex_replace" -> (a => regexp_replace(a(0), a(1), a(2))),
+    // — regex (functions.rs:1380-1435); regex_replace is FIRST-occurrence
+    // only (Rust Regex::replace), _all is Spark's regexp_replace
+    "regex_matches" -> (a => regexp_like(a(0), a(1))),
+    "regex_replace" -> (a => CF.regexReplaceFirst(a(0), a(1), a(2))),
     "regex_replace_all" -> (a => regexp_replace(a(0), a(1), a(2))),
     "regex_extract" -> (a => regexp_extract_all(a(0), a(1), lit(0))),
-    "regex_extract_first" -> (a => regexp_extract(a(0), a(1).toString, 0)),
+    "regex_extract_first" -> (a => regexp_substr(a(0), a(1))),
     // — lists (functions.rs:1657-2409)
     "list" -> (a => array(a: _*)),
     "first" -> (a => CF.first_(a(0))),
@@ -133,12 +140,24 @@ object Builtins {
     "to_string" -> (a => a(0).cast("string")),
     "to_bool" -> (a => a(0).cast("boolean")),
     "to_unity" -> (a => when(a(0).isNull || a(0) === false || a(0) === 0 || a(0) === "" || size_safe(a(0)) === 0, 0).otherwise(1)),
-    // — JSON
+    // — JSON (functions.rs:76-316); json_object/set_json_path/
+    // remove_json_path are Lit-gated at the App call site in Compiler
     "parse_json" -> (a => a(0)), // JSON kept as string; access via get_json_object / ->
     "dump_json" -> (a => to_json(a(0))),
-    "get_json_path" -> (a => get_json_object(a(0), a(1).toString)),
+    "get_json_path" -> (_ => throw Compiler.CompileException(
+      "get_json_path requires a literal path argument")),
+    // functions.rs:316 — unwrap a JSON scalar: ints/floats/bools parse,
+    // quoted strings unquote, objects/arrays pass through as text
+    "json_to_scalar" -> (a => when(a(0).rlike("^\"((?s).*)\"$"),
+        regexp_extract(a(0), "^\"((?s).*)\"$", 1))
+      .otherwise(a(0))),
     "pack_bits" -> (a => CF.packBits(a(0))),
     "unpack_bits" -> (a => CF.unpackBits(a(0))),
+    // — bytes bitwise scalars (functions.rs:1126-1176)
+    "bit_and" -> (a => CF.bytesAnd(a(0), a(1))),
+    "bit_or" -> (a => CF.bytesOr(a(0), a(1))),
+    "bit_xor" -> (a => CF.bytesXor(a(0), a(1))),
+    "bit_not" -> (a => CF.bytesNot(a(0))),
     // — encoding / hashing
     "encode_base64" -> (a => base64(a(0))),
     "decode_base64" -> (a => unbase64(a(0))),
@@ -152,7 +171,10 @@ object Builtins {
     // — random (functions.rs:2305-2550; nondeterministic by nature)
     "rand_float" -> (_ => rand()),
     "rand_int" -> (a => (rand() * (a(1) - a(0) + 1) + a(0)).cast("long")),
+    "rand_bernoulli" -> (a => CF.randBernoulli(a(0))),
+    "rand_vec" -> (a => CF.randVec(a(0))),
     "rand_uuid_v4" -> (_ => uuid()),
+    "rand_uuid_v1" -> (_ => CF.timeUuid(current_timestamp(), rand())),
     "rand_choose" -> (a => element_at(shuffle(a(0)), 1)),
     // — time (functions.rs:2441-2520)
     "now" -> (_ => unix_timestamp(current_timestamp()).cast("double")),
@@ -160,7 +182,7 @@ object Builtins {
     "parse_timestamp" -> (a => unix_timestamp(to_timestamp(a(0))).cast("double")),
     // — uuid
     "to_uuid" -> (a => a(0).cast("string")),
-    "uuid_timestamp" -> (a => lit(null).cast("double"))
+    "uuid_timestamp" -> (a => CF.uuidTimestamp(a(0)))
   )
 
   private def size_safe(c: Column): Column = when(typeof(c).startsWith("array"), size(c)).otherwise(lit(null))
@@ -206,5 +228,5 @@ object Builtins {
     "list", "sorted", "reverse", "slice", "chars", "split", "unique",
     "union", "intersection", "difference", "int_range", "zip", "chunks",
     "chunks_exact", "windows", "append", "prepend", "regex_extract", "vec",
-    "l2_normalize")
+    "l2_normalize", "rand_vec")
 }

@@ -59,10 +59,7 @@ class Compiler(spark: SparkSession,
         case "&&" => cl && cr
         case "||" => cl || cr
         case "~" => coalesce(cl, cr)
-        case "->" => r match {
-          case Lit(s: String) => get_json_object(cl, "$." + s)
-          case _ => get_json_object(cl, concat(lit("$."), cr).toString)
-        }
+        case "->" => get_json_object(cl, "$." + litString(r, "->"))
         case other => throw CompileException(s"unknown operator $other")
       }
     case App("cond", args) =>
@@ -80,14 +77,61 @@ class Compiler(spark: SparkSession,
         case Some(_: org.apache.spark.sql.types.ArrayType) => size(cx)
         case _ => length(cx)
       }
-    case App("unicode_normalize", Seq(x, Lit(form: String))) =>
-      graft.functions.CozoFunctions.unicodeNormalize(compileExpr(x), form)
+    case App("unicode_normalize", Seq(x, form)) =>
+      graft.functions.CozoFunctions.unicodeNormalize(
+        compileExpr(x), litString(form, "unicode_normalize"))
+    case App("get_json_path", Seq(x, path)) =>
+      get_json_object(compileExpr(x), "$." + litPathKeys(path, "get_json_path").mkString("."))
+    // functions.rs:185 json_object(k1, v1, k2, v2, ...) with literal keys
+    case App("json_object", args) =>
+      if (args.length % 2 != 0)
+        throw CompileException("json_object takes alternating key, value arguments")
+      val fields = args.grouped(2).toSeq.map {
+        case Seq(k, v) => compileExpr(v).as(litString(k, "json_object key"))
+      }
+      if (fields.isEmpty) lit("{}") else to_json(struct(fields: _*))
+    // functions.rs:81/156 — top-level single-key paths (nested paths are
+    // a documented non-goal of the string-encoded JSON representation)
+    case App("set_json_path", Seq(x, path, v)) =>
+      graft.functions.CozoFunctions.jsonSet(
+        compileExpr(x), singleKey(path, "set_json_path"), compileExpr(v))
+    case App("remove_json_path", Seq(x, path)) =>
+      graft.functions.CozoFunctions.jsonRemove(
+        compileExpr(x), singleKey(path, "remove_json_path"))
     case App(fn, args) =>
       Builtins.scalar.get(fn) match {
         case Some(impl) => impl(args.map(compileExpr))
         case None => throw CompileException(s"unknown function $fn/${args.length}")
       }
   }
+
+  /** Compile-time literal string: a Lit or a bound $parameter. Anything
+    * runtime-valued throws — never silently stringify a Column
+    * (Column.toString is a plan pretty-print, not a value). */
+  private def litString(e: Expr, where: String): String = e match {
+    case Lit(s: String) => s
+    case Param(name) => params.get(name) match {
+      case Some(s: String) => s
+      case Some(other) => throw CompileException(
+        s"$where requires a string parameter, got $other")
+      case None => throw CompileException(s"missing parameter $$$name")
+    }
+    case other => throw CompileException(
+      s"$where requires a literal string argument, got $other")
+  }
+
+  /** JSON path as literal key list: accepts 'key' or ['k1', 'k2']. */
+  private def litPathKeys(e: Expr, where: String): Seq[String] = e match {
+    case ListE(items) => items.map(litString(_, where))
+    case other => Seq(litString(other, where))
+  }
+
+  private def singleKey(e: Expr, where: String): String =
+    litPathKeys(e, where) match {
+      case Seq(k) => k
+      case ks => throw CompileException(
+        s"$where supports top-level (single-key) paths only, got ${ks.mkString("[", ", ", "]")}")
+    }
 
   /** Frame the current atom compiles against — lets generic functions
     * (`length`) resolve an argument's Spark type at compile time. */
@@ -172,15 +216,25 @@ class Compiler(spark: SparkSession,
 
     case Neg(inner) =>
       val base = cur.getOrElse(throw CompileException("negation with no bound relation (unsafe)"))
-      val ndf = step(None, inner)
-      val shared = base.columns.intersect(ndf.columns)
-      if (shared.isEmpty)
-        throw CompileException("negated atom shares no variable with the rest of the body (unsafe)")
-      base.join(ndf.select(shared.map(col): _*).dropDuplicates(), shared.toSeq, "left_anti")
+      // a negand over a rule that derived NOTHING keeps every row
+      // (`not empty` = true) — it must not drop the clause
+      try {
+        val ndf = step(None, inner)
+        val shared = base.columns.intersect(ndf.columns)
+        if (shared.isEmpty)
+          throw CompileException("negated atom shares no variable with the rest of the body (unsafe)")
+        base.join(ndf.select(shared.map(col): _*).dropDuplicates(), shared.toSeq, "left_anti")
+      } catch { case Compiler.EmptyRelation(_) => base }
 
     case Or(alts) =>
-      val branches = alts.map(conj => conj.foldLeft(cur)((c, a) => Some(step(c, a)))
-        .getOrElse(throw CompileException("empty or-branch")))
+      // a branch whose rule derived nothing contributes no rows but must
+      // not lose the other branches; all-empty = the whole atom is empty
+      val branches = alts.flatMap { conj =>
+        try Some(conj.foldLeft(cur)((c, a) => Some(step(c, a)))
+          .getOrElse(throw CompileException("empty or-branch")))
+        catch { case Compiler.EmptyRelation(_) => None }
+      }
+      if (branches.isEmpty) throw Compiler.EmptyRelation("or")
       val common = branches.map(_.columns.toSet).reduce(_ intersect _).toSeq.sorted
       if (common.isEmpty) throw CompileException("or-branches bind no common variable")
       branches.map(_.select(common.map(col): _*)).reduce(_ unionByName _)

@@ -215,7 +215,15 @@ class CozoDb(val spark: SparkSession) {
         val name = scc.head
         evalRule(byName(name), n => evaluated.get(n), params).foreach(evaluated(name) = _)
       } else {
-        evalRecursive(scc, byName, deps, evaluated, params)
+        // goal-directed seeding (magic-set adornment, query/magic.rs:55-67):
+        // single-rule recursion whose callers all bind a position to a
+        // constant, and whose recursive clauses thread that position
+        // unchanged, evaluates only the seeds' cone — not the full closure
+        val magic: Map[String, DataFrame => DataFrame] =
+          if (scc.size == 1)
+            magicSeedFilter(scc.head, byName, params).map(scc.head -> _).toMap
+          else Map.empty
+        evalRecursive(scc, byName, evaluated, params, magic)
       }
     }
     val entry = byName.getOrElse("?", throw CompileException("no ? entry rule"))
@@ -332,24 +340,90 @@ class CozoDb(val spark: SparkSession) {
     Some(grouped.select(h0.indices.map(i => col(s"_h$i")): _*).toDF(outNames: _*))
   }
 
-  /** Naive bottom-up fixpoint for a recursive component: iterate all
-    * member rules against the accumulated totals until no rule grows.
-    * Set semantics via dropDuplicates/except; per-round localCheckpoint
-    * truncates lineage (the driver loop of eval.rs:113-303 — semi-naive
-    * deltas are a planned refinement; naive iteration is correct and
-    * each round is one distributed plan).
+  /** Per-round delta row counts of the last recursive fixpoint, keyed by
+    * rule name — the observable evidence that evaluation is delta-driven
+    * (round N's work is proportional to round N-1's new facts, not to
+    * the accumulated total). Tests assert on this. */
+  private[lang] var lastFixpointStats: Seq[Map[String, Long]] = Nil
+
+  /** All rule-referencing atoms of an atom tree (RelApply with
+    * stored=false), including inside Or branches and negands. */
+  private def collectRuleApplies(a: Atom): Seq[RelApply] = a match {
+    case r @ RelApply(_, _, false, _) => Seq(r)
+    case Neg(inner) => collectRuleApplies(inner)
+    case Or(alts) => alts.flatten.flatMap(collectRuleApplies)
+    case _ => Nil
+  }
+
+  /** Magic-set seeding for a single-rule recursive component `r`
+    * (query/magic.rs:55-511 adornment, the bound-argument case): if
+    * every reference to `r` from OUTSIDE the component binds position p
+    * to a compile-time constant, and every clause of `r` threads head
+    * position p unchanged into each recursive atom (so the set of
+    * values at p never grows beyond the base facts'), then restricting
+    * every round's derivations to the callers' seed constants is sound
+    * and complete — the fixpoint computes the seeds' cone instead of
+    * the full closure. At 100× data this is the difference between one
+    * node's reachability and the whole graph's. */
+  private def magicSeedFilter(r: String, byName: Map[String, Seq[RuleDef]],
+                              params: Map[String, Any]): Option[DataFrame => DataFrame] = {
+    val defs = byName(r)
+    val clauses = defs.collect { case h: HornClause => h }
+    if (clauses.isEmpty || clauses.length != defs.length) return None
+    val arity = clauses.head.head.length
+    var refs = List.empty[RelApply]
+    for ((name, ds) <- byName if name != r; d <- ds) d match {
+      case HornClause(_, _, body) =>
+        refs = body.flatMap(collectRuleApplies).filter(_.name == r).toList ::: refs
+      case FixedApply(_, _, _, rels, _) =>
+        // a fixed rule consumes the whole relation — no goal to push
+        if (rels.exists { case FixedRuleRel(n) => n == r; case _ => false }) return None
+      case _: ConstRule => ()
+    }
+    if (refs.isEmpty) return None
+    def constOf(e: Expr): Option[Any] = e match {
+      case Lit(v) if v != null => Some(v)
+      case Param(nm) => params.get(nm)
+      case _ => None
+    }
+    val positions = (0 until arity).filter { p =>
+      refs.forall(ref => ref.args.length == arity && constOf(ref.args(p)).isDefined) &&
+        clauses.forall { h =>
+          h.head(p).aggr.isEmpty &&
+            h.body.flatMap(collectRuleApplies).filter(_.name == r)
+              .forall(ra => ra.args.length == arity && ra.args(p) == V(h.head(p).v))
+        }
+    }
+    if (positions.isEmpty) None
+    else {
+      val seedsByPos = positions.map(p => p -> refs.map(ref => constOf(ref.args(p)).get).distinct)
+      Some(df => seedsByPos.foldLeft(df) { case (d, (p, seeds)) =>
+        d.filter(col(d.columns(p)).isin(seeds: _*))
+      })
+    }
+  }
+
+  /** Semi-naive bottom-up fixpoint for a recursive component
+    * (eval.rs:113-303, delta threading eval.rs:571-610): round 0
+    * evaluates base clauses; each later round re-evaluates, per clause,
+    * one variant per recursive atom with THAT atom bound to the previous
+    * round's delta and the others to the totals. New facts =
+    * derived − total (one anti-shuffle per rule per round, and it IS the
+    * convergence signal — an empty delta ends the loop, no separate
+    * growth check). Meet-aggregated rules (min/max/min_cost/shortest —
+    * idempotent, commutative, monotone, aggr.rs:1190-1206) fold the
+    * meet over totals ∪ derived instead of set-union, with the changed
+    * keys as the delta; that is how Dijkstra-in-Datalog converges.
+    * Per-round `.ckpt()` truncates lineage and drops inherited stats.
     */
   private def evalRecursive(scc: Seq[String], byName: Map[String, Seq[RuleDef]],
-                            deps: Map[String, Set[String]],
                             evaluated: mutable.HashMap[String, DataFrame],
-                            params: Map[String, Any], maxIter: Int = 50): Unit = {
+                            params: Map[String, Any],
+                            magic: Map[String, DataFrame => DataFrame],
+                            maxIter: Int = 50): Unit = {
     val inScc = scc.toSet
-    // stratification checks (query/stratify.rs:225). MEET-semilattice
-    // aggregations (aggr.rs:1190-1206: idempotent, commutative,
-    // monotone folds like min/max/min_cost/shortest) ARE allowed
-    // through recursion — that is how cozo expresses Dijkstra in
-    // Datalog; the fixpoint folds the meet per round instead of
-    // set-unioning (MeetAggrStore, temp_store.rs:92-220).
+    // stratification checks (query/stratify.rs:225): negation and
+    // non-meet aggregation must not cross a recursive component
     val meetRules = mutable.HashSet.empty[String]
     scc.foreach { n =>
       byName(n).foreach {
@@ -366,50 +440,117 @@ class CozoDb(val spark: SparkSession) {
           throw CompileException(s"rule ${other.name}: only := rules may be recursive")
       }
     }
+    val horns: Map[String, Seq[HornClause]] =
+      scc.map(n => n -> byName(n).map(_.asInstanceOf[HornClause])).toMap
+
     val totals = mutable.HashMap.empty[String, DataFrame]
-    def resolve(n: String): Option[DataFrame] =
-      if (inScc(n)) totals.get(n) else evaluated.get(n)
+    val deltas = mutable.HashMap.empty[String, DataFrame]
+    val stats = mutable.ArrayBuffer.empty[Map[String, Long]]
 
-    /** Merge a round's result into the accumulated total: set-union for
-      * plain rules, per-key meet fold for meet-aggregated rules. */
-    def merge(n: String, prev: DataFrame, next: DataFrame): DataFrame =
-      if (!meetRules.contains(n)) prev.unionByName(next).dropDuplicates()
-      else {
-        val head = byName(n).head.asInstanceOf[HornClause].head
-        val cols = prev.columns
-        val keyIdx = head.zipWithIndex.collect { case (HeadArg(None, _, _), i) => i }
-        val aggIdx = head.zipWithIndex.collect { case (HeadArg(Some(a), _, _), i) => (a, i) }
-        val both = prev.unionByName(next.toDF(cols: _*))
-        val aggs = aggIdx.map { case (a, i) =>
-          Builtins.aggr(a)(col(cols(i)), Nil).as(cols(i)) }
-        val folded =
-          if (keyIdx.nonEmpty) both.groupBy(keyIdx.map(i => col(cols(i))): _*).agg(aggs.head, aggs.tail: _*)
-          else both.agg(aggs.head, aggs.tail: _*)
-        folded.select(cols.map(col): _*)
+    /** Per-key meet fold of an already-unioned frame, in `cols` order. */
+    def meetFold(n: String, both: DataFrame): DataFrame = {
+      val head = horns(n).head.head
+      val cols = both.columns
+      val keyIdx = head.zipWithIndex.collect { case (HeadArg(None, _, _), i) => i }
+      val aggs = head.zipWithIndex.collect { case (HeadArg(Some(a), _, _), i) =>
+        Builtins.aggr(a)(col(cols(i)), Nil).as(cols(i))
       }
+      val folded =
+        if (keyIdx.nonEmpty) both.groupBy(keyIdx.map(i => col(cols(i))): _*).agg(aggs.head, aggs.tail: _*)
+        else both.agg(aggs.head, aggs.tail: _*)
+      folded.select(cols.map(col): _*)
+    }
 
-    var changed = true
+    /** Evaluate one clause with the `deltaOcc`-th in-SCC atom reference
+      * resolved to its rule's delta, the others to totals (None = all
+      * totals, the round-0 shape). In-SCC occurrences are counted in
+      * resolution order; an atom whose delta/total is absent throws
+      * EmptyRelation, which skips the variant (or just the Or branch). */
+    def evalVariant(h: HornClause, deltaOcc: Option[Int]): Option[DataFrame] = {
+      var occ = -1
+      val resolve: String => Option[DataFrame] = name =>
+        if (inScc(name)) {
+          occ += 1
+          deltaOcc match {
+            case Some(j) if occ == j => deltas.get(name)
+            case _ => totals.get(name)
+          }
+        } else evaluated.get(name)
+      try {
+        val c = compiler(resolve, params)
+        Some(c.applyHead(h.head, c.compileBody(h.body)))
+      } catch { case _: Compiler.EmptyRelation => None }
+    }
+
+    def sccOccurrences(body: Seq[Atom]): Int =
+      body.flatMap(collectRuleApplies).count(a => inScc(a.name))
+
+    def restricted(n: String, df: DataFrame): DataFrame =
+      magic.get(n).fold(df)(f => f(df))
+
+    // — round 0: base clauses (recursive clauses see no totals and drop)
+    val round0 = mutable.HashMap.empty[String, Long]
+    for (n <- scc) {
+      val outs = horns(n).flatMap(h => evalVariant(h, None))
+      if (outs.nonEmpty) {
+        val cols = outs.head.columns
+        val unioned = restricted(n, outs.map(_.toDF(cols: _*)).reduce(_ unionByName _))
+        val init = (if (meetRules(n)) meetFold(n, unioned) else unioned.dropDuplicates()).ckpt()
+        val cnt = init.count()
+        round0(n) = cnt
+        if (cnt > 0) { totals(n) = init; deltas(n) = init }
+      }
+    }
+    stats += round0.toMap
+
+    var changed = totals.nonEmpty
     var iter = 0
     while (changed && iter < maxIter) {
       changed = false
+      val roundStats = mutable.HashMap.empty[String, Long]
+      val newDeltas = mutable.HashMap.empty[String, DataFrame]
       for (n <- scc) {
-        evalRule(byName(n), resolve, params).foreach { nextRaw =>
-          val next = nextRaw.ckpt()
-          val merged = totals.get(n) match {
-            case None => next
-            case Some(prev) => merge(n, prev, next).ckpt()
+        val variants = horns(n).flatMap { h =>
+          (0 until sccOccurrences(h.body)).flatMap(j => evalVariant(h, Some(j)))
+        }
+        if (variants.nonEmpty) {
+          val cols = totals.get(n).map(_.columns).getOrElse(variants.head.columns)
+          val derived = restricted(n, variants.map(_.toDF(cols.toIndexedSeq: _*)).reduce(_ unionByName _))
+          totals.get(n) match {
+            case None =>
+              val init = (if (meetRules(n)) meetFold(n, derived) else derived.dropDuplicates()).ckpt()
+              val cnt = init.count()
+              roundStats(n) = cnt
+              if (cnt > 0) { changed = true; totals(n) = init; newDeltas(n) = init }
+            case Some(tot) =>
+              if (!meetRules(n)) {
+                val delta = derived.dropDuplicates().except(tot).ckpt()
+                val cnt = delta.count()
+                roundStats(n) = cnt
+                if (cnt > 0) {
+                  changed = true
+                  totals(n) = tot.unionByName(delta).ckpt()
+                  newDeltas(n) = delta
+                }
+              } else {
+                val folded = meetFold(n, tot.unionByName(derived)).ckpt()
+                val delta = folded.except(tot).ckpt()
+                val cnt = delta.count()
+                roundStats(n) = cnt
+                if (cnt > 0) { changed = true; totals(n) = folded; newDeltas(n) = delta }
+              }
           }
-          val grewOrImproved = totals.get(n) match {
-            case None => !merged.isEmpty
-            case Some(prev) => !merged.except(prev).isEmpty
-          }
-          if (grewOrImproved) { changed = true; totals(n) = merged }
         }
       }
+      // only rules that derived new facts carry a delta into the next
+      // round — delta-variants over converged rules short-circuit
+      deltas.clear(); deltas ++= newDeltas
+      stats += roundStats.toMap
       iter += 1
     }
     if (iter >= maxIter)
       throw CompileException(s"recursion did not converge in $maxIter rounds: ${scc.mkString(",")}")
+    lastFixpointStats = stats.toSeq
     scc.foreach(n => totals.get(n).foreach(evaluated(n) = _))
   }
 

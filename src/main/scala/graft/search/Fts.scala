@@ -95,7 +95,43 @@ object Fts {
     }
   }
 
-  /** Doc ids matching the query node. */
+  /** Driver-side mirror of `stemLight` — query terms must pass through
+    * the IDENTICAL pipeline the index used (same-pipeline-both-sides),
+    * else a query for 'joins' misses the stemmed posting 'join'. Both
+    * use Java regex with anchored suffix patterns, so they agree. */
+  def stemLightStr(t: String): String = {
+    val r1 = t.replaceAll("(sses|ies)$", "ss")
+    val r2 = r1.replaceAll("([^s])s$", "$1")
+    val r3 = r2.replaceAll("(..)(ed|ing|ingly|edly)$", "$1")
+    r3.replaceAll("(..)ly$", "$1")
+  }
+
+  private def normTerm(ix: Index, t: String): Option[String] = {
+    val lc = t.toLowerCase
+    if (ix.stopwords && stopwordsEn.contains(lc)) None
+    else Some(if (ix.stem) stemLightStr(lc) else lc)
+  }
+
+  /** Rewrite a query through the index's tokenizer pipeline: stopworded
+    * terms vanish (an And keeps its other conjuncts, like the reference
+    * dropping the token at tokenize time), remaining terms are stemmed.
+    * None = the whole query normalized away. */
+  private def normalizeQ(ix: Index, q: Q): Option[Q] = q match {
+    case Term(t) => normTerm(ix, t).map(Term)
+    case And(qs) =>
+      val ns = qs.flatMap(normalizeQ(ix, _)); if (ns.isEmpty) None else Some(And(ns))
+    case Or(qs) =>
+      val ns = qs.flatMap(normalizeQ(ix, _)); if (ns.isEmpty) None else Some(Or(ns))
+    case Not(pos, neg) =>
+      normalizeQ(ix, pos).map(p => normalizeQ(ix, neg).fold(p)(Not(p, _)))
+    case Near(ts, d) =>
+      val ns = ts.flatMap(normTerm(ix, _))
+      if (ns.isEmpty) None
+      else if (ns.length == 1) Some(Term(ns.head))
+      else Some(Near(ns, d))
+  }
+
+  /** Doc ids matching the query node (terms already normalized). */
   private def matchSet(ix: Index, q: Q): DataFrame = q match {
     case Term(t) => ix.postings.filter(col("term") === t.toLowerCase).select("id")
     case And(qs) => qs.map(matchSet(ix, _)).reduce((a, b) => a.join(b, Seq("id"), "left_semi"))
@@ -117,8 +153,11 @@ object Fts {
 
   /** BM25 scores of docs matching the boolean query; score sums over
     * the query's positive terms. Returns (id, score). */
-  def search(ix: Index, q: Q, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val terms = positiveTerms(q).map(_.toLowerCase).distinct
+  def search(ix: Index, q0: Q, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val q = normalizeQ(ix, q0).getOrElse(
+      // the query was entirely stopwords: nothing to score
+      return ix.lens.limit(0).select(col("id"), lit(0.0).as("score")))
+    val terms = positiveTerms(q).distinct
     val matched = matchSet(ix, q)
     val termPost = ix.postings.filter(col("term").isin(terms: _*))
     val termDf = termPost.groupBy("term").agg(count_distinct(col("id")).as("df"))

@@ -251,6 +251,73 @@ class LangSpec extends AnyFunSuite {
     assert(db.run("::fixed_rules").count() >= 10)
   }
 
+  test("negation over a rule that derived nothing keeps all rows") {
+    val db = freshDb()
+    // r is empty (no person over 100): `not r[id]` must be a no-op, not
+    // an empty result (ADVICE r2: EmptyRelation used to drop the clause)
+    assert(rows(db,
+      """r[x] := *person{id: x, age}, age > 100
+        |?[id] := *person{id}, not r[id]""".stripMargin).map(_.head).toSet ==
+      Set(1L, 2L, 3L, 4L))
+  }
+
+  test("or keeps non-empty branches when one branch's rule is empty") {
+    val db = freshDb()
+    val res = rows(db,
+      """r[x] := *person{id: x, age}, age > 100
+        |?[id] := *person{id}, (id == 2 or r[id])""".stripMargin).map(_.head).toSet
+    assert(res == Set(2L))
+  }
+
+  test("semi-naive: per-round delta counts track the frontier, not the total") {
+    val db = new CozoDb(spark)
+    val n = 12
+    db.registerTable("chain",
+      (1 until n).map(i => (i.toLong, i.toLong + 1)).toDF("fr", "to"), Seq("fr", "to"))
+    val res = rows(db,
+      """reach[a, b] := *chain[a, b]
+        |reach[a, c] := reach[a, b], *chain[b, c]
+        |?[a, b] := reach[a, b]""".stripMargin)
+    assert(res.length == n * (n - 1) / 2) // all ordered pairs along the chain
+    val deltas = db.lastFixpointStats.map(_.getOrElse("reach", 0L))
+    // delta-driven: round k derives the (n-1-k) paths of length k+1 and
+    // shrinks every round; a naive loop would re-derive the whole total
+    assert(deltas.head == (n - 1).toLong)
+    val active = deltas.takeWhile(_ > 0)
+    assert(active == active.sorted.reverse && active.distinct.length > 2,
+      s"per-round deltas should strictly shrink, got $deltas")
+    assert(deltas.sum == res.length.toLong)
+  }
+
+  test("magic-set seeding restricts recursion to the caller's constant") {
+    val db = new CozoDb(spark)
+    val n = 10
+    db.registerTable("chain",
+      (1 until n).map(i => (i.toLong, i.toLong + 1)).toDF("fr", "to"), Seq("fr", "to"))
+    val res = rows(db,
+      """reach[a, b] := *chain[a, b]
+        |reach[a, c] := reach[a, b], *chain[b, c]
+        |?[b] := reach[7, b]""".stripMargin).map(_.head).toSet
+    assert(res == Set(8L, 9L, 10L))
+    // seeded: every round derives at most one new fact (7's cone),
+    // instead of the O(n) frontier of the full closure
+    val deltas = db.lastFixpointStats.map(_.getOrElse("reach", 0L))
+    assert(deltas.max == 1L, s"magic seeding should bound deltas to the cone, got $deltas")
+    assert(deltas.sum == 3L)
+  }
+
+  test("magic-set seeding does not fire when recursion rebinds the position") {
+    val db = freshDb()
+    // sssp-shape: head n comes from the edge, not the recursive atom —
+    // restricting to the entry constant would be unsound, so deltas must
+    // cover the whole reachable set
+    val costs = rows(db,
+      """sp[n, min(c)] := n = 1, c = 0
+        |sp[n, min(c)] := sp[m, c0], *edge[m, n], c = c0 + 1
+        |?[c] := sp[4, c]""".stripMargin)
+    assert(costs == Seq(Seq(3L)))
+  }
+
   test("group_count / choice_rand / intersection aggregations") {
     val db = freshDb()
     val gc = db.run("?[group_count(age)] := *person{age}").collect().head.getSeq[Row](0)

@@ -55,4 +55,18 @@ class FtsSpec extends AnyFunSuite {
     // 'the' is stopped out of doc 4's index
     assert(Fts.search(ix2, Fts.Term("the")).collect().isEmpty)
   }
+
+  test("query terms pass through the index pipeline (stem + stopword both sides)") {
+    val ix2 = Fts.Index.build(docs, "doc_id", "text", stopwords = true, stem = true)
+    // un-stemmed query 'joins' must hit the stemmed posting 'join'
+    val hits = Fts.search(ix2, Fts.Term("joins")).collect().map(_.getLong(0)).toSet
+    assert(hits == Set(1L, 2L, 4L))
+    // a stopworded conjunct drops from an AND instead of emptying it
+    val and = Fts.search(ix2, Fts.And(Seq(Fts.Term("the"), Fts.Term("fox"))))
+      .collect().map(_.getLong(0)).toSet
+    assert(and == Set(5L))
+    // NEAR with an upper-cased, inflected term still matches by position
+    assert(Fts.search(ix2, Fts.Near(Seq("HASH", "joins"), 2))
+      .collect().map(_.getLong(0)).toSet.contains(2L))
+  }
 }

@@ -35,9 +35,16 @@ class CozoDb(val spark: SparkSession) {
   private val rmTriggers = mutable.HashMap.empty[String, List[DataFrame => Unit]]
 
   private val relationValidity = mutable.HashMap.empty[String, String]
+  private val relationAssert = mutable.HashMap.empty[String, String]
 
+  /** Register a stored relation. A validity column (+ optional assert
+    * flag column) makes the relation time-travelable: both become part
+    * of the logical key, so puts append VERSIONS instead of replacing
+    * (the reference models both as one trailing Validity key column,
+    * data/value.rs:112-131). */
   def registerTable(name: String, df: DataFrame, keys: Seq[String] = Nil,
-                    validity: Option[String] = None): Unit = {
+                    validity: Option[String] = None,
+                    validityAssert: Option[String] = None): Unit = {
     relations(name) = df
     relationKeys(name) = if (keys.nonEmpty) keys else df.columns.toSeq
     validity.foreach { v =>
@@ -45,17 +52,55 @@ class CozoDb(val spark: SparkSession) {
         throw CompileException(s"validity column $v not in $name")
       relationValidity(name) = v
     }
+    validityAssert.foreach { a =>
+      if (validity.isEmpty)
+        throw CompileException(s"assert column $a requires a validity column")
+      if (!df.columns.contains(a))
+        throw CompileException(s"assert column $a not in $name")
+      relationAssert(name) = a
+    }
   }
 
   /** `*rel[...] @ t` (StoredWithValidityRA, data/value.rs:112-131,
-    * relation.rs:370): newest version per logical key at time t. */
+    * relation.rs:370): newest version per logical key at time t; a
+    * RETRACT as the newest version hides the key (ra.rs:1124-1241). At
+    * identical timestamps the assert outranks the retract, matching the
+    * reference's (Reverse(ts), Reverse(is_assert)) key order. */
   private def validityScan(name: String, asOf: org.apache.spark.sql.Column): DataFrame = {
     val vcol = relationValidity.getOrElse(name,
       throw CompileException(s"relation *$name has no validity column (register with validity=...)"))
+    val acol = relationAssert.get(name)
     val df = relation(name)
-    val keys = relationKeys.getOrElse(name, df.columns.toSeq).filterNot(_ == vcol)
-    graft.operators.TimeTravel.asOf(df, keys, vcol, asOf.cast("timestamp"))
+    val keys = relationKeys.getOrElse(name, df.columns.toSeq)
+      .filterNot(c => c == vcol || acol.contains(c))
+    graft.operators.TimeTravel.asOf(df, keys, vcol, asOf.cast("timestamp"),
+      assertCol = acol, tieBreak = acol.toSeq)
   }
+
+  /** Coerce script-level validity payloads on mutation into a
+    * validity-registered relation (relation.rs:333-389): a string
+    * "ASSERT"/"RETRACT" means now, an RFC3339 timestamp asserts at that
+    * instant, and a `~`-prefixed RFC3339 timestamp retracts; the assert
+    * flag column defaults to true when absent. */
+  private def coerceValidity(rel: String, delta: DataFrame): DataFrame =
+    relationValidity.get(rel) match {
+      case Some(vcol) if delta.columns.contains(vcol) =>
+        val acol = relationAssert.get(rel)
+        val withVld = delta.schema(vcol).dataType match {
+          case StringType =>
+            val isNowOp = col(vcol) === "ASSERT" || col(vcol) === "RETRACT"
+            val ts = when(isNowOp, current_timestamp())
+              .otherwise(to_timestamp(regexp_replace(col(vcol), "^~", "")))
+            val isAssert = col(vcol) =!= "RETRACT" && !col(vcol).startsWith("~")
+            val d = delta.withColumn("__vld_assert", isAssert).withColumn(vcol, ts)
+            acol.fold(d.drop("__vld_assert"))(a =>
+              d.withColumn(a, col("__vld_assert")).drop("__vld_assert"))
+          case _ => delta
+        }
+        acol.filterNot(withVld.columns.contains)
+          .fold(withVld)(a => withVld.withColumn(a, lit(true)))
+      case _ => delta
+    }
   def relation(name: String): DataFrame =
     relations.getOrElse(name, throw CompileException(s"stored relation *$name not found"))
   def relationNames: Seq[String] = relations.keys.toSeq
@@ -105,6 +150,53 @@ class CozoDb(val spark: SparkSession) {
   def onRm(rel: String)(f: DataFrame => Unit): Unit =
     rmTriggers(rel) = f :: rmTriggers.getOrElse(rel, Nil)
 
+  // ——————————— script triggers + change callbacks (db.rs:789-830) ———————————
+
+  /** Per-relation CozoScript trigger texts (put, rm, replace), set via
+    * `::set_triggers rel on put { … } on rm { … }` — each text runs as a
+    * query with `_new` / `_old` bound as const rules
+    * (query/stored.rs:696-737). */
+  private val scriptTriggers =
+    mutable.HashMap.empty[String, (List[String], List[String], List[String])]
+  private val changeCallbacks =
+    mutable.LinkedHashMap.empty[Int, (String, (String, DataFrame, DataFrame) => Unit)]
+  private var nextCallbackId = 0
+  /** Nested mutations from inside a trigger do not re-fire triggers
+    * (stored.rs runs trigger queries with propagate_triggers=false). */
+  private var inTrigger = false
+
+  /** Observe mutations on `rel`: f(op, newRows, oldRows) with op
+    * "put"/"rm" — the registry analogue of db.rs:789 register_callback.
+    * Returns an id for [[unregisterCallback]]. */
+  def registerCallback(rel: String)(f: (String, DataFrame, DataFrame) => Unit): Int = {
+    nextCallbackId += 1
+    changeCallbacks(nextCallbackId) = (rel, f)
+    nextCallbackId
+  }
+  def unregisterCallback(id: Int): Boolean = changeCallbacks.remove(id).isDefined
+
+  private def fireMutation(rel: String, kind: String,
+                           newDf: DataFrame, oldDf: DataFrame): Unit = {
+    if (kind == "put") putTriggers.getOrElse(rel, Nil).foreach(_(newDf))
+    if (kind == "rm") rmTriggers.getOrElse(rel, Nil).foreach(_(newDf))
+    if (!inTrigger) {
+      val (puts, rms, reps) = scriptTriggers.getOrElse(rel, (Nil, Nil, Nil))
+      val texts = kind match {
+        case "put" => puts
+        case "rm" => rms
+        case _ => reps
+      }
+      if (texts.nonEmpty) {
+        inTrigger = true
+        try texts.foreach(t => runSingle(t.trim, Map.empty,
+          Map("_new" -> newDf, "_old" -> oldDf)))
+        finally inTrigger = false
+      }
+    }
+    if (kind == "put" || kind == "rm")
+      changeCallbacks.values.foreach { case (r, f) => if (r == rel) f(kind, newDf, oldDf) }
+  }
+
   def run(script: String, params: Map[String, Any] = Map.empty): DataFrame = {
     val trimmed = script.trim
     // imperative script: { query } blocks with `as _temp`, %if/%loop/
@@ -119,13 +211,17 @@ class CozoDb(val spark: SparkSession) {
   private[lang] def runQueryText(script: String, params: Map[String, Any]): DataFrame =
     runSingle(script.trim, params)
 
-  private def runSingle(script: String, params: Map[String, Any]): DataFrame = {
+  private def runSingle(script: String, params: Map[String, Any],
+                        preBound: Map[String, DataFrame] = Map.empty): DataFrame = {
+    // sys ops keep their raw text (::set_triggers carries `{ }` query
+    // blocks that must not be re-tokenized)
+    if (script.startsWith("::")) return sysOp(script.stripPrefix("::").trim)
     val prog = Parser.parse(script)
     prog.sysOp match {
       case Some(op) => return sysOp(op.trim)
       case None => ()
     }
-    val result = evalProgram(prog, params)
+    val result = evalProgram(prog, params, preBound)
     applyOptions(prog.options, result)
   }
 
@@ -133,6 +229,15 @@ class CozoDb(val spark: SparkSession) {
 
   private def sysOp(op: String): DataFrame = {
     import spark.implicits._
+    if (op.startsWith("set_triggers"))
+      return setTriggersOp(op.stripPrefix("set_triggers").trim)
+    if (op.startsWith("show_triggers")) {
+      val rel = op.stripPrefix("show_triggers").trim.stripPrefix("*")
+      relation(rel)
+      val (puts, rms, reps) = scriptTriggers.getOrElse(rel, (Nil, Nil, Nil))
+      return (puts.map(("put", _)) ++ rms.map(("rm", _)) ++ reps.map(("replace", _)))
+        .toDF("kind", "query")
+    }
     val parts = op.split("\\s+").toSeq
     parts.head match {
       case "relations" =>
@@ -158,9 +263,11 @@ class CozoDb(val spark: SparkSession) {
         val df = relation(from)
         val keys = relationKeys.getOrElse(from, df.columns.toSeq)
         val validity = relationValidity.get(from)
+        val vassert = relationAssert.get(from)
         removeRelation(from)
         relationValidity.remove(from)
-        registerTable(to, df, keys, validity)
+        relationAssert.remove(from)
+        registerTable(to, df, keys, validity, vassert)
         Seq(("renamed", from, to)).toDF("status", "from", "to")
       case "explain" =>
         val inner = op.stripPrefix("explain").trim.stripPrefix("{").stripSuffix("}")
@@ -171,9 +278,61 @@ class CozoDb(val spark: SparkSession) {
     }
   }
 
+  /** `::set_triggers rel on put { q } on rm { q } on replace { q }`
+    * (parse/sys.rs SetTriggers, relation.rs:553-585): REPLACES the
+    * relation's trigger lists — a bare `::set_triggers rel` clears them. */
+  private def setTriggersOp(rest: String): DataFrame = {
+    import spark.implicits._
+    val nameEnd = rest.indexWhere(_.isWhitespace)
+    val (rel, body) =
+      if (nameEnd < 0) (rest.stripPrefix("*"), "")
+      else (rest.substring(0, nameEnd).stripPrefix("*"), rest.substring(nameEnd))
+    relation(rel) // must exist
+    var puts, rms, reps = List.empty[String]
+    var i = 0
+    val s = body
+    def ws(): Unit = { while (i < s.length && s.charAt(i).isWhitespace) i += 1 }
+    def word(): String = {
+      ws(); val j = i
+      while (i < s.length && !s.charAt(i).isWhitespace && s.charAt(i) != '{') i += 1
+      s.substring(j, i)
+    }
+    ws()
+    while (i < s.length) {
+      val on = word()
+      if (on != "on")
+        throw CompileException(s"::set_triggers — expected 'on put|rm|replace', got '$on'")
+      val kind = word()
+      ws()
+      if (i >= s.length || s.charAt(i) != '{')
+        throw CompileException("::set_triggers — expected '{' after trigger kind")
+      i += 1
+      val start = i
+      var depth = 1
+      while (i < s.length && depth > 0) {
+        val c = s.charAt(i)
+        if (c == '{') depth += 1 else if (c == '}') depth -= 1
+        i += 1
+      }
+      if (depth != 0) throw CompileException("::set_triggers — unbalanced braces")
+      val text = s.substring(start, i - 1).trim
+      kind match {
+        case "put" => puts :+= text
+        case "rm" => rms :+= text
+        case "replace" => reps :+= text
+        case other => throw CompileException(s"::set_triggers — unknown kind '$other'")
+      }
+      ws()
+    }
+    scriptTriggers(rel) = (puts, rms, reps)
+    Seq(("ok", rel, puts.length.toLong, rms.length.toLong, reps.length.toLong))
+      .toDF("status", "relation", "put_triggers", "rm_triggers", "replace_triggers")
+  }
+
   // ———————————————————————— program evaluation ————————————————————————
 
-  private def evalProgram(prog: Program, params: Map[String, Any]): DataFrame = {
+  private def evalProgram(prog: Program, params: Map[String, Any],
+                          preBound: Map[String, DataFrame] = Map.empty): DataFrame = {
     if (prog.rules.isEmpty) throw CompileException("program has no rules")
     val byName: Map[String, Seq[RuleDef]] = prog.rules.groupBy(_.name)
     byName.foreach { case (n, defs) =>
@@ -200,14 +359,16 @@ class CozoDb(val spark: SparkSession) {
       byName.map { case (n, defs) =>
         val ds = defs.flatMap(ruleDeps).toSet
         ds.foreach { d =>
-          if (!byName.contains(d))
+          if (!byName.contains(d) && !preBound.contains(d))
             throw CompileException(s"rule $n references undefined rule $d")
         }
-        n -> ds
+        // pre-bound rules (_new/_old in triggers) are leaves, not program nodes
+        n -> ds.filterNot(preBound.contains)
       }
 
     val sccs = tarjan(byName.keys.toSeq, deps)
     val evaluated = mutable.HashMap.empty[String, DataFrame]
+    evaluated ++= preBound
 
     for (scc <- sccs) {
       val recursive = scc.size > 1 || deps(scc.head).contains(scc.head)
@@ -602,32 +763,45 @@ class CozoDb(val spark: SparkSession) {
     // materialize the mutation result lazily (first action) so repeated
     // reads of the stored relation don't recompute its defining query,
     // and mutation chains don't grow unbounded lineage
-    val delta = delta0.ckptLazy()
+    val delta = coerceValidity(rel, delta0).ckptLazy()
     def keys: Seq[String] = relationKeys.getOrElse(rel,
       if (schemaKeys.nonEmpty) schemaKeys else delta.columns.toSeq)
+    // rows about to be replaced/removed — `_old` for triggers/callbacks
+    // (stored.rs:714; captured as an immutable plan before the swap)
+    def oldRows: DataFrame = {
+      val before = relation(rel)
+      before.join(delta.select(keys.map(col): _*).dropDuplicates(), keys, "left_semi")
+    }
     op match {
       case "create" =>
         if (relations.contains(rel))
           throw new IllegalStateException(s":create $rel — relation already exists")
         registerTable(rel, delta, if (schemaKeys.nonEmpty) schemaKeys else delta.columns.toSeq)
       case "replace" =>
+        val before = relations.get(rel)
         registerTable(rel, delta, if (schemaKeys.nonEmpty) schemaKeys
           else relationKeys.getOrElse(rel, delta.columns.toSeq))
+        before.foreach(b => fireMutation(rel, "replace", delta, b))
       case "put" =>
+        val old = oldRows
         relations(rel) = Mutations.put(relation(rel), delta, keys).ckptLazy()
-        putTriggers.getOrElse(rel, Nil).foreach(_(delta))
+        fireMutation(rel, "put", delta, old)
       case "insert" =>
+        val old = oldRows
         relations(rel) = Mutations.insert(relation(rel), delta, keys).ckptLazy()
-        putTriggers.getOrElse(rel, Nil).foreach(_(delta))
+        fireMutation(rel, "put", delta, old)
       case "update" =>
+        val old = oldRows
         relations(rel) = Mutations.update(relation(rel), delta, keys).ckptLazy()
-        putTriggers.getOrElse(rel, Nil).foreach(_(delta))
+        fireMutation(rel, "put", delta, old)
       case "rm" =>
+        val old = oldRows
         relations(rel) = Mutations.rm(relation(rel), delta, keys).ckptLazy()
-        rmTriggers.getOrElse(rel, Nil).foreach(_(delta))
+        fireMutation(rel, "rm", delta, old)
       case "delete" =>
+        val old = oldRows
         relations(rel) = Mutations.delete(relation(rel), delta, keys).ckptLazy()
-        rmTriggers.getOrElse(rel, Nil).foreach(_(delta))
+        fireMutation(rel, "rm", delta, old)
       case "ensure" => Mutations.ensure(relation(rel), delta)
       case "ensure_not" => Mutations.ensureNot(relation(rel), delta)
       case other => throw CompileException(s"unknown relation op :$other")

@@ -318,6 +318,42 @@ class LangSpec extends AnyFunSuite {
     assert(costs == Seq(Seq(3L)))
   }
 
+  test("validity scan hides retracted keys at @ t (value.rs:112-131, ra.rs:1124-1241)") {
+    def ts(s: String) = java.sql.Timestamp.from(java.time.Instant.parse(s))
+    val db = new CozoDb(spark)
+    db.registerTable("hist",
+      Seq((1L, "a", ts("2024-01-01T00:00:00Z"), true),
+        (1L, "a2", ts("2024-03-01T00:00:00Z"), true),
+        (2L, "b", ts("2024-01-01T00:00:00Z"), true),
+        (2L, "b", ts("2024-02-01T00:00:00Z"), false)) // RETRACT key 2
+        .toDF("id", "v", "vld", "op"),
+      keys = Seq("id", "vld", "op"), validity = Some("vld"), validityAssert = Some("op"))
+    def visible(at: String) =
+      rows(db, s"?[id, v] := *hist{id, v @ '$at'}").map(r => r.head -> r(1)).toMap
+    assert(visible("2024-01-15T00:00:00Z") == Map(1L -> "a", 2L -> "b"))
+    assert(visible("2024-02-15T00:00:00Z") == Map(1L -> "a")) // 2 retracted
+    assert(visible("2024-03-15T00:00:00Z") == Map(1L -> "a2"))
+    assert(visible("2023-12-01T00:00:00Z") == Map.empty)
+  }
+
+  test("mutations coerce ASSERT/RETRACT and ~rfc3339 validity strings (relation.rs:333-389)") {
+    def ts(s: String) = java.sql.Timestamp.from(java.time.Instant.parse(s))
+    val db = new CozoDb(spark)
+    db.registerTable("hist",
+      Seq((1L, "a", ts("2024-01-01T00:00:00Z"), true)).toDF("id", "v", "vld", "op"),
+      keys = Seq("id", "vld", "op"), validity = Some("vld"), validityAssert = Some("op"))
+    db.run("?[id, v, vld] <- [[3, 'c', '2024-01-10T00:00:00Z']] :put hist {id, vld}")
+    db.run("?[id, v, vld] <- [[3, 'c', '~2024-04-01T00:00:00Z']] :put hist {id, vld}")
+    def visible(at: String) =
+      rows(db, s"?[id, v] := *hist{id, v @ '$at'}").map(r => r.head -> r(1)).toMap
+    assert(visible("2024-02-01T00:00:00Z") == Map(1L -> "a", 3L -> "c"))
+    assert(visible("2024-05-01T00:00:00Z") == Map(1L -> "a")) // 3 retracted
+    // "ASSERT" = assert-now: key 3 becomes visible again at current time
+    db.run("?[id, v, vld] <- [[3, 'c2', 'ASSERT']] :put hist {id, vld}")
+    assert(visible(java.time.Instant.now().plusSeconds(60).toString) ==
+      Map(1L -> "a", 3L -> "c2"))
+  }
+
   test("group_count / choice_rand / intersection aggregations") {
     val db = freshDb()
     val gc = db.run("?[group_count(age)] := *person{age}").collect().head.getSeq[Row](0)

@@ -37,6 +37,23 @@ object TextFunctions {
     }
   }
 
+  /** Lowercased character n-gram shingles (fts/mod.rs:107 NGram
+    * tokenizer; minhash_lsh over chars) — strings shorter than n shingle
+    * to themselves so they can still match exactly. */
+  def charNgrams(text: Column, n: Int): Column = {
+    val lc = lower(text)
+    when(length(lc) >= n,
+      array_distinct(transform(sequence(lit(1), length(lc) - n + 1),
+        i => lc.substr(i, lit(n)))))
+      .otherwise(array(lc))
+  }
+
+  /** Exact Jaccard similarity of two (deduped) shingle arrays. */
+  def jaccard(a: Column, b: Column): Column =
+    when(size(array_union(a, b)) > 0,
+      size(array_intersect(a, b)).cast("double") / size(array_union(a, b)))
+      .otherwise(lit(0.0))
+
   /** One 64-bit minhash per seed: min over shingles of xxhash64(shingle, seed).
     * xxhash64 with a constant second input acts as an independent hash
     * family member per seed — deterministic across runs and engines.

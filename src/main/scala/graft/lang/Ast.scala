@@ -31,6 +31,10 @@ object Ast {
   case class Neg(a: Atom) extends Atom
   /** or-connected alternatives, each a conjunction. */
   case class Or(alts: Seq[Seq[Atom]]) extends Atom
+  /** ~rel:idx{col, col2: var | query: …, k: …, bind_score: s}
+    * (search_apply, cozoscript.pest:90) — probe a created index. */
+  case class SearchApply(index: String, pairs: Seq[(String, String)],
+                         opts: Map[String, Expr]) extends Atom
 
   /** Head argument: plain var or aggr(var, extra...). */
   case class HeadArg(aggr: Option[String], v: String, extra: Seq[Expr] = Nil)

@@ -22,7 +22,10 @@ class Compiler(spark: SparkSession,
                params: Map[String, Any],
                validityScan: (String, Column) => DataFrame =
                  (n, _) => throw Compiler.CompileException(
-                   s"relation *$n has no validity column (register with validity=...)")) {
+                   s"relation *$n has no validity column (register with validity=...)"),
+               searchResolve: (String, Seq[(String, String)], Map[String, Ast.Expr]) => DataFrame =
+                 (n, _, _) => throw Compiler.CompileException(
+                   s"no search index $n (create one with ::fts/::lsh/::hnsw create)")) {
 
   import Compiler.CompileException
 
@@ -225,6 +228,18 @@ class Compiler(spark: SparkSession,
           throw CompileException("negated atom shares no variable with the rest of the body (unsafe)")
         base.join(ndf.select(shared.map(col): _*).dropDuplicates(), shared.toSeq, "left_anti")
       } catch { case Compiler.EmptyRelation(_) => base }
+
+    case SearchApply(index, pairs, opts) =>
+      // the probe result is a small top-k relation: join it into the
+      // frame on shared vars (or cross when it only seeds the clause)
+      val df = searchResolve(index, pairs, opts)
+      cur match {
+        case None => df
+        case Some(c) =>
+          val shared = c.columns.intersect(df.columns)
+          if (shared.nonEmpty) c.join(df, shared.toSeq)
+          else c.crossJoin(df)
+      }
 
     case Or(alts) =>
       // a branch whose rule derived nothing contributes no rows but must

@@ -102,7 +102,10 @@ class CozoDb(val spark: SparkSession) {
       case _ => delta
     }
   def relation(name: String): DataFrame =
-    relations.getOrElse(name, throw CompileException(s"stored relation *$name not found"))
+    relations.getOrElse(name, indexes.get(name) match {
+      case Some(spec) => indexInternals(name, spec)
+      case None => throw CompileException(s"stored relation *$name not found")
+    })
   def relationNames: Seq[String] = relations.keys.toSeq
   def removeRelation(name: String): Unit = { relations.remove(name); relationKeys.remove(name) }
 
@@ -215,10 +218,10 @@ class CozoDb(val spark: SparkSession) {
                         preBound: Map[String, DataFrame] = Map.empty): DataFrame = {
     // sys ops keep their raw text (::set_triggers carries `{ }` query
     // blocks that must not be re-tokenized)
-    if (script.startsWith("::")) return sysOp(script.stripPrefix("::").trim)
+    if (script.startsWith("::")) return sysOp(script.stripPrefix("::").trim, params)
     val prog = Parser.parse(script)
     prog.sysOp match {
-      case Some(op) => return sysOp(op.trim)
+      case Some(op) => return sysOp(op.trim, params)
       case None => ()
     }
     val result = evalProgram(prog, params, preBound)
@@ -227,8 +230,16 @@ class CozoDb(val spark: SparkSession) {
 
   // ———————————————————————— sys ops (parse/sys.rs) ————————————————————————
 
-  private def sysOp(op: String): DataFrame = {
+  private val indexOpRe =
+    """(?s)^(index|fts|lsh|hnsw)\s+(create|drop)\s+([\w.]+:[\w.]+)\s*(?:\{(.*)\})?\s*$""".r
+
+  private def sysOp(op: String, params: Map[String, Any] = Map.empty): DataFrame = {
     import spark.implicits._
+    op match {
+      case indexOpRe(kind, sub, target, optsRaw) =>
+        return indexOp(kind, sub, target, Option(optsRaw), params)
+      case _ => ()
+    }
     if (op.startsWith("set_triggers"))
       return setTriggersOp(op.stripPrefix("set_triggers").trim)
     if (op.startsWith("show_triggers")) {
@@ -255,6 +266,14 @@ class CozoDb(val spark: SparkSession) {
         Seq(("removed", rel)).toDF("status", "relation")
       case "fixed_rules" =>
         FixedRules.names.map(Tuple1(_)).toDF("name")
+      case "indices" =>
+        val rel = parts(1).stripPrefix("*")
+        indexes.toSeq.collect { case (n, s) if s.rel == rel =>
+          (n, s match {
+            case _: FtsIdx => "fts"; case _: LshIdx => "lsh"
+            case _: VecIdx => "hnsw"; case _: PlainIdx => "index"
+          })
+        }.toDF("index", "kind")
       case "rename" =>
         // ::rename old new (parse/sys.rs rename_relations_op)
         val (from, to) = (parts(1).stripPrefix("*"), parts(2).stripPrefix("*"))
@@ -397,7 +416,205 @@ class CozoDb(val spark: SparkSession) {
   }
 
   private def compiler(resolve: String => Option[DataFrame], params: Map[String, Any]) =
-    new Compiler(spark, relation, resolve, params, validityScan)
+    new Compiler(spark, relation, resolve, params, validityScan,
+      (n, p, o) => searchProbe(n, p, o, params))
+
+  // ———————————————— indexes (parse/sys.rs:391-655) ————————————————
+
+  private sealed trait IndexSpec { def rel: String }
+  private case class FtsIdx(rel: String, extractor: String,
+                            stopwords: Boolean, stem: Boolean) extends IndexSpec
+  private case class LshIdx(rel: String, extractor: String, nGram: Int,
+                            threshold: Double, bands: Int, rowsPerBand: Int) extends IndexSpec
+  private case class VecIdx(rel: String, field: String, distance: String) extends IndexSpec
+  private case class PlainIdx(rel: String, cols: Seq[String]) extends IndexSpec
+
+  private val indexes = mutable.LinkedHashMap.empty[String, IndexSpec]
+  /** Bumped on every mutation; index artifacts cache against it so a
+    * probe after a put sees the new rows (the reference updates indexes
+    * inside the mutating tx, stored.rs:322-328 — we rebuild lazily,
+    * which at scale is a deliberate trade: bulk loads don't pay
+    * per-row index maintenance). */
+  private var mutationEpoch = 0L
+  private val ftsCache = mutable.HashMap.empty[String, (Long, graft.search.Fts.Index)]
+
+  private def keyColOf(rel: String): String =
+    relationKeys.getOrElse(rel, relation(rel).columns.toSeq).head
+
+  /** `(1/b)^(1/r) ≈ threshold` — the banding curve's midpoint
+    * (minhash_lsh.rs:260-289 find_optimal_params, discrete version). */
+  private def lshParamsFor(t: Double): (Int, Int) =
+    Seq((64, 1), (32, 2), (16, 4), (8, 8), (4, 16), (2, 32))
+      .minBy { case (b, r) => math.abs(math.pow(1.0 / b, 1.0 / r) - t) }
+
+  private def ftsIndex(target: String, spec: FtsIdx): graft.search.Fts.Index =
+    ftsCache.get(target) match {
+      case Some((epoch, ix)) if epoch == mutationEpoch => ix
+      case _ =>
+        val ix = graft.search.Fts.Index.build(
+          relation(spec.rel), keyColOf(spec.rel), spec.extractor, spec.stopwords, spec.stem)
+        ftsCache(target) = (mutationEpoch, ix)
+        ix
+    }
+
+  /** `*rel:idx{...}` — scan the index's own relation (the reference
+    * exposes index internals as scannable relations). */
+  private def indexInternals(target: String, spec: IndexSpec): DataFrame = spec match {
+    case f: FtsIdx =>
+      val key = keyColOf(f.rel)
+      ftsIndex(target, f).postings
+        .select(col("term").as("word"), col("id").as(s"src_$key"),
+          col("tf"), col("positions"))
+    case l: LshIdx =>
+      import graft.functions.{TextFunctions => TF}
+      val key = keyColOf(l.rel)
+      val sh = TF.charNgrams(col(l.extractor), l.nGram)
+      relation(l.rel).select(col(key).as(s"src_$key"),
+        explode(TF.lshBandKeys(TF.minhashSignature(sh, l.bands * l.rowsPerBand),
+          l.bands, l.rowsPerBand)).as("band"))
+    case v: VecIdx =>
+      relation(v.rel).select(col(keyColOf(v.rel)), col(v.field))
+    case p: PlainIdx =>
+      val base = relation(p.rel)
+      base.select((p.cols ++ base.columns.filterNot(p.cols.contains)).map(col): _*)
+  }
+
+  /** `~rel:idx{cols | query: …, k: …, bind_…: var}` probes
+    * (search_apply; HnswSearchRA/FtsSearchRA/LshSearchRA,
+    * query/ra.rs:896-1066). The probe is a top-k search joined back to
+    * the base relation for the requested binding columns. */
+  private def searchProbe(target: String, pairs: Seq[(String, String)],
+                          opts: Map[String, Expr],
+                          params: Map[String, Any]): DataFrame = {
+    import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
+    val spec = indexes.getOrElse(target,
+      throw CompileException(s"no search index $target (::fts/::lsh/::hnsw create first)"))
+    val base = relation(spec.rel)
+    val key = keyColOf(spec.rel)
+    def optConst(k: String): Option[Any] = opts.get(k).map(evalConst(_, params))
+    def bindVar(name: String): Option[String] = opts.get(name).collect { case V(n) => n }
+    val k = optConst("k").collect { case n: Long => n.toInt }.getOrElse(10)
+    def select(df: DataFrame, extra: Option[(String, org.apache.spark.sql.Column)]): DataFrame =
+      df.select(pairs.map { case (c, v) => col(c).as(v) } ++
+        extra.map { case (v, c) => c.as(v) }: _*)
+    def queryString: String = optConst("query") match {
+      case Some(s: String) => s
+      case other => throw CompileException(s"$target probe needs a string query:, got $other")
+    }
+    spec match {
+      case f: FtsIdx =>
+        val ix = ftsIndex(target, f)
+        val scored = graft.search.Fts.search(ix, graft.search.Fts.parseQuery(queryString))
+          .orderBy(col("score").desc, col("id").asc).limit(k)
+          .withColumnRenamed("id", key)
+        select(base.join(scored, Seq(key)), bindVar("bind_score").map(_ -> col("score")))
+      case l: LshIdx =>
+        val nPerm = l.bands * l.rowsPerBand
+        val qRow = spark.range(1).select(lit(queryString).as(l.extractor))
+        val qBands = qRow.select(explode(TF.lshBandKeys(
+          TF.minhashSignature(TF.charNgrams(col(l.extractor), l.nGram), nPerm),
+          l.bands, l.rowsPerBand)).as("band"))
+        val corpusBands = base.select(col(key), explode(TF.lshBandKeys(
+          TF.minhashSignature(TF.charNgrams(col(l.extractor), l.nGram), nPerm),
+          l.bands, l.rowsPerBand)).as("band"))
+        val candidates = corpusBands.join(broadcast(qBands), Seq("band"))
+          .select(key).distinct()
+        // exact-similarity verify on the candidate set only (linear)
+        val qShingles = queryString.toLowerCase.sliding(l.nGram).toSeq.distinct match {
+          case Seq() => Seq(queryString.toLowerCase)
+          case s => s
+        }
+        val scored = base.join(candidates, Seq(key))
+          .withColumn("__sim", TF.jaccard(TF.charNgrams(col(l.extractor), l.nGram),
+            array(qShingles.map(lit): _*)))
+          .orderBy(col("__sim").desc, col(key).asc).limit(k)
+        select(scored, bindVar("bind_similarity").map(_ -> col("__sim")))
+      case v: VecIdx =>
+        val qvec = optConst("query") match {
+          case Some(s: Seq[_]) => s.map {
+            case d: Double => d.toFloat
+            case l: Long => l.toFloat
+            case other => throw CompileException(s"non-numeric vector component $other")
+          }
+          case other => throw CompileException(s"$target probe needs query: [vector], got $other")
+        }
+        val qArr = array(qvec.map(lit): _*).cast("array<float>")
+        val fvec = col(v.field).cast("array<float>")
+        val dist = v.distance.toLowerCase match {
+          case "cosine" => VF.cosineDistance(fvec, qArr)
+          case "ip" | "innerproduct" => VF.ipDist(fvec, qArr)
+          case _ => VF.l2Dist(fvec, qArr)
+        }
+        val scored = base.withColumn("__dist", dist)
+          .orderBy(col("__dist").asc, col(key).asc).limit(k)
+        select(scored, bindVar("bind_distance").map(_ -> col("__dist")))
+      case _: PlainIdx =>
+        throw CompileException(s"$target is a covering index — scan it with *$target{...}")
+    }
+  }
+
+  /** `::index/::fts/::lsh/::hnsw create rel:idx { … }` / `… drop rel:idx`
+    * (parse/sys.rs:391-655). */
+  private def indexOp(kind: String, sub: String, target: String,
+                      optsRaw: Option[String], params: Map[String, Any]): DataFrame = {
+    import spark.implicits._
+    if (sub == "drop") {
+      val existed = indexes.remove(target).isDefined
+      ftsCache.remove(target)
+      return Seq(((if (existed) "dropped" else "absent"), target)).toDF("status", "index")
+    }
+    val rel = target.split(":")(0)
+    relation(rel) // must exist
+    def asStr(e: Expr): String = e match {
+      case Lit(s: String) => s
+      case V(n) => n
+      case other => other.toString
+    }
+    if (kind == "index") {
+      // bare column list, a permuted covering copy (runtime/relation.rs:1232)
+      val cols = optsRaw.toSeq.flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+      val bad = cols.filterNot(relation(rel).columns.contains)
+      if (bad.nonEmpty) throw CompileException(s"::index create — unknown columns ${bad.mkString(", ")}")
+      indexes(target) = PlainIdx(rel, cols)
+      return Seq(("created", target)).toDF("status", "index")
+    }
+    val opts = Parser.parseOptMap(optsRaw.getOrElse(""))
+    def numOpt(key: String): Option[Double] = opts.get(key).map(evalConst(_, params)).collect {
+      case d: Double => d
+      case n: Long => n.toDouble
+    }
+    kind match {
+      case "fts" =>
+        val extractor = opts.get("extractor").map(asStr)
+          .getOrElse(throw CompileException("::fts create — missing extractor:"))
+        val filters = opts.get("filters").toSeq.flatMap {
+          case ListE(items) => items
+          case e => Seq(e)
+        }
+        def hasFilter(n: String) = filters.exists {
+          case V(x) => x.equalsIgnoreCase(n)
+          case App(x, _) => x.equalsIgnoreCase(n)
+          case _ => false
+        }
+        indexes(target) = FtsIdx(rel, extractor, hasFilter("Stopwords"), hasFilter("Stemmer"))
+      case "lsh" =>
+        val extractor = opts.get("extractor").map(asStr)
+          .getOrElse(throw CompileException("::lsh create — missing extractor:"))
+        val nGram = numOpt("n_gram").map(_.toInt).getOrElse(3)
+        val threshold = numOpt("target_threshold").getOrElse(0.5)
+        val (b, r) = lshParamsFor(threshold)
+        indexes(target) = LshIdx(rel, extractor, nGram, threshold, b, r)
+      case "hnsw" =>
+        val field = opts.get("fields") match {
+          case Some(ListE(Seq(item))) => asStr(item)
+          case Some(e) => asStr(e)
+          case None => throw CompileException("::hnsw create — missing fields: [col]")
+        }
+        indexes(target) = VecIdx(rel, field, opts.get("distance").map(asStr).getOrElse("L2"))
+      case other => throw CompileException(s"unknown index kind ::$other")
+    }
+    Seq(("created", target)).toDF("status", "index")
+  }
 
   /** Evaluate one rule (all its clauses). Aggregation semantics follow
     * the reference's aggregation store (eval.rs + aggr.rs): the
@@ -763,6 +980,7 @@ class CozoDb(val spark: SparkSession) {
     // materialize the mutation result lazily (first action) so repeated
     // reads of the stored relation don't recompute its defining query,
     // and mutation chains don't grow unbounded lineage
+    mutationEpoch += 1 // stale any index artifact caches
     val delta = coerceValidity(rel, delta0).ckptLazy()
     def keys: Seq[String] = relationKeys.getOrElse(rel,
       if (schemaKeys.nonEmpty) schemaKeys else delta.columns.toSeq)

@@ -316,8 +316,41 @@ object Parser {
     private def atom(): Atom = {
       if (atIdent("not")) { ident(); return Neg(atom()) }
       cur match {
-        case TStar(name, _) =>
+        case TPunct("~", _) =>
+          // index probe ~rel:idx{bindings | opts} (cozoscript.pest:90)
           next()
+          var name = ident()
+          while (tryEat(":")) name += ":" + ident()
+          eat("{")
+          val pairs = ArrayBuffer.empty[(String, String)]
+          val opts = collection.mutable.LinkedHashMap.empty[String, Expr]
+          var inOpts = false
+          while (!at("}")) {
+            if (tryEat("|")) inOpts = true
+            else if (!inOpts) {
+              val c = ident()
+              val v = if (tryEat(":")) ident() else c
+              pairs += ((c, v))
+              tryEat(",")
+            } else {
+              val k = ident(); eat(":")
+              opts(k) = expr()
+              tryEat(",")
+            }
+          }
+          eat("}")
+          SearchApply(name, pairs.toSeq, opts.toMap)
+        case TStar(name0, _) =>
+          next()
+          // index-internals scan *rel:idx{...} (compound_or_index_ident)
+          var name = name0
+          while (at(":") && toks(pos + 1).isInstanceOf[TIdent] &&
+                 (toks(pos + 2) match {
+                   case TPunct(p, _) => p == "[" || p == "{" || p == ":"
+                   case _ => false
+                 })) {
+            eat(":"); name += ":" + ident()
+          }
           if (tryEat("[")) {
             val args = ArrayBuffer.empty[Expr]
             var validity: Option[Expr] = None
@@ -470,5 +503,19 @@ object Parser {
   }
 
   def parse(src: String): Program = new P(lex(src)).program()
+
+  /** Parse a bare `ident: expr, ...` option list (the payload of
+    * `::fts create rel:idx { … }`-style sys ops, parse/sys.rs:391-655). */
+  def parseOptMap(src: String): Map[String, Ast.Expr] = {
+    val p = new P(lex(src))
+    val m = collection.mutable.LinkedHashMap.empty[String, Ast.Expr]
+    while (!p.cur.isInstanceOf[TEof]) {
+      val k = p.ident()
+      p.eat(":")
+      m(k) = p.expr()
+      p.tryEat(",")
+    }
+    m.toMap
+  }
   def parseExpr(src: String): Expr = new P(lex(src)).expr()
 }

@@ -1,0 +1,85 @@
+package graft.lang
+
+import graft.SparkFixture
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Index sys-ops and `~rel:idx{...}` probes, analogues of the
+  * reference's runtime tests (cozo-core/src/runtime/tests.rs:742
+  * test_vec_index, :812 test_fts_indexing, :857 test_lsh_indexing2;
+  * parse/sys.rs:391-655).
+  */
+class IndexesSpec extends AnyFunSuite {
+  lazy val spark = SparkFixture.spark
+
+  def rows(db: CozoDb, s: String): Seq[Seq[Any]] = db.run(s).collect().toSeq.map(_.toSeq)
+
+  test("::fts create + probe with scores; index follows later puts (tests.rs:812)") {
+    val db = new CozoDb(spark)
+    db.run("?[k, v] <- [['a', 'hello world!'], ['b', 'the world is round']] :create a {k}")
+    db.run(
+      """::fts create a:fts {
+        |  extractor: v,
+        |  tokenizer: Simple,
+        |  filters: [Lowercase, Stemmer('English'), Stopwords('en')]
+        |}""".stripMargin)
+    db.run(
+      """?[k, v] <- [
+        |  ['b', 'the world is square!'],
+        |  ['c', 'see you at the end of the world!'],
+        |  ['d', 'the world is the world and makes the world go around']
+        |] :put a {k}""".stripMargin)
+    // index internals are scannable
+    val words = rows(db, "?[word, src_k] := *a:fts{word, src_k}")
+    assert(words.nonEmpty && words.forall(_.length == 2))
+    assert(words.map(_.head).contains("world"))
+    // the probe returns top-k by BM25 with the score bound
+    val res = db.run("?[k, v, s] := ~a:fts{k, v | query: 'world', k: 2, bind_score: s}")
+      .collect()
+    assert(res.length == 2)
+    // doc d has the most 'world' occurrences
+    assert(res.map(_.getString(0)).contains("d"))
+    assert(res.forall(_.getDouble(2) > 0))
+  }
+
+  test("::lsh create + probe finds the near-duplicate (tests.rs:857)") {
+    val db = new CozoDb(spark)
+    db.run("?[k, v] <- [['a', 'ewiygfspeoighjsfcfxzdfncalsdf']] :create a {k}")
+    for (t <- Seq(0.1, 0.5, 0.9)) {
+      val name = s"a:lsh${(t * 10).toInt}"
+      db.run(s"::lsh create $name {extractor: v, tokenizer: NGram, n_gram: 3, target_threshold: $t}")
+      val res = rows(db, s"?[k] := ~$name{k | query: 'ewiygfspeoighjsfcfxzdfncalsdf', k: 1}")
+      assert(res == Seq(Seq("a")), s"threshold $t")
+    }
+    // a clearly-different string does not reach similarity 1
+    val sim = db.run(
+      "?[k, s] := ~a:lsh5{k | query: 'completely different text', k: 1, bind_similarity: s}")
+      .collect()
+    assert(sim.isEmpty || sim.head.getDouble(1) < 0.5)
+  }
+
+  test("::hnsw create + probe binds distances in metric order (tests.rs:742)") {
+    val db = new CozoDb(spark)
+    db.run(
+      """?[k, v] <- [['a', [1.0, 2.0]], ['b', [2.0, 3.0]], ['c', [3.0, 4.0]],
+        |           ['x', [0.0, 0.1]], ['y', [112.0, 0.0]]] :create a {k}""".stripMargin)
+    db.run("::hnsw create a:vec {dim: 2, dtype: F32, fields: [v], distance: L2, m: 50, ef_construction: 20}")
+    val res = db.run("?[d, k] := ~a:vec{k | query: [2.0, 3.0], k: 3, bind_distance: d}")
+      .collect().map(r => r.getString(1) -> r.getDouble(0))
+    assert(res.head == ("b" -> 0.0))
+    // a and c tie at √2 from [2,3]; key-asc breaks the tie
+    assert(res.map(_._1).take(3).toSeq == Seq("b", "a", "c"))
+    assert(res.map(_._2).toSeq == res.map(_._2).sorted.toSeq)
+  }
+
+  test("::index create registers a scannable permuted copy; ::indices lists; drop removes") {
+    val db = new CozoDb(spark)
+    db.run("?[k, v] <- [['a', 1], ['b', 2]] :create a {k}")
+    db.run("::index create a:by_v {v, k}")
+    assert(rows(db, "?[v, k] := *a:by_v[v, k]").toSet == Set(Seq(1L, "a"), Seq(2L, "b")))
+    val listed = db.run("::indices a").collect().map(r => (r.getString(0), r.getString(1)))
+    assert(listed.toSeq == Seq(("a:by_v", "index")))
+    db.run("::index drop a:by_v")
+    assert(db.run("::indices a").isEmpty)
+    intercept[Exception](db.run("?[v, k] := *a:by_v[v, k]"))
+  }
+}

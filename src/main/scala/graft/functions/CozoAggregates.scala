@@ -58,8 +58,12 @@ object CozoAggregates {
         element_at(lst, 1), (acc, x) => array_intersect(acc, x)))
   }
 
-  /** aggr.rs:941 `choice`: deterministic first non-null. */
-  def choice(c: Column): Column = first(c, ignoreNulls = true)
+  /** aggr.rs:941 `choice`: an arbitrary non-null member. The reference
+    * surfaces the first value of its sorted store iteration, i.e. the
+    * smallest — `min` reproduces that observably AND is deterministic
+    * under distributed evaluation (Spark's `first` is partition-order
+    * dependent). */
+  def choice(c: Column): Column = min(c)
 
   /** aggr.rs:388 `choice_rand`: uniform-ish random member. True RNG is
     * not reproducible across cluster sizes; we pick the member
@@ -75,8 +79,10 @@ object CozoAggregates {
   def latestBy(v: Column, ts: Column): Column = max_by(v, ts)
   def smallestBy(v: Column, key: Column): Column = min_by(v, key)
 
-  /** aggr.rs:882 `shortest`: keeps the shortest list. */
-  def shortest(c: Column): Column = min_by(c, size(c))
+  /** aggr.rs:882 `shortest`: keeps the shortest list; ties break
+    * lexicographically so distributed evaluation is deterministic (the
+    * reference keeps whichever arrived first in its sequential loop). */
+  def shortest(c: Column): Column = min_by(c, struct(size(c), c))
 
   /** aggr.rs:68/113 `and`/`or` boolean folds. */
   def andAgg(c: Column): Column = bool_and(c)

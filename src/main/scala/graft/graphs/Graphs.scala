@@ -179,8 +179,11 @@ object Graphs {
 
   /** TopSort (algos/top_sort.rs): Kahn peeling of zero-in-degree layers.
     * Returns (node, layer) — layer = peel round, a valid topological
-    * grading; nodes on cycles are absent (the reference errors on
-    * cycles). */
+    * grading. Errors LOUDLY on cycles (the reference's "graph is not
+    * acyclic") and on maxIter exhaustion — a silent prefix would read
+    * as a complete grading. Layer count = longest path, so at scale
+    * bound the input's depth (sample/cut) rather than raising maxIter.
+    */
   def topSort(edges: DataFrame, maxIter: Int = 100): DataFrame = {
     var remaining = edges.select("src", "dst").distinct().ckpt()
     var live = nodes(remaining).ckpt()
@@ -189,8 +192,12 @@ object Graphs {
     var done = false
     while (!done && layer < maxIter) {
       val withIn = live.join(remaining.select(col("dst").as("node")).distinct(), Seq("node"), "left_anti")
-      if (withIn.isEmpty) done = true
-      else {
+      if (withIn.isEmpty) {
+        if (!live.isEmpty)
+          throw new IllegalArgumentException(
+            s"TopSort: graph contains a cycle (${live.count()} nodes cannot be peeled)")
+        done = true
+      } else {
         val peeled = withIn.withColumn("layer", lit(layer))
         out = if (out == null) peeled.ckpt() else out.union(peeled).ckpt()
         live = live.join(peeled.select("node"), Seq("node"), "left_anti").ckpt()
@@ -200,6 +207,10 @@ object Graphs {
       }
       if (live.isEmpty) done = true
     }
+    if (!done && layer >= maxIter)
+      throw new IllegalStateException(
+        s"TopSort: not complete after $maxIter layers (${live.count()} nodes left) — " +
+          "the longest path exceeds maxIter; raise it or bound the input's depth")
     if (out == null) live.withColumn("layer", lit(0)).limit(0) else out
   }
 
@@ -467,15 +478,31 @@ object Graphs {
     * multi-source distributed BFS over ALL nodes at once — the frontier
     * relation is (start, node, cost), so the cluster carries the whole
     * all-pairs state instead of looping per source. O(V·E) work like any
-    * exact closeness; sample `starts` upstream to approximate at scale.
-    * Unweighted hops unless a `weight` column exists.
+    * exact closeness when `sample` covers every node; above that the
+    * Eppstein–Wang estimator ĉ(v) = (n−1)·|S| / (n·Σ_{s∈S} d(v,s)) over
+    * |S| deterministically-sampled sources — all-pairs BFS over a
+    * billion-node graph is a scale killer, ~1K sources is the
+    * production default. Unweighted hops unless a `weight` column
+    * exists.
     */
-  def closenessCentrality(edges: DataFrame, maxIter: Int = 30): DataFrame = {
-    val sp = shortestPaths(undirected(edges), nodes(edges).select(col("node").as("start")), maxIter)
-    sp.groupBy(col("start").as("node"))
-      .agg(count(lit(1)).as("n_reach"), sum(col("cost")).as("total_dist"))
+  def closenessCentrality(edges: DataFrame, maxIter: Int = 30,
+                          sample: Int = 1000): DataFrame = {
+    val ns = nodes(edges).ckptLazy()
+    val n = ns.count()
+    val s = math.min(sample.toLong, n)
+    val sources =
+      (if (s >= n) ns
+       else ns.orderBy(xxhash64(col("node")), col("node")).limit(s.toInt))
+        .select(col("node").as("start"))
+    val sp = shortestPaths(undirected(edges), sources, maxIter)
+    // undirected symmetry: d(s, v) = d(v, s) — aggregate per REACHED
+    // node so every node gets an estimate from the sampled sources
+    val agg = sp.filter(col("start") =!= col("node"))
+      .groupBy("node").agg(sum(col("cost")).as("total_dist"))
+    ns.join(agg, Seq("node"), "left")
       .select(col("node"),
-        when(col("total_dist") > 0, (col("n_reach") - 1).cast("double") / col("total_dist"))
+        when(col("total_dist") > 0,
+          lit((n - 1).toDouble * s) / (lit(n.toDouble) * col("total_dist")))
           .otherwise(lit(0.0)).as("closeness"))
   }
 

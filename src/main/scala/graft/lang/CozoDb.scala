@@ -825,17 +825,31 @@ class CozoDb(val spark: SparkSession) {
     val deltas = mutable.HashMap.empty[String, DataFrame]
     val stats = mutable.ArrayBuffer.empty[Map[String, Long]]
 
-    /** Per-key meet fold of an already-unioned frame, in `cols` order. */
-    def meetFold(n: String, both: DataFrame): DataFrame = {
+    /** Per-key meet fold of totals (if any) with this round's derived
+      * rows. `choice` is the one meet whose semantics are positional
+      * rather than an order over values — the FIRST value is kept
+      * forever (aggr.rs:941); a tag column makes existing totals win
+      * (termination depends on it), with the smallest same-round
+      * candidate as the deterministic tie-break. */
+    def meetFold(n: String, tot: Option[DataFrame], derived: DataFrame): DataFrame = {
       val head = horns(n).head.head
-      val cols = both.columns
+      val cols = tot.map(_.columns).getOrElse(derived.columns)
+      val tagged = tot match {
+        case Some(t) => t.withColumn("__tag", lit(0))
+          .unionByName(derived.toDF(cols.toIndexedSeq: _*).withColumn("__tag", lit(1)))
+        case None => derived.toDF(cols.toIndexedSeq: _*).withColumn("__tag", lit(1))
+      }
       val keyIdx = head.zipWithIndex.collect { case (HeadArg(None, _, _), i) => i }
       val aggs = head.zipWithIndex.collect { case (HeadArg(Some(a), _, _), i) =>
-        Builtins.aggr(a)(col(cols(i)), Nil).as(cols(i))
+        val c = col(cols(i))
+        val agg =
+          if (a == "choice") min(struct(col("__tag").as("t"), c.as("v"))).getField("v")
+          else Builtins.aggr(a)(c, Nil)
+        agg.as(cols(i))
       }
       val folded =
-        if (keyIdx.nonEmpty) both.groupBy(keyIdx.map(i => col(cols(i))): _*).agg(aggs.head, aggs.tail: _*)
-        else both.agg(aggs.head, aggs.tail: _*)
+        if (keyIdx.nonEmpty) tagged.groupBy(keyIdx.map(i => col(cols(i))): _*).agg(aggs.head, aggs.tail: _*)
+        else tagged.agg(aggs.head, aggs.tail: _*)
       folded.select(cols.map(col): _*)
     }
 
@@ -873,7 +887,7 @@ class CozoDb(val spark: SparkSession) {
       if (outs.nonEmpty) {
         val cols = outs.head.columns
         val unioned = restricted(n, outs.map(_.toDF(cols: _*)).reduce(_ unionByName _))
-        val init = (if (meetRules(n)) meetFold(n, unioned) else unioned.dropDuplicates()).ckpt()
+        val init = (if (meetRules(n)) meetFold(n, None, unioned) else unioned.dropDuplicates()).ckpt()
         val cnt = init.count()
         round0(n) = cnt
         if (cnt > 0) { totals(n) = init; deltas(n) = init }
@@ -896,7 +910,7 @@ class CozoDb(val spark: SparkSession) {
           val derived = restricted(n, variants.map(_.toDF(cols.toIndexedSeq: _*)).reduce(_ unionByName _))
           totals.get(n) match {
             case None =>
-              val init = (if (meetRules(n)) meetFold(n, derived) else derived.dropDuplicates()).ckpt()
+              val init = (if (meetRules(n)) meetFold(n, None, derived) else derived.dropDuplicates()).ckpt()
               val cnt = init.count()
               roundStats(n) = cnt
               if (cnt > 0) { changed = true; totals(n) = init; newDeltas(n) = init }
@@ -911,7 +925,7 @@ class CozoDb(val spark: SparkSession) {
                   newDeltas(n) = delta
                 }
               } else {
-                val folded = meetFold(n, tot.unionByName(derived)).ckpt()
+                val folded = meetFold(n, Some(tot), derived).ckpt()
                 val delta = folded.except(tot).ckpt()
                 val cnt = delta.count()
                 roundStats(n) = cnt
@@ -955,12 +969,22 @@ class CozoDb(val spark: SparkSession) {
   private def applyOptions(o: Options, df0: DataFrame): DataFrame = {
     var df = df0
     if (o.sort.nonEmpty) {
+      // an `aggr(var)` sort key refers to the aggregate's display column
+      // when plain/aggregated names collide, else to the bare var
+      val aggKey = "^\\w+\\((\\w+)\\)$".r
+      def resolve(k: String): String =
+        if (df.columns.contains(k)) k
+        else k match {
+          case aggKey(inner) if df.columns.contains(inner) => inner
+          case _ => k
+        }
+      val sortKeys = o.sort.map { case (v, desc) => (resolve(v), desc) }
       // cozo results are BTree-sorted by the full head tuple, so :sort
       // ties resolve by the remaining head columns in order — append
       // them as ascending tie-breakers for identical row order
-      val explicit = o.sort.map(_._1).toSet
+      val explicit = sortKeys.map(_._1).toSet
       val tieBreak = df.columns.filterNot(explicit.contains).map(col(_).asc)
-      df = df.orderBy(o.sort.map { case (v, desc) =>
+      df = df.orderBy(sortKeys.map { case (v, desc) =>
         if (desc) col(v).desc else col(v).asc } ++ tieBreak: _*)
     }
     o.offset.foreach(n => df = df.offset(n.toInt))
@@ -1084,7 +1108,7 @@ object CozoDb {
   /** Meet-semilattice aggregations — idempotent, commutative, monotone
     * folds safe inside recursion (aggr.rs:1190-1206 meet_op). */
   val meetAggrs: Set[String] =
-    Set("min", "max", "min_cost", "shortest", "and", "or", "bit_and", "bit_or")
+    Set("min", "max", "min_cost", "shortest", "choice", "and", "or", "bit_and", "bit_or")
 
   /** Build a DataFrame from rows of literals (const rules `<-`,
     * Constant fixed rule). Column types are inferred column-wise with

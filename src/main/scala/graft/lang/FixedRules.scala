@@ -98,7 +98,10 @@ object FixedRules {
 
   register("MinimumSpanningTreePrim", (rels, _, _) => Graphs.minimumSpanningForest(edges(rels)))
   register("MinimumSpanningForestKruskal", (rels, _, _) => Graphs.minimumSpanningForest(edges(rels)))
-  register("ClosenessCentrality", (rels, _, _) => Graphs.closenessCentrality(edges(rels)))
+  // all-pairs BFS is a scale killer — `sample:` bounds the source set
+  // (Eppstein–Wang estimate); exact only when it covers every node
+  register("ClosenessCentrality", (rels, o, _) =>
+    Graphs.closenessCentrality(edges(rels), sample = optInt(o, "sample", 1000)))
   register("BetweennessCentrality", (rels, _, _) => Graphs.betweennessCentrality(edges(rels)))
   register("ShortestPathAStar", (rels, o, _) => {
     val e = edges(rels)

@@ -168,8 +168,10 @@ object Parser {
           while (more) {
             val desc = if (tryEat("-")) true else { tryEat("+"); false }
             val v = ident()
-            // out_arg may be aggr(var): sort on the var's output column
-            val sortVar = if (tryEat("(")) { val inner = ident(); eat(")"); inner } else v
+            // out_arg may be aggr(var): keep the display form — the
+            // runner resolves it against the result's columns, falling
+            // back to the bare var when there is no collision column
+            val sortVar = if (tryEat("(")) { val inner = ident(); eat(")"); s"$v($inner)" } else v
             args += ((sortVar, desc))
             more = tryEat(",")
           }

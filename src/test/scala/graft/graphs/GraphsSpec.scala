@@ -36,6 +36,30 @@ class GraphsSpec extends AnyFunSuite {
     assert(math.abs(c(1L) - 2.0 / 3) < 1e-9 && math.abs(c(3L) - 2.0 / 3) < 1e-9)
   }
 
+  test("closenessCentrality sampling estimates within tolerance") {
+    // ring of 12: exact closeness identical for every node
+    val ring = (0L until 12L).map(i => (i, (i + 1) % 12)).toDF("src", "dst")
+    val exact = Graphs.closenessCentrality(ring)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val approx = Graphs.closenessCentrality(ring, sample = 6)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(approx.size == 12) // every node estimated from 6 sources
+    exact.foreach { case (nd, c) =>
+      assert(math.abs(approx(nd) - c) / c < 0.6, s"node $nd: $c vs ${approx(nd)}")
+    }
+  }
+
+  test("topSort errors loudly on cycles and on maxIter exhaustion") {
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L)).toDF("src", "dst")
+    val e1 = intercept[IllegalArgumentException](Graphs.topSort(cyc))
+    assert(e1.getMessage.contains("cycle"))
+    val chain = (1L until 8L).map(i => (i, i + 1)).toDF("src", "dst")
+    val e2 = intercept[IllegalStateException](Graphs.topSort(chain, maxIter = 3))
+    assert(e2.getMessage.contains("maxIter") || e2.getMessage.contains("longest path"))
+    // and still completes on a DAG within bounds
+    assert(Graphs.topSort(chain).count() == 8)
+  }
+
   test("betweennessCentrality puts all shortest paths through the middle") {
     val path = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
     val b = Graphs.betweennessCentrality(path)

@@ -303,6 +303,317 @@ class AirRoutesSpec extends AnyFunSuite {
     }
   }
 
+  test("num_routes_in_us_airports_from_eu (air_routes.rs:937)") {
+    val res = rows(
+      """?[to, count(to)] := *contain['EU', fr], *route{fr, to}, *airport{code: to, country: 'US'}
+        |:order count(to)""".stripMargin).map(r => (r.head, r(1)))
+    assert(res.length == 45)
+    assert(res.toMap == Map() ++ res.toMap) // shape sanity
+    val m = res.toMap
+    assert(m("JFK") == 42L && m("EWR") == 43L && m("MIA") == 28L && m("ANC") == 1L)
+    assert(res.last._1 == "EWR") // largest count last
+  }
+
+  test("routes_from_eu_to_us_starting_with_l (air_routes.rs:966)") {
+    val res = rows(
+      """?[eu_code, us_code] := *contain['EU', eu_code],
+        |                       starts_with(eu_code, 'L'),
+        |                       *route{fr: eu_code, to: us_code},
+        |                       *airport{code: us_code, country: 'US'}""".stripMargin)
+      .map(r => (r.head.toString, r(1).toString)).sorted
+    assert(res.length == 53)
+    assert(res.head == ("LGW", "AUS") && res.last == ("LIS", "SFO"))
+    assert(res.count(_._1 == "LHR") == 30)
+  }
+
+  test("len_of_names_count (air_routes.rs:1003)") {
+    assert(rows(
+      """?[sum(n)] := *route{fr: 'AUS', to},
+        |             *airport{code: to, city},
+        |             n = length(city)""".stripMargin).head.head == 891L)
+  }
+
+  test("group_count_by_out with zero default (air_routes.rs:1028)") {
+    assert(rows(
+      """route_count[count(fr), fr] := *route{fr}
+        |rc[max(n), a] := route_count[n, a]
+        |rc[max(n), a] := *airport{code: a}, n = 0
+        |?[n, count(a)] := rc[n, a]
+        |:order n;
+        |:limit 10;""".stripMargin).map(r => (r.head, r(1))) ==
+      Seq((0L, 29L), (1L, 777L), (2L, 649L), (3L, 357L), (4L, 234L),
+        (5L, 149L), (6L, 140L), (7L, 100L), (8L, 73L), (9L, 64L)))
+  }
+
+  test("mean_group_count with or-branch default (air_routes.rs:1056)") {
+    val v = rows(
+      """route_count[count(fr), fr] := *route{fr};
+        |rc[max(n), a] := route_count[n, a] or (*airport{code: a}, n = 0);
+        |?[mean(n)] := rc[n, _];""".stripMargin).head.head.asInstanceOf[Double]
+    assert(math.abs(v - 14.451198630136986) < 1e-8)
+  }
+
+  test("n_routes_from_london_uk (air_routes.rs:1078)") {
+    assert(rows(
+      "?[code, count(code)] := *airport{code, city: 'London', region: 'GB-ENG'}, *route{fr: code}")
+      .map(r => (r.head, r(1))).sortBy(_._1.toString) ==
+      Seq(("LCY", 51L), ("LGW", 232L), ("LHR", 221L), ("LTN", 130L), ("STN", 211L)))
+  }
+
+  test("reachable_from_london_uk_in_two_hops (air_routes.rs:1103)") {
+    assert(rows(
+      """lon_uk_airports[code] := *airport{code, city: 'London', region: 'GB-ENG'}
+        |one_hop[to] := lon_uk_airports[fr], *route{fr, to}, not lon_uk_airports[to];
+        |?[count_unique(a3)] := one_hop[a2], *route{fr: a2, to: a3}, not lon_uk_airports[a3];""".stripMargin) ==
+      Seq(Seq(2353L)))
+  }
+
+  test("routes_within_england (air_routes.rs:1125)") {
+    val res = rows(
+      """eng_aps[code] := *airport{code, region: 'GB-ENG'}
+        |?[fr, to] := eng_aps[fr], *route{fr, to}, eng_aps[to]""".stripMargin)
+      .map(r => (r.head.toString, r(1).toString)).sorted
+    assert(res.length == 54)
+    assert(res.take(4) == Seq(("BHX", "NCL"), ("BRS", "NCL"), ("EMA", "SOU"), ("EXT", "ISC")))
+    assert(res.last == ("SOU", "NCL"))
+  }
+
+  test("routes_within_england_no_dup via sorted pairs (air_routes.rs:1157)") {
+    val res = rows(
+      """eng_aps[code] := *airport{code, region: 'GB-ENG'}
+        |?[pair] := eng_aps[fr], *route{fr, to}, eng_aps[to], pair = sorted([fr, to]);""".stripMargin)
+      .map(_.head.asInstanceOf[collection.Seq[String]].toSeq)
+    assert(res.length == 27)
+    assert(res.map(_.mkString("-")).sorted.head == "BHX-NCL")
+  }
+
+  test("hard_route_finding: choice through recursion terminates (air_routes.rs:1188)") {
+    val r = rows(
+      """reachable[to, choice(p)] := *route{fr: 'AUS', to}, to != 'YYZ', p = ['AUS', to];
+        |reachable[to, choice(p)] := reachable[b, prev], *route{fr: b, to},
+        |                            to != 'YYZ', p = append(prev, to)
+        |?[p] := reachable['YPO', p]
+        |:limit 1;""".stripMargin)
+    assert(r.length == 1)
+    val p = r.head.head.asInstanceOf[collection.Seq[String]].toSeq
+    // the reference's exact witness depends on its insertion order; ours
+    // is the deterministic smallest first-round candidate — both are
+    // valid AUS→…→YPO paths avoiding YYZ
+    assert(p.head == "AUS" && p.last == "YPO" && !p.contains("YYZ"))
+  }
+
+  test("na_from_india with is_in filter (air_routes.rs:1217)") {
+    assert(rows(
+      """?[ind_a, na_a] := *airport{code: ind_a, country: 'IN'},
+        |                  *route{fr: ind_a, to: na_a},
+        |                  *airport{code: na_a, country},
+        |                  country in ['US', 'CA']""".stripMargin)
+      .map(r => (r.head.toString, r(1).toString)).sorted ==
+      Seq(("BOM", "EWR"), ("BOM", "JFK"), ("BOM", "YYZ"), ("DEL", "EWR"), ("DEL", "IAD"),
+        ("DEL", "JFK"), ("DEL", "ORD"), ("DEL", "SFO"), ("DEL", "YVR"), ("DEL", "YYZ")))
+  }
+
+  test("eu_cities_reachable_from_fll (air_routes.rs:1246)") {
+    assert(rows("?[city] := *route{fr: 'FLL', to}, *contain['EU', to], *airport{code: to, city}")
+      .map(_.head.toString).sorted ==
+      Seq("Barcelona", "Copenhagen", "London", "Madrid", "Oslo", "Paris", "Stockholm"))
+  }
+
+  test("clt_to_eu_or_sa: unify-in over containment (air_routes.rs:1270)") {
+    assert(rows("?[to] := *route{fr: 'CLT', to}, c_name in ['EU', 'SA'], *contain[c_name, to]")
+      .map(_.head.toString).sorted ==
+      Seq("BCN", "CDG", "DUB", "FCO", "FRA", "GIG", "GRU", "LHR", "MAD", "MUC"))
+  }
+
+  test("london_to_us seeded by a literal list (air_routes.rs:1294)") {
+    val res = rows(
+      """?[fr, to] := fr in ['LHR', 'LCY', 'LGW', 'LTN', 'STN'],
+        |             *route{fr, to}, *airport{code: to, country: 'US'}""".stripMargin)
+      .map(r => (r.head.toString, r(1).toString)).sorted
+    assert(res.length == 48)
+    assert(res.head == ("LGW", "AUS") && res.last == ("STN", "SFB"))
+  }
+
+  test("tx_to_ny (air_routes.rs:1326)") {
+    assert(rows(
+      """?[fr, to] := *airport{code: fr, region: 'US-TX'},
+        |             *route{fr, to}, *airport{code: to, region: 'US-NY'}""".stripMargin)
+      .map(r => (r.head.toString, r(1).toString)).sorted ==
+      Seq(("AUS", "BUF"), ("AUS", "EWR"), ("AUS", "JFK"), ("DAL", "LGA"), ("DFW", "BUF"),
+        ("DFW", "EWR"), ("DFW", "JFK"), ("DFW", "LGA"), ("HOU", "EWR"), ("HOU", "JFK"),
+        ("HOU", "LGA"), ("IAH", "EWR"), ("IAH", "JFK"), ("IAH", "LGA"), ("SAT", "EWR"),
+        ("SAT", "JFK")))
+  }
+
+  test("denver_to_mexico (air_routes.rs:1353)") {
+    assert(rows("?[city] := *route{fr: 'DEN', to}, *airport{code: to, country: 'MX', city}")
+      .map(_.head.toString).sorted ==
+      Seq("Cancun", "Cozumel", "Guadalajara", "Mexico City", "Monterrey",
+        "Puerto Vallarta", "San José del Cabo"))
+  }
+
+  test("three_cities cross routes (air_routes.rs:1377)") {
+    val res = rows(
+      """three[code] := city in ['London', 'Munich', 'Paris'], *airport{code, city}
+        |?[s, d] := three[s], *route{fr: s, to: d}, three[d]""".stripMargin)
+      .map(r => (r.head.toString, r(1).toString)).sorted
+    assert(res.length == 27)
+    assert(res.head == ("CDG", "LCY") && res.last == ("STN", "MUC"))
+  }
+
+  test("long_distance_from_lgw (air_routes.rs:1407)") {
+    val res = rows(
+      """?[city, dist] := *route{fr: 'LGW', to, dist},
+        |                 dist > 4000, *airport{code: to, city}""".stripMargin)
+      .map(r => (r.head.toString, r(1).asInstanceOf[Double]))
+    assert(res.length == 42)
+    val m = res.toMap
+    assert(m("Austin") == 4921.0 && m("Singapore") == 6751.0 && m("Buenos Aires") == 6908.0)
+  }
+
+  test("long_routes_one_dir (air_routes.rs:1441)") {
+    val res = rows("?[fr, dist, to] := *route{fr, to, dist}, dist > 8000, fr < to;")
+      .map(r => (r.head.toString, r(1).asInstanceOf[Double], r(2).toString)).sortBy(x => (x._1, x._2))
+    assert(res.length == 32)
+    assert(res.head == ("AKL", 8186.0, "ORD"))
+    assert(res.contains(("EWR", 9523.0, "SIN")) && res.contains(("JFK", 9526.0, "SIN")))
+  }
+
+  test("longest_routes sorted desc (air_routes.rs:1476)") {
+    assert(rows(
+      """?[fr, dist, to] := *route{fr, to, dist}, dist > 4000, fr < to;
+        |:sort -dist;
+        |:limit 20;""".stripMargin)
+      .map(r => (r.head.toString, r(1).asInstanceOf[Double], r(2).toString)).take(6) ==
+      Seq(("JFK", 9526.0, "SIN"), ("EWR", 9523.0, "SIN"), ("AKL", 9025.0, "DOH"),
+        ("LHR", 9009.0, "PER"), ("PEK", 8884.0, "PTY"), ("AKL", 8818.0, "DXB")))
+  }
+
+  test("longest_routes_from_each_airports: max + choice per group (air_routes.rs:1517)") {
+    assert(rows(
+      """?[fr, max(dist), choice(to)] := *route{fr, dist, to}
+        |:sort fr
+        |:limit 10;""".stripMargin)
+      .map(r => (r.head.toString, r(1).asInstanceOf[Double], r(2).toString)) ==
+      Seq(("AAA", 968.0, "FAC"), ("AAE", 1161.0, "ALG"), ("AAL", 1693.0, "AAR"),
+        ("AAN", 1613.0, "CAI"), ("AAQ", 2122.0, "BAX"), ("AAR", 1585.0, "AAL"),
+        ("AAT", 267.0, "URC"), ("AAX", 69.0, "POJ"), ("AAY", 531.0, "SAH"),
+        ("ABA", 2096.0, "DME")))
+  }
+
+  test("total_distance_from_three_cities (air_routes.rs:1545)") {
+    assert(rows(
+      """three[code] := city in ['London', 'Munich', 'Paris'], *airport{code, city}
+        |?[sum(dist)] := three[a], *route{fr: a, dist}""".stripMargin).head.head == 2739039.0)
+  }
+
+  test("total_distance_within_three_cities (air_routes.rs:1567)") {
+    assert(rows(
+      """three[code] := city in ['London', 'Munich', 'Paris'], *airport{code, city}
+        |?[sum(dist)] := three[a], *route{fr: a, dist, to}, three[to]""".stripMargin)
+      .head.head == 10282.0)
+  }
+
+  test("specific_distance point lookup (air_routes.rs:1589)") {
+    assert(rows("?[dist] := *route{fr: 'AUS', to: 'MEX', dist}") == Seq(Seq(748.0)))
+  }
+
+  test("n_routes_between with range and containment (air_routes.rs:1609)") {
+    assert(rows(
+      """us_a[a] := *contain['US', a]
+        |?[count(fr)] := *route{fr, to, dist}, dist >= 100, dist <= 200,
+        |                us_a[fr], us_a[to]""".stripMargin) == Seq(Seq(597L)))
+  }
+
+  test("one_stop_distance arithmetic join (air_routes.rs:1632)") {
+    assert(rows(
+      """?[code, dist] := *route{fr: 'AUS', to: code, dist: dis1},
+        |                 *route{fr: code, to: 'LHR', dist: dis2},
+        |                 dist = dis1 + dis2
+        |:order dist;
+        |:limit 10;""".stripMargin).map(r => (r.head.toString, r(1).asInstanceOf[Double])) ==
+      Seq(("DTW", 4893.0), ("YYZ", 4901.0), ("ORD", 4912.0), ("PIT", 4916.0), ("BNA", 4923.0),
+        ("DFW", 4926.0), ("BOS", 4944.0), ("EWR", 4953.0), ("IAD", 4959.0), ("JFK", 4960.0)))
+  }
+
+  test("airport_most_routes sorted by aggregate display column (air_routes.rs:1660)") {
+    assert(rows(
+      """?[fr, count(fr)] := *route{fr}
+        |:order -count(fr);
+        |:limit 10;""".stripMargin).map(r => (r.head.toString, r(1))) ==
+      Seq(("FRA", 310L), ("IST", 309L), ("CDG", 293L), ("AMS", 283L), ("MUC", 270L),
+        ("ORD", 265L), ("DFW", 253L), ("DXB", 248L), ("PEK", 248L), ("ATL", 242L)))
+  }
+
+  test("north_of_77 (air_routes.rs:1687)") {
+    assert(rows("?[city, latitude] := *airport{lat, city}, lat > 77, latitude = round(lat)")
+      .map(r => (r.head.toString, r(1).asInstanceOf[Double])).sorted ==
+      Seq(("Longyearbyen", 78.0), ("Qaanaaq", 77.0)))
+  }
+
+  test("greenwich_meridian (air_routes.rs:1708)") {
+    assert(rows("?[code] := *airport{lon, code}, lon > -0.1, lon < 0.1")
+      .map(_.head.toString).sorted == Seq("CDT", "LCY", "LDE", "LEH"))
+  }
+
+  test("box_around_heathrow (air_routes.rs:1728)") {
+    assert(rows(
+      """h_box[lon, lat] := *airport{code: 'LHR', lon, lat}
+        |?[code] := h_box[lhr_lon, lhr_lat], *airport{code, lon, lat},
+        |            abs(lhr_lon - lon) < 1, abs(lhr_lat - lat) < 1""".stripMargin)
+      .map(_.head.toString).sorted == Seq("LCY", "LGW", "LHR", "LTN", "SOU", "STN"))
+  }
+
+  test("dfw_by_region: collect per group (air_routes.rs:1753)") {
+    val res = rows(
+      """?[region, collect(to)] := *route{fr: 'DFW', to},
+        |                          *airport{code: to, country: 'US', region},
+        |                          region in ['US-CA', 'US-TX', 'US-FL', 'US-CO', 'US-IL']""".stripMargin)
+      .map(r => r.head.toString -> r(1).asInstanceOf[collection.Seq[String]].toSeq.sorted).toMap
+    assert(res("US-CO") == Seq("ASE", "COS", "DEN", "DRO", "EGE", "GJT", "GUC", "HDN", "MTJ"))
+    assert(res("US-IL") == Seq("BMI", "CMI", "MLI", "ORD", "PIA", "SPI"))
+    assert(res("US-CA").length == 14 && res("US-TX").length == 23 && res("US-FL").length == 14)
+  }
+
+  test("great_circle_distance via haversine_deg_input (air_routes.rs:1790)") {
+    assert(rows(
+      """?[deg_diff] := *airport{code: 'SFO', lat: a_lat, lon: a_lon},
+        |               *airport{code: 'NRT', lat: b_lat, lon: b_lon},
+        |                deg_diff = round(haversine_deg_input(a_lat, a_lon, b_lat, b_lon));""".stripMargin) ==
+      Seq(Seq(1.0)))
+  }
+
+  test("aus_to_edi: shortest through recursion (air_routes.rs:1812)") {
+    val r = rows(
+      """us_uk_airports[code] := *airport{code, country: 'UK'}
+        |us_uk_airports[code] := *airport{code, country: 'US'}
+        |routes[to, shortest(path)] := *route{fr: 'AUS', to}, us_uk_airports[to],
+        |                                path = ['AUS', to];
+        |routes[to, shortest(path)] := routes[a, prev], *route{fr: a, to},
+        |                                us_uk_airports[to],
+        |                                path = append(prev, to);
+        |?[path] := routes['EDI', path];""".stripMargin)
+    assert(r.length == 1)
+    assert(r.head.head.asInstanceOf[collection.Seq[String]].toSeq == Seq("AUS", "BOS", "EDI"))
+  }
+
+  test("reachable_from_lhr: shortest-path lengths over the whole graph (air_routes.rs:1842)") {
+    val res = rows(
+      """routes[to, shortest(path)] := *route{fr: 'LHR', to},
+        |                              path = ['LHR', to];
+        |routes[to, shortest(path)] := routes[a, prev], *route{fr: a, to},
+        |                              path = append(prev, to);
+        |?[len, path] := routes[_, path], len = length(path);
+        |:order -len;
+        |:limit 10;""".stripMargin)
+    assert(res.length == 10)
+    // the unique depth-8 endpoint: LHR→…→YPO through the James Bay chain
+    assert(res.head.head == 8)
+    assert(res.head(1).asInstanceOf[collection.Seq[String]].toSeq ==
+      Seq("LHR", "YYZ", "YTS", "YMO", "YFA", "ZKE", "YAT", "YPO"))
+    assert(res.tail.forall(_.head == 7))
+  }
+
   test("SCC fixed rule over routes groups PEK with LHR (air_routes.rs:236 shape)") {
     val scc = db.run(
       """r[fr, to] := *route{fr, to}

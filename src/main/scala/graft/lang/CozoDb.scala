@@ -423,7 +423,7 @@ class CozoDb(val spark: SparkSession) {
 
   private sealed trait IndexSpec { def rel: String }
   private case class FtsIdx(rel: String, extractor: String,
-                            stopwords: Boolean, stem: Boolean) extends IndexSpec
+                            pipe: graft.search.Fts.Pipeline) extends IndexSpec
   private case class LshIdx(rel: String, extractor: String, nGram: Int,
                             threshold: Double, bands: Int, rowsPerBand: Int) extends IndexSpec
   private case class VecIdx(rel: String, field: String, distance: String) extends IndexSpec
@@ -452,7 +452,7 @@ class CozoDb(val spark: SparkSession) {
       case Some((epoch, ix)) if epoch == mutationEpoch => ix
       case _ =>
         val ix = graft.search.Fts.Index.build(
-          relation(spec.rel), keyColOf(spec.rel), spec.extractor, spec.stopwords, spec.stem)
+          relation(spec.rel), keyColOf(spec.rel), spec.extractor, spec.pipe)
         ftsCache(target) = (mutationEpoch, ix)
         ix
     }
@@ -596,7 +596,30 @@ class CozoDb(val spark: SparkSession) {
           case App(x, _) => x.equalsIgnoreCase(n)
           case _ => false
         }
-        indexes(target) = FtsIdx(rel, extractor, hasFilter("Stopwords"), hasFilter("Stemmer"))
+        def filterArg(n: String): Option[Expr] = filters.collectFirst {
+          case App(x, Seq(a)) if x.equalsIgnoreCase(n) => a
+        }
+        // tokenizer: Simple | Raw | Whitespace | NGram(min, max, prefix_only)
+        val (tokName, tokArgs) = opts.get("tokenizer") match {
+          case Some(V(n)) => (n, Nil)
+          case Some(App(n, args)) => (n, args.toList)
+          case Some(other) => (asStr(other), Nil)
+          case None => ("Simple", Nil)
+        }
+        def intArg(i: Int, default: Int): Int = tokArgs.lift(i) match {
+          case Some(Lit(n: Long)) => n.toInt
+          case _ => default
+        }
+        val minG = intArg(0, 1)
+        val pipe = graft.search.Fts.Pipeline(
+          tokenizer = tokName,
+          minGram = minG, maxGram = intArg(1, minG),
+          prefixOnly = tokArgs.lift(2).contains(Lit(true)),
+          lowercase = hasFilter("Lowercase") || hasFilter("LowerCase") || filters.isEmpty,
+          asciiFolding = hasFilter("AsciiFolding"),
+          removeLong = filterArg("RemoveLong").collect { case Lit(n: Long) => n.toInt },
+          stopwords = hasFilter("Stopwords"), stem = hasFilter("Stemmer"))
+        indexes(target) = FtsIdx(rel, extractor, pipe)
       case "lsh" =>
         val extractor = opts.get("extractor").map(asStr)
           .getOrElse(throw CompileException("::lsh create — missing extractor:"))

@@ -41,32 +41,128 @@ object Fts {
     case Near(ts, _) => ts
   }
 
-  // ———————————————————— tokenizer filters (fts/mod.rs) ————————————————————
+  // ———————————————————— tokenizer pipeline (fts/mod.rs:77-238) ————————————————————
 
-  /** Light English stemmer (suffix stripping): enough to conflate
-    * plural/participle variants consistently between index and query —
-    * the reference ships full Snowball; same-pipeline-both-sides is the
-    * correctness requirement. */
+  /** Tokenizer + filter chain configuration, mirroring the reference's
+    * construct_tokenizer / construct_token_filter surface: tokenizers
+    * Raw / Simple / Whitespace / NGram(min, max, prefix_only); filters
+    * Lowercase, AsciiFolding, RemoveLong(limit), Stopwords, Stemmer.
+    * (Cangjie/jieba requires a shipped dictionary and is not ported.)
+    */
+  final case class Pipeline(tokenizer: String = "Simple",
+                            minGram: Int = 1, maxGram: Int = 1, prefixOnly: Boolean = false,
+                            lowercase: Boolean = true, asciiFolding: Boolean = false,
+                            removeLong: Option[Int] = None,
+                            stopwords: Boolean = false, stem: Boolean = false)
+
+  /** Light English stemmer (suffix stripping): conflates plural /
+    * participle / common derivational variants consistently between
+    * index and query — the reference ships full Snowball;
+    * same-pipeline-both-sides is the correctness requirement. KEEP IN
+    * SYNC with [[stemLightStr]]. */
   def stemLight(t: Column): Column = {
-    val r1 = regexp_replace(t, "(sses|ies)$", "ss")
-    val r2 = regexp_replace(r1, "([^s])s$", "$1")
-    val r3 = regexp_replace(r2, "(..)(ed|ing|ingly|edly)$", "$1")
-    regexp_replace(r3, "(..)ly$", "$1")
+    val r0 = regexp_replace(t, "(ational)$", "ate")
+    val r1 = regexp_replace(r0, "(ization|isation)$", "ize")
+    val r2 = regexp_replace(r1, "(fulness|ousness|iveness)$", "")
+    val r3 = regexp_replace(r2, "(sses|ies)$", "ss")
+    val r4 = regexp_replace(r3, "([^s])s$", "$1")
+    val r5 = regexp_replace(r4, "(...)(ement|ments|ment|ness)$", "$1")
+    val r6 = regexp_replace(r5, "(..)(ed|ing|ingly|edly)$", "$1")
+    regexp_replace(r6, "(..)ly$", "$1")
   }
 
-  val stopwordsEn: Seq[String] = graft.text.TextAnalysis.stopwordsEn
+  /** Driver-side mirror of [[stemLight]] for query terms. */
+  def stemLightStr(t: String): String = {
+    val r0 = t.replaceAll("(ational)$", "ate")
+    val r1 = r0.replaceAll("(ization|isation)$", "ize")
+    val r2 = r1.replaceAll("(fulness|ousness|iveness)$", "")
+    val r3 = r2.replaceAll("(sses|ies)$", "ss")
+    val r4 = r3.replaceAll("([^s])s$", "$1")
+    val r5 = r4.replaceAll("(...)(ement|ments|ment|ness)$", "$1")
+    val r6 = r5.replaceAll("(..)(ed|ing|ingly|edly)$", "$1")
+    r6.replaceAll("(..)ly$", "$1")
+  }
 
-  /** Tokenize with the standard filter chain: Simple tokenizer +
-    * Lowercase (+AlphaNumOnly) are TF.tokens; optional stopword cut and
-    * stemming mirror fts/mod.rs:139-238. */
-  def tokenize(text: Column, stopwords: Boolean = false, stem: Boolean = false): Column = {
-    val base = TF.tokens(text)
-    val stopped = if (stopwords) {
+  /** FTS stopword list (~120 English function words). Deliberately
+    * separate from TextAnalysis.stopwordsEn — that 15-word list is part
+    * of the quality-score contract with its oracle. */
+  val stopwordsEn: Seq[String] = Seq(
+    "a", "about", "above", "after", "again", "against", "all", "am", "an", "and",
+    "any", "are", "as", "at", "be", "because", "been", "before", "being", "below",
+    "between", "both", "but", "by", "can", "could", "did", "do", "does", "doing",
+    "down", "during", "each", "few", "for", "from", "further", "had", "has",
+    "have", "having", "he", "her", "here", "hers", "him", "his", "how", "i", "if",
+    "in", "into", "is", "it", "its", "just", "me", "more", "most", "my", "no",
+    "nor", "not", "now", "of", "off", "on", "once", "only", "or", "other", "our",
+    "ours", "out", "over", "own", "same", "she", "should", "so", "some", "such",
+    "than", "that", "the", "their", "theirs", "them", "then", "there", "these",
+    "they", "this", "those", "through", "to", "too", "under", "until", "up",
+    "very", "was", "we", "were", "what", "when", "where", "which", "while", "who",
+    "whom", "why", "will", "with", "would", "you", "your", "yours")
+  private val stopwordSet = stopwordsEn.toSet
+
+  private lazy val asciiFoldUdf = udf((s: String) =>
+    if (s == null) null
+    else java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFD)
+      .replaceAll("\\p{M}+", ""))
+  def asciiFold(c: Column): Column = asciiFoldUdf(c)
+  def asciiFoldStr(s: String): String =
+    java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFD)
+      .replaceAll("\\p{M}+", "")
+
+  /** Tokenize a text column through a [[Pipeline]] — the single
+    * implementation both index build and query normalization share. */
+  def tokenizeWith(text: Column, p: Pipeline): Column = {
+    val folded = if (p.asciiFolding) asciiFold(text) else text
+    val lowered = if (p.lowercase) lower(folded) else folded
+    val base: Column = p.tokenizer match {
+      case "Raw" => array(lowered)
+      case "Whitespace" => filter(split(lowered, "\\s+"), t => length(t) > 0)
+      case "NGram" =>
+        // tantivy ngram tokenizes the raw text stream: all n-grams for
+        // n in [min_gram, max_gram], or only prefixes when prefix_only
+        val grams = (p.minGram to p.maxGram).map { n =>
+          if (p.prefixOnly) when(length(lowered) >= n, array(lowered.substr(lit(1), lit(n))))
+            .otherwise(array().cast("array<string>"))
+          else when(length(lowered) >= n,
+            transform(sequence(lit(1), length(lowered) - n + 1), i => lowered.substr(i, lit(n))))
+            .otherwise(array().cast("array<string>"))
+        }
+        grams.reduce(concat(_, _))
+      case _ => // Simple: split on non-alphanumeric
+        filter(split(lowered, "[^\\p{L}\\p{N}]+"), t => length(t) > 0)
+    }
+    val notLong = p.removeLong.fold(base)(n => filter(base, t => length(t) < n))
+    val stopped = if (p.stopwords) {
       val sw = array(stopwordsEn.map(lit): _*)
-      filter(base, t => !array_contains(sw, t))
-    } else base
-    if (stem) transform(stopped, stemLight(_)) else stopped
+      filter(notLong, t => !array_contains(sw, t))
+    } else notLong
+    if (p.stem) transform(stopped, stemLight(_)) else stopped
   }
+
+  /** Driver-side mirror of [[tokenizeWith]] for a single query term:
+    * returns the term's token(s) after the index's pipeline — several
+    * for an NGram index (the term's grams), none if stopworded. */
+  def tokenizeTermStr(t0: String, p: Pipeline): Seq[String] = {
+    val folded = if (p.asciiFolding) asciiFoldStr(t0) else t0
+    val t = if (p.lowercase) folded.toLowerCase else folded
+    val toks: Seq[String] = p.tokenizer match {
+      case "NGram" =>
+        (p.minGram to p.maxGram).flatMap { n =>
+          if (t.length < n) Nil
+          else if (p.prefixOnly) Seq(t.substring(0, n))
+          else t.sliding(n).toSeq
+        }
+      case _ => Seq(t)
+    }
+    val notLong = p.removeLong.fold(toks)(n => toks.filter(_.length < n))
+    val stopped = if (p.stopwords) notLong.filterNot(stopwordSet.contains) else notLong
+    if (p.stem) stopped.map(stemLightStr) else stopped
+  }
+
+  /** Legacy boolean-flag entry point (Simple tokenizer). */
+  def tokenize(text: Column, stopwords: Boolean = false, stem: Boolean = false): Column =
+    tokenizeWith(text, Pipeline(stopwords = stopwords, stem = stem))
 
   // ———————————————————————— persisted index ————————————————————————
 
@@ -76,12 +172,15 @@ object Fts {
     * materializes them and later searches reuse the blocks.
     */
   final case class Index(postings: DataFrame, lens: DataFrame, n: Double, avgdl: Double,
-                         stopwords: Boolean, stem: Boolean)
+                         pipe: Pipeline)
 
   object Index {
     def build(docs: DataFrame, idCol: String, textCol: String,
-              stopwords: Boolean = false, stem: Boolean = false): Index = {
-      val toks = tokenize(col(textCol), stopwords, stem)
+              stopwords: Boolean = false, stem: Boolean = false): Index =
+      build(docs, idCol, textCol, Pipeline(stopwords = stopwords, stem = stem))
+
+    def build(docs: DataFrame, idCol: String, textCol: String, pipe: Pipeline): Index = {
+      val toks = tokenizeWith(col(textCol), pipe)
       val postings = docs
         .select(col(idCol).as("id"), posexplode(toks))
         .toDF("id", "pos", "term")
@@ -91,33 +190,23 @@ object Fts {
       val lens = docs.select(col(idCol).as("id"), size(toks).cast("double").as("dl"))
         .ckptLazy()
       val stats = lens.agg(count(lit(1)).cast("double"), avg(col("dl"))).head()
-      Index(postings, lens, stats.getDouble(0), stats.getDouble(1), stopwords, stem)
+      Index(postings, lens, stats.getDouble(0), stats.getDouble(1), pipe)
     }
   }
 
-  /** Driver-side mirror of `stemLight` — query terms must pass through
-    * the IDENTICAL pipeline the index used (same-pipeline-both-sides),
-    * else a query for 'joins' misses the stemmed posting 'join'. Both
-    * use Java regex with anchored suffix patterns, so they agree. */
-  def stemLightStr(t: String): String = {
-    val r1 = t.replaceAll("(sses|ies)$", "ss")
-    val r2 = r1.replaceAll("([^s])s$", "$1")
-    val r3 = r2.replaceAll("(..)(ed|ing|ingly|edly)$", "$1")
-    r3.replaceAll("(..)ly$", "$1")
-  }
-
-  private def normTerm(ix: Index, t: String): Option[String] = {
-    val lc = t.toLowerCase
-    if (ix.stopwords && stopwordsEn.contains(lc)) None
-    else Some(if (ix.stem) stemLightStr(lc) else lc)
-  }
-
-  /** Rewrite a query through the index's tokenizer pipeline: stopworded
-    * terms vanish (an And keeps its other conjuncts, like the reference
-    * dropping the token at tokenize time), remaining terms are stemmed.
-    * None = the whole query normalized away. */
+  /** Rewrite a query through the index's tokenizer pipeline — query
+    * terms must pass through the IDENTICAL chain the index used
+    * (same-pipeline-both-sides), else 'joins' misses the stemmed
+    * posting 'join'. Stopworded terms vanish (an And keeps its other
+    * conjuncts, like the reference dropping the token at tokenize
+    * time); on an NGram index a term expands to the conjunction of its
+    * grams (substring search). None = the whole query normalized away. */
   private def normalizeQ(ix: Index, q: Q): Option[Q] = q match {
-    case Term(t) => normTerm(ix, t).map(Term)
+    case Term(t) => tokenizeTermStr(t, ix.pipe) match {
+      case Seq() => None
+      case Seq(one) => Some(Term(one))
+      case many => Some(And(many.map(Term)))
+    }
     case And(qs) =>
       val ns = qs.flatMap(normalizeQ(ix, _)); if (ns.isEmpty) None else Some(And(ns))
     case Or(qs) =>
@@ -125,7 +214,7 @@ object Fts {
     case Not(pos, neg) =>
       normalizeQ(ix, pos).map(p => normalizeQ(ix, neg).fold(p)(Not(p, _)))
     case Near(ts, d) =>
-      val ns = ts.flatMap(normTerm(ix, _))
+      val ns = ts.flatMap(tokenizeTermStr(_, ix.pipe))
       if (ns.isEmpty) None
       else if (ns.length == 1) Some(Term(ns.head))
       else Some(Near(ns, d))
@@ -133,13 +222,13 @@ object Fts {
 
   /** Doc ids matching the query node (terms already normalized). */
   private def matchSet(ix: Index, q: Q): DataFrame = q match {
-    case Term(t) => ix.postings.filter(col("term") === t.toLowerCase).select("id")
+    case Term(t) => ix.postings.filter(col("term") === t).select("id")
     case And(qs) => qs.map(matchSet(ix, _)).reduce((a, b) => a.join(b, Seq("id"), "left_semi"))
     case Or(qs) => qs.map(matchSet(ix, _)).reduce(_ union _).distinct()
     case Not(pos, neg) => matchSet(ix, pos).join(matchSet(ix, neg), Seq("id"), "left_anti")
     case Near(ts, dist) =>
       val sets = ts.zipWithIndex.map { case (t, i) =>
-        ix.postings.filter(col("term") === t.toLowerCase)
+        ix.postings.filter(col("term") === t)
           .select(col("id"), col("positions").as(s"__p$i"))
       }
       val joined = sets.reduce((a, b) => a.join(b, Seq("id")))

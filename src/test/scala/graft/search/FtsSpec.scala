@@ -56,6 +56,37 @@ class FtsSpec extends AnyFunSuite {
     assert(Fts.search(ix2, Fts.Term("the")).collect().isEmpty)
   }
 
+  test("NGram tokenizer enables substring search (fts/mod.rs:107)") {
+    val ix2 = Fts.Index.build(docs, "doc_id", "text",
+      Fts.Pipeline(tokenizer = "NGram", minGram = 3, maxGram = 3))
+    // 'treaming' is a substring of 'streaming' (doc 3): its 3-grams all hit
+    assert(Fts.search(ix2, Fts.Term("treaming")).collect().map(_.getLong(0)).toSet == Set(3L))
+    // no doc contains 'zzz'
+    assert(Fts.search(ix2, Fts.Term("zzz")).collect().isEmpty)
+  }
+
+  test("Whitespace and Raw tokenizers split as configured") {
+    val ws = Fts.Index.build(docs, "doc_id", "text", Fts.Pipeline(tokenizer = "Whitespace"))
+    // whitespace keeps punctuation attached: 'input' ends doc 2 without trailing punct
+    assert(Fts.search(ws, Fts.Term("input")).collect().map(_.getLong(0)).toSet == Set(2L))
+    val raw = Fts.Index.build(docs, "doc_id", "text", Fts.Pipeline(tokenizer = "Raw"))
+    // raw: whole text is one token — only an exact full-string query matches
+    assert(Fts.search(raw, Fts.Term("quick brown fox")).collect().map(_.getLong(0)).toSet == Set(5L))
+    assert(Fts.search(raw, Fts.Term("quick")).collect().isEmpty)
+  }
+
+  test("RemoveLong and AsciiFolding filters") {
+    val ix2 = Fts.Index.build(docs, "doc_id", "text", Fts.Pipeline(removeLong = Some(6)))
+    // 'watermarks' (10 chars) is dropped from the index AND from queries
+    assert(Fts.search(ix2, Fts.Term("watermarks")).collect().isEmpty)
+    assert(Fts.search(ix2, Fts.Term("spark")).collect().map(_.getLong(0)).toSet == Set(1L, 3L))
+    import spark.implicits._
+    val accented = Seq((1L, "crème brûlée récipe")).toDF("doc_id", "text")
+    val folded = Fts.Index.build(accented, "doc_id", "text", Fts.Pipeline(asciiFolding = true))
+    assert(Fts.search(folded, Fts.Term("creme")).collect().map(_.getLong(0)).toSet == Set(1L))
+    assert(Fts.search(folded, Fts.Term("RÉCIPE")).collect().map(_.getLong(0)).toSet == Set(1L))
+  }
+
   test("query terms pass through the index pipeline (stem + stopword both sides)") {
     val ix2 = Fts.Index.build(docs, "doc_id", "text", stopwords = true, stem = true)
     // un-stemmed query 'joins' must hit the stemmed posting 'join'

@@ -7,6 +7,7 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import scala.collection.mutable
+import scala.jdk.CollectionConverters._
 
 /** The queryable engine facade: stored relations + `run(script)`.
   *
@@ -101,11 +102,13 @@ class CozoDb(val spark: SparkSession) {
           .fold(withVld)(a => withVld.withColumn(a, lit(true)))
       case _ => delta
     }
-  def relation(name: String): DataFrame =
+  def relation(name: String): DataFrame = {
+    requireAccess(name, "read_only", "read")
     relations.getOrElse(name, indexes.get(name) match {
       case Some(spec) => indexInternals(name, spec)
       case None => throw CompileException(s"stored relation *$name not found")
     })
+  }
   def relationNames: Seq[String] = relations.keys.toSeq
   def removeRelation(name: String): Unit = { relations.remove(name); relationKeys.remove(name) }
 
@@ -200,14 +203,91 @@ class CozoDb(val spark: SparkSession) {
       changeCallbacks.values.foreach { case (r, f) => if (r == rel) f(kind, newDf, oldDf) }
   }
 
+  // ————— multi-statement transactions (db.rs:298-397) —————
+
+  /** A driver-side transaction over the relation registry: statements
+    * see their own writes; `abort` restores the pre-transaction state
+    * exactly (DataFrames are immutable plans, so the snapshot is map
+    * copies, not data copies). Weaker isolation than the reference's
+    * MVCC — concurrent readers of this CozoDb observe uncommitted
+    * writes — as documented in the build survey. */
+  final class Transaction private[CozoDb] () {
+    private val snapRelations = relations.clone()
+    private val snapKeys = relationKeys.clone()
+    private val snapValidity = relationValidity.clone()
+    private val snapAssert = relationAssert.clone()
+    private val snapIndexes = indexes.clone()
+    private val snapTriggers = scriptTriggers.clone()
+    private var done = false
+    def run(script: String, params: Map[String, Any] = Map.empty): DataFrame = {
+      if (done) throw new IllegalStateException("transaction already closed")
+      CozoDb.this.run(script, params)
+    }
+    def commit(): Unit = { done = true }
+    def abort(): Unit = {
+      if (!done) {
+        relations.clear(); relations ++= snapRelations
+        relationKeys.clear(); relationKeys ++= snapKeys
+        relationValidity.clear(); relationValidity ++= snapValidity
+        relationAssert.clear(); relationAssert ++= snapAssert
+        indexes.clear(); indexes ++= snapIndexes
+        scriptTriggers.clear(); scriptTriggers ++= snapTriggers
+        mutationEpoch += 1
+        done = true
+      }
+    }
+  }
+
+  def multiTransaction(): Transaction = new Transaction()
+
+  /** Run `f` in a transaction: commit on success, roll back on any
+    * exception (the shape of the reference's channel-driven
+    * run_multi_transaction loop). */
+  def transact[T](f: Transaction => T): T = {
+    val tx = multiTransaction()
+    try { val r = f(tx); tx.commit(); r }
+    catch { case e: Throwable => tx.abort(); throw e }
+  }
+
+  // ————— access levels (runtime/relation.rs:122 AccessLevel) —————
+
+  /** hidden < read_only < protected < normal. */
+  private val relationAccess = mutable.HashMap.empty[String, String]
+  private val relationDescriptions = mutable.HashMap.empty[String, String]
+  /** Queries currently inside [[run]], for ::running / ::kill (the
+    * analogue of the reference's Poison registry, db.rs:1931-1955 —
+    * here a Spark job-group cancel). */
+  private val runningQueries = new java.util.concurrent.ConcurrentHashMap[Long, String]()
+  private val queryCounter = new java.util.concurrent.atomic.AtomicLong(0)
+  private def accessRank(level: String): Int = level match {
+    case "hidden" => 0
+    case "read_only" => 1
+    case "protected" => 2
+    case _ => 3
+  }
+  private def requireAccess(rel: String, need: String, what: String): Unit = {
+    val have = relationAccess.getOrElse(rel, "normal")
+    if (accessRank(have) < accessRank(need))
+      throw new IllegalStateException(
+        s"insufficient access level for $what on $rel: $have < $need")
+  }
+
   def run(script: String, params: Map[String, Any] = Map.empty): DataFrame = {
     val trimmed = script.trim
-    // imperative script: { query } blocks with `as _temp`, %if/%loop/
-    // %return/%swap control flow (imperative.rs:67-250); plain
-    // sequential { } blocks are the degenerate case
-    if (Imperative.looksImperative(trimmed))
-      Imperative.execute(this, Imperative.parse(trimmed), params)
-    else runSingle(trimmed, params)
+    val id = queryCounter.incrementAndGet()
+    runningQueries.put(id, trimmed.linesIterator.nextOption().getOrElse("").take(120))
+    spark.sparkContext.setJobGroup(s"graft-q$id", s"graft query $id", interruptOnCancel = true)
+    try {
+      // imperative script: { query } blocks with `as _temp`, %if/%loop/
+      // %return/%swap control flow (imperative.rs:67-250); plain
+      // sequential { } blocks are the degenerate case
+      if (Imperative.looksImperative(trimmed))
+        Imperative.execute(this, Imperative.parse(trimmed), params)
+      else runSingle(trimmed, params)
+    } finally {
+      runningQueries.remove(id)
+      spark.sparkContext.clearJobGroup()
+    }
   }
 
   /** Single query program (used by the imperative interpreter). */
@@ -253,8 +333,9 @@ class CozoDb(val spark: SparkSession) {
     parts.head match {
       case "relations" =>
         relations.toSeq.map { case (n, df) =>
-          (n, df.columns.length, relationKeys.getOrElse(n, Nil).mkString(","))
-        }.toDF("name", "arity", "keys")
+          (n, df.columns.length, relationKeys.getOrElse(n, Nil).mkString(","),
+            relationAccess.getOrElse(n, "normal"), relationDescriptions.getOrElse(n, ""))
+        }.toDF("name", "arity", "keys", "access_level", "description")
       case "columns" =>
         val rel = parts(1).stripPrefix("*")
         relation(rel).columns.zipWithIndex
@@ -262,8 +343,39 @@ class CozoDb(val spark: SparkSession) {
           .toSeq.toDF("column", "index", "is_key")
       case "remove" =>
         val rel = parts(1).stripPrefix("*")
+        requireAccess(rel, "normal", "::remove")
         removeRelation(rel)
         Seq(("removed", rel)).toDF("status", "relation")
+      // ::access_level <level> <rel...> (parse/sys.rs SetAccessLevel)
+      case "access_level" | "set_access_level" =>
+        val level = parts(1)
+        if (!Seq("normal", "protected", "read_only", "hidden").contains(level))
+          throw CompileException(s"unknown access level $level")
+        val rels = parts.drop(2).map(_.stripPrefix("*"))
+        rels.foreach { r =>
+          if (!relations.contains(r)) throw CompileException(s"stored relation *$r not found")
+          relationAccess(r) = level
+        }
+        rels.map((_, level)).toDF("relation", "access_level")
+      // ::describe rel 'text' stores documentation (sys.rs DescribeRelation)
+      case "describe" =>
+        val rel = parts(1).stripPrefix("*")
+        relation(rel)
+        val desc = op.stripPrefix("describe").trim.stripPrefix(parts(1)).trim
+          .stripPrefix("'").stripSuffix("'")
+        relationDescriptions(rel) = desc
+        Seq(("described", rel)).toDF("status", "relation")
+      // storage housekeeping is a no-op on immutable parquet state
+      case "compact" =>
+        Seq(Tuple1("ok")).toDF("status")
+      case "running" =>
+        runningQueries.asScala.toSeq.map { case (id, desc) => (id, desc) }
+          .toDF("id", "query")
+      case "kill" =>
+        val id = parts(1).toLong
+        val present = runningQueries.containsKey(id)
+        if (present) spark.sparkContext.cancelJobGroup(s"graft-q$id")
+        Seq((if (present) "killed" else "not_found", id)).toDF("status", "id")
       case "fixed_rules" =>
         FixedRules.names.map(Tuple1(_)).toDF("name")
       case "indices" =>
@@ -306,6 +418,7 @@ class CozoDb(val spark: SparkSession) {
     val (rel, body) =
       if (nameEnd < 0) (rest.stripPrefix("*"), "")
       else (rest.substring(0, nameEnd).stripPrefix("*"), rest.substring(nameEnd))
+    requireAccess(rel, "protected", "set triggers") // relation.rs:563
     relation(rel) // must exist
     var puts, rms, reps = List.empty[String]
     var i = 0
@@ -1027,6 +1140,7 @@ class CozoDb(val spark: SparkSession) {
     // materialize the mutation result lazily (first action) so repeated
     // reads of the stored relation don't recompute its defining query,
     // and mutation chains don't grow unbounded lineage
+    if (op != "create") requireAccess(rel, "normal", s":$op")
     mutationEpoch += 1 // stale any index artifact caches
     val delta = coerceValidity(rel, delta0).ckptLazy()
     def keys: Seq[String] = relationKeys.getOrElse(rel,

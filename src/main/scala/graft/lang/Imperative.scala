@@ -16,11 +16,15 @@ object Imperative {
 
   sealed trait Stmt
   final case class QueryStmt(script: String, storeAs: Option[String]) extends Stmt
+  /** %ignore_error { query } — failures are swallowed (parse dispatch
+    * cozoscript.pest:253, parse/imperative.rs:206). */
+  final case class IgnoreErrorStmt(inner: QueryStmt) extends Stmt
   final case class IfStmt(cond: Cond, negated: Boolean,
                           thenB: Seq[Stmt], elseB: Seq[Stmt]) extends Stmt
-  final case class LoopStmt(body: Seq[Stmt]) extends Stmt
-  case object BreakStmt extends Stmt
-  case object ContinueStmt extends Stmt
+  /** optional `%mark label` before %loop (pest:257). */
+  final case class LoopStmt(body: Seq[Stmt], label: Option[String] = None) extends Stmt
+  final case class BreakStmt(label: Option[String] = None) extends Stmt
+  final case class ContinueStmt(label: Option[String] = None) extends Stmt
   final case class ReturnStmt(value: Option[Cond]) extends Stmt
   final case class SwapStmt(a: String, b: String) extends Stmt
   final case class DebugStmt(name: String) extends Stmt
@@ -134,13 +138,30 @@ object Imperative {
               val elseB = if (peekWord() == "%else") { word(); stmts(atTop = false) } else Nil
               if (word() != "%end") throw ImperativeException("%if without %end")
               out += IfStmt(c, negated, thenB, elseB)
+            case "%mark" =>
+              word()
+              val label = word()
+              if (word() != "%loop") throw ImperativeException("%mark must label a %loop")
+              val body = stmts(atTop = false)
+              if (word() != "%end") throw ImperativeException("%loop without %end")
+              out += LoopStmt(body, Some(label))
             case "%loop" =>
               word()
               val body = stmts(atTop = false)
               if (word() != "%end") throw ImperativeException("%loop without %end")
               out += LoopStmt(body)
-            case "%break" => word(); out += BreakStmt
-            case "%continue" => word(); out += ContinueStmt
+            case "%ignore_error" =>
+              word()
+              val b = block()
+              out += IgnoreErrorStmt(QueryStmt(b, storeAs()))
+            case "%break" =>
+              word()
+              val l = peekWord()
+              out += BreakStmt(if (l.nonEmpty && !l.startsWith("%")) Some(word()) else None)
+            case "%continue" =>
+              word()
+              val l = peekWord()
+              out += ContinueStmt(if (l.nonEmpty && !l.startsWith("%")) Some(word()) else None)
             case "%return" =>
               word()
               skipWs()
@@ -165,8 +186,8 @@ object Imperative {
 
   // ———————————————————————— execution ————————————————————————
 
-  private final case class BreakEx() extends RuntimeException
-  private final case class ContinueEx() extends RuntimeException
+  private final case class BreakEx(label: Option[String]) extends RuntimeException
+  private final case class ContinueEx(label: Option[String]) extends RuntimeException
   private final case class ReturnEx(df: DataFrame) extends RuntimeException
 
   def execute(db: CozoDb, stmts: Seq[Stmt], params: Map[String, Any]): DataFrame = {
@@ -189,20 +210,23 @@ object Imperative {
       case IfStmt(c, negated, thenB, elseB) =>
         val (truthy, _) = evalCond(c)
         if (truthy != negated) exec(thenB) else exec(elseB)
-      case LoopStmt(body) =>
+      case IgnoreErrorStmt(inner) =>
+        try exec(Seq(inner))
+        catch { case scala.util.control.NonFatal(_) => () }
+      case LoopStmt(body, label) =>
         var iters = 0
         var looping = true
         while (looping) {
           if (iters > 100000) throw ImperativeException("%loop exceeded 100000 iterations")
           try exec(body)
           catch {
-            case _: BreakEx => looping = false
-            case _: ContinueEx => ()
+            case BreakEx(l) if l.isEmpty || l == label => looping = false
+            case ContinueEx(l) if l.isEmpty || l == label => ()
           }
           iters += 1
         }
-      case BreakStmt => throw BreakEx()
-      case ContinueStmt => throw ContinueEx()
+      case BreakStmt(l) => throw BreakEx(l)
+      case ContinueStmt(l) => throw ContinueEx(l)
       case ReturnStmt(v) =>
         val out = v match {
           case None => ret
@@ -221,8 +245,8 @@ object Imperative {
     try { exec(stmts); ret }
     catch {
       case ReturnEx(df) => df
-      case _: BreakEx => throw ImperativeException("%break outside %loop")
-      case _: ContinueEx => throw ImperativeException("%continue outside %loop")
+      case BreakEx(_) => throw ImperativeException("%break outside %loop")
+      case ContinueEx(_) => throw ImperativeException("%continue outside %loop")
     }
   }
 

@@ -1,0 +1,101 @@
+package graft.lang
+
+import graft.SparkFixture
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Multi-statement transactions (db.rs:298-397), access levels
+  * (relation.rs:122), %ignore_error / labeled loops
+  * (cozoscript.pest:238-260), and the remaining sys-op surface.
+  */
+class SysOpsSpec extends AnyFunSuite {
+  lazy val spark = SparkFixture.spark
+  import spark.implicits._
+
+  def freshDb(): CozoDb = {
+    val db = new CozoDb(spark)
+    db.registerTable("kv", Seq((1L, "a"), (2L, "b")).toDF("k", "v"), Seq("k"))
+    db
+  }
+
+  test("transact commits on success, rolls back on failure (db.rs:298 test_multi_tx)") {
+    val db = freshDb()
+    db.transact { tx =>
+      tx.run("?[k, v] <- [[3, 'c']] :put kv {k}")
+      assert(tx.run("?[k] := *kv[k, v]").count() == 3) // sees own write
+    }
+    assert(db.relation("kv").count() == 3) // committed
+    intercept[RuntimeException](db.transact { tx =>
+      tx.run("?[k, v] <- [[4, 'd']] :put kv {k}")
+      tx.run("?[k] := *kv[k, v] :assert none") // fails → rollback
+    })
+    assert(db.relation("kv").count() == 3) // the 4-row write rolled back
+  }
+
+  test("explicit abort restores relations, keys, and indexes") {
+    val db = freshDb()
+    val tx = db.multiTransaction()
+    tx.run("?[k, v] <- [[9, 'z']] :create extra {k}")
+    tx.run("?[k, v] <- [[5, 'e']] :put kv {k}")
+    assert(db.relationNames.contains("extra"))
+    tx.abort()
+    assert(!db.relationNames.contains("extra"))
+    assert(db.relation("kv").count() == 2)
+  }
+
+  test("%ignore_error swallows a failing block (pest:253)") {
+    val db = freshDb()
+    val res = db.run(
+      """%ignore_error { ?[k] := *nonexistent[k] }
+        |{ ?[k] := *kv[k, v] }""".stripMargin)
+    assert(res.count() == 2)
+  }
+
+  test("%mark label with labeled %break exits the outer loop (pest:257)") {
+    val db = freshDb()
+    val res = db.run(
+      """{ ?[n] <- [[0]] :replace _c {n} }
+        |%mark outer %loop
+        |  %loop
+        |    { ?[n] := *_c[m], n = m + 1 :replace _c {n} }
+        |    %if { ?[n] := *_c[n], n >= 3 } %then %break outer %end
+        |  %end
+        |%end
+        |%return _c""".stripMargin)
+    assert(res.collect().map(_.getLong(0)).toSeq == Seq(3L))
+  }
+
+  test("access levels: read_only blocks writes, hidden blocks reads (relation.rs:122)") {
+    val db = freshDb()
+    db.run("::access_level read_only kv")
+    assert(db.run("?[k] := *kv[k, v]").count() == 2) // reads fine
+    val e = intercept[IllegalStateException](db.run("?[k, v] <- [[7, 'g']] :put kv {k}"))
+    assert(e.getMessage.contains("access level"))
+    db.run("::access_level hidden kv")
+    intercept[IllegalStateException](db.run("?[k] := *kv[k, v]"))
+    db.run("::access_level normal kv")
+    assert(db.run("?[k] := *kv[k, v]").count() == 2)
+  }
+
+  test("::set_triggers requires protected access") {
+    val db = freshDb()
+    db.run("::access_level read_only kv")
+    intercept[IllegalStateException](
+      db.run("::set_triggers kv on put { ?[k, v] := _new[k, v] :put kv {k} }"))
+  }
+
+  test("::describe stores text shown by ::relations; ::compact is ok") {
+    val db = freshDb()
+    db.run("::describe kv 'key-value scratch table'")
+    val rel = db.run("::relations").collect().find(_.getString(0) == "kv").get
+    assert(rel.getString(4) == "key-value scratch table")
+    assert(db.run("::compact").collect().head.getString(0) == "ok")
+  }
+
+  test("::running lists the in-flight query; ::kill on absent id reports not_found") {
+    val db = freshDb()
+    // ::running runs inside its own run() call, so it sees itself
+    val running = db.run("::running").collect()
+    assert(running.length == 1 && running.head.getString(1).startsWith("::running"))
+    assert(db.run("::kill 999999").collect().head.getString(0) == "not_found")
+  }
+}

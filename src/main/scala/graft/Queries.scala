@@ -511,8 +511,12 @@ object Queries {
              |  (row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1) AS keep
              |FROM documents""".stripMargin)),
 
+    // oracle cross-check: the DuckDB side computes UNFILTERED exact
+    // Jaccard, so the hot-shingle cut is disabled here; production calls
+    // leave maxDocFreq at its engaged default (0.1% of corpus)
     Spec("dedup_jaccard", (s, d) =>
-      Dedup.ngramJaccard(T(s, d, "documents"), "doc_id", "text", shingleN = 3, threshold = 0.5)
+      Dedup.ngramJaccard(T(s, d, "documents"), "doc_id", "text", shingleN = 3, threshold = 0.5,
+          maxDocFreq = Some(Long.MaxValue))
         .withColumn("jaccard", round(col("jaccard"), 4)),
       Some(exactJaccardSql)),
 

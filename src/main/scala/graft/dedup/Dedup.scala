@@ -107,15 +107,20 @@ object Dedup {
     * consistent Jaccard over the filtered shingle space (an inconsistent
     * mix biases true near-dups below threshold). At 100 TB the cut is
     * what keeps boilerplate shingles from generating quadratic
-    * candidates.
+    * candidates: the DEFAULT (maxDocFreq = None) engages it at 0.1% of
+    * the corpus (floor 100 docs). Pass Long.MaxValue only for an exact
+    * unfiltered cross-check against an oracle — that path is quadratic
+    * in hot-shingle collisions and is NOT the production plan
+    * (minhashDedup is).
     */
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
                    shingleN: Int = 3, threshold: Double = 0.5,
-                   maxDocFreq: Long = 1000000L): DataFrame = {
+                   maxDocFreq: Option[Long] = None): DataFrame = {
+    val cutoff = maxDocFreq.getOrElse(math.max(100L, df.count() / 1000L))
     val sh = df.select(col(idCol).as("id"),
         explode(TF.wordShingles(col(textCol), shingleN)).as("s"))
       .distinct()
-    val freqOk = sh.groupBy("s").agg(count(lit(1)).as("df")).filter(col("df") <= maxDocFreq)
+    val freqOk = sh.groupBy("s").agg(count(lit(1)).as("df")).filter(col("df") <= cutoff)
     val shf = sh.join(freqOk.select("s"), Seq("s"), "left_semi").ckpt()
     val sizes = shf.groupBy("id").agg(count(lit(1)).as("n"))
     val inter = shf.select(col("id").as("id_a"), col("s"))

@@ -204,7 +204,9 @@ class Compiler(spark: SparkSession,
     case Unify(v, e) =>
       frame = cur
       cur match {
-        case Some(df) if df.columns.contains(v) => df.filter(col(v) === compileExpr(e))
+        // Datalog unification: null = null holds (value.rs derives total
+        // Eq; no SQL three-valued logic) — hence <=> not ===
+        case Some(df) if df.columns.contains(v) => df.filter(col(v) <=> compileExpr(e))
         case Some(df) => df.withColumn(v, compileExpr(e))
         case None => one().select(compileExpr(e).as(v))
       }
@@ -226,7 +228,8 @@ class Compiler(spark: SparkSession,
         val shared = base.columns.intersect(ndf.columns)
         if (shared.isEmpty)
           throw CompileException("negated atom shares no variable with the rest of the body (unsafe)")
-        base.join(ndf.select(shared.map(col): _*).dropDuplicates(), shared.toSeq, "left_anti")
+        nullSafeJoin(base, ndf.select(shared.map(col): _*).dropDuplicates(),
+          shared.toSeq, "left_anti")
       } catch { case Compiler.EmptyRelation(_) => base }
 
     case SearchApply(index, pairs, opts) =>
@@ -275,7 +278,7 @@ class Compiler(spark: SparkSession,
       arg match {
         case V("_") => ()
         case V(v) if varOf.contains(v) =>
-          preFilters ::= (col(orig) === col(varOf(v)))
+          preFilters ::= (col(orig) <=> col(varOf(v)))
         case V(v) =>
           varOf += v -> orig
           keepCols ::= col(orig).as(v)
@@ -294,13 +297,27 @@ class Compiler(spark: SparkSession,
       case None => projected
       case Some(c) =>
         val shared = c.columns.toSeq.intersect(newVars)
-        if (shared.nonEmpty) c.join(projected, shared.toSeq)
+        if (shared.nonEmpty) nullSafeJoin(c, projected, shared, "inner")
         else c.crossJoin(projected)
     }
     postFilters.foldLeft(joined) { case (d, (fresh, e)) =>
       frame = Some(d)
-      d.filter(col(fresh) === compileExpr(e)).drop(fresh)
+      d.filter(col(fresh) <=> compileExpr(e)).drop(fresh)
     }
+  }
+
+  /** Equi-join on shared variables with Datalog unification semantics:
+    * equal NULLs match (`<=>`, EqualNullSafe — still a hashable join
+    * key for Catalyst, so broadcast/SMJ planning is unaffected). The
+    * right side's key columns are renamed away and dropped so output
+    * column names stay unambiguous like a USING join. */
+  private def nullSafeJoin(left: DataFrame, right: DataFrame,
+                           shared: Seq[String], how: String): DataFrame = {
+    val renamed = shared.foldLeft(right)((d, s) => d.withColumnRenamed(s, s"__nsj_$s"))
+    val cond = shared.map(s => left(s) <=> renamed(s"__nsj_$s")).reduce(_ && _)
+    val joined = left.join(renamed, cond, how)
+    if (how == "left_anti" || how == "left_semi") joined
+    else shared.foldLeft(joined)((d, s) => d.drop(s"__nsj_$s"))
   }
 
   // ———————————————————————— heads ————————————————————————

@@ -354,6 +354,16 @@ class LangSpec extends AnyFunSuite {
       Map(1L -> "a", 3L -> "c2"))
   }
 
+  test("null keys unify in joins and negation (Datalog, not SQL 3VL)") {
+    val db = new CozoDb(spark)
+    db.registerTable("na", Seq((Option(1L), "x"), (Option.empty[Long], "y")).toDF("k", "v"), Seq("k"))
+    db.registerTable("nb", Seq((Option(1L), "p"), (Option.empty[Long], "q")).toDF("k", "w"), Seq("k"))
+    assert(rows(db, "?[v, w] := *na[k, v], *nb[k, w]").toSet ==
+      Set(Seq("x", "p"), Seq("y", "q"))) // null = null joins
+    assert(rows(db, "?[v] := *na[k, v], not *nb[k, 'q']").map(_.head).toSet ==
+      Set("x")) // the null-keyed row is negated away
+  }
+
   test("group_count / choice_rand / intersection aggregations") {
     val db = freshDb()
     val gc = db.run("?[group_count(age)] := *person{age}").collect().head.getSeq[Row](0)

@@ -46,6 +46,7 @@ object Builtins {
     "pow" -> (a => pow(a(0), a(1))),
     "sqrt" -> (a => sqrt(a(0))),
     "exp" -> (a => exp(a(0))),
+    "exp2" -> (a => pow(lit(2.0), a(0))),
     "ln" -> (a => log(a(0))),
     "log2" -> (a => log2(a(0))),
     "log10" -> (a => log10(a(0))),
@@ -133,6 +134,12 @@ object Builtins {
     "is_list" -> (a => typeof(a(0)).startsWith("array")),
     "is_bool" -> (a => typeof(a(0)) === "boolean"),
     "is_nan" -> (a => isnan(a(0))),
+    "is_uuid" -> (a => a(0).rlike("^[0-9a-fA-F]{8,12}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$")),
+    "is_vec" -> (a => typeof(a(0)).isin("array<float>", "array<double>")),
+    // string-encoded JSON: a value is "json" when it parses as an
+    // object/array or is a JSON scalar literal (functions.rs:311 checks
+    // the Json runtime type, which our encoding folds into strings)
+    "is_json" -> (a => a(0).rlike("^\\s*([\\[{\"]|-?[0-9]|true$|false$|null$)")),
     "is_finite" -> (a => !isnan(a(0)) && a(0) =!= Double.PositiveInfinity && a(0) =!= Double.NegativeInfinity),
     "is_infinite" -> (a => a(0) === Double.PositiveInfinity || a(0) === Double.NegativeInfinity),
     "to_int" -> (a => a(0).cast("long")),
@@ -143,6 +150,18 @@ object Builtins {
     // — JSON (functions.rs:76-316); json_object/set_json_path/
     // remove_json_path are Lit-gated at the App call site in Compiler
     "parse_json" -> (a => a(0)), // JSON kept as string; access via get_json_object / ->
+    // functions.rs:76 `json` — scalar fallback; complex inputs are
+    // dispatched to to_json at the App call site (static-type dispatch,
+    // since both when-branches would be analyzed)
+    "json" -> (a => a(0).cast("string")),
+    // functions.rs:1380 `regex` — a compile-time pattern marker; our
+    // regex functions accept pattern strings directly
+    "regex" -> (a => a(0)),
+    // functions.rs:2571 `validity` — build a (timestamp, assert) pair
+    // from an RFC3339 string, `~`-prefixed for retractions
+    "validity" -> (a => struct(
+      to_timestamp(regexp_replace(a(0), "^~", "")).as("ts"),
+      (!a(0).startsWith("~")).as("assert"))),
     "dump_json" -> (a => to_json(a(0))),
     "get_json_path" -> (_ => throw Compiler.CompileException(
       "get_json_path requires a literal path argument")),

@@ -80,6 +80,16 @@ class Compiler(spark: SparkSession,
         case Some(_: org.apache.spark.sql.types.ArrayType) => size(cx)
         case _ => length(cx)
       }
+    case App("json", Seq(x)) =>
+      // functions.rs:76 — complex values serialize to JSON text,
+      // scalars render as their literal; dispatch on the static type
+      val cx = compileExpr(x)
+      import org.apache.spark.sql.types.{ArrayType, StructType, MapType}
+      if (isListValued(x)) to_json(cx)
+      else typed(cx) match {
+        case Some(_: ArrayType) | Some(_: StructType) | Some(_: MapType) => to_json(cx)
+        case _ => cx.cast("string")
+      }
     case App("unicode_normalize", Seq(x, form)) =>
       graft.functions.CozoFunctions.unicodeNormalize(
         compileExpr(x), litString(form, "unicode_normalize"))

@@ -98,6 +98,21 @@ class FunctionsSpec extends AnyFunSuite {
     assert(out == Set(Seq("a", "b", "c"), Seq("x", "y")))
   }
 
+  test("exp2 / is_uuid / is_vec / is_json / json / validity constructors") {
+    assert(one("?[x] := x = exp2(10)") == 1024.0)
+    assert(one("?[x] := x = is_uuid(rand_uuid_v4())") == true)
+    assert(one("?[x] := x = is_uuid('nope')") == false)
+    assert(one("?[x] := x = is_vec(vec([1.0, 2.0]))") == true)
+    assert(one("?[x] := x = is_vec('hello')") == false)
+    assert(one("""?[x] := x = is_json('{"a": 1}')""") == true)
+    assert(one("?[x] := x = is_json('plain words')") == false)
+    assert(one("?[x] := x = json([1, 2])") == "[1,2]")
+    assert(one("?[x] := x = json(5)") == "5")
+    val v = one("?[x] := x = validity('~2024-01-01T00:00:00Z')")
+      .asInstanceOf[org.apache.spark.sql.Row]
+    assert(!v.getBoolean(1)) // retraction flag
+  }
+
   test("rand_bernoulli and rand_vec have the right shapes") {
     val b = one("?[x] := x = rand_bernoulli(0.5)")
     assert(b.isInstanceOf[Boolean])

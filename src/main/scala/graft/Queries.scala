@@ -502,6 +502,38 @@ object Queries {
              |  FROM events WHERE ts <= TIMESTAMP '2024-01-15') t
              |WHERE rn = 1""".stripMargin)),
 
+    // retraction-aware as-of (value.rs:112-131: a RETRACT as the newest
+    // version ≤ t hides the key; asserts outrank retracts at equal ts).
+    // 'error' events stand in for retractions on the synthetic corpus.
+    Spec("tt_retract", (s, d) => {
+      val ev = T(s, d, "events").withColumn("is_assert", col("event_type") =!= "error")
+      TimeTravel.asOf(ev, Seq("user_id"), "ts", lit("2024-01-15").cast("timestamp"),
+          assertCol = Some("is_assert"), tieBreak = Seq("is_assert", "event_id"))
+        .select("user_id", "event_type", "value")
+    },
+      Some("""SELECT user_id, event_type, value FROM (
+             |  SELECT user_id, event_type, value, (event_type <> 'error') AS is_assert,
+             |    row_number() OVER (PARTITION BY user_id
+             |      ORDER BY date_trunc('microseconds', ts) DESC, (event_type <> 'error') DESC, event_id DESC) AS rn
+             |  FROM events WHERE ts <= TIMESTAMP '2024-01-15') t
+             |WHERE rn = 1 AND is_assert""".stripMargin)),
+
+    // first-occurrence regex_replace (functions.rs:1401) and arg-honoring
+    // pads, cross-checked against DuckDB (whose regexp_replace is also
+    // first-occurrence by default; 'g' = replace-all)
+    Spec("fn_string_ops", (s, d) =>
+      T(s, d, "documents").select(
+        col("doc_id"),
+        lpad(col("doc_id").cast("string"), 8, "0").as("padded"),
+        CozoFn.regexReplaceFirst(col("text"), lit("[aeiou]"), lit("_")).as("repl_first"),
+        regexp_replace(col("text"), "[aeiou]", "_").as("repl_all"),
+        regexp_substr(col("text"), lit("[0-9]+")).as("first_num")),
+      Some("""SELECT doc_id, lpad(CAST(doc_id AS VARCHAR), 8, '0') AS padded,
+             |  regexp_replace(text, '[aeiou]', '_') AS repl_first,
+             |  regexp_replace(text, '[aeiou]', '_', 'g') AS repl_all,
+             |  NULLIF(regexp_extract(text, '[0-9]+'), '') AS first_num
+             |FROM documents""".stripMargin)),
+
     // ——————————————— dedup (north-star; ref ::lsh minhash_lsh.rs) ———————————————
 
     Spec("dedup_exact", (s, d) =>

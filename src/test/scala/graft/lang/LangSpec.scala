@@ -364,6 +364,44 @@ class LangSpec extends AnyFunSuite {
       Set("x")) // the null-keyed row is negated away
   }
 
+  test("aggregations over empty bodies (tests.rs:55-71 normal/meet_aggr_empty)") {
+    val db = freshDb()
+    assert(rows(db, "?[count(a)] := a in []").head == Seq(0L))
+    assert(rows(db, "?[min(a)] := a in []").head == Seq(null))
+    assert(rows(db, "?[min(a), count(a)] := a in []").head == Seq(null, 0L))
+  }
+
+  test("layered aggregation across rules (tests.rs:74 test_layers)") {
+    val db = freshDb()
+    assert(rows(db,
+      """y[a] := a in [1, 2, 3]
+        |x[sum(a)] := y[a]
+        |x[sum(a)] := a in [4, 5, 6]
+        |?[sum(a)] := x[a]""".stripMargin).head.head == 21L)
+  }
+
+  test("classical ancestor recursion (tests.rs:123 test_classical)") {
+    val db = freshDb()
+    val res = rows(db,
+      """parent[] <- [['joseph', 'jakob'],
+        |             ['jakob', 'isaac'],
+        |             ['isaac', 'abraham']]
+        |grandparent[gcld, gp] := parent[gcld, p], parent[p, gp]
+        |great_grandparent[ggcld, ggp] := grandparent[ggcld, gp], parent[gp, ggp]
+        |?[who] := great_grandparent[who, 'abraham']""".stripMargin)
+    assert(res == Seq(Seq("joseph")))
+  }
+
+  test("JSON object literals in expressions (tests.rs:518 test_json_objects)") {
+    val db = freshDb()
+    assert(rows(db, "?[a] := a = {'a': 1}").head == Seq("""{"a":1}"""))
+    assert(rows(db,
+      """?[a] := a = {
+        |  'a': 1,
+        |  'b': 'two'
+        |}""".stripMargin).head == Seq("""{"a":1,"b":"two"}"""))
+  }
+
   test("group_count / choice_rand / intersection aggregations") {
     val db = freshDb()
     val gc = db.run("?[group_count(age)] := *person{age}").collect().head.getSeq[Row](0)

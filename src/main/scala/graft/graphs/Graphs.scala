@@ -406,6 +406,76 @@ object Graphs {
     out.toSeq.toDF("start", "node", "order")
   }
 
+  /** Goal-directed BFS with witness paths (algos/bfs.rs shape: inputs
+    * edges, starts, goal set; output (start, goal, path)). Frontier
+    * expansion — first arrival at a node IS a fewest-hops path; one
+    * deterministic representative (lexicographic min) kept per
+    * (start, node). Early-exits when the frontier dries or every start
+    * has reached a goal. Works for any id type (string airport codes
+    * included).
+    */
+  def pathBfs(edges: DataFrame, starts: DataFrame, goals: DataFrame,
+              maxHops: Int = 30): DataFrame = {
+    val e = edges.select("src", "dst").distinct().ckpt()
+    val goalSet = goals.select(col(goals.columns.head).as("goal")).distinct().ckpt()
+    var reach = starts.select(col("start"), col("start").as("node"),
+      array(col("start")).as("path")).ckpt()
+    var frontier = reach
+    var found = reach.join(goalSet, reach("node") === goalSet("goal"), "left_semi")
+    var i = 0
+    var done = false
+    while (!done && i < maxHops) {
+      val next = frontier.join(e, frontier("node") === e("src"))
+        .select(col("start"), col("dst").as("node"),
+          concat(col("path"), array(col("dst"))).as("path"))
+      val fresh = next.join(reach.select("start", "node"), Seq("start", "node"), "left_anti")
+        .groupBy("start", "node").agg(min(col("path")).as("path")).ckpt()
+      if (fresh.isEmpty) done = true
+      else {
+        reach = reach.unionByName(fresh).ckpt()
+        frontier = fresh
+        // stop once every start has hit some goal (the common probe shape)
+        val startsLeft = starts.select(col("start"))
+          .join(reach.join(goalSet, reach("node") === goalSet("goal"), "left_semi")
+            .select("start"), Seq("start"), "left_anti")
+        if (startsLeft.isEmpty) done = true
+      }
+      i += 1
+    }
+    reach.join(goalSet, reach("node") === goalSet("goal"), "left_semi")
+      .select(col("start"), col("node").as("goal"), col("path"))
+  }
+
+  /** Goal-directed DFS with witness paths (algos/dfs.rs — the reference
+    * also materializes the graph and walks it sequentially). Children
+    * visited in sorted order; returns the first preorder path reaching
+    * a goal, per start. Driver-side with a maxEdges cap; generic ids. */
+  def pathDfs(edges: DataFrame, starts: DataFrame, goals: DataFrame,
+              maxEdges: Long = 10000000L): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val es = edges.select(col("src").cast("string"), col("dst").cast("string"))
+      .limit(math.min(maxEdges, Int.MaxValue).toInt).as[(String, String)].collect()
+    val adj = es.groupBy(_._1).map { case (s, arr) => s -> arr.map(_._2).distinct.sorted }.toMap
+    val goalSet = goals.select(col(goals.columns.head).cast("string")).as[String].collect().toSet
+    val ss = starts.select(col("start").cast("string")).as[String].collect().sorted
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, Seq[String])]
+    ss.foreach { s =>
+      val seen = scala.collection.mutable.HashSet.empty[String]
+      var hit = false
+      def walk(v: String, path: List[String]): Unit = {
+        if (!hit && !seen(v)) {
+          seen += v
+          val p = v :: path
+          if (goalSet(v)) { out += ((s, v, p.reverse)); hit = true }
+          else adj.getOrElse(v, Array.empty[String]).foreach(walk(_, p))
+        }
+      }
+      walk(s, Nil)
+    }
+    out.toSeq.toDF("start", "goal", "path")
+  }
+
   /** ClusteringCoefficients (algos/triangles.rs): per-node triangle count
     * and local clustering coefficient over the undirected graph.
     */

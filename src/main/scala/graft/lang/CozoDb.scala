@@ -796,7 +796,12 @@ class CozoDb(val spark: SparkSession) {
               df.select(cols.map(col): _*)
             else df
         }
-        val out = impl(inputs, opts.map { case (k, v) => k -> evalConst(v, params) }, spark)
+        // constant options evaluate; expression options (BFS/DFS
+        // `condition:`, AStar `heuristic:`) pass through as raw Exprs
+        // for the fixed rule to compile against its input relations
+        val out = impl(inputs, opts.map { case (k, v) =>
+          k -> (try evalConst(v, params) catch { case _: Compiler.CompileException => v })
+        }, spark)
         if (head.nonEmpty) {
           if (head.length != out.columns.length)
             throw CompileException(

@@ -65,16 +65,52 @@ object FixedRules {
     Graphs.labelPropagation(edges(rels), iters = optInt(o, "max_iter", 5)))
   register("ClusteringCoefficients", (rels, _, _) => Graphs.clusteringCoefficients(edges(rels)))
   register("TopSort", (rels, _, _) => Graphs.topSort(edges(rels)))
-  register("BFS", (rels, o, _) => {
-    val st = starts(rels, 1).getOrElse(
-      throw Compiler.CompileException("BFS needs a starting-nodes relation"))
-    Graphs.bfs(edges(rels), st, maxHops = optInt(o, "limit", 10))
-  })
-  register("DFS", (rels, o, _) => {
-    val st = starts(rels, 1).getOrElse(
-      throw Compiler.CompileException("DFS needs a starting-nodes relation"))
-    Graphs.dfs(edges(rels), st, maxDepth = optInt(o, "limit", 10))
-  })
+  /** Compile a `condition:`/`heuristic:` expression option against a
+    * nodes relation's columns (fixed_rule payload expr options). */
+  private def condCol(e: Ast.Expr, spark: org.apache.spark.sql.SparkSession) =
+    new Compiler(spark,
+      n => throw Compiler.CompileException(
+        s"stored relations are not available inside fixed-rule conditions: *$n"),
+      _ => None, Map.empty).compileExpr(e)
+
+  /** Reference BFS/DFS payload: (edges, nodes, starting) + a boolean
+    * `condition:` over the nodes relation picking the goals
+    * (algos/bfs.rs / dfs.rs); output rows are (start, goal, path). */
+  private def goalSearch(rels: Seq[DataFrame], o: Map[String, Any],
+                         spark: org.apache.spark.sql.SparkSession,
+                         run: (DataFrame, DataFrame, DataFrame) => DataFrame,
+                         what: String): DataFrame =
+    if (rels.length >= 3) {
+      val nodes = rels(1)
+      val st = starts(rels, 2).get
+      val goals = (o.get("condition") match {
+        case Some(e: Ast.Expr) => nodes.filter(condCol(e, spark))
+        case _ => nodes
+      }).select(col(nodes.columns.head))
+      run(edges(rels), st, goals)
+    } else {
+      val st = starts(rels, 1).getOrElse(
+        throw Compiler.CompileException(s"$what needs a starting-nodes relation"))
+      run(edges(rels), st, edges(rels).select(col("dst")).distinct())
+    }
+
+  register("BFS", (rels, o, spark) =>
+    if (rels.length >= 3)
+      goalSearch(rels, o, spark, (e, s, g) =>
+        Graphs.pathBfs(e, s, g, maxHops = optInt(o, "limit", 30)), "BFS")
+    else {
+      val st = starts(rels, 1).getOrElse(
+        throw Compiler.CompileException("BFS needs a starting-nodes relation"))
+      Graphs.bfs(edges(rels), st, maxHops = optInt(o, "limit", 10))
+    })
+  register("DFS", (rels, o, spark) =>
+    if (rels.length >= 3)
+      goalSearch(rels, o, spark, (e, s, g) => Graphs.pathDfs(e, s, g), "DFS")
+    else {
+      val st = starts(rels, 1).getOrElse(
+        throw Compiler.CompileException("DFS needs a starting-nodes relation"))
+      Graphs.dfs(edges(rels), st, maxDepth = optInt(o, "limit", 10))
+    })
   register("ShortestPathBFS", (rels, _, _) => {
     val st = starts(rels, 1).getOrElse(
       throw Compiler.CompileException("ShortestPathBFS needs starting nodes"))

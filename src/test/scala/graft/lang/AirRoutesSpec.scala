@@ -614,6 +614,48 @@ class AirRoutesSpec extends AnyFunSuite {
     assert(res.tail.forall(_.head == 7))
   }
 
+  test("bfs with a goal condition returns a witness path (air_routes.rs:212)") {
+    val r = db.run(
+      """starting[] <- [['PEK']]
+        |?[start, goal, path] <~ BFS(*route[], *airport[code], starting[], condition: (code == 'LHR'))""".stripMargin)
+      .collect()
+    assert(r.length == 1)
+    assert(r.head.getString(0) == "PEK" && r.head.getString(1) == "LHR")
+    val p = r.head.getSeq[String](2)
+    assert(p.head == "PEK" && p.last == "LHR" && p.length <= 3) // PEK→LHR is direct or 1 stop
+  }
+
+  test("dfs with a goal condition returns a preorder path (air_routes.rs:155)") {
+    val r = db.run(
+      """starting[] <- [['PEK']]
+        |?[start, goal, path] <~ DFS(*route[], *airport[code], starting[], condition: (code == 'LHR'))""".stripMargin)
+      .collect()
+    assert(r.length == 1)
+    val p = r.head.getSeq[String](2)
+    assert(p.head == "PEK" && p.last == "LHR")
+  }
+
+  test("astar with coordinate heuristic relations (air_routes.rs:268 shape)") {
+    val r = db.run(
+      """code_lat_lon[code, lat, lon] := *airport{code, lat, lon}
+        |starting[code, lat, lon] := code = 'HFE', *airport{code, lat, lon};
+        |goal[code, lat, lon] := code = 'LHR', *airport{code, lat, lon};
+        |?[src, dst, cost, path] <~ ShortestPathAStar(*route[], code_lat_lon[node, lat1, lon1], starting[], goal[g, lat2, lon2])""".stripMargin)
+      .collect()
+    assert(r.length == 1)
+    val p = r.head.getSeq[String](3)
+    assert(p.head == "HFE" && p.last == "LHR" && r.head.getDouble(2) > 0)
+  }
+
+  test("deg_centrality fixed rule ranks FRA first (air_routes.rs:281)") {
+    val r = db.run(
+      """deg_centrality[node, total, out, in] <~ DegreeCentrality(*route[a, b]);
+        |?[node, total, out, in] := deg_centrality[node, total, out, in];
+        |:order -total;
+        |:limit 3;""".stripMargin).collect()
+    assert(r.head.getString(0) == "FRA" && r.head.getLong(1) == 620L)
+  }
+
   test("SCC fixed rule over routes groups PEK with LHR (air_routes.rs:236 shape)") {
     val scc = db.run(
       """r[fr, to] := *route{fr, to}

@@ -640,6 +640,21 @@ object Queries {
               |  round(CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, x -> list_contains(['the','a','an','of','to','in','and','is','on','for','with','as','by','at','or'], x))) AS DOUBLE) / len(toks) ELSE 0.0 END, 4) AS stopword_ratio
               |FROM (SELECT doc_id, text, $toksSql AS toks FROM documents) t""".stripMargin)),
 
+    // LLM-pipeline token counting: whitespace words plus a BPE-style
+    // pre-tokenizer segmentation (letter runs / digit runs / punct runs,
+    // optionally space-prefixed — the RE2-safe core of the GPT-2
+    // pattern, identical in Java regex and DuckDB's RE2)
+    Spec("text_tokens", (s, d) => {
+      val bpe = " ?[\\p{L}]+| ?[\\p{N}]+| ?[^\\s\\p{L}\\p{N}]+"
+      T(s, d, "documents").select(col("doc_id"),
+        TF.tokenCount(col("text")).cast("long").as("ws_tokens"),
+        size(regexp_extract_all(col("text"), lit(bpe), lit(0))).cast("long").as("bpe_tokens"))
+    },
+      Some(s"""SELECT doc_id,
+              |  CAST(len($toksSql) AS BIGINT) AS ws_tokens,
+              |  CAST(len(regexp_extract_all(text, ' ?[\\p{L}]+| ?[\\p{N}]+| ?[^\\s\\p{L}\\p{N}]+')) AS BIGINT) AS bpe_tokens
+              |FROM documents""".stripMargin)),
+
     Spec("text_langid", (s, d) =>
       T(s, d, "documents").select(col("doc_id"),
         TextAnalysis.langId(col("text")).as("pred_lang")),

@@ -149,6 +149,12 @@ class CozoDb(val spark: SparkSession) {
     }
   }
 
+  /** Programmatic mutations through the same path scripts use — they
+    * coerce validity payloads, fire triggers/callbacks, and bump index
+    * epochs (used by the streaming bridge, Streaming.intoRelation). */
+  def put(rel: String, delta: DataFrame): Unit = { relationMutation("put", rel, Nil, delta); () }
+  def rm(rel: String, delta: DataFrame): Unit = { relationMutation("rm", rel, Nil, delta); () }
+
   /** Register a trigger fired after a put/rm mutation on `rel` with the
     * mutation delta (relation.rs:553-585). */
   def onPut(rel: String)(f: DataFrame => Unit): Unit =

@@ -34,6 +34,23 @@ object Streaming {
     events.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Bridge a stream into a CozoDb stored relation: every micro-batch
+    * is `:put` into `rel` through the SAME mutation path scripts use, so
+    * `::set_triggers` queries and registered callbacks fire with the
+    * batch as `_new` — the live analogue of the reference's
+    * callback-on-mutation system (db.rs:789-830), with watermarking and
+    * exactly-once batch semantics from Structured Streaming. The caller
+    * starts/stops the returned query. */
+  def intoRelation(db: graft.lang.CozoDb, rel: String, stream: DataFrame,
+                   checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) db.put(rel, batch)
+      }
+      .start()
+
   final case class SessionState(count: Long, firstTs: Long, lastTs: Long)
   final case class SessionUpdate(key: Long, count: Long, durationSecs: Long, closed: Boolean)
 

@@ -56,6 +56,34 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("intoRelation puts micro-batches through the trigger/callback path") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val db = new graft.lang.CozoDb(spark)
+    db.registerTable("live", Seq.empty[(Long, String)].toDF("id", "v"), Seq("id"))
+    db.registerTable("audit", Seq.empty[(Long, String)].toDF("id", "v"), Seq("id"))
+    db.run(
+      """::set_triggers live
+        |on put {
+        |  ?[id, v] := _new[id, v]
+        |  :put audit {id}
+        |}""".stripMargin)
+    var callbackRows = 0L
+    db.registerCallback("live")((op, nw, _) => if (op == "put") callbackRows += nw.count())
+    val input = MemoryStream[(Long, String)]
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-ckpt").toString
+    val q = Streaming.intoRelation(db, "live", input.toDF().toDF("id", "v"), dir)
+    try {
+      input.addData((1L, "a"), (2L, "b"))
+      q.processAllAvailable()
+      input.addData((2L, "b2"), (3L, "c"))
+      q.processAllAvailable()
+      assert(db.relation("live").count() == 3) // upsert by key
+      assert(db.relation("audit").count() == 3) // trigger mirrored every key
+      assert(callbackRows == 4L) // two batches of two rows each
+    } finally q.stop()
+  }
+
   test("sessionize tracks per-key state across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

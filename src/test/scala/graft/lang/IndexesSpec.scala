@@ -71,6 +71,34 @@ class IndexesSpec extends AnyFunSuite {
     assert(res.map(_._2).toSeq == res.map(_._2).sorted.toSeq)
   }
 
+  test("covering index tracks mutations and serves named scans (tests.rs:455 test_index)") {
+    val db = new CozoDb(spark)
+    db.run("?[fr, to, data] <- [[1, 2, 3], [4, 5, 6]] :create friends {fr, to}")
+    // unknown column errors like the reference
+    intercept[Exception](db.run("::index create friends:rev {to, no}"))
+    db.run("::index create friends:rev {to, data}")
+    db.run("?[fr, to, data] <- [[1, 2, 5], [6, 5, 7]] :put friends {fr, to}")
+    db.run("?[fr, to] <- [[4, 5]] :rm friends {fr, to}")
+    assert(db.relation("friends").collect().map(_.toSeq).toSet ==
+      Set(Seq(1L, 2L, 5L), Seq(6L, 5L, 7L)))
+    // the index view reflects the mutations, permuted to (to, data, fr)
+    assert(db.relation("friends:rev").collect().map(_.toSeq).toSet ==
+      Set(Seq(2L, 5L, 1L), Seq(5L, 7L, 6L)))
+    // named-field scan of the index
+    assert(rows(db, "?[fr, data] := *friends:rev{to: 2, fr, data}") == Seq(Seq(1L, 5L)))
+    assert(db.run("::columns friends:rev").count() == 3)
+    db.run("::index drop friends:rev")
+    intercept[Exception](db.run("?[to] := *friends:rev{to}"))
+  }
+
+  test("partial :update overwrites only the given non-key columns (tests.rs:434 test_update)") {
+    val db = new CozoDb(spark)
+    db.run("?[fr, to, a, b, c] <- [[1, 2, 3, 4, 5]] :create friends {fr, to}")
+    db.run("?[fr, to, b] <- [[1, 2, 100]] :update friends {fr, to}")
+    assert(rows(db, "?[fr, to, a, b, c] := *friends{fr, to, a, b, c}") ==
+      Seq(Seq(1L, 2L, 3L, 100L, 5L)))
+  }
+
   test("::index create registers a scannable permuted copy; ::indices lists; drop removes") {
     val db = new CozoDb(spark)
     db.run("?[k, v] <- [['a', 1], ['b', 2]] :create a {k}")

@@ -945,7 +945,7 @@ class CozoDb(val spark: SparkSession) {
                             evaluated: mutable.HashMap[String, DataFrame],
                             params: Map[String, Any],
                             magic: Map[String, DataFrame => DataFrame],
-                            maxIter: Int = 50): Unit = {
+                            maxIter: Int = 200): Unit = {
     val inScc = scc.toSet
     // stratification checks (query/stratify.rs:225): negation and
     // non-meet aggregation must not cross a recursive component

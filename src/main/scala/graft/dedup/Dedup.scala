@@ -45,13 +45,22 @@ object Dedup {
                  shingleN: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
                  threshold: Double = 0.5): DataFrame = {
     val k = bands * rowsPerBand
-    val sigs = TF.minhashSignatures(df, idCol, TF.wordShingles(col(textCol), shingleN), k)
+    val sigs = TF.minhashSignatures(df, idCol, TF.wordShingles(col(textCol), shingleN), k).ckpt()
+    // the band self-join shuffles (id, band) ONLY — the k-long signature
+    // rides once per doc, not once per band, and is joined back after
+    // candidate pairs are deduped (at 100 TB the sig is ~512 B/doc; a
+    // bands-wide copy of it through the shuffle is the cost center)
+    val banded = sigs
       .withColumn("band", explode(TF.lshBandKeys(col("sig"), bands, rowsPerBand)))
-      .ckpt()
-    val a = sigs.select(col("id").as("id_a"), col("sig").as("sig_a"), col("band"))
-    val b = sigs.select(col("id").as("id_b"), col("sig").as("sig_b"), col("band"))
-    a.join(b, Seq("band")).filter(col("id_a") < col("id_b"))
+      .select("id", "band")
+    val cand = banded.select(col("id").as("id_a"), col("band"))
+      .join(banded.select(col("id").as("id_b"), col("band")), Seq("band"))
+      .filter(col("id_a") < col("id_b"))
       .dropDuplicates("id_a", "id_b")
+      .select("id_a", "id_b")
+    cand
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
       .withColumn("est_jaccard",
         size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
           .cast("double") / lit(k))
@@ -99,37 +108,77 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
-  /** Exact n-gram Jaccard pairs: distinct shingles exploded, candidate
-    * pairs via shared-shingle equi-join, |A∩B| counted in the join and
-    * |A|,|B| joined back. Returns (id_a, id_b, jaccard ≥ threshold).
-    * Hot shingles (docFreq > maxDocFreq) are cut from the WHOLE universe
-    * — candidates, intersections AND set sizes — so the estimate stays a
-    * consistent Jaccard over the filtered shingle space (an inconsistent
-    * mix biases true near-dups below threshold). At 100 TB the cut is
-    * what keeps boilerplate shingles from generating quadratic
-    * candidates: the DEFAULT (maxDocFreq = None) engages it at 0.1% of
-    * the corpus (floor 100 docs). Pass Long.MaxValue only for an exact
-    * unfiltered cross-check against an oracle — that path is quadratic
-    * in hot-shingle collisions and is NOT the production plan
-    * (minhashDedup is).
+  /** Exact n-gram Jaccard pairs: distinct shingles exploded, candidates
+    * from an AllPairs-style PREFIX-filtered equi-join (exact, see
+    * inline note), |A∩B| verified by joining candidates back to the
+    * shingle relation. Returns (id_a, id_b, jaccard ≥ threshold).
+    * Hot shingles (docFreq > maxDocFreq) are additionally cut from the
+    * WHOLE universe — candidates, intersections AND set sizes — so the
+    * estimate stays a consistent Jaccard over the filtered shingle space
+    * (an inconsistent mix biases true near-dups below threshold). The
+    * DEFAULT (maxDocFreq = None) engages the cut at 0.1% of the corpus
+    * (floor 100 docs); Long.MaxValue gives the unfiltered exact answer
+    * (oracle cross-checks), which the prefix filter keeps sub-quadratic
+    * even without the cut. minhashDedup remains the cheapest plan when
+    * approximate recall (1-7e-5) is acceptable.
     */
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
                    shingleN: Int = 3, threshold: Double = 0.5,
-                   maxDocFreq: Option[Long] = None): DataFrame = {
+                   maxDocFreq: Option[Long] = None,
+                   collisionFactor: Long = 32L): DataFrame = {
     val cutoff = maxDocFreq.getOrElse(math.max(100L, df.count() / 1000L))
     val sh = df.select(col(idCol).as("id"),
         explode(TF.wordShingles(col(textCol), shingleN)).as("s"))
       .distinct()
-    val freqOk = sh.groupBy("s").agg(count(lit(1)).as("df")).filter(col("df") <= cutoff)
-    val shf = sh.join(freqOk.select("s"), Seq("s"), "left_semi").ckpt()
+    val freq = sh.groupBy("s").agg(count(lit(1)).as("df"))
+    val shf = sh.join(freq.filter(col("df") <= cutoff), Seq("s")).ckpt()
     val sizes = shf.groupBy("id").agg(count(lit(1)).as("n"))
-    val inter = shf.select(col("id").as("id_a"), col("s"))
-      .join(shf.select(col("id").as("id_b"), col("s")), Seq("s"))
-      .filter(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("common"))
-    inter
-      .join(sizes.select(col("id").as("id_a"), col("n").as("n_a")), Seq("id_a"))
-      .join(sizes.select(col("id").as("id_b"), col("n").as("n_b")), Seq("id_b"))
+    // STATS-ADAPTIVE candidate plan. Each shf row carries its shingle's
+    // docFreq, so sum(df) over shf = Σ_s df(s)² = the naive self-join's
+    // output size — one cheap aggregate over the already-checkpointed
+    // relation decides the plan (same spirit as AQE's runtime re-plan):
+    //  - collisions linear in the corpus → the direct shared-shingle
+    //    join + count is both exact and the fewest shuffles;
+    //  - hot-shingle regime (boilerplate headers/footers at web scale)
+    //    → AllPairs-style PREFIX FILTER (exact, no false negatives):
+    //    under a global (df asc, s) shingle order, J(A,B) ≥ t implies
+    //    A and B share a shingle within each one's first
+    //    |X| − ⌈t·|X|⌉ + 1 shingles; hot shingles sort last and fall
+    //    outside every prefix, breaking the df² blowup.
+    val Array(sumDf2, nRows) =
+      shf.agg(sum("df"), count(lit(1))).head().toSeq.map(_.asInstanceOf[Long]).toArray
+    val common =
+      if (sumDf2 <= collisionFactor * nRows) {
+        shf.select(col("id").as("id_a"), col("s"))
+          .join(shf.select(col("id").as("id_b"), col("s")), Seq("s"))
+          .filter(col("id_a") < col("id_b"))
+          .groupBy("id_a", "id_b").agg(count(lit(1)).as("common"))
+          .join(sizes.select(col("id").as("id_a"), col("n").as("n_a")), Seq("id_a"))
+          .join(sizes.select(col("id").as("id_b"), col("n").as("n_b")), Seq("id_b"))
+      } else {
+        val ranked = shf
+          .withColumn("rk", row_number().over(Window.partitionBy("id").orderBy("df", "s")))
+          .join(sizes, Seq("id"))
+          .filter(col("rk") <= col("n") - ceil(lit(threshold) * col("n")) + lit(1))
+          .select("id", "s")
+        val cand = ranked.select(col("id").as("id_a"), col("s"))
+          .join(ranked.select(col("id").as("id_b"), col("s")), Seq("s"))
+          .filter(col("id_a") < col("id_b"))
+          .dropDuplicates("id_a", "id_b")
+          .join(sizes.select(col("id").as("id_a"), col("n").as("n_a")), Seq("id_a"))
+          .join(sizes.select(col("id").as("id_b"), col("n").as("n_b")), Seq("id_b"))
+          // length filter: J ≥ t forces t·|B| ≤ |A| for |A| ≤ |B|
+          .filter(greatest(col("n_a"), col("n_b")) * lit(threshold) <= least(col("n_a"), col("n_b")))
+          // project away the candidate shingle `s` — if it leaks, the
+          // verify join below resolves its "s" against it and counts
+          // n_a per pair
+          .select("id_a", "id_b", "n_a", "n_b")
+        cand
+          .join(shf.select(col("id").as("id_a"), col("s")), Seq("id_a"))
+          .join(shf.select(col("id").as("id_b"), col("s")), Seq("id_b", "s"))
+          .groupBy("id_a", "id_b", "n_a", "n_b").agg(count(lit(1)).as("common"))
+      }
+    common
       .withColumn("jaccard", col("common").cast("double") / (col("n_a") + col("n_b") - col("common")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
@@ -205,13 +254,17 @@ object Dedup {
           .crossJoin(base.select(col("id").as("id_b"), col("vec").as("vec_b")))
           .filter(col("id_a") < col("id_b"))
       } else {
-        val bk = hyperplaneBuckets(df, idCol, vecCol, planes, tables)
-          .join(base, Seq("id")).ckpt()
-        bk.select(col("id").as("id_a"), col("vec").as("vec_a"), col("table"), col("bucket"))
-          .join(bk.select(col("id").as("id_b"), col("vec").as("vec_b"), col("table"), col("bucket")),
+        // bucket self-join over (id, table, bucket) ONLY: the embedding
+        // (512 B-4 KB at production dims) must not ride the exploded
+        // `tables`-way shuffle; vectors join back after pair-dedup
+        val bk = hyperplaneBuckets(df, idCol, vecCol, planes, tables).ckpt()
+        bk.select(col("id").as("id_a"), col("table"), col("bucket"))
+          .join(bk.select(col("id").as("id_b"), col("table"), col("bucket")),
             Seq("table", "bucket"))
           .filter(col("id_a") < col("id_b"))
           .dropDuplicates("id_a", "id_b")
+          .join(base.select(col("id").as("id_a"), col("vec").as("vec_a")), Seq("id_a"))
+          .join(base.select(col("id").as("id_b"), col("vec").as("vec_b")), Seq("id_b"))
       }
     pairs.withColumn("cosine", VF.cosineSimilarity(col("vec_a"), col("vec_b")))
       .filter(col("cosine") >= threshold)

@@ -92,10 +92,35 @@ object CozoAggregates {
   def variance(c: Column): Column = var_samp(c)
   def stdDev(c: Column): Column = stddev_samp(c)
 
-  /** aggr.rs:985/1054/1123 bit folds — over LongType here (the
-    * reference folds over Bytes; fixed-width integral covers the query
-    * surface; Spark built-ins are codegen'd). */
-  def bitAnd(c: Column): Column = bit_and(c)
-  def bitOr(c: Column): Column = bit_or(c)
-  def bitXor(c: Column): Column = bit_xor(c)
+  /** aggr.rs:985-1123 bit folds: byte-wise over Bytes, operands must
+    * share a length (the reference `ensure!`s this), empty-so-far
+    * buffer adopts the first value. Commutative + associative, so the
+    * partial (map-side) / merge split is sound. */
+  private class BytesBitAgg(op: (Byte, Byte) => Byte, name: String)
+      extends Aggregator[Array[Byte], Array[Byte], Array[Byte]] {
+    def zero: Array[Byte] = Array.emptyByteArray
+    private def fold(b: Array[Byte], a: Array[Byte]): Array[Byte] =
+      if (a == null || a.isEmpty) b
+      else if (b.isEmpty) a
+      else {
+        require(b.length == a.length,
+          s"operands of '$name' must have the same lengths, got ${b.length} and ${a.length} bytes")
+        val out = new Array[Byte](b.length)
+        var i = 0
+        while (i < b.length) { out(i) = op(b(i), a(i)); i += 1 }
+        out
+      }
+    def reduce(b: Array[Byte], a: Array[Byte]): Array[Byte] = fold(b, a)
+    def merge(b1: Array[Byte], b2: Array[Byte]): Array[Byte] = fold(b1, b2)
+    def finish(r: Array[Byte]): Array[Byte] = r
+    def bufferEncoder = Encoders.BINARY
+    def outputEncoder = Encoders.BINARY
+  }
+
+  lazy val bitAndUdaf = udaf(new BytesBitAgg((l, r) => (l & r).toByte, "bit_and"), Encoders.BINARY)
+  lazy val bitOrUdaf = udaf(new BytesBitAgg((l, r) => (l | r).toByte, "bit_or"), Encoders.BINARY)
+  lazy val bitXorUdaf = udaf(new BytesBitAgg((l, r) => (l ^ r).toByte, "bit_xor"), Encoders.BINARY)
+  def bitAnd(c: Column): Column = bitAndUdaf(c)
+  def bitOr(c: Column): Column = bitOrUdaf(c)
+  def bitXor(c: Column): Column = bitXorUdaf(c)
 }

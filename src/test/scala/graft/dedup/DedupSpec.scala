@@ -1,0 +1,75 @@
+package graft.dedup
+
+import graft.SparkFixture
+import graft.functions.{TextFunctions => TF}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Candidate-generation soundness checks on real testdata: the
+  * prefix-filtered exact Jaccard and the narrow (ids-only) LSH joins
+  * must reproduce the brute-force answers exactly.
+  */
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = SparkFixture.spark
+  def docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+  /** Naive unfiltered exact Jaccard via the full shared-shingle join —
+    * the reference answer the prefix filter must match. */
+  private def naiveJaccard(threshold: Double): Set[(Long, Long, Double)] = {
+    val sh = docs.select(col("doc_id").as("id"),
+        explode(TF.wordShingles(col("text"), 3)).as("s"))
+      .distinct()
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
+    val inter = sh.select(col("id").as("id_a"), col("s"))
+      .join(sh.select(col("id").as("id_b"), col("s")), Seq("s"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("common"))
+    inter
+      .join(sizes.select(col("id").as("id_a"), col("n").as("n_a")), Seq("id_a"))
+      .join(sizes.select(col("id").as("id_b"), col("n").as("n_b")), Seq("id_b"))
+      .withColumn("jaccard", col("common").cast("double") / (col("n_a") + col("n_b") - col("common")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+      .collect().map(r => (r.getLong(0), r.getLong(1), math.rint(r.getDouble(2) * 1e6) / 1e6)).toSet
+  }
+
+  private def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), math.rint(r.getDouble(2) * 1e6) / 1e6)).toSet
+
+  test("ngramJaccard equals the naive shared-shingle join on BOTH adaptive paths") {
+    for (t <- Seq(0.3, 0.5, 0.8)) {
+      // collisionFactor=MaxValue forces the direct-join path,
+      // collisionFactor=0 forces the prefix-filtered path; both exact
+      val direct = pairs(Dedup.ngramJaccard(docs, "doc_id", "text", shingleN = 3,
+        threshold = t, maxDocFreq = Some(Long.MaxValue), collisionFactor = Long.MaxValue))
+      val prefix = pairs(Dedup.ngramJaccard(docs, "doc_id", "text", shingleN = 3,
+        threshold = t, maxDocFreq = Some(Long.MaxValue), collisionFactor = 0L))
+      val truth = naiveJaccard(t)
+      assert(direct == truth, s"direct path, threshold $t")
+      assert(prefix == truth, s"prefix path, threshold $t")
+    }
+  }
+
+  test("minhashDedup (LSH + exact verify) recovers every naive pair at j>=0.5 on this corpus") {
+    val got = pairs(Dedup.minhashDedup(docs, "doc_id", "text",
+      shingleN = 3, bands = 32, rowsPerBand = 2, threshold = 0.5))
+    assert(got == naiveJaccard(0.5))
+  }
+
+  test("minhashLsh narrow band join emits (id_a, id_b, est) with ids ordered and deduped") {
+    val out = Dedup.minhashLsh(docs, "doc_id", "text", threshold = 0.5)
+    val rows = out.collect()
+    assert(rows.forall(r => r.getLong(0) < r.getLong(1)))
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).distinct.length == rows.length)
+    assert(rows.nonEmpty) // the corpus has planted near-dups
+  }
+
+  test("embeddingNearDup LSH plan equals brute force on the sf0.001 embeddings") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val brute = pairs(Dedup.embeddingNearDup(emb, "vec_id", "embedding",
+      threshold = 0.4, planes = 0))
+    val lsh = pairs(Dedup.embeddingNearDup(emb, "vec_id", "embedding",
+      threshold = 0.4, planes = 3, tables = 32))
+    assert(lsh == brute)
+  }
+}

@@ -68,6 +68,22 @@ class FunctionsSpec extends AnyFunSuite {
     assert(one("?[x] := x = bit_and(decode_base64('8A=='), decode_base64('8PA='))") == null)
   }
 
+  test("bit_and/or/xor AGGREGATES fold bytes byte-wise (aggr.rs:985-1123)") {
+    def agg(name: String, expect: String) = {
+      val script =
+        s"""r[$name(x)] := x in [decode_base64('8A=='), decode_base64('PA==')]
+           |?[y] := r[b], y = encode_base64(b)""".stripMargin
+      assert(one(script) == expect, name)
+    }
+    agg("bit_and", "MA==") // 0xF0 & 0x3C = 0x30
+    agg("bit_or", "/A==")  // 0xF0 | 0x3C = 0xFC
+    agg("bit_xor", "zA==") // 0xF0 ^ 0x3C = 0xCC
+    // mismatched operand lengths must error, as in the reference
+    val e = intercept[Exception](db().run(
+      "?[bit_or(x)] := x in [decode_base64('8A=='), decode_base64('8PA=')]").collect())
+    assert(e.getMessage != null)
+  }
+
   test("json_object builds objects with literal keys (functions.rs:185)") {
     assert(one("?[x] := x = json_object('a', 1, 'b', 'two')") == """{"a":1,"b":"two"}""")
     assert(one("?[x] := x = json_object()") == "{}")

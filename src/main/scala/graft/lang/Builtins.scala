@@ -241,6 +241,38 @@ object Builtins {
 
   def isAggr(name: String): Boolean = aggr.contains(name)
 
+  /** Schema-aware aggregation dispatch. Cozo's heterogeneous pair lists
+    * ([payload, cost] — the canonical shortest-path idiom, aggr.rs:719/
+    * 759/799) compile to struct<_1.._n> columns when no common Spark
+    * element type exists (see Compiler's ListE case); the pair-taking
+    * aggregations then act on the first/last struct fields. Homogeneous
+    * (array) pairs keep the element_at-based implementations. */
+  def aggrTyped(name: String, c: Column, extra: Seq[Column],
+                dt: org.apache.spark.sql.types.DataType): Column = {
+    import org.apache.spark.sql.types.{ArrayType, StructType}
+    (name, dt) match {
+      case ("min_cost", st: StructType) if st.size >= 2 =>
+        // ties on cost break to the shortest-then-lexicographic payload
+        // — deterministic under distributed evaluation, and the path a
+        // sequential BFS-ordered engine (the reference) encounters first
+        val costF = c.getField(st.fieldNames.last)
+        val payload = c.getField(st.fieldNames.head)
+        val ord = st.fields.head.dataType match {
+          case _: ArrayType => struct(costF, size(payload), payload)
+          case _ => struct(costF, payload)
+        }
+        min_by(c, ord)
+      case ("latest_by", st: StructType) if extra.isEmpty && st.size >= 2 =>
+        max_by(c.getField(st.fieldNames.head), c.getField(st.fieldNames.last))
+      case ("smallest_by", st: StructType) if extra.isEmpty && st.size >= 2 =>
+        min_by(c.getField(st.fieldNames.head), c.getField(st.fieldNames.last))
+      case ("latest_by", _) if extra.isEmpty => max_by(element_at(c, 1), element_at(c, 2))
+      case ("smallest_by", _) if extra.isEmpty => min_by(element_at(c, 1), element_at(c, 2))
+      case _ => aggr.getOrElse(name,
+        throw Compiler.CompileException(s"unknown aggregation $name"))(c, extra)
+    }
+  }
+
   /** Functions whose result is a list — used by the compiler to
     * dispatch generic `length` to `size` at the AST level. */
   val listReturning: Set[String] = Set(

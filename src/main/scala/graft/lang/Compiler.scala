@@ -39,7 +39,18 @@ class Compiler(spark: SparkSession,
       throw CompileException(s"missing parameter $$$name")))
     case ListE(items) =>
       if (items.isEmpty) array()
-      else array(items.map(compileExpr): _*)
+      else {
+        val cols = items.map(compileExpr)
+        // cozo lists are heterogeneous (value.rs:163); Spark arrays are
+        // not. When the frame's schema shows no common element type,
+        // lower the list to a struct<_1.._n> pair — the shape the
+        // pair-taking aggregations (min_cost/latest_by/smallest_by) and
+        // first/last/get understand. Homogeneous lists stay arrays.
+        if (cols.size < 2 || frame.isEmpty || typed(array(cols: _*)).isDefined)
+          array(cols: _*)
+        else
+          struct(cols.zipWithIndex.map { case (c, i) => c.as(s"_${i + 1}") }: _*)
+      }
     case Un("-", x) => -compileExpr(x)
     case Un("!", x) => !compileExpr(x)
     case Un(op, _) => throw CompileException(s"unknown unary op $op")
@@ -111,12 +122,36 @@ class Compiler(spark: SparkSession,
     case App("remove_json_path", Seq(x, path)) =>
       graft.functions.CozoFunctions.jsonRemove(
         compileExpr(x), singleKey(path, "remove_json_path"))
+    // struct-pair accessors (heterogeneous lists lowered by ListE above)
+    case App("first", Seq(x)) if structFields(x).isDefined =>
+      compileExpr(x).getField(structFields(x).get.head)
+    case App("last", Seq(x)) if structFields(x).isDefined =>
+      compileExpr(x).getField(structFields(x).get.last)
+    case App("get" | "maybe_get", Seq(x, i)) if structFields(x).isDefined =>
+      val fields = structFields(x).get
+      val idx = i match {
+        case Lit(n: Long) => n.toInt
+        case Lit(n: Int) => n
+        case other => throw CompileException(
+          s"get on a heterogeneous pair requires a literal index, got $other")
+      }
+      if (idx < 0 || idx >= fields.length)
+        throw CompileException(s"get index $idx out of range for pair of ${fields.length}")
+      compileExpr(x).getField(fields(idx))
     case App(fn, args) =>
       Builtins.scalar.get(fn) match {
         case Some(impl) => impl(args.map(compileExpr))
         case None => throw CompileException(s"unknown function $fn/${args.length}")
       }
   }
+
+  /** Field names when `e` is a struct-lowered heterogeneous pair in the
+    * current frame, else None (array path). */
+  private def structFields(e: Expr): Option[Seq[String]] =
+    typed(compileExpr(e)) match {
+      case Some(st: org.apache.spark.sql.types.StructType) => Some(st.fieldNames.toSeq)
+      case _ => None
+    }
 
   /** Compile-time literal string: a Lit or a bound $parameter. Anything
     * runtime-valued throws — never silently stringify a Column
@@ -346,10 +381,10 @@ class Compiler(spark: SparkSession,
     if (!head.exists(_.aggr.isDefined)) {
       body.select(plain.map(col): _*).dropDuplicates()
     } else {
+      frame = Some(body)
       val aggs = head.collect { case HeadArg(Some(a), v, extra) =>
-        val impl = Builtins.aggr.getOrElse(a,
-          throw CompileException(s"unknown aggregation $a"))
-        val c = impl(col(v), extra.map(compileExpr))
+        val c = Builtins.aggrTyped(a, col(v), extra.map(compileExpr),
+          body.schema(v).dataType)
         // collect(v, cap) caps the list length post-aggregation
         val capped = (a, extra) match {
           case ("collect", Seq(Lit(n: Long))) => slice(c, 1, n.toInt)

@@ -991,7 +991,7 @@ class CozoDb(val spark: SparkSession) {
         val c = col(cols(i))
         val agg =
           if (a == "choice") min(struct(col("__tag").as("t"), c.as("v"))).getField("v")
-          else Builtins.aggr(a)(c, Nil)
+          else Builtins.aggrTyped(a, c, Nil, tagged.schema(cols(i)).dataType)
         agg.as(cols(i))
       }
       val folded =

@@ -664,4 +664,79 @@ class AirRoutesSpec extends AnyFunSuite {
     assert(scc("PEK") == scc("LHR")) // the main connected flight network is one SCC
     assert(scc.size == 3476) // 3504 airports - 28 with no routes (golden no_routes_airport)
   }
+
+  test("cc fixed rule groups PEK with LHR (air_routes.rs:252 shape)") {
+    val cc = db.run(
+      """r[fr, to] := *route{fr, to}
+        |?[node, comp] <~ ConnectedComponents(r[])""".stripMargin)
+      .collect().map(x => x.getString(0) -> x.get(1)).toMap
+    assert(cc("PEK") == cc("LHR"))
+    assert(cc.size == 3476)
+  }
+
+  test("empty: arity-mismatched const row errors (air_routes.rs:178)") {
+    intercept[Exception](db.run("?[id, name] <- [[]]").collect())
+  }
+
+  test("most_out_routes_again: aggregation in first head position (air_routes.rs:507)") {
+    assert(rows(
+      """route_count[count(fr), fr] := *route{fr};
+        |?[code, n] := route_count[n, code], n > 180;
+        |:sort -n;""".stripMargin).map(r => (r.head, r(1))) ==
+      Seq(("FRA", 310L), ("IST", 309L), ("CDG", 293L), ("AMS", 283L), ("MUC", 270L),
+        ("ORD", 265L), ("DFW", 253L), ("DXB", 248L), ("PEK", 248L), ("ATL", 242L),
+        ("DME", 232L), ("LGW", 232L), ("LHR", 221L), ("DEN", 217L), ("MAN", 216L),
+        ("LAX", 214L), ("PVG", 213L), ("STN", 211L), ("MAD", 206L), ("VIE", 206L),
+        ("JFK", 204L), ("BCN", 203L), ("EWR", 203L), ("BER", 202L), ("FCO", 201L),
+        ("DUS", 199L), ("IAH", 199L), ("MIA", 196L), ("YYZ", 195L), ("BRU", 194L),
+        ("CPH", 194L), ("DOH", 187L), ("DUB", 185L), ("CLT", 184L), ("SVO", 181L)))
+  }
+
+  test("num_airports_in_us_with_routes_from_eu (air_routes.rs:917)") {
+    assert(rows(
+      """?[count_unique(to)] := *contain['EU', fr],
+        |                       *route{fr, to},
+        |                       *airport{code: to, country: 'US'}""".stripMargin) ==
+      Seq(Seq(45L)))
+  }
+
+  test("furthest_from_lhr: min_cost meet recursion over [path, dist] pairs (air_routes.rs:1882)") {
+    val out = rows(
+      """routes[to, min_cost(cost_pair)] := *route{fr: 'LHR', to, dist},
+        |                                     path = ['LHR', to],
+        |                                     cost_pair = [path, dist];
+        |routes[to, min_cost(cost_pair)] := routes[a, prev], *route{fr: a, to, dist},
+        |                                   path = append(first(prev), to),
+        |                                   cost_pair = [path, last(prev) + dist];
+        |?[cost, path] := routes[dst, cost_pair], cost = last(cost_pair), path = first(cost_pair);
+        |:order -cost;
+        |:limit 10;""".stripMargin)
+      .map(r => (r.head.asInstanceOf[Double], r(1).asInstanceOf[scala.collection.Seq[String]].toList))
+    assert(out == Seq(
+      (12922.0, Seq("LHR", "JNB", "HLE", "ASI", "BZZ")),
+      (12093.0, Seq("LHR", "PVG", "CHC", "IVC")),
+      (12015.0, Seq("LHR", "NRT", "AKL", "WLG", "TIU")),
+      (12009.0, Seq("LHR", "PVG", "CHC", "DUD")),
+      (11910.0, Seq("LHR", "NRT", "AKL", "WLG", "WSZ")),
+      (11900.0, Seq("LHR", "PVG", "CHC", "HKK")),
+      (11805.0, Seq("LHR", "PVG", "CHC")),
+      (11766.0, Seq("LHR", "PVG", "BNE", "ZQN")),
+      (11758.0, Seq("LHR", "NRT", "AKL", "BHE")),
+      (11751.0, Seq("LHR", "NRT", "AKL", "NSN"))))
+  }
+
+  test("skip_limit (air_routes.rs:1921; limit-without-sort row choice is engine-defined)") {
+    def q(suffix: String) = rows(s"?[a] := a in [9, 9, 8, 9, 8, 7, 7, 6, 5, 9, 4, 4, 3]\n$suffix")
+      .map(_.head.asInstanceOf[Long])
+    val domain = Set(3L, 4L, 5L, 6L, 7L, 8L, 9L)
+    assert(q("").sorted == Seq(3L, 4L, 5L, 6L, 7L, 8L, 9L)) // set semantics dedup
+    // the reference's exact rows under :limit reflect its sequential
+    // insertion-order limiter (eval.rs QueryLimiter); ours are
+    // whichever `limit` rows Spark returns — counts and membership are
+    // the portable contract
+    assert(q(":limit 2").length == 2 && q(":limit 2").forall(domain))
+    val off = q(":limit 2\n:offset 1")
+    assert(off.length == 2 && off.forall(domain))
+    assert(q(":limit 100\n:offset 1").length == 6)
+  }
 }

@@ -626,6 +626,34 @@ object Queries {
     },
       None),
 
+    // IVF-Flat with a FULL probe (nProbe = nCells) must reproduce the
+    // exact top-k — the oracle checks the whole centroid/invert/probe/
+    // re-rank pipeline; the partial-probe scale setting is recall-tested
+    // in AnnSpec (0.375x corpus work, recall >= 0.5 on this regime)
+    Spec("ann_ivf", (s, d) => {
+      val emb = T(s, d, "embeddings")
+      val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val queries = emb.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("embedding").as("vec"))
+      Ann.ivfTopK(corpus, queries, k = 5, nCells = 16, nProbe = 16)
+        .withColumn("cosine", round(col("cosine"), 4))
+        .withColumn("rank", col("rank").cast("long"))
+    },
+      Some("""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 20),
+             |pairs AS (SELECT query_id, e.vec_id AS id, qv, e.embedding AS ev
+             |          FROM q, embeddings e WHERE e.vec_id <> query_id),
+             |un AS (SELECT query_id, id, qv, ev, unnest(generate_series(1, len(qv))) AS i FROM pairs),
+             |dots AS (SELECT query_id, id,
+             |    sum(CAST(qv[i] AS DOUBLE) * CAST(ev[i] AS DOUBLE)) AS dot,
+             |    sum(CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)) AS nq,
+             |    sum(CAST(ev[i] AS DOUBLE) * CAST(ev[i] AS DOUBLE)) AS ne
+             |  FROM un GROUP BY 1, 2),
+             |scored AS (SELECT query_id, id, dot / (sqrt(nq) * sqrt(ne)) AS cosine FROM dots)
+             |SELECT query_id, id, round(cosine, 4) AS cosine, rank FROM (
+             |  SELECT query_id, id, cosine,
+             |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, id) AS rank
+             |  FROM scored) t WHERE rank <= 5""".stripMargin)),
+
     // ——————————————————— text analysis (north-star) ———————————————————
 
     Spec("text_stats", (s, d) =>

@@ -206,31 +206,36 @@ object Graphs {
   def topSort(edges: DataFrame, maxIter: Int = 100): DataFrame = {
     var remaining = edges.select("src", "dst").distinct().ckpt()
     var live = nodes(remaining).ckpt()
-    var out: DataFrame = null
+    // drive the loop off DRIVER-side arithmetic (liveCount -= peeled):
+    // the peeled count comes with the checkpoint we need anyway, so each
+    // layer costs ckpt(peeled)+count+ckpt(live)+ckpt(remaining) — no
+    // isEmpty probes, and the per-layer frames union once at the end
+    var liveCount = live.count()
+    val layers = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var layer = 0
-    var done = false
-    while (!done && layer < maxIter) {
-      val withIn = live.join(remaining.select(col("dst").as("node")).distinct(), Seq("node"), "left_anti")
-      if (withIn.isEmpty) {
-        if (!live.isEmpty)
-          throw new IllegalArgumentException(
-            s"TopSort: graph contains a cycle (${live.count()} nodes cannot be peeled)")
-        done = true
-      } else {
-        val peeled = withIn.withColumn("layer", lit(layer))
-        out = if (out == null) peeled.ckpt() else out.union(peeled).ckpt()
+    while (liveCount > 0) {
+      if (layer >= maxIter)
+        throw new IllegalStateException(
+          s"TopSort: not complete after $maxIter layers ($liveCount nodes left) — " +
+            "the longest path exceeds maxIter; raise it or bound the input's depth")
+      val peeled = live
+        .join(remaining.select(col("dst").as("node")).distinct(), Seq("node"), "left_anti")
+        .withColumn("layer", lit(layer)).ckpt()
+      val n = peeled.count()
+      if (n == 0)
+        throw new IllegalArgumentException(
+          s"TopSort: graph contains a cycle ($liveCount nodes cannot be peeled)")
+      layers += peeled
+      liveCount -= n
+      if (liveCount > 0) {
         live = live.join(peeled.select("node"), Seq("node"), "left_anti").ckpt()
         remaining = remaining.join(peeled.select(col("node").as("src")), Seq("src"), "left_anti")
           .ckpt()
-        layer += 1
       }
-      if (live.isEmpty) done = true
+      layer += 1
     }
-    if (!done && layer >= maxIter)
-      throw new IllegalStateException(
-        s"TopSort: not complete after $maxIter layers (${live.count()} nodes left) — " +
-          "the longest path exceeds maxIter; raise it or bound the input's depth")
-    if (out == null) live.withColumn("layer", lit(0)).limit(0) else out
+    if (layers.isEmpty) live.withColumn("layer", lit(0)).limit(0)
+    else layers.reduce(_ union _)
   }
 
   /** StronglyConnectedComponents
@@ -329,7 +334,7 @@ object Graphs {
       var movedPrev = true // converged = two still rounds (one per parity)
       while ((moved || movedPrev) && inner < maxInner) {
         val sigma = comm.join(deg, Seq("node"))
-          .groupBy(col("comm")).agg(sum(col("k")).as("sigma")).ckpt()
+          .groupBy(col("comm")).agg(sum(col("k")).as("sigma"))
         // weight from each node to each neighboring community
         val toComm = g.join(comm.withColumnRenamed("node", "dst"), Seq("dst"))
           .groupBy(col("src").as("node"), col("comm")).agg(sum(col("w")).as("k_in"))
@@ -346,15 +351,19 @@ object Graphs {
         // parity gating: only half the nodes (by hash) may move each
         // round — synchronous moves otherwise oscillate (two nodes
         // swapping communities forever) and the loop never converges
+        // materialize only the actual MOVES (tiny): their count is the
+        // convergence signal — no full-relation except shuffle per round
         val best = cand.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
           .filter(pmod(xxhash64(col("node")), lit(2)) === lit(inner % 2))
-          .select(col("node"), col("cur"),
-            when(col("gain") > 1e-12, col("comm")).otherwise(col("cur")).as("next"))
-        val nextComm = comm.join(best.select(col("node"), col("next")), Seq("node"), "left")
+          .filter(col("gain") > 1e-12 && col("comm") =!= col("cur"))
+          .select(col("node"), col("comm").as("next"))
+          .ckpt()
+        val nMoved = best.count()
+        val nextComm = comm.join(best, Seq("node"), "left")
           .select(col("node"), coalesce(col("next"), col("comm")).as("comm"))
           .ckpt()
         movedPrev = moved
-        moved = !nextComm.except(comm).isEmpty
+        moved = nMoved > 0
         comm = nextComm
         inner += 1
       }

@@ -27,6 +27,26 @@ class AnnSpec extends AnyFunSuite {
     assert(recall >= 0.6, s"LSH recall@5 too low: $recall")
   }
 
+  test("ivfTopK with a full probe equals brute force; partial probe keeps recall") {
+    val emb = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val queries = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("embedding").as("vec"))
+    def triples(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Int)] =
+      df.select("query_id", "id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val exact = triples(Ann.bruteForceTopK(corpus, queries, k = 5))
+    // nProbe = nCells scans every cell: must reproduce brute force exactly
+    val full = triples(Ann.ivfTopK(corpus, queries, k = 5, nCells = 8, nProbe = 8))
+    assert(full == exact)
+    // partial probe (3 of 8 cells = ~2.7x less corpus work) keeps
+    // recall even on this corpus's hostile cosine-0.3-0.5 neighbor
+    // regime (production corpora cluster far more tightly)
+    val part = triples(Ann.ivfTopK(corpus, queries, k = 5, nCells = 8, nProbe = 3))
+    val recall = (exact.map(t => (t._1, t._2)) intersect part.map(t => (t._1, t._2))).size.toDouble / exact.size
+    assert(recall >= 0.5, s"IVF recall@5 too low: $recall")
+  }
+
   test("bruteForceTopK excludes self and ranks by cosine") {
     val emb = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))

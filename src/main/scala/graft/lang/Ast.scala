@@ -53,7 +53,7 @@ object Ast {
   case class Options(limit: Option[Long] = None, offset: Option[Long] = None,
                      sort: Seq[(String, Boolean)] = Nil, // (var, descending)
                      assertNone: Boolean = false, assertSome: Boolean = false,
-                     relationOp: Option[(String, String, Seq[String])] = None) // (op, relName, keyCols)
+                     relationOp: Option[(String, String, Seq[String], Seq[String])] = None) // (op, relName, keyCols, allCols)
 
   case class Program(rules: Seq[RuleDef], options: Options, sysOp: Option[String] = None)
 }

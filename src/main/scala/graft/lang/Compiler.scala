@@ -25,7 +25,13 @@ class Compiler(spark: SparkSession,
                    s"relation *$n has no validity column (register with validity=...)"),
                searchResolve: (String, Seq[(String, String)], Map[String, Ast.Expr]) => DataFrame =
                  (n, _, _) => throw Compiler.CompileException(
-                   s"no search index $n (create one with ::fts/::lsh/::hnsw create)")) {
+                   s"no search index $n (create one with ::fts/::lsh/::hnsw create)"),
+               /** choose_index analogue (runtime/relation.rs:196-246):
+                 * given a named-field scan's literally-bound columns,
+                 * may return an index-backed plan instead of the base
+                 * relation scan (same schema). */
+               namedStoredResolve: (String, Set[String]) => Option[DataFrame] =
+                 (_, _) => None) {
 
   import Compiler.CompileException
 
@@ -230,7 +236,10 @@ class Compiler(spark: SparkSession,
     case NamedApply(name, pairs, validity) =>
       val df = validity match {
         case Some(v) => validityScan(name, compileExpr(v))
-        case None => resolveAtomRel(name, stored = true).getOrElse(throw Compiler.EmptyRelation(name))
+        case None =>
+          val bound = pairs.collect { case (f, Some(Lit(_))) => f }.toSet
+          namedStoredResolve(name, bound).getOrElse(
+            resolveAtomRel(name, stored = true).getOrElse(throw Compiler.EmptyRelation(name)))
       }
       val cols = df.columns.toSet
       val binds = pairs.map {

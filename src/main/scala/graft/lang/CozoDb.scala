@@ -310,9 +310,25 @@ class CozoDb(val spark: SparkSession) {
       case Some(op) => return sysOp(op.trim, params)
       case None => ()
     }
-    val result = evalProgram(prog, params, preBound)
+    val result = prog.options.relationOp match {
+      // schema-only `:create rel {cols}` with no query: an empty
+      // relation (reference :create with a bare schema, tests.rs:580/
+      // 671). Column TYPES come from the first data-bearing mutation
+      // (relationMutation adopts the delta's schema) — declared types
+      // are parsed but Spark schemas come from data.
+      case Some(("create", rel, _, cols)) if prog.rules.isEmpty && cols.nonEmpty =>
+        bareCreates += rel
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+          StructType(cols.map(c => StructField(c, StringType, nullable = true))))
+      case _ => evalProgram(prog, params, preBound)
+    }
     applyOptions(prog.options, result)
   }
+
+  /** Relations created schema-only (no rows yet): their placeholder
+    * StringType schema is replaced wholesale by the first data-bearing
+    * mutation's schema. */
+  private val bareCreates = mutable.Set.empty[String]
 
   // ———————————————————————— sys ops (parse/sys.rs) ————————————————————————
 
@@ -338,10 +354,15 @@ class CozoDb(val spark: SparkSession) {
     val parts = op.split("\\s+").toSeq
     parts.head match {
       case "relations" =>
-        relations.toSeq.map { case (n, df) =>
+        (relations.toSeq.map { case (n, df) =>
           (n, df.columns.length, relationKeys.getOrElse(n, Nil).mkString(","),
             relationAccess.getOrElse(n, "normal"), relationDescriptions.getOrElse(n, ""))
-        }.toDF("name", "arity", "keys", "access_level", "description")
+        } ++ indexes.toSeq.collect { case (n, p: PlainIdx) =>
+          // the reference lists plain indexes among relations with kind
+          // "index" (tests.rs:580 test_index_short asserts it)
+          (n, indexInternals(n, p).columns.length,
+            p.cols.mkString(","), "read_only", "index")
+        }).sortBy(_._1).toDF("name", "arity", "keys", "access_level", "description")
       case "columns" =>
         val rel = parts(1).stripPrefix("*")
         relation(rel).columns.zipWithIndex
@@ -408,8 +429,10 @@ class CozoDb(val spark: SparkSession) {
         Seq(("renamed", from, to)).toDF("status", "from", "to")
       case "explain" =>
         val inner = op.stripPrefix("explain").trim.stripPrefix("{").stripSuffix("}")
+        chosenIndexes.clear()
         val df = run(inner)
-        Seq(Tuple1(df.queryExecution.explainString(
+        val note = chosenIndexes.distinct.map(i => s"using index :$i\n").mkString
+        Seq(Tuple1(note + df.queryExecution.explainString(
           org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))).toDF("plan")
       case other => throw CompileException(s"unknown sys op ::$other")
     }
@@ -536,7 +559,7 @@ class CozoDb(val spark: SparkSession) {
 
   private def compiler(resolve: String => Option[DataFrame], params: Map[String, Any]) =
     new Compiler(spark, relation, resolve, params, validityScan,
-      (n, p, o) => searchProbe(n, p, o, params))
+      (n, p, o) => searchProbe(n, p, o, params), chooseIndex)
 
   // ———————————————— indexes (parse/sys.rs:391-655) ————————————————
 
@@ -594,8 +617,40 @@ class CozoDb(val spark: SparkSession) {
     case v: VecIdx =>
       relation(v.rel).select(col(keyColOf(v.rel)), col(v.field))
     case p: PlainIdx =>
+      // the reference's covering index stores the named columns plus the
+      // REMAINING KEY columns only (runtime/relation.rs:1232) — enough
+      // to locate the base row, nothing more
       val base = relation(p.rel)
-      base.select((p.cols ++ base.columns.filterNot(p.cols.contains)).map(col): _*)
+      val keys = relationKeys.getOrElse(p.rel, base.columns.toSeq)
+      base.select((p.cols ++ keys.filterNot(p.cols.contains)).map(col): _*)
+  }
+
+  /** choose_index (runtime/relation.rs:196-246): a named-field stored
+    * scan whose bound columns miss the base key prefix but hit a plain
+    * index's first column resolves through that index — the index scan
+    * (prefix-bound, partition-prunable at scale) joined back to the
+    * base relation on the full key recovers the remaining columns with
+    * the base schema. Chosen names are recorded for `::explain`. */
+  private[lang] val chosenIndexes = mutable.Buffer.empty[String]
+  private def chooseIndex(rel: String, bound: Set[String]): Option[DataFrame] = {
+    if (bound.isEmpty || !relations.contains(rel)) return None
+    val base = relations(rel)
+    val keys = relationKeys.getOrElse(rel, base.columns.toSeq)
+    if (keys.headOption.exists(bound.contains)) return None // base prefix scan wins
+    indexes.collectFirst {
+      case (iname, p: PlainIdx)
+          if p.rel == rel && p.cols.headOption.exists(bound.contains) =>
+        chosenIndexes += iname
+        val idx = indexInternals(iname, p)
+        val covered = idx.columns.toSeq
+        if (base.columns.forall(covered.contains))
+          idx.select(base.columns.map(col).toIndexedSeq: _*)
+        else {
+          val rest = base.columns.filterNot(covered.contains)
+          idx.join(base.select((keys ++ rest).distinct.map(col): _*), keys)
+            .select(base.columns.map(col).toIndexedSeq: _*)
+        }
+    }
   }
 
   /** `~rel:idx{cols | query: …, k: …, bind_…: var}` probes
@@ -1140,7 +1195,7 @@ class CozoDb(val spark: SparkSession) {
       throw new IllegalStateException(":assert none failed — result is not empty")
     if (o.assertSome && df.isEmpty)
       throw new IllegalStateException(":assert some failed — result is empty")
-    o.relationOp.foreach { case (op, rel, keysOpt) =>
+    o.relationOp.foreach { case (op, rel, keysOpt, _) =>
       df = relationMutation(op, rel, keysOpt, df)
     }
     df
@@ -1154,6 +1209,10 @@ class CozoDb(val spark: SparkSession) {
     if (op != "create") requireAccess(rel, "normal", s":$op")
     mutationEpoch += 1 // stale any index artifact caches
     val delta = coerceValidity(rel, delta0).ckptLazy()
+    // first data into a schema-only relation: adopt the delta's Spark
+    // schema (the placeholder's column NAMES stay authoritative)
+    if (op != "create" && bareCreates.remove(rel))
+      relations(rel) = delta.limit(0)
     def keys: Seq[String] = relationKeys.getOrElse(rel,
       if (schemaKeys.nonEmpty) schemaKeys else delta.columns.toSeq)
     // rows about to be replaced/removed — `_old` for triggers/callbacks
@@ -1220,7 +1279,22 @@ class CozoDb(val spark: SparkSession) {
         case ("*", a: Long, b: Long) => a * b
         case (o, a, b) => throw CompileException(s"cannot fold constant $a $o $b")
       }
-    case other => throw CompileException(s"expected a constant, got $other")
+    case other =>
+      // general constant folding: any variable-free expression (vec(),
+      // rand_vec(), math, string ops, …) evaluates through the normal
+      // expression compiler on a one-row frame — the analogue of the
+      // reference pre-evaluating const-rule expressions
+      // (fixed_rule/utilities/constant.rs)
+      try {
+        val c = compiler(_ => None, params).compileExpr(other)
+        spark.range(1).select(c.as("__v")).head().get(0) match {
+          case s: scala.collection.Seq[_] => s.toSeq
+          case v => v
+        }
+      } catch {
+        case _: CompileException | _: org.apache.spark.sql.AnalysisException =>
+          throw CompileException(s"expected a constant, got $other")
+      }
   }
 
   /** Tarjan SCC, emitted in reverse topological order (dependencies
@@ -1281,7 +1355,9 @@ object CozoDb {
       if (nonNull.isEmpty) StringType
       else if (nonNull.forall(_.isInstanceOf[Boolean])) BooleanType
       else if (nonNull.forall(_.isInstanceOf[Long])) LongType
-      else if (nonNull.forall(v => v.isInstanceOf[Long] || v.isInstanceOf[Double])) DoubleType
+      else if (nonNull.forall(_.isInstanceOf[Float])) FloatType // vec() F32 payloads
+      else if (nonNull.forall(v => v.isInstanceOf[Long] || v.isInstanceOf[Double]
+        || v.isInstanceOf[Float])) DoubleType
       else if (nonNull.forall(_.isInstanceOf[String])) StringType
       else if (nonNull.forall(_.isInstanceOf[Seq[_]]))
         ArrayType(typeOf(nonNull.flatMap(_.asInstanceOf[Seq[Any]])))
@@ -1291,6 +1367,9 @@ object CozoDb {
     def coerce(v: Any, t: DataType): Any = (v, t) match {
       case (null, _) => null
       case (l: Long, DoubleType) => l.toDouble
+      case (f: Float, DoubleType) => f.toDouble
+      case (l: Long, FloatType) => l.toFloat
+      case (d: Double, FloatType) => d.toFloat
       case (s: Seq[_], ArrayType(et, _)) => s.map(coerce(_, et))
       case (x, StringType) if !x.isInstanceOf[String] => x.toString
       case (x, _) => x

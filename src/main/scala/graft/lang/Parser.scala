@@ -184,8 +184,8 @@ object Parser {
           }
         case op @ ("create" | "replace" | "insert" | "put" | "update" | "rm" | "delete" | "ensure" | "ensure_not") =>
           val rel = ident()
-          val keys = if (at("{")) tableSchemaKeys() else Nil
-          o.copy(relationOp = Some((op, rel, keys)))
+          val (keys, all) = if (at("{")) tableSchemaKeys() else (Nil, Nil)
+          o.copy(relationOp = Some((op, rel, keys, all)))
         case "timeout" | "sleep" | "disable_magic_rewrite" =>
           constExprSkip(); o // accepted, no-op on Spark
         case "returning" => o
@@ -193,18 +193,20 @@ object Parser {
       }
     }
 
-    /** {k1, k2 => v1, v2 default ...} — returns the key column names
-      * (before =>); types/defaults are accepted and ignored (Spark
-      * schemas come from the data). */
-    private def tableSchemaKeys(): Seq[String] = {
+    /** {k1, k2 => v1, v2 default ...} — returns (key column names,
+      * all column names); types/defaults are accepted and ignored
+      * (Spark schemas come from the data). */
+    private def tableSchemaKeys(): (Seq[String], Seq[String]) = {
       eat("{")
       val keys = ArrayBuffer.empty[String]
+      val all = ArrayBuffer.empty[String]
       var afterArrow = false
       while (!at("}")) {
         if (tryEat("=>")) afterArrow = true
         else {
           val name = ident()
           if (!afterArrow) keys += name
+          all += name
           // optional type annotation `: Type` and default `default expr` — skip
           if (tryEat(":")) typeSkip()
           if (atIdent("default")) { ident(); constExprSkip() }
@@ -212,19 +214,30 @@ object Parser {
         }
       }
       eat("}")
-      keys.toSeq
+      (keys.toSeq, all.toSeq)
     }
 
     private def typeSkip(): Unit = {
-      ident()
-      if (tryEat("<")) { // Vector<F32; 128> etc.
-        var depth = 1
-        while (depth > 0) next() match {
-          case TPunct("<", _) => depth += 1
-          case TPunct(">", _) => depth -= 1
-          case TEof(p) => throw ParseException("unterminated type", p)
-          case _ => ()
+      def balanced(open: String, close: String): Boolean =
+        if (!tryEat(open)) false
+        else {
+          var depth = 1
+          while (depth > 0) next() match {
+            case TPunct(`open`, _) => depth += 1
+            case TPunct(`close`, _) => depth -= 1
+            case TEof(p) => throw ParseException("unterminated type", p)
+            case _ => ()
+          }
+          true
         }
+      // `<F32; 8>` vectors, `[Int]`/`[Int; 3]` lists, `(T1, T2)` tuples
+      // start with a bracket; named types (`Int`, `String?`, …) with an
+      // identifier optionally followed by a bracketed argument list
+      if (!balanced("<", ">") && !balanced("[", "]") && !balanced("(", ")")) {
+        ident()
+        balanced("<", ">")
+        balanced("[", "]")
+        balanced("(", ")")
       }
       if (tryEat("?")) ()
     }

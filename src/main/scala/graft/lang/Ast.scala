@@ -49,11 +49,18 @@ object Ast {
   case class FixedRuleRel(name: String) extends FixedRel
   case class FixedStoredRel(name: String, cols: Seq[String]) extends FixedRel
 
+  /** Parsed `{k1, k2 => v1 default e, ...}` schema braces: key column
+    * names, all column names in declared order, and per-column default
+    * generator expressions (relation.rs:114-118 ColumnDef.default_gen).
+    * Types are parsed but not carried — Spark schemas come from data. */
+  case class SchemaSpec(keys: Seq[String] = Nil, all: Seq[String] = Nil,
+                        defaults: Map[String, Expr] = Map.empty)
+
   /** :limit / :offset / :sort / :assert / relation ops. */
   case class Options(limit: Option[Long] = None, offset: Option[Long] = None,
                      sort: Seq[(String, Boolean)] = Nil, // (var, descending)
                      assertNone: Boolean = false, assertSome: Boolean = false,
-                     relationOp: Option[(String, String, Seq[String], Seq[String])] = None) // (op, relName, keyCols, allCols)
+                     relationOp: Option[(String, String, SchemaSpec)] = None) // (op, relName, schema)
 
   case class Program(rules: Seq[RuleDef], options: Options, sysOp: Option[String] = None)
 }

@@ -23,8 +23,8 @@ class Compiler(spark: SparkSession,
                validityScan: (String, Column) => DataFrame =
                  (n, _) => throw Compiler.CompileException(
                    s"relation *$n has no validity column (register with validity=...)"),
-               searchResolve: (String, Seq[(String, String)], Map[String, Ast.Expr]) => DataFrame =
-                 (n, _, _) => throw Compiler.CompileException(
+               searchResolve: (String, Seq[(String, String)], Map[String, Ast.Expr], Option[DataFrame]) => DataFrame =
+                 (n, _, _, _) => throw Compiler.CompileException(
                    s"no search index $n (create one with ::fts/::lsh/::hnsw create)"),
                /** choose_index analogue (runtime/relation.rs:196-246):
                  * given a named-field scan's literally-bound columns,
@@ -214,9 +214,36 @@ class Compiler(spark: SparkSession,
 
   /** Compile a conjunction of atoms to a DataFrame whose columns are the
     * bound variable names. */
-  def compileBody(atoms: Seq[Atom]): DataFrame =
-    atoms.foldLeft(Option.empty[DataFrame])((cur, a) => Some(step(cur, a)))
-      .getOrElse(throw CompileException("empty rule body"))
+  def compileBody(atoms: Seq[Atom]): DataFrame = {
+    // well-ordering lite (reorder.rs:34-150): a `~probe` whose `query:`
+    // references a variable is deferred until an earlier atom binds it —
+    // the reference reorders atoms so every variable is bound before use
+    var cur = Option.empty[DataFrame]
+    val pending = scala.collection.mutable.Queue.empty[Atom]
+    def bound = cur.map(_.columns.toSet).getOrElse(Set.empty[String])
+    def ready(a: Atom): Boolean = a match {
+      case SearchApply(_, _, opts) => opts.get("query") match {
+        case Some(V(n)) => bound.contains(n)
+        case _ => true
+      }
+      case _ => true
+    }
+    def flush(): Unit = {
+      var progress = true
+      while (progress) pending.dequeueFirst(ready) match {
+        case Some(a) => cur = Some(step(cur, a))
+        case None => progress = false
+      }
+    }
+    atoms.foreach { a =>
+      if (!ready(a)) pending += a
+      else { cur = Some(step(cur, a)); flush() }
+    }
+    if (pending.nonEmpty)
+      throw CompileException(
+        s"probe query variable is never bound in the rule body (${pending.head})")
+    cur.getOrElse(throw CompileException("empty rule body"))
+  }
 
   private def one(): DataFrame = spark.range(1).toDF("__one").drop("__one")
 
@@ -288,8 +315,11 @@ class Compiler(spark: SparkSession,
 
     case SearchApply(index, pairs, opts) =>
       // the probe result is a small top-k relation: join it into the
-      // frame on shared vars (or cross when it only seeds the clause)
-      val df = searchResolve(index, pairs, opts)
+      // frame on shared vars (or cross when it only seeds the clause);
+      // variable-driven probes (query: v) receive the current frame and
+      // return one top-k set per distinct query value (HnswSearchRA's
+      // left-stream drive, ra.rs:1068-1122)
+      val df = searchResolve(index, pairs, opts, cur)
       cur match {
         case None => df
         case Some(c) =>

@@ -37,6 +37,11 @@ class CozoDb(val spark: SparkSession) {
 
   private val relationValidity = mutable.HashMap.empty[String, String]
   private val relationAssert = mutable.HashMap.empty[String, String]
+  /** Declared column order and per-column default generators from the
+    * `:create` schema braces (relation.rs:114-118 default_gen): puts
+    * that omit a declared column get its default (or null). */
+  private val relationDeclared = mutable.HashMap.empty[String, Seq[String]]
+  private val relationDefaults = mutable.HashMap.empty[String, Map[String, Expr]]
 
   /** Register a stored relation. A validity column (+ optional assert
     * flag column) makes the relation time-travelable: both become part
@@ -316,10 +321,10 @@ class CozoDb(val spark: SparkSession) {
       // 671). Column TYPES come from the first data-bearing mutation
       // (relationMutation adopts the delta's schema) — declared types
       // are parsed but Spark schemas come from data.
-      case Some(("create", rel, _, cols)) if prog.rules.isEmpty && cols.nonEmpty =>
+      case Some(("create", rel, spec)) if prog.rules.isEmpty && spec.all.nonEmpty =>
         bareCreates += rel
         spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
-          StructType(cols.map(c => StructField(c, StringType, nullable = true))))
+          StructType(spec.all.map(c => StructField(c, StringType, nullable = true))))
       case _ => evalProgram(prog, params, preBound)
     }
     applyOptions(prog.options, result)
@@ -559,7 +564,7 @@ class CozoDb(val spark: SparkSession) {
 
   private def compiler(resolve: String => Option[DataFrame], params: Map[String, Any]) =
     new Compiler(spark, relation, resolve, params, validityScan,
-      (n, p, o) => searchProbe(n, p, o, params), chooseIndex)
+      (n, p, o, fr) => searchProbe(n, p, o, params, fr), chooseIndex)
 
   // ———————————————— indexes (parse/sys.rs:391-655) ————————————————
 
@@ -568,7 +573,8 @@ class CozoDb(val spark: SparkSession) {
                             pipe: graft.search.Fts.Pipeline) extends IndexSpec
   private case class LshIdx(rel: String, extractor: String, nGram: Int,
                             threshold: Double, bands: Int, rowsPerBand: Int) extends IndexSpec
-  private case class VecIdx(rel: String, field: String, distance: String) extends IndexSpec
+  private case class VecIdx(rel: String, field: String, distance: String,
+                            filter: Option[Expr] = None) extends IndexSpec
   private case class PlainIdx(rel: String, cols: Seq[String]) extends IndexSpec
 
   private val indexes = mutable.LinkedHashMap.empty[String, IndexSpec]
@@ -615,7 +621,12 @@ class CozoDb(val spark: SparkSession) {
         explode(TF.lshBandKeys(TF.minhashSignature(sh, l.bands * l.rowsPerBand),
           l.bands, l.rowsPerBand)).as("band"))
     case v: VecIdx =>
-      relation(v.rel).select(col(keyColOf(v.rel)), col(v.field))
+      // flat internals (key, vector) — the reference exposes its HNSW
+      // graph rows here (layer/fr_k/to_k); we deliberately do not ship
+      // a pointer graph, so the scannable surface is the admitted set
+      val admitted = v.filter.fold(relation(v.rel))(e =>
+        relation(v.rel).filter(compiler(_ => None, Map.empty).compileExpr(e)))
+      admitted.select(col(keyColOf(v.rel)), col(v.field))
     case p: PlainIdx =>
       // the reference's covering index stores the named columns plus the
       // REMAINING KEY columns only (runtime/relation.rs:1232) — enough
@@ -659,7 +670,8 @@ class CozoDb(val spark: SparkSession) {
     * the base relation for the requested binding columns. */
   private def searchProbe(target: String, pairs: Seq[(String, String)],
                           opts: Map[String, Expr],
-                          params: Map[String, Any]): DataFrame = {
+                          params: Map[String, Any],
+                          frame: Option[DataFrame] = None): DataFrame = {
     import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
     val spec = indexes.getOrElse(target,
       throw CompileException(s"no search index $target (::fts/::lsh/::hnsw create first)"))
@@ -704,24 +716,49 @@ class CozoDb(val spark: SparkSession) {
           .orderBy(col("__sim").desc, col(key).asc).limit(k)
         select(scored, bindVar("bind_similarity").map(_ -> col("__sim")))
       case v: VecIdx =>
-        val qvec = optConst("query") match {
-          case Some(s: Seq[_]) => s.map {
-            case d: Double => d.toFloat
-            case l: Long => l.toFloat
-            case other => throw CompileException(s"non-numeric vector component $other")
-          }
-          case other => throw CompileException(s"$target probe needs query: [vector], got $other")
-        }
-        val qArr = array(qvec.map(lit): _*).cast("array<float>")
         val fvec = col(v.field).cast("array<float>")
-        val dist = v.distance.toLowerCase match {
-          case "cosine" => VF.cosineDistance(fvec, qArr)
-          case "ip" | "innerproduct" => VF.ipDist(fvec, qArr)
-          case _ => VF.l2Dist(fvec, qArr)
+        def distTo(q: org.apache.spark.sql.Column) = v.distance.toLowerCase match {
+          case "cosine" => VF.cosineDistance(fvec, q)
+          case "ip" | "innerproduct" => VF.ipDist(fvec, q)
+          case _ => VF.l2Dist(fvec, q)
         }
-        val scored = base.withColumn("__dist", dist)
-          .orderBy(col("__dist").asc, col(key).asc).limit(k)
-        select(scored, bindVar("bind_distance").map(_ -> col("__dist")))
+        val exprC = compiler(_ => None, params)
+        // index-admission filter (::hnsw create ... filter:) then
+        // per-probe filter: (parse/sys.rs:77-91; ra.rs hnsw opts)
+        val admitted = v.filter.fold(base)(e => base.filter(exprC.compileExpr(e)))
+        def probeOpts(df: DataFrame): DataFrame = {
+          val filtered = opts.get("filter").fold(df)(e => df.filter(exprC.compileExpr(e)))
+          optConst("radius").collect { case d: Double => d; case l: Long => l.toDouble }
+            .fold(filtered)(r => filtered.filter(col("__dist") <= r))
+        }
+        opts.get("query") match {
+          // left-stream-driven probe: one top-k per distinct bound
+          // query vector (HnswSearchRA, ra.rs:1068-1122)
+          case Some(V(n)) if frame.exists(_.columns.contains(n)) =>
+            // fresh name: the query var may share its name with a base
+            // column (commonly the vector field itself)
+            val queries = frame.get.select(col(n).as("__qvec")).distinct()
+            val scored = probeOpts(queries.crossJoin(admitted)
+              .withColumn("__dist", distTo(col("__qvec").cast("array<float>"))))
+            val top = graft.operators.TopK.perGroup(scored, Seq("__qvec"),
+              Seq(col("__dist").asc, col(key).asc), k)
+            top.select((col("__qvec").as(n) +: (pairs.map { case (c, vr) => col(c).as(vr) } ++
+              bindVar("bind_distance").map(b => col("__dist").as(b)))): _*)
+          case _ =>
+            val qvec = optConst("query") match {
+              case Some(s: Seq[_]) => s.map {
+                case d: Double => d.toFloat
+                case l: Long => l.toFloat
+                case f: Float => f
+                case other => throw CompileException(s"non-numeric vector component $other")
+              }
+              case other => throw CompileException(s"$target probe needs query: [vector], got $other")
+            }
+            val qArr = array(qvec.map(lit): _*).cast("array<float>")
+            val scored = probeOpts(admitted.withColumn("__dist", distTo(qArr)))
+              .orderBy(col("__dist").asc, col(key).asc).limit(k)
+            select(scored, bindVar("bind_distance").map(_ -> col("__dist")))
+        }
       case _: PlainIdx =>
         throw CompileException(s"$target is a covering index — scan it with *$target{...}")
     }
@@ -807,7 +844,8 @@ class CozoDb(val spark: SparkSession) {
           case Some(e) => asStr(e)
           case None => throw CompileException("::hnsw create — missing fields: [col]")
         }
-        indexes(target) = VecIdx(rel, field, opts.get("distance").map(asStr).getOrElse("L2"))
+        indexes(target) = VecIdx(rel, field,
+          opts.get("distance").map(asStr).getOrElse("L2"), opts.get("filter"))
       case other => throw CompileException(s"unknown index kind ::$other")
     }
     Seq(("created", target)).toDF("status", "index")
@@ -1195,8 +1233,12 @@ class CozoDb(val spark: SparkSession) {
       throw new IllegalStateException(":assert none failed — result is not empty")
     if (o.assertSome && df.isEmpty)
       throw new IllegalStateException(":assert some failed — result is empty")
-    o.relationOp.foreach { case (op, rel, keysOpt, _) =>
-      df = relationMutation(op, rel, keysOpt, df)
+    o.relationOp.foreach { case (op, rel, spec) =>
+      if (op == "create" || op == "replace") {
+        if (spec.all.nonEmpty) relationDeclared(rel) = spec.all
+        if (spec.defaults.nonEmpty) relationDefaults(rel) = spec.defaults
+      }
+      df = relationMutation(op, rel, spec.keys, df)
     }
     df
   }
@@ -1208,7 +1250,19 @@ class CozoDb(val spark: SparkSession) {
     // and mutation chains don't grow unbounded lineage
     if (op != "create") requireAccess(rel, "normal", s":$op")
     mutationEpoch += 1 // stale any index artifact caches
-    val delta = coerceValidity(rel, delta0).ckptLazy()
+    // fill declared-but-omitted columns with their default generators
+    // (relation.rs:114-118; stored.rs applies default_gen on put)
+    val withDefaults = relationDeclared.get(rel) match {
+      case Some(declared) if Seq("create", "replace", "put", "insert").contains(op)
+          && declared.exists(!delta0.columns.contains(_)) =>
+        val c = compiler(_ => None, Map.empty)
+        val defs = relationDefaults.getOrElse(rel, Map.empty)
+        declared.filterNot(delta0.columns.contains).foldLeft(delta0) { (d, name) =>
+          d.withColumn(name, defs.get(name).map(c.compileExpr).getOrElse(lit(null)))
+        }.select(declared.map(col): _*)
+      case _ => delta0
+    }
+    val delta = coerceValidity(rel, withDefaults).ckptLazy()
     // first data into a schema-only relation: adopt the delta's Spark
     // schema (the placeholder's column NAMES stay authoritative)
     if (op != "create" && bareCreates.remove(rel))

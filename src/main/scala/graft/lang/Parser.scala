@@ -184,8 +184,8 @@ object Parser {
           }
         case op @ ("create" | "replace" | "insert" | "put" | "update" | "rm" | "delete" | "ensure" | "ensure_not") =>
           val rel = ident()
-          val (keys, all) = if (at("{")) tableSchemaKeys() else (Nil, Nil)
-          o.copy(relationOp = Some((op, rel, keys, all)))
+          val spec = if (at("{")) tableSchemaKeys() else SchemaSpec()
+          o.copy(relationOp = Some((op, rel, spec)))
         case "timeout" | "sleep" | "disable_magic_rewrite" =>
           constExprSkip(); o // accepted, no-op on Spark
         case "returning" => o
@@ -193,13 +193,14 @@ object Parser {
       }
     }
 
-    /** {k1, k2 => v1, v2 default ...} — returns (key column names,
-      * all column names); types/defaults are accepted and ignored
-      * (Spark schemas come from the data). */
-    private def tableSchemaKeys(): (Seq[String], Seq[String]) = {
+    /** {k1, k2 => v1, v2 default expr, ...} — key/all column names and
+      * default generator expressions; type annotations are accepted and
+      * ignored (Spark schemas come from the data). */
+    private def tableSchemaKeys(): SchemaSpec = {
       eat("{")
       val keys = ArrayBuffer.empty[String]
       val all = ArrayBuffer.empty[String]
+      val defaults = scala.collection.mutable.LinkedHashMap.empty[String, Expr]
       var afterArrow = false
       while (!at("}")) {
         if (tryEat("=>")) afterArrow = true
@@ -207,14 +208,14 @@ object Parser {
           val name = ident()
           if (!afterArrow) keys += name
           all += name
-          // optional type annotation `: Type` and default `default expr` — skip
+          // optional type annotation `: Type`, optional `default expr`
           if (tryEat(":")) typeSkip()
-          if (atIdent("default")) { ident(); constExprSkip() }
+          if (atIdent("default")) { ident(); defaults(name) = expr() }
           tryEat(",")
         }
       }
       eat("}")
-      (keys.toSeq, all.toSeq)
+      SchemaSpec(keys.toSeq, all.toSeq, defaults.toMap)
     }
 
     private def typeSkip(): Unit = {

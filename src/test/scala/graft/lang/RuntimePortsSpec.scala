@@ -85,6 +85,128 @@ class RuntimePortsSpec extends AnyFunSuite {
     assert(dists(0) == 0.0 && math.abs(dists(1)) < 1e-9 && math.abs(dists(2)) < 1e-6)
   }
 
+  test("filtering (tests.rs:914): literal field filter does not bind the variable") {
+    val d = db()
+    assert(rows(d,
+      """{
+        |    ?[x, y] <- [[1, 2]]
+        |    :create _rel {x => y}
+        |    :returning
+        |}
+        |{
+        |    ?[x, y] := x = 1, *_rel{x, y: 3}, y = 2
+        |}""".stripMargin).isEmpty)
+    assert(rows(d,
+      """{
+        |    ?[x, u, y] <- [[1, 0, 2]]
+        |    :create _rel2 {x, u => y}
+        |    :returning
+        |}
+        |{
+        |    ?[x, y] := x = 1, *_rel2{x, y: 3}, y = 2
+        |}""".stripMargin).isEmpty)
+  }
+
+  test("test_lsh_indexing (tests.rs:973): index internals scan, probe, drop") {
+    val d = db()
+    d.run(":create a {k: String => v: String}")
+    d.run("?[k, v] <- [['a', 'hello world!'], ['b', 'the world is round']] :put a {k => v}")
+    d.run("::lsh create a:lsh {extractor: v, tokenizer: Simple, n_gram: 3, target_threshold: 0.3 }")
+    d.run(
+      """?[k, v] <- [
+        |    ['b', 'the world is square!'],
+        |    ['c', 'see you at the end of the world!'],
+        |    ['d', 'the world is the world and makes the world go around'],
+        |    ['e', 'the world is the world and makes the world not go around']
+        |] :put a {k => v}""".stripMargin)
+    assert(d.run("::columns a:lsh").count() >= 2)
+    assert(d.run("?[src_k, band] := *a:lsh{src_k, band}").count() > 0)
+    val hits = rows(d, "?[k, v] := ~a:lsh{k, v | query: 'see him at the end of the world'}")
+    assert(hits.map(_.head).contains("c"))
+    assert(d.run("::indices a").collect().map(_.getString(0)).contains("a:lsh"))
+    d.run("::lsh drop a:lsh")
+    intercept[Exception](d.run("?[k] := ~a:lsh{k | query: 'x'}"))
+  }
+
+  test("test_lsh_indexing2 (tests.rs:857): self-match found at every threshold") {
+    for (i <- 1 until 10) {
+      val d = db()
+      d.run(":create a {k: String => v: String}")
+      d.run("::lsh create a:lsh {extractor: v, tokenizer: NGram, n_gram: 3, target_threshold: $t }",
+        Map("t" -> i / 10.0))
+      d.run("?[k, v] <- [['a', 'ewiygfspeoighjsfcfxzdfncalsdf']] :put a {k => v}")
+      assert(rows(d, "?[k] := ~a:lsh{k | query: 'ewiygfspeoighjsfcfxzdfncalsdf', k: 1}").nonEmpty,
+        s"threshold ${i / 10.0}")
+    }
+  }
+
+  test("test_lsh_indexing3 (tests.rs:879): defaults fill omitted columns; named probe binds") {
+    val text = "This function first generates 32 random bytes using the os.urandom function. " +
+      "It then base64 encodes these bytes using base64.urlsafe_b64encode, removes the padding, " +
+      "and decodes the result to a string."
+    for (i <- Seq(1, 5, 9)) {
+      val d = db()
+      d.run(":create text {id: String, => text: String, url: String? default null, " +
+        "dt: Float default now(), dup_for: String? default null }")
+      d.run("::lsh create text:lsh { extractor: text, tokenizer: NGram, n_perm: 200, " +
+        "target_threshold: $t, n_gram: 7 }", Map("t" -> i / 10.0))
+      d.run(s"?[id, text] <- [['a', '$text']] :put text {id, text}")
+      val res = rows(d, s"?[id, dup_for] := ~text:lsh{id: id, dup_for: dup_for | query: '$text'}")
+      assert(res.nonEmpty, s"threshold ${i / 10.0}")
+      assert(res.head == Seq("a", null)) // dup_for defaulted to null
+      // dt defaulted to now(): a recent epoch-seconds float
+      val dt = rows(d, "?[dt] := *text{dt}").head.head.toString.toDouble
+      assert(math.abs(dt - System.currentTimeMillis() / 1000.0) < 600)
+    }
+  }
+
+  test("test_lsh_indexing4 (tests.rs:950): probe reflects :rm") {
+    val d = db()
+    d.run(":create a {k: String => v: String}")
+    d.run("::lsh create a:lsh {extractor: v, tokenizer: NGram, n_gram: 3, target_threshold: 0.5 }")
+    d.run("?[k, v] <- [['a', 'ewiygfspeoighjsfcfxzdfncalsdf']] :put a {k => v}")
+    d.run("?[k] <- [['a']] :rm a {k}")
+    assert(rows(d, "?[k] := ~a:lsh{k | query: 'ewiygfspeoighjsfcfxzdfncalsdf', k: 1}").isEmpty)
+  }
+
+  test("test_insertions (tests.rs:1040): vector defaults, admission + probe filters, radius") {
+    val d = db()
+    d.run(":create a {k => v: <F32; 64> default rand_vec(64)}")
+    d.run("?[k] <- [[1]] :put a {k}")
+    assert(rows(d, "?[k, v] := *a{k, v}").head(1)
+      .asInstanceOf[scala.collection.Seq[Any]].length == 64)
+    d.run("::hnsw create a:i { fields: [v], dim: 64, ef: 16, filter: k % 3 == 0, m: 32 }")
+    // only multiples of 3 are admitted to the index
+    assert(rows(d, "?[count(k)] := *a:i[k, v]") == Seq(Seq(0L))) // k=1 not admitted
+    d.run("?[k] <- [[1]] :put a {k}") // upsert regenerates the default
+    d.run("?[k] := k in int_range(300) :put a {k}")
+    assert(rows(d, "?[count(k)] := *a:i[k, v]") == Seq(Seq(100L))) // 0,3,...,297
+    val res = rows(d,
+      """?[dist, k] := ~a:i{k | query: v, bind_distance: dist, k: 10, ef: 50,
+        |                     filter: k % 2 == 0, radius: 245}, *a{k: 96, v}""".stripMargin)
+    assert(res.length <= 10 && res.nonEmpty)
+    assert(res.forall { r =>
+      val k = r(1).asInstanceOf[Long]
+      k % 2 == 0 && k % 3 == 0 && r.head.asInstanceOf[Double] <= 245.0
+    })
+    // the probe vector is k=96's own (admitted, even): self at distance 0
+    assert(res.exists(r => r(1) == 96L && r.head.asInstanceOf[Double] == 0.0))
+  }
+
+  test("test_vec_index_insertion (tests.rs:742 shape): admission filter reacts to :update") {
+    val d = db()
+    d.run(
+      """?[k, v, m] <- [['a', [1.0, 2.0], true],
+        |               ['b', [2.0, 3.0], false]]
+        |:create a {k: String => v: <F32; 2>, m: Bool}""".stripMargin)
+    d.run("::hnsw create a:vec { dim: 2, m: 50, dtype: F32, fields: [v], distance: L2, ef_construction: 20, filter: m }")
+    // only m=true rows are admitted (the reference scans its HNSW graph
+    // rows here; our scannable surface is the admitted flat set)
+    assert(rows(d, "?[k] := *a:vec[k, v]") == Seq(Seq("a")))
+    d.run("?[k, m] <- [['a', false]] :update a {}")
+    assert(rows(d, "?[k] := *a:vec[k, v]").isEmpty)
+  }
+
   test("test_index_short (tests.rs:580): covering index + choose_index auto-selection") {
     val d = db()
     d.run(":create friends {fr: Int, to: Int => data: Any}")

@@ -13,12 +13,14 @@ import org.apache.spark.sql.functions._
   * DataFrames. Datalog set semantics (dedup on insert,
   * temp_store.rs:27-60) map to `except`/`dropDuplicates`.
   *
-  * Scale notes: every iteration `localCheckpoint`s to truncate lineage
-  * (mandatory — an un-checkpointed 30-iteration loop re-executes the
-  * whole prefix each action and overflows the planner). The convergence
-  * check (`delta.isEmpty`) is one cheap job per iteration; `step` must
-  * only consume the delta so per-iteration work is proportional to new
-  * facts, not the accumulated total.
+  * Scale notes: every iteration truncates lineage via a LAZY local
+  * checkpoint (mandatory — an un-checkpointed 30-iteration loop
+  * re-executes the whole prefix each action and overflows the planner).
+  * Lazy + the convergence check (`delta.isEmpty`) costs ONE job per
+  * iteration: `doCheckpoint` materializes every marked ancestor during
+  * that job, so the eager-checkpoint job it replaces is pure overhead.
+  * `step` must only consume the delta so per-iteration work is
+  * proportional to new facts, not the accumulated total.
   */
 object Fixpoint {
 
@@ -33,9 +35,9 @@ object Fixpoint {
     var iter = 0
     var converged = delta.isEmpty
     while (!converged && iter < maxIter) {
-      delta = step(delta).dropDuplicates().except(total).ckpt()
+      delta = step(delta).dropDuplicates().except(total).ckptLazy()
       if (delta.isEmpty) converged = true
-      else total = total.union(delta).ckpt()
+      else total = total.union(delta).ckptLazy()
       iter += 1
     }
     total
@@ -50,8 +52,8 @@ object Fixpoint {
     var frontier = total
     var i = 0
     while (i < hops && !frontier.isEmpty) {
-      frontier = step(frontier).dropDuplicates().except(total).ckpt()
-      total = total.union(frontier).ckpt()
+      frontier = step(frontier).dropDuplicates().except(total).ckptLazy()
+      total = total.union(frontier).ckptLazy()
       i += 1
     }
     total
@@ -79,8 +81,8 @@ object Fixpoint {
     var converged = delta.isEmpty
     while (!converged && iter < maxIter) {
       val candidates = fold(step(delta))
-      val merged = fold(total.union(candidates)).ckpt()
-      delta = merged.except(total).ckpt()
+      val merged = fold(total.union(candidates)).ckptLazy()
+      delta = merged.except(total).ckptLazy()
       if (delta.isEmpty) converged = true
       else total = merged
       iter += 1

@@ -54,7 +54,7 @@ object Graphs {
     val e = edges.select("src", "dst").distinct().ckpt()
     val ns = nodes(e).ckpt()
     val n = ns.count().toDouble
-    val outDeg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+    val outDeg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg")).ckpt()
     var ranks = ns.withColumn("rank", lit(1.0 / n))
     var i = 0
     while (i < iters) {
@@ -68,12 +68,18 @@ object Graphs {
       // an extra job (round-1 verdict)
       val dangling = withDeg.filter(col("deg").isNull)
         .agg(coalesce(sum(col("rank")), lit(0.0)).as("__dangling"))
-      ranks = ns.join(contribs, Seq("node"), "left")
+      // eager ckpt EVERY OTHER round: `withDeg` is referenced twice
+      // (contribs + the dangling broadcast), so a fully-lazy chain
+      // re-executes un-materialized rank lineage inside each broadcast
+      // build (measured 1.6× slower); a 2-round cadence halves the
+      // per-round job floor while keeping the double-referenced subtree
+      // one checkpoint away.
+      val next = ns.join(contribs, Seq("node"), "left")
         .crossJoin(broadcast(dangling))
         .select(col("node"),
           (lit((1 - damping) / n) +
             lit(damping) * (coalesce(col("contrib"), lit(0.0)) + col("__dangling") / n)).as("rank"))
-        .ckpt()
+      ranks = if (i % 2 == 1 || i == iters - 1) next.ckpt() else next.ckptLazy()
       i += 1
     }
     ranks
@@ -115,6 +121,9 @@ object Graphs {
       // pointer jump: comp''(n) = comp'(comp'(n))
       val ptr = prop.select(col("node").as("comp"), col("comp").as("comp2"))
         .dropDuplicates("comp")
+      // `prop` feeds both `ptr` and the join below — eager ckpt keeps the
+      // double-referenced subtree materialized (fully-lazy measured 2×
+      // slower); the convergence aggregate then reads cached blocks
       val jumped = prop.join(ptr, Seq("comp"), "left")
         .select(col("node"), coalesce(col("comp2"), col("comp")).as("comp"))
         .ckpt()
@@ -144,9 +153,11 @@ object Graphs {
       val w = Window.partitionBy(col("node")).orderBy(col("votes").desc, col("label").asc)
       val best = votes.withColumn("__rn", row_number().over(w))
         .filter(col("__rn") === 1).select(col("node"), col("label"))
+      // fixed iteration count, no per-round convergence action → lazy
+      // truncation lets all rounds run as one job at the caller's action
       lab = lab.select("node").join(best, Seq("node"), "left")
         .select(col("node"), coalesce(col("label"), col("node")).as("label"))
-        .ckpt()
+        .ckptLazy()
       i += 1
     }
     lab
@@ -207,9 +218,11 @@ object Graphs {
     var remaining = edges.select("src", "dst").distinct().ckpt()
     var live = nodes(remaining).ckpt()
     // drive the loop off DRIVER-side arithmetic (liveCount -= peeled):
-    // the peeled count comes with the checkpoint we need anyway, so each
-    // layer costs ckpt(peeled)+count+ckpt(live)+ckpt(remaining) — no
-    // isEmpty probes, and the per-layer frames union once at the end
+    // the peeled count comes with the (lazy) checkpoint we need anyway,
+    // so each layer costs exactly ONE job — peeled.count() materializes
+    // peeled plus the previous layer's pending live/remaining truncations
+    // in the same job. No isEmpty probes; the per-layer frames union once
+    // at the end.
     var liveCount = live.count()
     val layers = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var layer = 0
@@ -220,7 +233,7 @@ object Graphs {
             "the longest path exceeds maxIter; raise it or bound the input's depth")
       val peeled = live
         .join(remaining.select(col("dst").as("node")).distinct(), Seq("node"), "left_anti")
-        .withColumn("layer", lit(layer)).ckpt()
+        .withColumn("layer", lit(layer)).ckptLazy()
       val n = peeled.count()
       if (n == 0)
         throw new IllegalArgumentException(
@@ -228,9 +241,9 @@ object Graphs {
       layers += peeled
       liveCount -= n
       if (liveCount > 0) {
-        live = live.join(peeled.select("node"), Seq("node"), "left_anti").ckpt()
+        live = live.join(peeled.select("node"), Seq("node"), "left_anti").ckptLazy()
         remaining = remaining.join(peeled.select(col("node").as("src")), Seq("src"), "left_anti")
-          .ckpt()
+          .ckptLazy()
       }
       layer += 1
     }
@@ -267,7 +280,7 @@ object Graphs {
           .groupBy(col("dst").as("node")).agg(min(col("color")).as("in_color"))
         val next = color.join(viaEdge, Seq("node"), "left")
           .select(col("node"), least(col("color"), coalesce(col("in_color"), col("color"))).as("color"))
-          .ckpt()
+          .ckptLazy() // materialized by the convergence aggregate below
         if (numIds) {
           val s = monotoneSum(next, "color") // min-coloring only decreases
           stable = java.util.Objects.equals(s, prevColorSum)
@@ -286,7 +299,7 @@ object Graphs {
         val grown = live.join(inScc.withColumnRenamed("node", "dst"), Seq("dst"))
           .select(col("src").as("node"), col("color"))
           .join(color, Seq("node", "color"), "left_semi")
-          .unionByName(inScc).dropDuplicates().ckpt()
+          .unionByName(inScc).dropDuplicates().ckptLazy() // count() materializes
         val c = grown.count() // the membership set only grows
         stable = c == prevInScc
         prevInScc = c
@@ -357,11 +370,11 @@ object Graphs {
           .filter(pmod(xxhash64(col("node")), lit(2)) === lit(inner % 2))
           .filter(col("gain") > 1e-12 && col("comm") =!= col("cur"))
           .select(col("node"), col("comm").as("next"))
-          .ckpt()
-        val nMoved = best.count()
+          .ckptLazy()
+        val nMoved = best.count() // one job: materializes best + pending truncations
         val nextComm = comm.join(best, Seq("node"), "left")
           .select(col("node"), coalesce(col("next"), col("comm")).as("comm"))
-          .ckpt()
+          .ckptLazy()
         movedPrev = moved
         moved = nMoved > 0
         comm = nextComm
@@ -438,10 +451,10 @@ object Graphs {
         .select(col("start"), col("dst").as("node"),
           concat(col("path"), array(col("dst"))).as("path"))
       val fresh = next.join(reach.select("start", "node"), Seq("start", "node"), "left_anti")
-        .groupBy("start", "node").agg(min(col("path")).as("path")).ckpt()
+        .groupBy("start", "node").agg(min(col("path")).as("path")).ckptLazy()
       if (fresh.isEmpty) done = true
       else {
-        reach = reach.unionByName(fresh).ckpt()
+        reach = reach.unionByName(fresh).ckptLazy()
         frontier = fresh
         // stop once every start has hit some goal (the common probe shape)
         val startsLeft = starts.select(col("start"))
@@ -549,7 +562,8 @@ object Graphs {
           .orderBy(col("weight"), col("a"), col("b"))
         val chosen = cand.withColumn("__rn", row_number().over(wnd)).filter(col("__rn") === 1)
           .select(col("a"), col("b"), col("weight"), col("comp"), col("other"))
-          .ckpt()
+          .ckptLazy() // first consumer job materializes; persisted for the second
+
         val newEdges = chosen.select(col("a").as("src"), col("b").as("dst"), col("weight"))
           .dropDuplicates()
         forest = if (forest == null) newEdges.ckpt()
@@ -557,7 +571,7 @@ object Graphs {
         // merge: each comp points to min(comp, other); pointer-jump to fixpoint
         var ptr = chosen.select(col("comp"), least(col("comp"), col("other")).as("to"))
           .groupBy("comp").agg(min(col("to")).as("to"))
-          .ckpt()
+          .ckptLazy()
         val numIds = numericCol(ptr, "to")
         var prevPtrSum = if (numIds) monotoneSum(ptr, "to") else null
         var stable = false
@@ -566,7 +580,7 @@ object Graphs {
           val jumped = ptr.as("p1")
             .join(ptr.select(col("comp").as("to"), col("to").as("to2")), Seq("to"), "left")
             .select(col("comp"), least(col("to"), coalesce(col("to2"), col("to"))).as("to"))
-            .ckpt()
+            .ckptLazy()
           if (numIds) {
             val s = monotoneSum(jumped, "to") // pointer targets only decrease
             stable = java.util.Objects.equals(s, prevPtrSum)
@@ -898,8 +912,8 @@ object Graphs {
       val w = Window.partitionBy(col("walk_id"), col("step")).orderBy(col("__h"), col("dst"))
       frontier = cand.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
         .select(col("walk_id"), col("start"), col("dst").as("node"), col("step"))
-        .ckpt()
-      walk = walk.union(frontier).ckpt()
+        .ckptLazy() // isEmpty materializes it (doCheckpoint fills all partitions)
+      walk = walk.union(frontier).ckptLazy()
       s += 1
     }
     walk

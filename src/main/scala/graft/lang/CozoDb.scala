@@ -1032,7 +1032,9 @@ class CozoDb(val spark: SparkSession) {
     * idempotent, commutative, monotone, aggr.rs:1190-1206) fold the
     * meet over totals ∪ derived instead of set-union, with the changed
     * keys as the delta; that is how Dijkstra-in-Datalog converges.
-    * Per-round `.ckpt()` truncates lineage and drops inherited stats.
+    * Per-round LAZY `.ckptLazy()` truncates lineage and drops inherited
+    * stats; the delta `count()` is the single job that materializes the
+    * round's checkpoints (doCheckpoint fills every marked ancestor).
     */
   private def evalRecursive(scc: Seq[String], byName: Map[String, Seq[RuleDef]],
                             evaluated: mutable.HashMap[String, DataFrame],
@@ -1127,7 +1129,7 @@ class CozoDb(val spark: SparkSession) {
       if (outs.nonEmpty) {
         val cols = outs.head.columns
         val unioned = restricted(n, outs.map(_.toDF(cols: _*)).reduce(_ unionByName _))
-        val init = (if (meetRules(n)) meetFold(n, None, unioned) else unioned.dropDuplicates()).ckpt()
+        val init = (if (meetRules(n)) meetFold(n, None, unioned) else unioned.dropDuplicates()).ckptLazy()
         val cnt = init.count()
         round0(n) = cnt
         if (cnt > 0) { totals(n) = init; deltas(n) = init }
@@ -1150,23 +1152,23 @@ class CozoDb(val spark: SparkSession) {
           val derived = restricted(n, variants.map(_.toDF(cols.toIndexedSeq: _*)).reduce(_ unionByName _))
           totals.get(n) match {
             case None =>
-              val init = (if (meetRules(n)) meetFold(n, None, derived) else derived.dropDuplicates()).ckpt()
+              val init = (if (meetRules(n)) meetFold(n, None, derived) else derived.dropDuplicates()).ckptLazy()
               val cnt = init.count()
               roundStats(n) = cnt
               if (cnt > 0) { changed = true; totals(n) = init; newDeltas(n) = init }
             case Some(tot) =>
               if (!meetRules(n)) {
-                val delta = derived.dropDuplicates().except(tot).ckpt()
+                val delta = derived.dropDuplicates().except(tot).ckptLazy()
                 val cnt = delta.count()
                 roundStats(n) = cnt
                 if (cnt > 0) {
                   changed = true
-                  totals(n) = tot.unionByName(delta).ckpt()
+                  totals(n) = tot.unionByName(delta).ckptLazy()
                   newDeltas(n) = delta
                 }
               } else {
-                val folded = meetFold(n, Some(tot), derived).ckpt()
-                val delta = folded.except(tot).ckpt()
+                val folded = meetFold(n, Some(tot), derived).ckptLazy()
+                val delta = folded.except(tot).ckptLazy()
                 val cnt = delta.count()
                 roundStats(n) = cnt
                 if (cnt > 0) { changed = true; totals(n) = folded; newDeltas(n) = delta }

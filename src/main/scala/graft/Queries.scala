@@ -821,6 +821,102 @@ object Queries {
     },
       None),
 
+    // ————— training-data pipeline: clustering / decontamination /
+    // ————— sampling / redaction (beyond-reference north-star ops)
+
+    // near-dup pairs collapsed into clusters with one canonical keeper
+    // (pairs alone don't dedup a corpus — a~b, b~c must fold into one
+    // cluster). Pairs from the LSH+exact-verify path (= exact pairs whp),
+    // clusters via pointer-jumping connected components.
+    Spec("dedup_clusters", (s, d) => {
+      val docs = T(s, d, "documents")
+      val pairs = Dedup.minhashDedup(docs, "doc_id", "text",
+        shingleN = 3, bands = 32, rowsPerBand = 2, threshold = 0.5)
+      Dedup.resolveClusters(docs, "doc_id", pairs)
+    },
+      Some(s"""WITH RECURSIVE d AS (SELECT doc_id, $toksSql AS toks FROM documents),
+              |idx AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS i FROM d),
+              |sh AS (SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS s FROM idx),
+              |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+              |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+              |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+              |prs AS (SELECT id_a, id_b FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+              |        WHERE common * 1.0 / (sa.n + sb.n - common) >= 0.5),
+              |und AS (SELECT id_a AS a, id_b AS b FROM prs UNION ALL SELECT id_b, id_a FROM prs),
+              |reach(a, b) AS (
+              |  SELECT a, a FROM (SELECT DISTINCT a FROM und) t
+              |  UNION
+              |  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
+              |comp AS (SELECT a AS id, min(b) AS cluster FROM reach GROUP BY 1)
+              |SELECT dd.doc_id AS id, COALESCE(c.cluster, dd.doc_id) AS cluster,
+              |  (COALESCE(c.cluster, dd.doc_id) = dd.doc_id) AS keep
+              |FROM documents dd LEFT JOIN comp c ON dd.doc_id = c.id""".stripMargin)),
+
+    // benchmark decontamination: training docs sharing any 5-gram with
+    // the (stand-in) eval slice; the eval side broadcasts at scale
+    Spec("decontam_ngram", (s, d) => {
+      val docs = T(s, d, "documents")
+      graft.pipeline.Decontaminate.ngramOverlap(
+        docs.filter(col("doc_id") % 97 =!= 0), "doc_id", "text",
+        docs.filter(col("doc_id") % 97 === 0), "doc_id", "text",
+        n = 5, minOverlap = 1)
+    },
+      Some(s"""WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
+              |idx AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 4)) AS i FROM d),
+              |sh AS (SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4] AS s FROM idx),
+              |tr AS (SELECT doc_id AS train_id, s FROM sh WHERE doc_id % 97 <> 0),
+              |ev AS (SELECT doc_id AS eval_id, s FROM sh WHERE doc_id % 97 = 0)
+              |SELECT train_id, count(DISTINCT tr.s) AS overlap_ngrams,
+              |  count(DISTINCT eval_id) AS eval_docs
+              |FROM tr JOIN ev ON tr.s = ev.s
+              |GROUP BY 1 HAVING count(DISTINCT tr.s) >= 1""".stripMargin)),
+
+    // deterministic stratified sampling via Knuth multiplicative hashing
+    // (pure integer arithmetic — the oracle reproduces it bit-for-bit;
+    // the xxhash64 family is the production default for non-int keys)
+    Spec("pipe_sample_stratified", (s, d) =>
+      graft.pipeline.Sampling.stratifiedSample(T(s, d, "documents"),
+          "doc_id", "lang", Map("en" -> 0.5), default = 0.2)
+        .select("doc_id", "lang"),
+      Some("""SELECT doc_id, lang FROM documents
+             |WHERE ((doc_id * 2654435761) % 4294967296) % 1000000 <
+             |  CASE WHEN lang = 'en' THEN 500000 ELSE 200000 END""".stripMargin)),
+
+    // deterministic train/val/test split: stable under re-runs and
+    // corpus growth (a row's split never changes when other rows arrive)
+    Spec("pipe_split", (s, d) =>
+      graft.pipeline.Sampling.split(T(s, d, "documents"), "doc_id")
+        .select("doc_id", "split"),
+      Some("""SELECT doc_id, CASE
+             |  WHEN ((doc_id * 2654435761) % 4294967296) % 100 < 80 THEN 'train'
+             |  WHEN ((doc_id * 2654435761) % 4294967296) % 100 < 90 THEN 'val'
+             |  ELSE 'test' END AS split
+             |FROM documents""".stripMargin)),
+
+    // deterministic per-group reservoir: the 7 smallest-hash docs per
+    // (lang, source) — a uniform without-replacement group sample
+    Spec("pipe_reservoir", (s, d) =>
+      graft.pipeline.Sampling.reservoirPerGroup(T(s, d, "documents"),
+          "doc_id", Seq("lang", "source"), n = 7)
+        .select("doc_id", "lang", "source"),
+      Some("""SELECT doc_id, lang, source FROM (
+             |  SELECT doc_id, lang, source, row_number() OVER (
+             |    PARTITION BY lang, source
+             |    ORDER BY ((doc_id * 2654435761) % 4294967296) % 1000000, doc_id) AS rn
+             |  FROM documents) t WHERE rn <= 7""".stripMargin)),
+
+    // PII redaction: email → IPv4 → long digit runs, all-occurrence
+    // replacement; patterns live in the Java-regex ∩ RE2 subset so the
+    // oracle is char-identical
+    Spec("pipe_redact", (s, d) =>
+      T(s, d, "documents").select(col("doc_id"),
+        TextAnalysis.redact(col("text")).as("redacted")),
+      Some("""SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(text,
+             |  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             |  '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+             |  '\d{6,}', '<NUM>', 'g') AS redacted
+             |FROM documents""".stripMargin)),
+
     // ——————————————————— mutations (SURVEY §2.2 sinks) ———————————————————
 
     Spec("mut_upsert", (s, d) => {

@@ -271,6 +271,23 @@ object Dedup {
       .select("id_a", "id_b", "cosine")
   }
 
+  /** Cluster resolution: near-dup PAIRS (from any of the generators
+    * above) are only half a dedup pipeline — transitive duplicates
+    * (a~b, b~c) must collapse into one cluster with one canonical
+    * keeper. Pairs become undirected edges, connected components
+    * (pointer-jumping, O(log diameter) rounds) label each cluster with
+    * its minimum member id, and every document keeps itself iff it IS
+    * the canonical id. Returns every document: (id, cluster, keep).
+    */
+  def resolveClusters(docs: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+    val comp = graft.graphs.Graphs.connectedComponents(edges)
+    docs.select(col(idCol).as("id"))
+      .join(comp.withColumnRenamed("node", "id"), Seq("id"), "left")
+      .select(col("id"), coalesce(col("comp"), col("id")).as("cluster"))
+      .withColumn("keep", col("id") === col("cluster"))
+  }
+
   /** Single-table hyperplane signature as a column-level helper (tests;
     * the scale path is [[hyperplaneBuckets]]). */
   private[graft] def hyperplaneSignature(vec: Column, planes: Int, seed: Int = 0): Column = {

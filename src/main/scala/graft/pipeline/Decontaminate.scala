@@ -1,0 +1,47 @@
+package graft.pipeline
+
+import graft.functions.{TextFunctions => TF}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination for training corpora: flag training
+  * documents that share word n-grams with an evaluation/benchmark set
+  * (the standard 13-gram-overlap test, run here with a configurable n).
+  *
+  * Shape: explode both sides to distinct (doc, shingle) rows, equi-join
+  * on the shingle, aggregate per training doc. The eval side of the join
+  * is the full benchmark suite — millions of shingles at most — so Spark
+  * broadcasts it and the pass over 100 TB of training text is a single
+  * map-side join in whole-stage codegen, no shuffle of the corpus.
+  */
+object Decontaminate {
+
+  /** Per-training-document overlap report against an eval set:
+    * (train_id, overlap_ngrams = distinct shared n-grams,
+    * eval_docs = distinct eval documents hit). Only contaminated
+    * documents (overlap ≥ minOverlap) are returned — anti-join against
+    * this output to clean the corpus.
+    */
+  def ngramOverlap(train: DataFrame, trainId: String, trainText: String,
+                   eval: DataFrame, evalId: String, evalText: String,
+                   n: Int = 13, minOverlap: Int = 1): DataFrame = {
+    val tsh = train.select(col(trainId).as("train_id"),
+      explode(TF.wordShingles(col(trainText), n)).as("s"))
+    val esh = eval.select(col(evalId).as("eval_id"),
+      explode(TF.wordShingles(col(evalText), n)).as("s"))
+    tsh.join(broadcast(esh), Seq("s"))
+      .groupBy("train_id")
+      .agg(countDistinct(col("s")).as("overlap_ngrams"),
+        countDistinct(col("eval_id")).as("eval_docs"))
+      .filter(col("overlap_ngrams") >= minOverlap)
+  }
+
+  /** The cleaned corpus: training rows with no flagged overlap. */
+  def clean(train: DataFrame, trainId: String, trainText: String,
+            eval: DataFrame, evalId: String, evalText: String,
+            n: Int = 13, minOverlap: Int = 1): DataFrame = {
+    val bad = ngramOverlap(train, trainId, trainText, eval, evalId, evalText, n, minOverlap)
+      .select(col("train_id").as(trainId))
+    train.join(bad, Seq(trainId), "left_anti")
+  }
+}

@@ -77,4 +77,18 @@ object TextAnalysis {
   /** Order-sensitive 64-bit document fingerprint (rolling hash). */
   def fingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol), TF.rollingFingerprint(TF.tokens(col(textCol))).as("fingerprint"))
+
+  /** PII redaction for training corpora: emails, IPv4 addresses, then
+    * long digit runs (ids/phones/accounts) are replaced with typed
+    * placeholder tokens, in that order (an email would otherwise lose
+    * its digits to the number rule first). Patterns stay in the portable
+    * regex subset (no lookarounds), so the same expressions run under
+    * Java regex and RE2 — and the chain is three codegen'd
+    * regexp_replace calls over the scan, no UDFs.
+    */
+  def redact(text: Column): Column = {
+    val email = regexp_replace(text, "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    val ip = regexp_replace(email, "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>")
+    regexp_replace(ip, "\\d{6,}", "<NUM>")
+  }
 }

@@ -1,0 +1,94 @@
+package graft.pipeline
+
+import graft.SparkFixture
+import graft.dedup.Dedup
+import graft.text.TextAnalysis
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Training-data pipeline operators: deterministic sampling/splitting,
+  * decontamination, cluster resolution, PII redaction.
+  */
+class PipelineSpec extends AnyFunSuite {
+  lazy val spark = SparkFixture.spark
+  def docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+  test("sample is deterministic and near the requested fraction") {
+    val a = Sampling.sample(docs, "doc_id", 0.3).select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.sample(docs, "doc_id", 0.3).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == b, "same rows on every run")
+    val n = docs.count().toDouble
+    assert(math.abs(a.size / n - 0.3) < 0.1, s"fraction ~0.3, got ${a.size / n}")
+    // monotone: a smaller fraction is a subset of a larger one
+    val small = Sampling.sample(docs, "doc_id", 0.1).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(small.subsetOf(a), "nested samples (bucket < t is monotone in t)")
+  }
+
+  test("split is disjoint, exhaustive and stable under corpus growth") {
+    val full = Sampling.split(docs, "doc_id").select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(full.values.toSet == Set("train", "val", "test"))
+    val frac = full.values.groupBy(identity).view.mapValues(_.size / full.size.toDouble).toMap
+    assert(math.abs(frac("train") - 0.8) < 0.1, s"train ~80%: $frac")
+    // growth-stability: the split of a subset matches the full corpus
+    val sub = Sampling.split(docs.filter(col("doc_id") < 100), "doc_id")
+      .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    sub.foreach { case (id, sp) => assert(full(id) == sp, s"doc $id split changed") }
+  }
+
+  test("stratifiedSample applies per-stratum fractions") {
+    val kept = Sampling.stratifiedSample(docs, "doc_id", "lang",
+      Map("en" -> 1.0), default = 0.0)
+    val langs = kept.select("lang").distinct().collect().map(_.getString(0)).toSet
+    assert(langs == Set("en"), s"default 0.0 drops non-en strata, got $langs")
+    assert(kept.count() == docs.filter(col("lang") === "en").count(), "en fraction 1.0 keeps all")
+  }
+
+  test("reservoirPerGroup returns at most n per group, deterministically") {
+    val r = Sampling.reservoirPerGroup(docs, "doc_id", Seq("lang"), n = 3)
+    val sizes = r.groupBy("lang").count().collect().map(_.getLong(1))
+    assert(sizes.forall(_ <= 3))
+    val again = Sampling.reservoirPerGroup(docs, "doc_id", Seq("lang"), n = 3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == r.select("doc_id").collect().map(_.getLong(0)).toSet)
+  }
+
+  test("resolveClusters folds transitive pairs into min-id clusters") {
+    import spark.implicits._
+    val ids = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("id")
+    // 1~2, 2~3 (one cluster), 5~6 (another); 4 isolated
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val out = Dedup.resolveClusters(ids, "id", pairs)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(out(1L) == (1L, true) && out(2L) == (1L, false) && out(3L) == (1L, false))
+    assert(out(4L) == (4L, true))
+    assert(out(5L) == (5L, true) && out(6L) == (5L, false))
+  }
+
+  test("decontamination flags the planted overlap and clean() removes it") {
+    import spark.implicits._
+    val train = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "completely unrelated sentence with no overlap at all here"),
+      (3L, "another benign training document about spark joins")).toDF("id", "text")
+    val eval_ = Seq(
+      (100L, "we ask whether the quick brown fox jumps over anything")).toDF("id", "text")
+    val bad = Decontaminate.ngramOverlap(train, "id", "text", eval_, "id", "text", n = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(bad.map(_._1).toSet == Set(1L), s"only doc 1 shares a 5-gram: ${bad.mkString(",")}")
+    val cleaned = Decontaminate.clean(train, "id", "text", eval_, "id", "text", n = 5)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(cleaned == Set(2L, 3L))
+  }
+
+  test("redact replaces emails, IPs and long digit runs, in order") {
+    import spark.implicits._
+    val out = Seq(
+      "contact alice.smith+x@example-corp.io or 10.0.255.7 ref 1234567890",
+      "short 12345 stays; 192.168.1.1 goes").toDF("text")
+      .select(TextAnalysis.redact(col("text")).as("r"))
+      .collect().map(_.getString(0))
+    assert(out(0) == "contact <EMAIL> or <IP> ref <NUM>")
+    assert(out(1) == "short 12345 stays; <IP> goes")
+  }
+}

@@ -3,7 +3,7 @@ package graft.lang
 import graft.plan._
 import Ast._
 import graft.operators.Mutations
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import scala.collection.mutable
@@ -882,7 +882,11 @@ class CozoDb(val spark: SparkSession) {
           case s: Seq[_] => s
           case other => throw CompileException(s"const rule body must be a list, got $other")
         }
+        // set semantics apply to const rules too (utilities/constant.rs
+        // pre-evaluates into a deduped store); rows are driver-side so
+        // the dedup is cheap
         CozoDb.rowsToDf(spark, rows, if (head.nonEmpty) Some(head.map(_.v)) else None)
+          .dropDuplicates()
       case FixedApply(_, head, algo, rels, opts) =>
         val impl = FixedRules.get(algo)
           .getOrElse(throw CompileException(s"unknown fixed rule $algo"))
@@ -1225,9 +1229,15 @@ class CozoDb(val spark: SparkSession) {
       // ties resolve by the remaining head columns in order — append
       // them as ascending tie-breakers for identical row order
       val explicit = sortKeys.map(_._1).toSet
-      val tieBreak = df.columns.filterNot(explicit.contains).map(col(_).asc)
+      // Any-tagged columns (mixed-type, JSON-encoded) sort in the
+      // reference's cross-type total order, not the encoding's order
+      def key(v: String): Column =
+        if (df.columns.contains(v) && AnyValue.isAny(df.schema(v).metadata))
+          AnyValue.sortKey(col(v))
+        else col(v)
+      val tieBreak = df.columns.filterNot(explicit.contains).map(key(_).asc)
       df = df.orderBy(sortKeys.map { case (v, desc) =>
-        if (desc) col(v).desc else col(v).asc } ++ tieBreak: _*)
+        if (desc) key(v).desc else key(v).asc } ++ tieBreak: _*)
     }
     o.offset.foreach(n => df = df.offset(n.toInt))
     o.limit.foreach(n => df = df.limit(n.toInt))
@@ -1406,6 +1416,18 @@ object CozoDb {
       throw Compiler.CompileException(
         s"const rule arity $arity does not match head ${colNames.length}")
 
+    // a column mixing value FAMILIES (bool / num / string / list) is an
+    // `Any` column (value.rs:143-174): stored as its canonical JSON
+    // encoding, tagged with metadata so :sort applies the cross-type
+    // total order (AnyValue.sortKey) instead of the string order
+    def isAnyMix(values: Seq[Any]): Boolean = {
+      val nn = values.filter(_ != null)
+      nn.nonEmpty &&
+        !(nn.forall(_.isInstanceOf[Boolean]) ||
+          nn.forall(v => v.isInstanceOf[Long] || v.isInstanceOf[Double] || v.isInstanceOf[Float]) ||
+          nn.forall(_.isInstanceOf[String]) ||
+          nn.forall(_.isInstanceOf[Seq[_]]))
+    }
     def typeOf(values: Seq[Any]): DataType = {
       val nonNull = values.filter(_ != null)
       if (nonNull.isEmpty) StringType
@@ -1419,7 +1441,9 @@ object CozoDb {
         ArrayType(typeOf(nonNull.flatMap(_.asInstanceOf[Seq[Any]])))
       else StringType
     }
-    val types = (0 until arity).map(i => typeOf(tuples.map(_(i))))
+    val anyCols = (0 until arity).map(i => isAnyMix(tuples.map(_(i))))
+    val types = (0 until arity).map(i =>
+      if (anyCols(i)) StringType else typeOf(tuples.map(_(i))))
     def coerce(v: Any, t: DataType): Any = (v, t) match {
       case (null, _) => null
       case (l: Long, DoubleType) => l.toDouble
@@ -1430,8 +1454,13 @@ object CozoDb {
       case (x, StringType) if !x.isInstanceOf[String] => x.toString
       case (x, _) => x
     }
-    val schema = StructType(colNames.zip(types).map { case (n, t) => StructField(n, t, nullable = true) })
-    val data = tuples.map(t => Row.fromSeq(t.zip(types).map { case (v, ty) => coerce(v, ty) }))
+    val schema = StructType(colNames.zip(types).zipWithIndex.map { case ((n, t), i) =>
+      StructField(n, t, nullable = true,
+        metadata = if (anyCols(i)) AnyValue.marker else Metadata.empty)
+    })
+    val data = tuples.map(t => Row.fromSeq(t.zipWithIndex.map { case (v, i) =>
+      if (anyCols(i)) AnyValue.encode(v) else coerce(v, types(i))
+    }))
     spark.createDataFrame(spark.sparkContext.parallelize(data, math.max(1, data.length / 10000)), schema)
   }
 }

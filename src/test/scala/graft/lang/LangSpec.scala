@@ -413,4 +413,25 @@ class LangSpec extends AnyFunSuite {
         |?[intersection(x)] := r[x]""".stripMargin).collect().head.getSeq[Long](0)
     assert(inter.toSet == Set(2L, 3L))
   }
+
+  test("Any column: cross-type total order in :sort (value.rs:143-174, 575-598)") {
+    val db = freshDb()
+    // Null < Bool (false<true) < Num (by value, int<float on ties) < Str
+    val sorted = rows(db,
+      "?[x] <- [[1], [1.0], ['a'], [true], [false], [null], [-3], ['1']] :sort x")
+      .map(_.head)
+    assert(sorted == Seq(null, "false", "true", "-3", "1", "1.0", "\"1\"", "\"a\""),
+      s"got $sorted")
+    // :sort -x reverses (nulls last)
+    val desc = rows(db,
+      "?[x] <- [[1], ['a'], [true], [null]] :sort -x").map(_.head)
+    assert(desc == Seq("\"a\"", "1", "true", null), s"got $desc")
+  }
+
+  test("Any column: int 1, float 1.0 and string '1' are distinct values") {
+    val db = freshDb()
+    // set semantics must not conflate across types (injective encoding)
+    val r = rows(db, "?[x] <- [[1], [1.0], ['1'], [1]]")
+    assert(r.size == 3, s"got $r")
+  }
 }

@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[32] with 8g forces constant GC once the bench suite grew
+  // broadcast-heavy queries (round-4 bench: uniform ~2-4x inflation
+  // from heap pressure, not plans). The box has 128 GiB; give the
+  // single-JVM "cluster" a realistic executor-memory share.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
 )

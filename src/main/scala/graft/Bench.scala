@@ -25,7 +25,9 @@ object Bench {
 
     def sweep(): Unit = {
       spark.sharedState.cacheManager.clearCache()
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      // blocking: an async drop races the next query's memory demand —
+      // the measured query then pays its predecessor's cleanup
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
     }
     def runOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Either[String, Double] = {
       val t0 = System.nanoTime()

@@ -69,13 +69,29 @@ object AnyValue {
     "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
       .replace("\n", "\\n").replace("\r", "\\r").replace("\t", "\\t") + "\""
 
+  /** Display decoding for an encoded Any column at result
+    * materialization: strings lose their JSON quoting/escaping (the
+    * reference returns the string `a`, not `"a"`); every other encoding
+    * (bools, ints, floats, lists) already reads as its display form.
+    * Note the decoded DISPLAY is not injective (int 1 and string "1"
+    * both render `1`) — set semantics / joins all run on the injective
+    * encoding BEFORE this final projection, so only the rendering, never
+    * the result set, can collide.
+    */
+  def decodeDisplay(c: Column): Column =
+    when(c.startsWith("\""), get_json_object(c, "$")).otherwise(c)
+
   /** Total-order sort key for an encoded Any column: a struct whose
     * field-by-field comparison is the reference's cross-type order.
     * All branches are codegen'd string tests over the encoding.
     */
   def sortKey(c: Column): Column = {
     val isBool = c === "true" || c === "false"
-    val isNum = c.rlike("^-?[0-9.]")
+    // non-finite float encodings (NaN, Infinity, -Infinity) must rank in
+    // the Num band (cast('double') parses all three); Spark sorts NaN
+    // after every other double, which is where the reference's Num band
+    // ends anyway
+    val isNum = c.rlike("^(-?([0-9.]|Infinity)|NaN)")
     val isStr = c.startsWith("\"")
     val isList = c.startsWith("[")
     struct(
@@ -86,8 +102,9 @@ object AnyValue {
         .otherwise(5).as("rank"),
       when(isBool, c === "true").otherwise(lit(false)).as("bool"),
       when(isNum, c.cast("double")).otherwise(lit(0.0)).as("num"),
-      // int < float at equal numeric value (value.rs:575-598)
-      when(isNum && c.rlike("[.eE]"), 1).otherwise(0).as("isFloat"),
+      // int < float at equal numeric value (value.rs:575-598); NaN and
+      // (-)Infinity are float encodings despite containing no [.eE]
+      when(isNum && c.rlike("[.eE]|NaN|Infinity"), 1).otherwise(0).as("isFloat"),
       // strings compare unquoted/unescaped; lists by their JSON dump
       when(isStr, get_json_object(c, "$")).when(isList, c).otherwise(lit("")).as("str"))
   }

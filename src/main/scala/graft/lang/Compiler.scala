@@ -60,6 +60,47 @@ class Compiler(spark: SparkSession,
     case Un("-", x) => -compileExpr(x)
     case Un("!", x) => !compileExpr(x)
     case Un(op, _) => throw CompileException(s"unknown unary op $op")
+    // comparisons touching an Any-tagged (JSON-encoded) column compare
+    // in the ENCODED domain: the literal side is encoded driver-side so
+    // `x == 'a'` matches the stored `"a"`, and ordering goes through the
+    // cross-type sort key (value.rs:143-174 total order) instead of the
+    // encoding's string order. Non-literal non-Any operands (a typed
+    // column from another relation) stay opaque — documented limit.
+    // arithmetic over an Any-tagged column (e.g. an int/float-mixed
+    // const relation) reads the encoding back as a number — the
+    // encoding renders numerics exactly as SQL double literals
+    case Bin(op @ ("+" | "-" | "*" | "/" | "%" | "^"), l, r)
+        if anyMarked(l) || anyMarked(r) =>
+      def num(e: Expr): Column = {
+        val c = compileExpr(e)
+        if (anyMarked(e)) c.cast("double") else c
+      }
+      val (cl, cr) = (num(l), num(r))
+      op match {
+        case "+" => cl + cr
+        case "-" => cl - cr
+        case "*" => cl * cr
+        case "/" => cl / cr
+        case "%" => cl % cr
+        case "^" => pow(cl, cr)
+      }
+    case Bin(op @ ("==" | "!=" | "<" | ">" | "<=" | ">="), l, r)
+        if anyMarked(l) || anyMarked(r) =>
+      def operand(e: Expr): Column = e match {
+        case Lit(v) => lit(AnyValue.encode(v))
+        case Param(name) => lit(AnyValue.encode(params.getOrElse(name,
+          throw CompileException(s"missing parameter $$$name"))))
+        case other => compileExpr(other)
+      }
+      val (cl, cr) = (operand(l), operand(r))
+      op match {
+        case "==" => cl === cr
+        case "!=" => cl =!= cr
+        case "<" => AnyValue.sortKey(cl) < AnyValue.sortKey(cr)
+        case ">" => AnyValue.sortKey(cl) > AnyValue.sortKey(cr)
+        case "<=" => AnyValue.sortKey(cl) <= AnyValue.sortKey(cr)
+        case ">=" => AnyValue.sortKey(cl) >= AnyValue.sortKey(cr)
+      }
     case Bin(op, l, r) =>
       val (cl, cr) = (compileExpr(l), compileExpr(r))
       op match {
@@ -186,6 +227,14 @@ class Compiler(spark: SparkSession,
       case ks => throw CompileException(
         s"$where supports top-level (single-key) paths only, got ${ks.mkString("[", ", ", "]")}")
     }
+
+  /** Is `e` a variable bound to an Any-tagged column in the current
+    * frame? (Any columns carry [[AnyValue.marker]] metadata.) */
+  private def anyMarked(e: Expr): Boolean = e match {
+    case V(n) => frame.exists(f =>
+      f.columns.contains(n) && AnyValue.isAny(f.schema(n).metadata))
+    case _ => false
+  }
 
   /** Frame the current atom compiles against — lets generic functions
     * (`length`) resolve an argument's Spark type at compile time. */

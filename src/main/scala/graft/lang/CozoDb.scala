@@ -292,13 +292,30 @@ class CozoDb(val spark: SparkSession) {
       // imperative script: { query } blocks with `as _temp`, %if/%loop/
       // %return/%swap control flow (imperative.rs:67-250); plain
       // sequential { } blocks are the degenerate case
-      if (Imperative.looksImperative(trimmed))
-        Imperative.execute(this, Imperative.parse(trimmed), params)
-      else runSingle(trimmed, params)
+      val out =
+        if (Imperative.looksImperative(trimmed))
+          Imperative.execute(this, Imperative.parse(trimmed), params)
+        else runSingle(trimmed, params)
+      decodeAnyColumns(out)
     } finally {
       runningQueries.remove(id)
       spark.sparkContext.clearJobGroup()
     }
+  }
+
+  /** Final-result projection: Any-tagged (mixed-type, JSON-encoded)
+    * columns decode to their display form on the way OUT of [[run]]
+    * only — internal paths (imperative temps, stored relations, sort
+    * keys) keep the injective encoding so set semantics and joins stay
+    * exact. The marker metadata is dropped with the encoding. */
+  private def decodeAnyColumns(df: DataFrame): DataFrame = {
+    val hasAny = df.schema.exists(f => AnyValue.isAny(f.metadata))
+    if (!hasAny) df
+    else df.select(df.schema.map { f =>
+      if (AnyValue.isAny(f.metadata))
+        AnyValue.decodeDisplay(col(f.name)).as(f.name)
+      else col(f.name)
+    }: _*)
   }
 
   /** Single query program (used by the imperative interpreter). */
@@ -1422,11 +1439,19 @@ object CozoDb {
     // total order (AnyValue.sortKey) instead of the string order
     def isAnyMix(values: Seq[Any]): Boolean = {
       val nn = values.filter(_ != null)
-      nn.nonEmpty &&
+      // int/float mixes are Any too: the reference's Num order keeps
+      // 1 and 1.0 as DISTINCT set elements (value.rs:575-598, Int <
+      // Float on numeric ties); a Long→Double coercion would conflate
+      // them under dropDuplicates. Arithmetic over such a column casts
+      // back to double at the use site (Compiler numeric ops).
+      val intFloatMix =
+        nn.exists(_.isInstanceOf[Long]) &&
+          nn.exists(v => v.isInstanceOf[Double] || v.isInstanceOf[Float])
+      nn.nonEmpty && (intFloatMix ||
         !(nn.forall(_.isInstanceOf[Boolean]) ||
           nn.forall(v => v.isInstanceOf[Long] || v.isInstanceOf[Double] || v.isInstanceOf[Float]) ||
           nn.forall(_.isInstanceOf[String]) ||
-          nn.forall(_.isInstanceOf[Seq[_]]))
+          nn.forall(_.isInstanceOf[Seq[_]])))
     }
     def typeOf(values: Seq[Any]): DataType = {
       val nonNull = values.filter(_ != null)

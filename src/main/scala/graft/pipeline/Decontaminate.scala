@@ -21,17 +21,32 @@ object Decontaminate {
     * eval_docs = distinct eval documents hit). Only contaminated
     * documents (overlap ≥ minOverlap) are returned — anti-join against
     * this output to clean the corpus.
+    *
+    * `broadcastEval = true` (the default) force-broadcasts the exploded
+    * eval relation — right whenever the eval suite is benchmark-sized.
+    * For a large eval side (where the exploded relation would blow the
+    * broadcast limit / driver memory), pass `false` to fall back to a
+    * plain shuffle hash join; AQE may still pick broadcast at runtime
+    * if the actual size turns out small.
     */
   def ngramOverlap(train: DataFrame, trainId: String, trainText: String,
                    eval: DataFrame, evalId: String, evalText: String,
-                   n: Int = 13, minOverlap: Int = 1): DataFrame = {
+                   n: Int = 13, minOverlap: Int = 1,
+                   broadcastEval: Boolean = true): DataFrame = {
+    // shingles join and count as xxhash64 keys, not strings: an 8-byte
+    // key through the broadcast probe + distinct aggregation instead of
+    // a ~(8n)-byte n-gram string. Counting hashes equals counting
+    // strings up to 64-bit collisions (P ≈ m²/2⁶⁵ per doc — negligible
+    // at any real eval-suite size).
     val tsh = train.select(col(trainId).as("train_id"),
-      explode(TF.wordShingles(col(trainText), n)).as("s"))
+        explode(TF.wordShingles(col(trainText), n)).as("s"))
+      .select(col("train_id"), xxhash64(col("s")).as("h"))
     val esh = eval.select(col(evalId).as("eval_id"),
-      explode(TF.wordShingles(col(evalText), n)).as("s"))
-    tsh.join(broadcast(esh), Seq("s"))
+        explode(TF.wordShingles(col(evalText), n)).as("s"))
+      .select(col("eval_id"), xxhash64(col("s")).as("h"))
+    tsh.join(if (broadcastEval) broadcast(esh) else esh, Seq("h"))
       .groupBy("train_id")
-      .agg(countDistinct(col("s")).as("overlap_ngrams"),
+      .agg(countDistinct(col("h")).as("overlap_ngrams"),
         countDistinct(col("eval_id")).as("eval_docs"))
       .filter(col("overlap_ngrams") >= minOverlap)
   }
@@ -39,8 +54,10 @@ object Decontaminate {
   /** The cleaned corpus: training rows with no flagged overlap. */
   def clean(train: DataFrame, trainId: String, trainText: String,
             eval: DataFrame, evalId: String, evalText: String,
-            n: Int = 13, minOverlap: Int = 1): DataFrame = {
-    val bad = ngramOverlap(train, trainId, trainText, eval, evalId, evalText, n, minOverlap)
+            n: Int = 13, minOverlap: Int = 1,
+            broadcastEval: Boolean = true): DataFrame = {
+    val bad = ngramOverlap(train, trainId, trainText, eval, evalId, evalText,
+      n, minOverlap, broadcastEval)
       .select(col("train_id").as(trainId))
     train.join(bad, Seq(trainId), "left_anti")
   }

@@ -24,9 +24,23 @@ import org.apache.spark.sql.functions._
 object Sampling {
 
   /** Knuth multiplicative hash bucket in [0, buckets) for integer ids.
-    * Portable: reproducible in any engine with 64-bit integer math. */
-  def knuthBucket(id: Column, buckets: Int): Column =
-    pmod(pmod(id.cast("long") * lit(2654435761L), lit(4294967296L)), lit(buckets))
+    * Portable: reproducible in any engine with 64-bit integer math.
+    *
+    * Computed as (id·2654435761) mod 2³² — but overflow-free: a naive
+    * `id * 2654435761L` Long product overflows for id ≥ ~3.47e9 (throws
+    * under Spark 4 ANSI mode), exactly the billions-of-docs regime this
+    * targets. Since (id·K) mod 2³² ≡ ((id mod 2³²)·K) mod 2³², we mask
+    * id to its low 32 bits and split K = 40503·2¹⁶ + 31153 so every
+    * intermediate stays below 2⁴⁸. Identical results to the naive form
+    * wherever that form doesn't overflow. Negative ids hash via their
+    * low 32 bits (two's complement), keeping the bucket non-negative. */
+  def knuthBucket(id: Column, buckets: Int): Column = {
+    val lo32 = id.cast("long").bitwiseAND(lit(0xFFFFFFFFL))
+    val prod = pmod(
+      lo32 * lit(31153L) + pmod(lo32 * lit(40503L), lit(65536L)) * lit(65536L),
+      lit(4294967296L))
+    pmod(prod, lit(buckets))
+  }
 
   /** xxhash64 bucket in [0, buckets) for arbitrary (possibly compound) keys. */
   def xxhashBucket(buckets: Int, keys: Column*): Column =

@@ -420,12 +420,15 @@ class LangSpec extends AnyFunSuite {
     val sorted = rows(db,
       "?[x] <- [[1], [1.0], ['a'], [true], [false], [null], [-3], ['1']] :sort x")
       .map(_.head)
-    assert(sorted == Seq(null, "false", "true", "-3", "1", "1.0", "\"1\"", "\"a\""),
+    // results DECODE to display form (strings unquoted, like the
+    // reference); ordering ran on the encoding before decode, so the
+    // string '1' still sorts after float 1.0 despite displaying as "1"
+    assert(sorted == Seq(null, "false", "true", "-3", "1", "1.0", "1", "a"),
       s"got $sorted")
     // :sort -x reverses (nulls last)
     val desc = rows(db,
       "?[x] <- [[1], ['a'], [true], [null]] :sort -x").map(_.head)
-    assert(desc == Seq("\"a\"", "1", "true", null), s"got $desc")
+    assert(desc == Seq("a", "1", "true", null), s"got $desc")
   }
 
   test("Any column: int 1, float 1.0 and string '1' are distinct values") {

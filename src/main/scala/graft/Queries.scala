@@ -444,6 +444,43 @@ object Queries {
       Graphs.labelPropagation(eventEdges(T(s, d, "events")), iters = 5),
       Some(labelPropSql(5))),
 
+    // pokec-style expansion (BASELINE.md: the reference's published
+    // bench suite is built on 1-4-hop expansion; pokec.rs:430-560).
+    // Plan shape that survives 100x: per-hop equi-join on the edge
+    // relation with a DISTINCT frontier between hops — the frontier is
+    // bounded by seeds x nodes regardless of path multiplicity, which
+    // is what keeps hop-4 from exploding combinatorially.
+    Spec("graph_expand2", (s, d) => {
+      val e = eventEdges(T(s, d, "events")).ckpt()
+      val h1 = e.select(col("src").as("seed"), col("dst").as("n")).distinct()
+      val h2 = h1.join(e.withColumnRenamed("src", "n"), Seq("n"))
+        .select(col("seed"), col("dst").as("n2")).distinct()
+      h2.groupBy("seed").agg(count(lit(1)).as("n2_count"))
+    },
+      Some(s"""WITH $edgesSql,
+              |h1 AS (SELECT DISTINCT src AS seed, dst AS n FROM edges),
+              |h2 AS (SELECT DISTINCT h1.seed, e.dst AS n2 FROM h1 JOIN edges e ON e.src = h1.n)
+              |SELECT seed, count(*) AS n2_count FROM h2 GROUP BY 1""".stripMargin)),
+
+    // filtered 3-hop expansion (pokec's "expansion with filter"): only
+    // even-id users are traversable at intermediate hops
+    Spec("graph_expand3_filter", (s, d) => {
+      val e = eventEdges(T(s, d, "events")).ckpt()
+      val ef = e.filter(col("dst") % 2 === 0)
+      val h1 = ef.select(col("src").as("seed"), col("dst").as("n")).distinct()
+      val h2 = h1.join(ef.withColumnRenamed("src", "n"), Seq("n"))
+        .select(col("seed"), col("dst").as("n")).distinct()
+      val h3 = h2.join(e.withColumnRenamed("src", "n"), Seq("n"))
+        .select(col("seed"), col("dst").as("n3")).distinct()
+      h3.groupBy("seed").agg(count(lit(1)).as("n3_count"))
+    },
+      Some(s"""WITH $edgesSql,
+              |ef AS (SELECT src, dst FROM edges WHERE dst % 2 = 0),
+              |h1 AS (SELECT DISTINCT src AS seed, dst AS n FROM ef),
+              |h2 AS (SELECT DISTINCT h1.seed, e.dst AS n FROM h1 JOIN ef e ON e.src = h1.n),
+              |h3 AS (SELECT DISTINCT h2.seed, e.dst AS n3 FROM h2 JOIN edges e ON e.src = h2.n)
+              |SELECT seed, count(*) AS n3_count FROM h3 GROUP BY 1""".stripMargin)),
+
     // SCC via forward-min coloring; oracle = mutual-reachability closure
     // (feasible at sf0.01: ≤150 event-graph nodes)
     Spec("graph_scc", (s, d) =>

@@ -462,6 +462,25 @@ object Queries {
               |h2 AS (SELECT DISTINCT h1.seed, e.dst AS n2 FROM h1 JOIN edges e ON e.src = h1.n)
               |SELECT seed, count(*) AS n2_count FROM h2 GROUP BY 1""".stripMargin)),
 
+    // pokec's "pattern cycle": directed 3-cycles counted once each
+    // (rotation canonicalized at the minimum vertex). Pure three-way
+    // equi-join over the edge relation — Catalyst picks the join order;
+    // no per-vertex driver work, so the pattern scales with edge count.
+    Spec("graph_pattern_cycle", (s, d) => {
+      val e = eventEdges(T(s, d, "events")).ckpt()
+      e.select(col("src").as("a"), col("dst").as("b"))
+        .join(e.select(col("src").as("b"), col("dst").as("c")), Seq("b"))
+        .join(e.select(col("src").as("c"), col("dst").as("a")), Seq("c", "a"))
+        .filter(col("a") < col("b") && col("a") < col("c"))
+        .agg(count(lit(1)).as("cycles"))
+    },
+      Some(s"""WITH $edgesSql
+              |SELECT count(*) AS cycles
+              |FROM edges e1
+              |JOIN edges e2 ON e2.src = e1.dst
+              |JOIN edges e3 ON e3.src = e2.dst AND e3.dst = e1.src
+              |WHERE e1.src < e1.dst AND e1.src < e2.dst""".stripMargin)),
+
     // filtered 3-hop expansion (pokec's "expansion with filter"): only
     // even-id users are traversable at intermediate hops
     Spec("graph_expand3_filter", (s, d) => {

@@ -500,6 +500,114 @@ object Queries {
               |h3 AS (SELECT DISTINCT h2.seed, e.dst AS n3 FROM h2 JOIN edges e ON e.src = h2.n)
               |SELECT seed, count(*) AS n3_count FROM h3 GROUP BY 1""".stripMargin)),
 
+    // pokec's "neighbours-2" class (pokec.rs:448-506): the 2-hop
+    // NEIGHBOURHOOD (hop-1 ∪ hop-2, distinct) of each seed — distinct
+    // from expansion, which keeps only the final frontier. The frontier
+    // union is seed×node bounded, so the per-hop DISTINCT is what keeps
+    // this linear in the neighbourhood (not path) count at 100×.
+    Spec("graph_neighbours2", (s, d) => {
+      val e = eventEdges(T(s, d, "events")).ckpt()
+      val h1 = e.select(col("src").as("seed"), col("dst").as("n")).distinct()
+      val h2 = h1.join(e.withColumnRenamed("src", "n"), Seq("n"))
+        .select(col("seed"), col("dst").as("n")).distinct()
+      h1.union(h2).distinct().groupBy("seed").agg(count(lit(1)).as("nbr_count"))
+    },
+      Some(s"""WITH $edgesSql,
+              |h1 AS (SELECT DISTINCT src AS seed, dst AS n FROM edges),
+              |h2 AS (SELECT DISTINCT h1.seed, e.dst AS n FROM h1 JOIN edges e ON e.src = h1.n),
+              |nbr AS (SELECT seed, n FROM h1 UNION SELECT seed, n FROM h2)
+              |SELECT seed, count(*) AS nbr_count FROM nbr GROUP BY 1""".stripMargin)),
+
+    // pokec's "neighbours-2 with data" (pokec.rs:477-491): materialize
+    // vertex attributes for every 2-hop neighbour. The vertex relation
+    // (customer) joins ONCE against the deduped neighbourhood — attribute
+    // width is paid per neighbour, not per path; broadcast-able dim.
+    Spec("graph_neighbours2_data", (s, d) => {
+      val e = eventEdges(T(s, d, "events")).ckpt()
+      val cust = T(s, d, "customer")
+        .select(col("c_custkey").as("n"), col("c_acctbal"), col("c_mktsegment"))
+      val h1 = e.select(col("src").as("seed"), col("dst").as("n")).distinct()
+      val h2 = h1.join(e.withColumnRenamed("src", "n"), Seq("n"))
+        .select(col("seed"), col("dst").as("n")).distinct()
+      h1.union(h2).distinct().join(broadcast(cust), Seq("n"))
+        .groupBy("seed").agg(
+          count(lit(1)).as("nbr_count"),
+          round(sum(col("c_acctbal")), 2).as("acctbal_sum"),
+          countDistinct(col("c_mktsegment")).as("segments"))
+    },
+      Some(s"""WITH $edgesSql,
+              |h1 AS (SELECT DISTINCT src AS seed, dst AS n FROM edges),
+              |h2 AS (SELECT DISTINCT h1.seed, e.dst AS n FROM h1 JOIN edges e ON e.src = h1.n),
+              |nbr AS (SELECT seed, n FROM h1 UNION SELECT seed, n FROM h2)
+              |SELECT seed, count(*) AS nbr_count,
+              |  round(sum(c.c_acctbal), 2) AS acctbal_sum,
+              |  count(DISTINCT c.c_mktsegment) AS segments
+              |FROM nbr JOIN customer c ON c.c_custkey = nbr.n GROUP BY 1""".stripMargin)),
+
+    // pokec's "neighbours-2 filter + data" (pokec.rs:493-506): the
+    // vertex-attribute predicate (acctbal, standing in for age >= 18)
+    // prunes the neighbourhood BEFORE the count — the filter pushes into
+    // the broadcast-joined dim scan, not a post-hoc driver filter.
+    Spec("graph_neighbours2_filter", (s, d) => {
+      val e = eventEdges(T(s, d, "events")).ckpt()
+      val adult = T(s, d, "customer").filter(col("c_acctbal") >= 1000)
+        .select(col("c_custkey").as("n"))
+      val h1 = e.select(col("src").as("seed"), col("dst").as("n")).distinct()
+      val h2 = h1.join(e.withColumnRenamed("src", "n"), Seq("n"))
+        .select(col("seed"), col("dst").as("n")).distinct()
+      h1.union(h2).distinct().join(broadcast(adult), Seq("n"))
+        .groupBy("seed").agg(count(lit(1)).as("nbr_count"))
+    },
+      Some(s"""WITH $edgesSql,
+              |h1 AS (SELECT DISTINCT src AS seed, dst AS n FROM edges),
+              |h2 AS (SELECT DISTINCT h1.seed, e.dst AS n FROM h1 JOIN edges e ON e.src = h1.n),
+              |nbr AS (SELECT seed, n FROM h1 UNION SELECT seed, n FROM h2)
+              |SELECT seed, count(*) AS nbr_count
+              |FROM nbr JOIN customer c ON c.c_custkey = nbr.n AND c.c_acctbal >= 1000
+              |GROUP BY 1""".stripMargin)),
+
+    // pokec's deepest expansion (expansion_4, pokec.rs:433-446): the
+    // hop-4 frontier per seed. Frontier dedup between hops bounds every
+    // intermediate at seeds×nodes — without it hop-4 row count is the
+    // number of 4-paths, combinatorial in dense regions.
+    Spec("graph_expand4", (s, d) => {
+      val e = eventEdges(T(s, d, "events")).ckpt()
+      def hop(fr: DataFrame): DataFrame =
+        fr.join(e.withColumnRenamed("src", "n"), Seq("n"))
+          .select(col("seed"), col("dst").as("n")).distinct()
+      val h1 = e.select(col("src").as("seed"), col("dst").as("n")).distinct()
+      val h4 = hop(hop(hop(h1)))
+      h4.groupBy("seed").agg(count(lit(1)).as("n4_count"))
+    },
+      Some(s"""WITH $edgesSql,
+              |h1 AS (SELECT DISTINCT src AS seed, dst AS n FROM edges),
+              |h2 AS (SELECT DISTINCT h1.seed, e.dst AS n FROM h1 JOIN edges e ON e.src = h1.n),
+              |h3 AS (SELECT DISTINCT h2.seed, e.dst AS n FROM h2 JOIN edges e ON e.src = h2.n),
+              |h4 AS (SELECT DISTINCT h3.seed, e.dst AS n FROM h3 JOIN edges e ON e.src = h3.n)
+              |SELECT seed, count(*) AS n4_count FROM h4 GROUP BY 1""".stripMargin)),
+
+    // pokec's "pattern long" (pokec.rs:521-538): a 3-hop chain from the
+    // seed to n4, then the REVERSE probe — which nodes n point at n4.
+    // The reverse edge set is the same relation re-keyed on dst; per
+    // seed we count the distinct witnesses n.
+    Spec("graph_pattern_long", (s, d) => {
+      val e = eventEdges(T(s, d, "events")).ckpt()
+      def hop(fr: DataFrame): DataFrame =
+        fr.join(e.withColumnRenamed("src", "n"), Seq("n"))
+          .select(col("seed"), col("dst").as("n")).distinct()
+      val h1 = e.select(col("src").as("seed"), col("dst").as("n")).distinct()
+      val h3 = hop(hop(h1)).withColumnRenamed("n", "n4")
+      h3.join(e.select(col("dst").as("n4"), col("src").as("witness")), Seq("n4"))
+        .select(col("seed"), col("witness")).distinct()
+        .groupBy("seed").agg(count(lit(1)).as("witness_count"))
+    },
+      Some(s"""WITH $edgesSql,
+              |h1 AS (SELECT DISTINCT src AS seed, dst AS n FROM edges),
+              |h2 AS (SELECT DISTINCT h1.seed, e.dst AS n FROM h1 JOIN edges e ON e.src = h1.n),
+              |h3 AS (SELECT DISTINCT h2.seed, e.dst AS n4 FROM h2 JOIN edges e ON e.src = h2.n),
+              |w AS (SELECT DISTINCT h3.seed, e.src AS witness FROM h3 JOIN edges e ON e.dst = h3.n4)
+              |SELECT seed, count(*) AS witness_count FROM w GROUP BY 1""".stripMargin)),
+
     // SCC via forward-min coloring; oracle = mutual-reachability closure
     // (feasible at sf0.01: ≤150 event-graph nodes)
     Spec("graph_scc", (s, d) =>
@@ -573,6 +681,36 @@ object Queries {
              |      ORDER BY date_trunc('microseconds', ts) DESC, (event_type <> 'error') DESC, event_id DESC) AS rn
              |  FROM events WHERE ts <= TIMESTAMP '2024-01-15') t
              |WHERE rn = 1 AND is_assert""".stripMargin)),
+
+    // the reference's time-travel BENCH classes (time_travel.rs:153-187):
+    // "travel aggregation" — aggregate over each key's CURRENT version.
+    // The as-of window prunes to one row per key before the sum, one
+    // shuffle on the key; version count per key scales the scan, not the
+    // aggregation.
+    Spec("tt_travel_agg", (s, d) =>
+      TimeTravel.asOf(T(s, d, "events"), Seq("user_id"), "ts",
+          lit("2025-01-01").cast("timestamp"), tieBreak = Seq("event_id"))
+        .agg(round(sum(col("value")), 2).as("sum_v"), count(lit(1)).as("n_keys")),
+      Some("""SELECT round(sum(value), 2) AS sum_v, count(*) AS n_keys FROM (
+             |  SELECT value,
+             |    row_number() OVER (PARTITION BY user_id ORDER BY date_trunc('microseconds', ts) DESC, event_id DESC) AS rn
+             |  FROM events WHERE ts <= TIMESTAMP '2025-01-01') t
+             |WHERE rn = 1""".stripMargin)),
+
+    // "stupid aggregation" (time_travel.rs:163-177): fold EVERY version
+    // through a latest-by aggregate per key, then sum — same answer as
+    // tt_travel_agg, but the per-key reduction happens in the aggregate
+    // (map-side partial latest_by) instead of a window sort. At 1000
+    // versions/key this shape ships one (value, vld) pair per key per
+    // partition, where the window shape sorts all versions.
+    Spec("tt_latest_agg", (s, d) =>
+      T(s, d, "events").groupBy("user_id")
+        .agg(CA.latestBy(col("value"), struct(col("ts"), col("event_id"))).as("v"))
+        .agg(round(sum(col("v")), 2).as("sum_v"), count(lit(1)).as("n_keys")),
+      Some("""SELECT round(sum(v), 2) AS sum_v, count(*) AS n_keys FROM (
+             |  SELECT value AS v,
+             |    row_number() OVER (PARTITION BY user_id ORDER BY date_trunc('microseconds', ts) DESC, event_id DESC) AS rn
+             |  FROM events) t WHERE rn = 1""".stripMargin)),
 
     // first-occurrence regex_replace (functions.rs:1401) and arg-honoring
     // pads, cross-checked against DuckDB (whose regexp_replace is also

@@ -570,17 +570,23 @@ object Queries {
     // hop-4 frontier per seed. Frontier dedup between hops bounds every
     // intermediate at seeds×nodes — without it hop-4 row count is the
     // number of 4-paths, combinatorial in dense regions.
+    // The reference benches expansion SINGLE-seed (a random vertex per
+    // iteration); the distributed analogue batches a deterministic seed
+    // subset (1/16th of vertices). The derived event graph is ~25× denser
+    // than pokec (avg out-degree ~400), so an all-seeds hop-4 would churn
+    // ~1e9 intermediate rows for a class the baseline measures per-seed.
     Spec("graph_expand4", (s, d) => {
       val e = eventEdges(T(s, d, "events")).ckpt()
       def hop(fr: DataFrame): DataFrame =
         fr.join(e.withColumnRenamed("src", "n"), Seq("n"))
           .select(col("seed"), col("dst").as("n")).distinct()
-      val h1 = e.select(col("src").as("seed"), col("dst").as("n")).distinct()
+      val h1 = e.filter(col("src") % 16 === 0)
+        .select(col("src").as("seed"), col("dst").as("n")).distinct()
       val h4 = hop(hop(hop(h1)))
       h4.groupBy("seed").agg(count(lit(1)).as("n4_count"))
     },
       Some(s"""WITH $edgesSql,
-              |h1 AS (SELECT DISTINCT src AS seed, dst AS n FROM edges),
+              |h1 AS (SELECT DISTINCT src AS seed, dst AS n FROM edges WHERE src % 16 = 0),
               |h2 AS (SELECT DISTINCT h1.seed, e.dst AS n FROM h1 JOIN edges e ON e.src = h1.n),
               |h3 AS (SELECT DISTINCT h2.seed, e.dst AS n FROM h2 JOIN edges e ON e.src = h2.n),
               |h4 AS (SELECT DISTINCT h3.seed, e.dst AS n FROM h3 JOIN edges e ON e.src = h3.n)
@@ -590,19 +596,21 @@ object Queries {
     // seed to n4, then the REVERSE probe — which nodes n point at n4.
     // The reverse edge set is the same relation re-keyed on dst; per
     // seed we count the distinct witnesses n.
+    // seed-restricted like graph_expand4 (the baseline class is per-seed)
     Spec("graph_pattern_long", (s, d) => {
       val e = eventEdges(T(s, d, "events")).ckpt()
       def hop(fr: DataFrame): DataFrame =
         fr.join(e.withColumnRenamed("src", "n"), Seq("n"))
           .select(col("seed"), col("dst").as("n")).distinct()
-      val h1 = e.select(col("src").as("seed"), col("dst").as("n")).distinct()
+      val h1 = e.filter(col("src") % 16 === 0)
+        .select(col("src").as("seed"), col("dst").as("n")).distinct()
       val h3 = hop(hop(h1)).withColumnRenamed("n", "n4")
       h3.join(e.select(col("dst").as("n4"), col("src").as("witness")), Seq("n4"))
         .select(col("seed"), col("witness")).distinct()
         .groupBy("seed").agg(count(lit(1)).as("witness_count"))
     },
       Some(s"""WITH $edgesSql,
-              |h1 AS (SELECT DISTINCT src AS seed, dst AS n FROM edges),
+              |h1 AS (SELECT DISTINCT src AS seed, dst AS n FROM edges WHERE src % 16 = 0),
               |h2 AS (SELECT DISTINCT h1.seed, e.dst AS n FROM h1 JOIN edges e ON e.src = h1.n),
               |h3 AS (SELECT DISTINCT h2.seed, e.dst AS n4 FROM h2 JOIN edges e ON e.src = h2.n),
               |w AS (SELECT DISTINCT h3.seed, e.src AS witness FROM h3 JOIN edges e ON e.dst = h3.n4)

@@ -48,7 +48,8 @@ object CozoAggregates {
   }
 
   /** aggr.rs:217 `union` (set union of list values). */
-  def unionAgg(c: Column): Column = array_distinct(flatten(collect_list(c)))
+  // result is a sorted set, like the reference's BTreeSet (aggrs.rs:133)
+  def unionAgg(c: Column): Column = array_sort(array_distinct(flatten(collect_list(c))))
 
   /** aggr.rs:273 `intersection` (set intersection of list values). */
   def intersectionAgg(c: Column): Column = {

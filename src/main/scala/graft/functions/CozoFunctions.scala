@@ -60,8 +60,10 @@ object CozoFunctions {
 
   // — lists (71-2409)
   def listGet(l: Column, i: Column): Column = element_at(l, i + 1) // 1741 (0-based)
-  def first_(l: Column): Column = element_at(l, 1) // 1657
-  def last_(l: Column): Column = element_at(l, -1) // 1667
+  // first/last of an empty list are null, not an error (1657/1667) —
+  // try_element_at, since ANSI element_at throws on out-of-bounds
+  def first_(l: Column): Column = try_element_at(l, lit(1))
+  def last_(l: Column): Column = when(size(l) > 0, element_at(l, -1)) // try_element_at rejects -1
   def sorted(l: Column): Column = sort_array(l) // 1591
   /** Empty array<array<elem>> with the element type of `l` — the
     * filter-to-nothing trick keeps the expression generic (a literal
@@ -80,6 +82,22 @@ object CozoFunctions {
       i => slice(l, i + 1, n))).otherwise(emptyNested(l))
   def intRange(from: Column, to: Column): Column = // 2257 [from, to)
     when(from < to, sequence(from, to - 1)).otherwise(array().cast("array<long>"))
+  /** 3-arg int_range with signed step (2257): stop-exclusive in either
+    * direction; empty when the step points away from the stop. */
+  def intRangeStep(from: Column, to: Column, step: Column): Column =
+    when(step > 0, when(from < to, sequence(from, to - 1, step)).otherwise(array().cast("array<long>")))
+      .otherwise(when(from > to, sequence(from, to + 1, step)).otherwise(array().cast("array<long>")))
+  /** op_slice (1712): 0-based [start, end) with negative-from-end
+    * indices; out-of-bound bounds are an ERROR (unlike maybe_get). */
+  def sliceList(x: Column, s: Column, e: Column): Column = {
+    val n = size(x)
+    val s2 = when(s < 0, s + n).otherwise(s).cast("int")
+    val e2 = when(e < 0, e + n).otherwise(e).cast("int")
+    when(s2 < 0 || e2 > n || s2 > e2,
+      raise_error(concat(lit("slice bounds out of range: ["), s.cast("string"),
+        lit(", "), e.cast("string"), lit(") on length "), n.cast("string"))))
+      .otherwise(slice(x, s2 + 1, e2 - s2))
+  }
 
   // — type predicates / casts (306-2429): is_null → isNull, is_nan →
   // isnan, to_int/to_float/to_bool/to_string → cast; is_* on typed
@@ -205,7 +223,9 @@ object CozoFunctions {
 
   // — random (functions.rs:2310/2134): bernoulli draw; dim-n random unit
   // vector (reference: standard normal components).
-  def randBernoulli(p: Column): Column = rand() < p
+  def randBernoulli(p: Column): Column = // 2310: p outside [0, 1] is an error
+    when(p < 0 || p > 1, raise_error(concat(lit("rand_bernoulli probability out of range: "),
+      p.cast("string")))).otherwise(rand() < p)
   private lazy val randVecUdf = udf((n: Int) =>
     Array.fill(n)(scala.util.Random.nextGaussian().toFloat)).asNondeterministic()
   def randVec(n: Column): Column = randVecUdf(n.cast("int"))

@@ -104,8 +104,10 @@ object Builtins {
     "first" -> (a => CF.first_(a(0))),
     "last" -> (a => CF.last_(a(0))),
     "get" -> (a => element_at(a(0), a(1).cast("int") + 1)),
-    "maybe_get" -> (a => element_at(a(0), a(1).cast("int") + 1)),
-    "slice" -> (a => slice(a(0), a(1).cast("int") + 1, a(2).cast("int") - a(1).cast("int"))),
+    // maybe_get returns null out-of-bounds (functions.rs:1712) where get
+    // errors — try_element_at vs ANSI element_at
+    "maybe_get" -> (a => try_element_at(a(0), a(1).cast("int") + 1)),
+    "slice" -> (a => CF.sliceList(a(0), a(1), a(2))),
     "sorted" -> (a => sort_array(a(0))),
     "reverse" -> (a => reverse(a(0))),
     "append" -> (a => concat(a(0), array(a(1)))),
@@ -117,7 +119,7 @@ object Builtins {
     "int_range" -> (a =>
       if (a.length == 1) CF.intRange(lit(0L), a(0))
       else if (a.length == 2) CF.intRange(a(0), a(1))
-      else when(a(0) < a(1), sequence(a(0), a(1) - 1, a(2))).otherwise(array().cast("array<long>"))),
+      else CF.intRangeStep(a(0), a(1), a(2))),
     "zip" -> (a => arrays_zip(a: _*)),
     "chunks" -> (a => CF.chunks(a(0), a(1))),
     "chunks_exact" -> (a => CF.chunksExactC(a(0), a(1))),
@@ -194,13 +196,17 @@ object Builtins {
     "rand_vec" -> (a => CF.randVec(a(0))),
     "rand_uuid_v4" -> (_ => uuid()),
     "rand_uuid_v1" -> (_ => CF.timeUuid(current_timestamp(), rand())),
-    "rand_choose" -> (a => element_at(shuffle(a(0)), 1)),
+    "rand_choose" -> (a => try_element_at(shuffle(a(0)), lit(1))), // empty list → null (functions.rs:2422)
     // — time (functions.rs:2441-2520)
     "now" -> (_ => unix_timestamp(current_timestamp()).cast("double")),
     "format_timestamp" -> (a => date_format(timestamp_seconds(a(0)), "yyyy-MM-dd'T'HH:mm:ssXXX")),
     "parse_timestamp" -> (a => unix_timestamp(to_timestamp(a(0))).cast("double")),
     // — uuid
-    "to_uuid" -> (a => a(0).cast("string")),
+    // functions.rs:2536: parse-or-error, never a silent passthrough
+    "to_uuid" -> (a => when(
+      a(0).rlike("^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$"),
+      a(0).cast("string"))
+      .otherwise(raise_error(concat(lit("cannot convert to uuid: "), a(0).cast("string"))))),
     "uuid_timestamp" -> (a => CF.uuidTimestamp(a(0)))
   )
 
@@ -209,7 +215,9 @@ object Builtins {
   /** Head aggregations: name → (value column, extra args) → aggregate
     * expression (data/aggr.rs registry aggr.rs:1158-1185). */
   val aggr: Map[String, (Column, Seq[Column]) => Column] = Map(
-    "count" -> ((c, _) => count(c)),
+    // cozo count counts ROWS, nulls included (aggrs.rs:237-249) — Spark's
+    // count(col) would skip null values
+    "count" -> ((_, _) => count(lit(1))),
     "count_unique" -> ((c, _) => count_distinct(c)),
     "sum" -> ((c, _) => sum(c)),
     "product" -> ((c, _) => CA.product(c)),

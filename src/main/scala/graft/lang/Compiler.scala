@@ -81,7 +81,7 @@ class Compiler(spark: SparkSession,
         case "-" => cl - cr
         case "*" => cl * cr
         case "/" => cl / cr
-        case "%" => cl % cr
+        case "%" => modSemantics(cl, cr)
         case "^" => pow(cl, cr)
       }
     case Bin(op @ ("==" | "!=" | "<" | ">" | "<=" | ">="), l, r)
@@ -108,7 +108,7 @@ class Compiler(spark: SparkSession,
         case "-" => cl - cr
         case "*" => cl * cr
         case "/" => cl / cr
-        case "%" => cl % cr
+        case "%" => modSemantics(cl, cr)
         case "^" => pow(cl, cr)
         case "++" => concat(cl, cr)
         case "==" => cl === cr
@@ -185,11 +185,92 @@ class Compiler(spark: SparkSession,
       if (idx < 0 || idx >= fields.length)
         throw CompileException(s"get index $idx out of range for pair of ${fields.length}")
       compileExpr(x).getField(fields(idx))
+    // numeric type preservation (functions.rs:711-737): floor/ceil keep
+    // float inputs float; Spark's floor/ceil return LONG for doubles
+    case App(fn @ ("floor" | "ceil"), Seq(x)) =>
+      val cx = compileExpr(x)
+      val f = if (fn == "floor") floor(cx) else ceil(cx)
+      typed(cx) match {
+        case Some(org.apache.spark.sql.types.DoubleType | org.apache.spark.sql.types.FloatType) =>
+          f.cast("double")
+        case _ => f
+      }
+    // functions.rs:693-709: signum(-0.0) = -1 (sign-bit semantics), NaN
+    // passes through. Spark's signum maps -0.0 → 0.0, so build the sign
+    // from comparisons; float results stay double (a static column can't
+    // hold both the int signs and a NaN).
+    case App("signum", Seq(x)) =>
+      val cx = compileExpr(x)
+      typed(cx) match {
+        case Some(org.apache.spark.sql.types.DoubleType | org.apache.spark.sql.types.FloatType) =>
+          // -0.0 detection via string render (ANSI forbids the 1/x probe)
+          when(isnan(cx), cx)
+            .when(cx > 0, 1.0)
+            .when(cx < 0 || (cx === 0.0 && cx.cast("string").startsWith("-")), -1.0)
+            .otherwise(0.0)
+        case _ => signum(cx).cast("long")
+      }
+    // functions.rs:1995-2012: to_float accepts the named constants; an
+    // ANSI cast would throw on "PI"/"NAN"/"INF"/"NEG_INF"
+    case App("to_float", Seq(x)) =>
+      val cx = compileExpr(x)
+      val r = typed(cx) match {
+        case Some(org.apache.spark.sql.types.StringType) =>
+          when(cx === "PI", math.Pi).when(cx === "E", math.E)
+            .when(cx === "NAN", Double.NaN)
+            .when(cx === "INF", Double.PositiveInfinity)
+            .when(cx === "NEG_INF", Double.NegativeInfinity)
+            .otherwise(cx.cast("double"))
+        case _ => cx.cast("double")
+      }
+      coalesce(r, lit(0.0)) // functions.rs:1998: to_float(null) = 0.0
+    // functions.rs:1920-1942: truthiness by type — non-empty for
+    // strings/bytes/lists, nonzero for numbers (NaN is truthy), never an
+    // ANSI string-to-boolean cast; null → false
+    case App(fn @ ("to_bool" | "to_unity"), Seq(x)) =>
+      val cx = compileExpr(x)
+      import org.apache.spark.sql.types._
+      val b = typed(cx) match {
+        case Some(BooleanType) => cx
+        case Some(StringType) => length(cx) > 0
+        case Some(_: ArrayType) => size(cx) > 0
+        case Some(BinaryType) => length(cx) > 0
+        case Some(_: NumericType) => cx =!= 0 // NaN != 0 → truthy (get_int() != Some(0))
+        case Some(NullType) => lit(false)
+        case _ => cx.cast("boolean")
+      }
+      val t = coalesce(b, lit(false))
+      if (fn == "to_bool") t else t.cast("long") // to_unity (functions.rs:1947): 0/1
+    case App("mod", Seq(l, r)) => modSemantics(compileExpr(l), compileExpr(r))
+    // functions.rs:453/468: scalar max/min require numbers
+    case App(fn @ ("max" | "min"), args) if args.nonEmpty =>
+      val cs = args.map(compileExpr)
+      cs.foreach(c => typed(c) match {
+        case Some(t) if !t.isInstanceOf[org.apache.spark.sql.types.NumericType] &&
+          t != org.apache.spark.sql.types.NullType =>
+          throw CompileException(s"scalar $fn requires numeric arguments, got $t")
+        case _ => ()
+      })
+      if (cs.length == 1) cs.head
+      else if (fn == "max") greatest(cs: _*) else least(cs: _*)
     case App(fn, args) =>
       Builtins.scalar.get(fn) match {
         case Some(impl) => impl(args.map(compileExpr))
         case None => throw CompileException(s"unknown function $fn/${args.length}")
       }
+  }
+
+  /** Rust remainder semantics (functions.rs:537-546): a float mod zero
+    * is NaN, not an ANSI REMAINDER_BY_ZERO; integer mod 0 stays an
+    * error like the reference. */
+  private def modSemantics(cl: Column, cr: Column): Column = {
+    import org.apache.spark.sql.types._
+    def integral(c: Column) = typed(c).exists {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    if (integral(cl) && integral(cr)) cl % cr
+    else when(cr =!= 0.0, cl % cr).otherwise(lit(Double.NaN))
   }
 
   /** Field names when `e` is a struct-lowered heterogeneous pair in the
@@ -240,7 +321,10 @@ class Compiler(spark: SparkSession,
     * (`length`) resolve an argument's Spark type at compile time. */
   private var frame: Option[DataFrame] = None
   private def typed(c: Column): Option[org.apache.spark.sql.types.DataType] =
-    frame.flatMap(f => scala.util.Try(f.select(c).schema.head.dataType).toOption)
+    // fall back to a dummy frame so pure-literal expressions (const
+    // rules' first atom, where no frame exists yet) still resolve types
+    frame.orElse(Some(one())).flatMap(f =>
+      scala.util.Try(f.select(c).schema.head.dataType).toOption)
 
   private def isListValued(e: Expr): Boolean = e match {
     case ListE(_) => true

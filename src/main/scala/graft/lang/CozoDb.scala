@@ -958,8 +958,10 @@ class CozoDb(val spark: SparkSession) {
     val all = bodies.reduce(_ unionByName _)
     val plainIdx = h0.zipWithIndex.collect { case (HeadArg(None, _, _), i) => i }
     val aggs = h0.zipWithIndex.collect { case (HeadArg(Some(a), _, extra), i) =>
-      val impl = Builtins.aggr.getOrElse(a, throw CompileException(s"unknown aggregation $a"))
-      val c = impl(col(s"_h$i"), extra.map(c0.compileExpr))
+      // typed dispatch: struct-lowered heterogeneous pairs route the
+      // pair-taking aggregations to their struct-field forms
+      val c = Builtins.aggrTyped(a, col(s"_h$i"), extra.map(c0.compileExpr),
+        all.schema(s"_h$i").dataType)
       val capped = (a, extra) match {
         case ("collect", Seq(Lit(n: Long))) => slice(c, 1, n.toInt)
         case _ => c

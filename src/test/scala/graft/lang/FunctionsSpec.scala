@@ -133,6 +133,7 @@ class FunctionsSpec extends AnyFunSuite {
     val b = one("?[x] := x = rand_bernoulli(0.5)")
     assert(b.isInstanceOf[Boolean])
     assert(one("?[x] := x = length(rand_vec(4))") == 4)
-    assert(one("?[x] := x = rand_bernoulli(1.1)") == true) // p ≥ 1 always true
+    // p outside [0, 1] is an error (functions.rs:1337)
+    assert(scala.util.Try(one("?[x] := x = rand_bernoulli(1.1)")).isFailure)
   }
 }

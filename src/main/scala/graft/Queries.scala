@@ -376,6 +376,56 @@ object Queries {
               |  SELECT r.start, e.dst, r.depth + 1 FROM reach r JOIN edges e ON r.node = e.src WHERE r.depth < 3)
               |SELECT DISTINCT start, node FROM reach""".stripMargin)),
 
+    // the SAME reachability through the CozoScript front-end (parser →
+    // stratified compiler → semi-naive fixpoint) against the SAME DuckDB
+    // oracle — driver-level evidence the script path is oracle-exact,
+    // not just ScalaTest-exact
+    Spec("lang_reach", (s, d) => {
+      val db = new graft.lang.CozoDb(s)
+      db.registerTable("edges", eventEdges(T(s, d, "events")).ckpt())
+      db.run(
+        """seed[s] := *edges{src: s}, s < 10
+          |r[s, n, d] := seed[s], n = s, d = 0
+          |r[s, n, d] := r[s, m, d0], d0 < 3, *edges{src: m, dst: n}, d = d0 + 1
+          |?[start, node] := r[start, node, d]""".stripMargin)
+        .toDF("start", "node")
+    },
+      Some(s"""WITH RECURSIVE $edgesSql,
+              |reach(start, node, depth) AS (
+              |  SELECT src, src, 0 FROM (SELECT DISTINCT src FROM edges WHERE src < 10) s
+              |  UNION
+              |  SELECT r.start, e.dst, r.depth + 1 FROM reach r JOIN edges e ON r.node = e.src WHERE r.depth < 3)
+              |SELECT DISTINCT start, node FROM reach""".stripMargin)),
+
+    // script-path head aggregation over the full lineitem scan (key vars
+    // keep multiplicity under set semantics; quantities are integral so
+    // the double sum is order-exact)
+    Spec("lang_agg_q1", (s, d) => {
+      val db = new graft.lang.CozoDb(s)
+      db.registerTable("lineitem", T(s, d, "lineitem"))
+      db.run(
+        """?[f, sum(q)] := *lineitem{l_orderkey: k, l_linenumber: ln, l_returnflag: f, l_quantity: q}""")
+        .toDF("l_returnflag", "sum_qty")
+    },
+      Some("SELECT l_returnflag, sum(l_quantity) AS sum_qty FROM lineitem GROUP BY 1")),
+
+    // pokec expansion_2 EXACTLY as the reference scripts it
+    // (pokec.rs:367-377, seed fixed): two stratified rules, the bound
+    // `src: 0` literal pushes into the stored scan
+    Spec("lang_expand2", (s, d) => {
+      val db = new graft.lang.CozoDb(s)
+      db.registerTable("edges", eventEdges(T(s, d, "events")).ckpt())
+      db.run(
+        """l1[t] := *edges{src: 0, dst: t}
+          |l2[t] := l1[f], *edges{src: f, dst: t}
+          |?[t] := l2[t]""".stripMargin)
+        .toDF("t")
+    },
+      Some(s"""WITH $edgesSql,
+              |l1 AS (SELECT DISTINCT dst AS t FROM edges WHERE src = 0),
+              |l2 AS (SELECT DISTINCT e.dst AS t FROM l1 JOIN edges e ON e.src = l1.t)
+              |SELECT t FROM l2""".stripMargin)),
+
     Spec("rec_sssp", (s, d) => {
       val e = eventEdges(T(s, d, "events")).ckpt()
       val starts = e.filter(col("src") < 5).select(col("src").as("start")).distinct()

@@ -54,7 +54,8 @@ object Ast {
     * generator expressions (relation.rs:114-118 ColumnDef.default_gen).
     * Types are parsed but not carried — Spark schemas come from data. */
   case class SchemaSpec(keys: Seq[String] = Nil, all: Seq[String] = Nil,
-                        defaults: Map[String, Expr] = Map.empty)
+                        defaults: Map[String, Expr] = Map.empty,
+                        validity: Option[String] = None) // `col: Validity` annotation
 
   /** :limit / :offset / :sort / :assert / relation ops. */
   case class Options(limit: Option[Long] = None, offset: Option[Long] = None,

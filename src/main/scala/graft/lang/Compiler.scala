@@ -260,6 +260,15 @@ class Compiler(spark: SparkSession,
       }
   }
 
+  /** `@ t` timestamp with the reference's sentinels (parse/expr.rs
+    * validity handling): "NOW" is the current instant, "END" the maximum
+    * representable validity (Validity::inf — i64 MAX microseconds). */
+  private def asOfExpr(v: Expr): Column = v match {
+    case Lit("NOW") => current_timestamp()
+    case Lit("END") => timestamp_micros(lit(Long.MaxValue))
+    case other => compileExpr(other)
+  }
+
   /** Rust remainder semantics (functions.rs:537-546): a float mod zero
     * is NaN, not an ANSI REMAINDER_BY_ZERO; integer mod 0 stays an
     * error like the reference. */
@@ -384,7 +393,7 @@ class Compiler(spark: SparkSession,
     case RelApply(name, args, stored, validity) =>
       // in-SCC rule with no facts yet: the whole clause derives nothing
       val df = validity match {
-        case Some(v) if stored => validityScan(name, compileExpr(v))
+        case Some(v) if stored => validityScan(name, asOfExpr(v))
         case Some(_) => throw CompileException(s"validity scan @ only applies to stored relations")
         case None => resolveAtomRel(name, stored).getOrElse(throw Compiler.EmptyRelation(name))
       }
@@ -395,7 +404,7 @@ class Compiler(spark: SparkSession,
 
     case NamedApply(name, pairs, validity) =>
       val df = validity match {
-        case Some(v) => validityScan(name, compileExpr(v))
+        case Some(v) => validityScan(name, asOfExpr(v))
         case None =>
           val bound = pairs.collect { case (f, Some(Lit(_))) => f }.toSet
           namedStoredResolve(name, bound).getOrElse(

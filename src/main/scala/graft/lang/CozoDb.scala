@@ -101,12 +101,43 @@ class CozoDb(val spark: SparkSession) {
             val d = delta.withColumn("__vld_assert", isAssert).withColumn(vcol, ts)
             acol.fold(d.drop("__vld_assert"))(a =>
               d.withColumn(a, col("__vld_assert")).drop("__vld_assert"))
+          // `[micros_since_epoch, is_assert]` pair (the reference's raw
+          // Validity literal, value.rs:112-131) — lowered to a struct by
+          // the heterogeneous-list rule. i64 MAX/MIN are the reserved
+          // inf/neg_inf sentinels and are rejected like the reference.
+          case st: StructType if st.size == 2 &&
+              st.fields(1).dataType == BooleanType =>
+            validityPair(rel, delta, vcol, acol,
+              col(vcol).getField(st.fieldNames.head).cast("long"),
+              col(vcol).getField(st.fieldNames.last))
+          // const-rule pairs surface as arrays (rowsToDf renders mixed
+          // [int, bool] element types as array<string>)
+          case _: ArrayType =>
+            validityPair(rel, delta, vcol, acol,
+              try_element_at(col(vcol), lit(1)).cast("long"),
+              coalesce(try_element_at(col(vcol), lit(2)).cast("boolean"), lit(true)))
           case _ => delta
         }
         acol.filterNot(withVld.columns.contains)
           .fold(withVld)(a => withVld.withColumn(a, lit(true)))
       case _ => delta
     }
+  /** `[micros_since_epoch, is_assert]` raw Validity pair
+    * (value.rs:112-131). i64 MAX/MIN are the reserved inf/neg_inf
+    * sentinels and are rejected like the reference (eager check — the
+    * reference errors at mutation time, not first read). */
+  private def validityPair(rel: String, delta: DataFrame, vcol: String,
+                           acol: Option[String], micros: org.apache.spark.sql.Column,
+                           isAssert: org.apache.spark.sql.Column): DataFrame = {
+    if (!delta.filter(micros === Long.MaxValue || micros === Long.MinValue).isEmpty)
+      throw CompileException(
+        s"validity timestamp uses a reserved sentinel (i64 MAX/MIN) in $rel")
+    val d = delta.withColumn("__vld_assert", isAssert)
+      .withColumn(vcol, timestamp_micros(micros))
+    acol.fold(d.drop("__vld_assert"))(a =>
+      d.withColumn(a, col("__vld_assert")).drop("__vld_assert"))
+  }
+
   def relation(name: String): DataFrame = {
     requireAccess(name, "read_only", "read")
     relations.getOrElse(name, indexes.get(name) match {
@@ -1268,6 +1299,14 @@ class CozoDb(val spark: SparkSession) {
       if (op == "create" || op == "replace") {
         if (spec.all.nonEmpty) relationDeclared(rel) = spec.all
         if (spec.defaults.nonEmpty) relationDefaults(rel) = spec.defaults
+        // `col: Validity` in the schema braces: the relation becomes
+        // time-travelable; the assert flag lives in a synthesized
+        // companion column (the reference packs (ts, assert) into one
+        // Validity value, value.rs:112-131)
+        spec.validity.foreach { v =>
+          relationValidity(rel) = v
+          relationAssert(rel) = s"${v}__assert"
+        }
       }
       df = relationMutation(op, rel, spec.keys, df)
     }

@@ -195,12 +195,14 @@ object Parser {
 
     /** {k1, k2 => v1, v2 default expr, ...} — key/all column names and
       * default generator expressions; type annotations are accepted and
-      * ignored (Spark schemas come from the data). */
+      * ignored (Spark schemas come from the data), EXCEPT `Validity`,
+      * which marks the relation time-travelable (value.rs:112-131). */
     private def tableSchemaKeys(): SchemaSpec = {
       eat("{")
       val keys = ArrayBuffer.empty[String]
       val all = ArrayBuffer.empty[String]
       val defaults = scala.collection.mutable.LinkedHashMap.empty[String, Expr]
+      var validityCol = Option.empty[String]
       var afterArrow = false
       while (!at("}")) {
         if (tryEat("=>")) afterArrow = true
@@ -209,16 +211,20 @@ object Parser {
           if (!afterArrow) keys += name
           all += name
           // optional type annotation `: Type`, optional `default expr`
-          if (tryEat(":")) typeSkip()
+          if (tryEat(":")) {
+            if (typeSkip().contains("Validity")) validityCol = Some(name)
+          }
           if (atIdent("default")) { ident(); defaults(name) = expr() }
           tryEat(",")
         }
       }
       eat("}")
-      SchemaSpec(keys.toSeq, all.toSeq, defaults.toMap)
+      SchemaSpec(keys.toSeq, all.toSeq, defaults.toMap, validityCol)
     }
 
-    private def typeSkip(): Unit = {
+    /** Skip a type annotation, returning the leading type name when the
+      * type is a plain named type (None for bracketed forms). */
+    private def typeSkip(): Option[String] = {
       def balanced(open: String, close: String): Boolean =
         if (!tryEat(open)) false
         else {
@@ -234,13 +240,16 @@ object Parser {
       // `<F32; 8>` vectors, `[Int]`/`[Int; 3]` lists, `(T1, T2)` tuples
       // start with a bracket; named types (`Int`, `String?`, …) with an
       // identifier optionally followed by a bracketed argument list
-      if (!balanced("<", ">") && !balanced("[", "]") && !balanced("(", ")")) {
-        ident()
-        balanced("<", ">")
-        balanced("[", "]")
-        balanced("(", ")")
-      }
+      val name =
+        if (!balanced("<", ">") && !balanced("[", "]") && !balanced("(", ")")) {
+          val n = ident()
+          balanced("<", ">")
+          balanced("[", "]")
+          balanced("(", ")")
+          Some(n)
+        } else None
       if (tryEat("?")) ()
+      name
     }
 
     private def constLong(): Long = expr() match {

@@ -740,6 +740,21 @@ object Queries {
              |  FROM events WHERE ts <= TIMESTAMP '2024-01-15') t
              |WHERE rn = 1 AND is_assert""".stripMargin)),
 
+    // the BASELINE backup/restore class (README.md:144-145: ~1M rows/s
+    // backup, ~400K rows/s restore): full round-trip of the events table
+    // through the CozoDb backup format (parquet + key manifest), then a
+    // count over the restored copy. Parquet write/scan throughput is the
+    // whole cost — both scale linearly with executors at 100 TB.
+    Spec("src_backup_restore", (s, d) => {
+      val db = new graft.lang.CozoDb(s)
+      db.registerTable("events_bkp", T(s, d, "events"))
+      db.backup("/tmp/graft_bench_backup")
+      val db2 = new graft.lang.CozoDb(s)
+      db2.restore("/tmp/graft_bench_backup")
+      db2.relation("events_bkp").agg(count(lit(1)).as("n"))
+    },
+      Some("SELECT count(*) AS n FROM events")),
+
     // the reference's time-travel BENCH classes (time_travel.rs:153-187):
     // "travel aggregation" — aggregate over each key's CURRENT version.
     // The as-of window prunes to one row per key before the sum, one

@@ -437,6 +437,11 @@ class FunctionPortsSpec extends AnyFunSuite {
     assert(v("2 ~ null ~ 1") == 2L)
   }
 
+  test("expression_eval (data/tests/exprs.rs:12): if with no else is null") {
+    assert(v("if(2 + 3 > 1 * 99999, 190291021 + 14341234212 / 2121)") == null)
+    assert(v("if(2 + 3 > 1, true, false)") == true)
+  }
+
   test("int_range incl. negative step (functions.rs:1472)") {
     assert(seqOf("int_range(1, 5)") == Seq(1L, 2L, 3L, 4L))
     assert(seqOf("int_range(5)") == Seq(0L, 1L, 2L, 3L, 4L))

@@ -424,6 +424,13 @@ class Compiler(spark: SparkSession,
       frame = Some(base)
       base.filter(compileExpr(e))
 
+    case Unify("_", e) =>
+      // `_` never unifies or binds (tests.rs do_not_unify_underscore):
+      // the expression is discarded; repeated `_ = …` atoms are
+      // independent no-ops
+      frame = cur
+      cur.getOrElse(one())
+
     case Unify(v, e) =>
       frame = cur
       cur match {
@@ -555,6 +562,8 @@ class Compiler(spark: SparkSession,
     */
   def applyHead(head: Seq[HeadArg], body: DataFrame): DataFrame = {
     head.foreach { h =>
+      if (h.v == "_")
+        throw CompileException("`_` cannot appear in a rule head (it never binds)")
       if (!body.columns.contains(h.v))
         throw CompileException(s"head variable ${h.v} is not bound in rule body")
     }

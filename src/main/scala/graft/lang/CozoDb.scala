@@ -327,7 +327,13 @@ class CozoDb(val spark: SparkSession) {
         if (Imperative.looksImperative(trimmed))
           Imperative.execute(this, Imperative.parse(trimmed), params)
         else runSingle(trimmed, params)
-      decodeAnyColumns(out)
+      val res = decodeAnyColumns(out)
+      // `_`-prefixed relations are temporaries scoped to ONE script
+      // (tests.rs returning_relations; the reference clears its script
+      // stores at script end). The result's plan is already built, so
+      // dropping registry entries cannot invalidate it.
+      relationNames.filter(_.startsWith("_")).foreach(removeRelation)
+      res
     } finally {
       runningQueries.remove(id)
       spark.sparkContext.clearJobGroup()
@@ -930,10 +936,24 @@ class CozoDb(val spark: SparkSession) {
           case s: Seq[_] => s
           case other => throw CompileException(s"const rule body must be a list, got $other")
         }
+        // param shorthand (tests.rs param_shorthand): `?[] <- [[$x, $y]]`
+        // with an EMPTY head names the columns after the parameters
+        val paramNames = data match {
+          case ListE(dataRows) if head.isEmpty && dataRows.nonEmpty =>
+            val nameLists = dataRows.map {
+              case ListE(cells) => cells.map { case Param(n) => Some(n); case _ => None }
+              case _ => Seq(None)
+            }
+            if (nameLists.forall(_ == nameLists.head) && nameLists.head.forall(_.isDefined))
+              Some(nameLists.head.flatten)
+            else None
+          case _ => None
+        }
         // set semantics apply to const rules too (utilities/constant.rs
         // pre-evaluates into a deduped store); rows are driver-side so
         // the dedup is cheap
-        CozoDb.rowsToDf(spark, rows, if (head.nonEmpty) Some(head.map(_.v)) else None)
+        CozoDb.rowsToDf(spark, rows,
+          if (head.nonEmpty) Some(head.map(_.v)) else paramNames)
           .dropDuplicates()
       case FixedApply(_, head, algo, rels, opts) =>
         val impl = FixedRules.get(algo)
@@ -1333,10 +1353,16 @@ class CozoDb(val spark: SparkSession) {
       case _ => delta0
     }
     val delta = coerceValidity(rel, withDefaults).ckptLazy()
-    // first data into a schema-only relation: adopt the delta's Spark
-    // schema (the placeholder's column NAMES stay authoritative)
-    if (op != "create" && bareCreates.remove(rel))
+    // first FULL-WIDTH data into a schema-only relation: adopt the
+    // delta's Spark schema (the placeholder's column NAMES stay
+    // authoritative). A keys-only rm/delete must NOT narrow the schema
+    // (tests.rs deletion: a failed partial delete used to corrupt the
+    // relation to its key columns).
+    if (op != "create" && bareCreates.contains(rel)
+        && relationDeclared.get(rel).forall(_.forall(delta.columns.contains))) {
+      bareCreates.remove(rel)
       relations(rel) = delta.limit(0)
+    }
     def keys: Seq[String] = relationKeys.getOrElse(rel,
       if (schemaKeys.nonEmpty) schemaKeys else delta.columns.toSeq)
     // rows about to be replaced/removed — `_old` for triggers/callbacks

@@ -101,14 +101,24 @@ object Fts {
     "whom", "why", "will", "with", "would", "you", "your", "yours")
   private val stopwordSet = stopwordsEn.toSet
 
-  private lazy val asciiFoldUdf = udf((s: String) =>
-    if (s == null) null
-    else java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFD)
-      .replaceAll("\\p{M}+", ""))
-  def asciiFold(c: Column): Column = asciiFoldUdf(c)
-  def asciiFoldStr(s: String): String =
-    java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFD)
+  /** Latin-1 letters that do NOT decompose to base + combining mark
+    * (ascii_folding_filter.rs:1581 latin1 expectations — ligatures and
+    * special letters expand to multi-char ASCII). */
+  private val latin1Expansions: Seq[(String, String)] = Seq(
+    "Æ" -> "AE", "æ" -> "ae", "Œ" -> "OE", "œ" -> "oe", "Ĳ" -> "IJ", "ĳ" -> "ij",
+    "Ø" -> "O", "ø" -> "o", "Þ" -> "TH", "þ" -> "th", "Ð" -> "D", "ð" -> "d",
+    "ß" -> "ss", "ﬁ" -> "fi", "ﬂ" -> "fl", "Đ" -> "D", "đ" -> "d",
+    "Ł" -> "L", "ł" -> "l")
+  def asciiFoldStr(s: String): String = {
+    if (s == null) return null
+    val expanded = latin1Expansions.foldLeft(s) { case (acc, (from, to)) =>
+      acc.replace(from, to)
+    }
+    java.text.Normalizer.normalize(expanded, java.text.Normalizer.Form.NFD)
       .replaceAll("\\p{M}+", "")
+  }
+  private lazy val asciiFoldUdf = udf((s: String) => asciiFoldStr(s))
+  def asciiFold(c: Column): Column = asciiFoldUdf(c)
 
   /** Tokenize a text column through a [[Pipeline]] — the single
     * implementation both index build and query normalization share. */

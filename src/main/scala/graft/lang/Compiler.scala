@@ -499,8 +499,15 @@ class Compiler(spark: SparkSession,
     * applied BEFORE the join (they reach the parquet scan as pushed
     * filters); expressions over outer variables are applied after.
     */
-  private def applyPositional(cur: Option[DataFrame], df: DataFrame,
-                              colArgs: Seq[(String, Expr)]): DataFrame = {
+  private def applyPositional(cur: Option[DataFrame], df0: DataFrame,
+                              colArgs0: Seq[(String, Expr)]): DataFrame = {
+    // a rule head with repeated variables yields duplicate column
+    // names; positional consumption renames them apart first
+    val (df, colArgs) =
+      if (df0.columns.distinct.length != df0.columns.length) {
+        val tmp = df0.columns.indices.map(i => s"__p$i")
+        (df0.toDF(tmp: _*), tmp.zip(colArgs0.map(_._2)))
+      } else (df0, colArgs0)
     var varOf = Map.empty[String, String] // var -> original column
     var preFilters = List.empty[Column]
     var postFilters = List.empty[(String, Expr)] // fresh col -> expr
@@ -569,7 +576,10 @@ class Compiler(spark: SparkSession,
     }
     val plain = head.filter(_.aggr.isEmpty).map(_.v)
     if (!head.exists(_.aggr.isDefined)) {
-      body.select(plain.map(col): _*).dropDuplicates()
+      // positional aliases first: a repeated head variable (y[A, A])
+      // would otherwise produce duplicate column names mid-plan
+      body.select(plain.zipWithIndex.map { case (v, i) => col(v).as(s"__p$i") }: _*)
+        .dropDuplicates().toDF(plain: _*)
     } else {
       frame = Some(body)
       val aggs = head.collect { case HeadArg(Some(a), v, extra) =>

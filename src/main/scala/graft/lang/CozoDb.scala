@@ -922,7 +922,14 @@ class CozoDb(val spark: SparkSession) {
       catch { case _: Compiler.EmptyRelation => None } }
     if (dfs.isEmpty) None
     else if (dfs.length == 1) Some(dfs.head)
-    else Some(dfs.map(df => df.toDF(dfs.head.columns: _*)).reduce(_ unionByName _).dropDuplicates())
+    else {
+      // positional union under temp names: a head with a REPEATED
+      // variable (y[A, A], magic.rs strange_case) yields duplicate
+      // column names that unionByName rejects
+      val tmp = dfs.head.columns.indices.map(i => s"__u$i")
+      Some(dfs.map(_.toDF(tmp: _*)).reduce(_ union _).dropDuplicates()
+        .toDF(dfs.head.columns.toIndexedSeq: _*))
+    }
   }
 
   private def evalOneDef(d: RuleDef, resolve: String => Option[DataFrame],

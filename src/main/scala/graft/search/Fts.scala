@@ -285,27 +285,63 @@ object Fts {
       s.substring(j, k)
     }
     private def word(): String = { val w = peekWord(); i += w.length; w }
+    /** A term: bare word or quoted phrase, with an optional `^boost`
+      * suffix (parsed and discarded — BM25 boosts are not modeled;
+      * parse/fts.rs accepts them on any term). */
+    private def termText(): String = {
+      ws()
+      if (i < s.length && (s.charAt(i) == '\'' || s.charAt(i) == '"')) {
+        val q = s.charAt(i); i += 1
+        val j = i
+        while (i < s.length && s.charAt(i) != q) i += 1
+        require(i < s.length, "unterminated quote")
+        val t = s.substring(j, i); i += 1
+        skipBoost(); t
+      } else {
+        val w = word()
+        val c = w.indexOf('^')
+        if (c >= 0) w.substring(0, c) else w
+      }
+    }
+    private def skipBoost(): Unit =
+      if (i < s.length && s.charAt(i) == '^') {
+        i += 1
+        while (i < s.length && (s.charAt(i).isDigit || s.charAt(i) == '.')) i += 1
+      }
     def parse(): Q = { val q = orExpr(); ws(); require(i >= s.length, s"trailing input at $i"); q }
     private def orExpr(): Q = {
-      var l = andExpr()
+      var l = notChain()
       var go = true
       while (go) { ws()
-        if (peekWord().equalsIgnoreCase("OR")) { word(); l = Or(Seq(l, andExpr())) } else go = false
+        if (peekWord().equalsIgnoreCase("OR")) { word(); l = Or(Seq(l, notChain())) } else go = false
       }
       l
     }
-    private def andExpr(): Q = {
-      var l = notExpr()
+    /** grp (NOT grp)* — each NOT negates the following juxtaposed
+      * group, left-associating (parse/fts.rs:155 shape). */
+    private def notChain(): Q = {
+      var l = group()
       var go = true
       while (go) { ws()
-        if (peekWord().equalsIgnoreCase("AND")) { word(); l = And(Seq(l, notExpr())) } else go = false
+        if (peekWord().equalsIgnoreCase("NOT")) { word(); l = Not(l, group()) } else go = false
       }
       l
     }
-    private def notExpr(): Q = {
-      val l = atom()
-      ws()
-      if (peekWord().equalsIgnoreCase("NOT")) { word(); Not(l, notExpr()) } else l
+    /** Juxtaposed atoms combine as AND; an explicit AND keyword is the
+      * same thing spelled out. */
+    private def group(): Q = {
+      var l = atom()
+      var go = true
+      while (go) { ws()
+        if (i >= s.length || s.charAt(i) == ')') go = false
+        else {
+          val w = peekWord()
+          if (w.equalsIgnoreCase("OR") || w.equalsIgnoreCase("NOT")) go = false
+          else if (w.equalsIgnoreCase("AND")) { word(); l = And(Seq(l, atom())) }
+          else l = And(Seq(l, atom()))
+        }
+      }
+      l
     }
     private def atom(): Q = {
       ws()
@@ -313,22 +349,23 @@ object Fts {
         i += 1; val q = orExpr(); ws()
         require(i < s.length && s.charAt(i) == ')', "expected )"); i += 1
         q
+      } else if (peekWord().equalsIgnoreCase("NEAR")) {
+        word()
+        ws(); require(i < s.length && s.charAt(i) == '(', "NEAR needs (...)"); i += 1
+        val ts = scala.collection.mutable.ArrayBuffer.empty[String]
+        var dist = 10
+        var done = false
+        while (!done) {
+          ws()
+          if (s.charAt(i) == ')') { i += 1; done = true }
+          else if (s.charAt(i) == ',') { i += 1; ws(); dist = word().toInt }
+          else ts += termText()
+        }
+        Near(ts.toSeq, dist)
       } else {
-        val w = word()
+        val w = termText()
         require(w.nonEmpty, s"empty term at $i")
-        if (w.equalsIgnoreCase("NEAR")) {
-          ws(); require(i < s.length && s.charAt(i) == '(', "NEAR needs (...)"); i += 1
-          val ts = scala.collection.mutable.ArrayBuffer.empty[String]
-          var dist = 10
-          var done = false
-          while (!done) {
-            ws()
-            if (s.charAt(i) == ')') { i += 1; done = true }
-            else if (s.charAt(i) == ',') { i += 1; ws(); dist = word().toInt }
-            else ts += word()
-          }
-          Near(ts.toSeq, dist)
-        } else Term(w)
+        Term(w)
       }
     }
   }

@@ -191,6 +191,36 @@ class RuntimePorts2Spec extends AnyFunSuite {
     ok(d, "::fts drop entity:fts_index")
   }
 
+  test("test_dependencies (query/stratify.rs:315): multi-layer aggregation strata") {
+    ok(db(),
+      """x[a] <- [[1], [2]]
+        |w[a] := a in [2]
+        |w[a] := w[b], a = b + 1, a < 10
+        |y[count(a)] := x[a]
+        |y[count(a)] := w[a]
+        |z[count(a)] := y[a]
+        |z[count(a)] := y[b], a = b + 1
+        |?[a] := z[a]
+        |?[a] := w[a]""".stripMargin)
+  }
+
+  test("strange_case (query/magic.rs:642): underscore in rule application") {
+    val r = rows(db(),
+      """x[A] := A = 1
+        |y[A, A] := A = 1
+        |y[A, B] := A = 0, B = 1, x[B]
+        |?[C] := y[A, _], y[C, A]
+        |:disable_magic_rewrite true""".stripMargin)
+    assert(r.map(_.head).toSet == Set(0L, 1L))
+  }
+
+  test("test_mat_join (query/ra.rs:2381): unify before positional bind") {
+    val r = rows(db(),
+      """data[a, b] <- [[1, 2], [1, 3], [2, 3]]
+        |?[x] := a = 3, data[x, a]""".stripMargin)
+    assert(r.map(_.head).toSet == Set(1L, 2L))
+  }
+
   test("into_payload analogue: query results feed back as mutations (tests.rs)") {
     val d = db()
     ok(d, ":create pa {x => y}")

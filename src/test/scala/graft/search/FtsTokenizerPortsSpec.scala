@@ -75,6 +75,16 @@ class FtsTokenizerPortsSpec extends AnyFunSuite {
     assert(toks("hello tantivy, happy searching!", p) == Seq("hello", "happy"))
   }
 
+  test("fts query parser shapes (parse/fts.rs:147)") {
+    assert(Fts.parseQuery(" hello world OR bye bye world").isInstanceOf[Fts.Or])
+    assert(Fts.parseQuery(" hello world AND bye bye world").isInstanceOf[Fts.And])
+    assert(Fts.parseQuery(" hello world NOT bye bye NOT 'ok, mates'").isInstanceOf[Fts.Not])
+    Fts.parseQuery(""" NEAR(abc def "ghi"^22.8) """) match {
+      case Fts.Near(ts, dist) => assert(dist == 10 && ts.contains("abc"))
+      case other => fail(s"expected Near, got $other")
+    }
+  }
+
   test("stop words are dropped (stop_word_filter/mod.rs:151)") {
     val p = Fts.Pipeline(tokenizer = "Simple", lowercase = true,
       stopwords = true, stem = false)

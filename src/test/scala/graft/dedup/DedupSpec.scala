@@ -72,4 +72,22 @@ class DedupSpec extends AnyFunSuite {
       threshold = 0.4, planes = 3, tables = 32))
     assert(lsh == brute)
   }
+
+  test("minhash signatures are set-order invariant (runtime/minhash_lsh.rs:371 test_minhash)") {
+    val k = 64
+    def sig(elems: Seq[String]): Seq[Long] =
+      spark.range(1)
+        .select(TF.minhashSignature(array(elems.map(lit): _*), k).as("s"))
+        .collect().head.getSeq[Long](0)
+    def estJaccard(a: Seq[Long], b: Seq[Long]): Double =
+      a.zip(b).count { case (x, y) => x == y }.toDouble / a.length
+    val m1 = sig(Seq("1", "2", "3", "4", "5", "6"))
+    val m2 = sig(Seq("4", "3", "2", "1", "5", "6"))
+    assert(m1 == m2) // same set, different order -> identical signature
+    assert(estJaccard(m1, m2) == 1.0)
+    val m1x = sig(Seq("1", "2", "3", "4", "5", "6", "7", "8", "9"))
+    assert(estJaccard(m1x, m2) < 1.0) // superset drifts the estimate down
+    val m2x = sig(Seq("4", "3", "2", "1", "5", "6", "17", "18", "19"))
+    assert(estJaccard(m1x, m2x) < 1.0)
+  }
 }

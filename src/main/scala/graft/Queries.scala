@@ -502,7 +502,7 @@ object Queries {
     // is what keeps hop-4 from exploding combinatorially.
     Spec("graph_expand2", (s, d) => {
       val e = eventEdges(T(s, d, "events")).ckpt()
-      val h1 = e.select(col("src").as("seed"), col("dst").as("n")).distinct()
+      val h1 = e.select(col("src").as("seed"), col("dst").as("n")) // distinct by construction (eventEdges dedups)
       val h2 = h1.join(e.withColumnRenamed("src", "n"), Seq("n"))
         .select(col("seed"), col("dst").as("n2")).distinct()
       h2.groupBy("seed").agg(count(lit(1)).as("n2_count"))
@@ -536,7 +536,7 @@ object Queries {
     Spec("graph_expand3_filter", (s, d) => {
       val e = eventEdges(T(s, d, "events")).ckpt()
       val ef = e.filter(col("dst") % 2 === 0)
-      val h1 = ef.select(col("src").as("seed"), col("dst").as("n")).distinct()
+      val h1 = ef.select(col("src").as("seed"), col("dst").as("n")) // distinct by construction (eventEdges dedups)
       val h2 = h1.join(ef.withColumnRenamed("src", "n"), Seq("n"))
         .select(col("seed"), col("dst").as("n")).distinct()
       val h3 = h2.join(e.withColumnRenamed("src", "n"), Seq("n"))
@@ -557,7 +557,7 @@ object Queries {
     // this linear in the neighbourhood (not path) count at 100×.
     Spec("graph_neighbours2", (s, d) => {
       val e = eventEdges(T(s, d, "events")).ckpt()
-      val h1 = e.select(col("src").as("seed"), col("dst").as("n")).distinct()
+      val h1 = e.select(col("src").as("seed"), col("dst").as("n")) // distinct by construction (eventEdges dedups)
       val h2 = h1.join(e.withColumnRenamed("src", "n"), Seq("n"))
         .select(col("seed"), col("dst").as("n")).distinct()
       h1.union(h2).distinct().groupBy("seed").agg(count(lit(1)).as("nbr_count"))
@@ -576,14 +576,20 @@ object Queries {
       val e = eventEdges(T(s, d, "events")).ckpt()
       val cust = T(s, d, "customer")
         .select(col("c_custkey").as("n"), col("c_acctbal"), col("c_mktsegment"))
-      val h1 = e.select(col("src").as("seed"), col("dst").as("n")).distinct()
+      val h1 = e.select(col("src").as("seed"), col("dst").as("n")) // distinct by construction (eventEdges dedups)
       val h2 = h1.join(e.withColumnRenamed("src", "n"), Seq("n"))
         .select(col("seed"), col("dst").as("n")).distinct()
-      h1.union(h2).distinct().join(broadcast(cust), Seq("n"))
-        .groupBy("seed").agg(
-          count(lit(1)).as("nbr_count"),
-          round(sum(col("c_acctbal")), 2).as("acctbal_sum"),
-          countDistinct(col("c_mktsegment")).as("segments"))
+      val nbr = h1.union(h2).distinct().join(broadcast(cust), Seq("n")).ckpt()
+      // split the distinct-aggregate out: one plain pass for count/sum,
+      // one dedup'd pass for segment cardinality — avoids Catalyst's
+      // Expand (which doubles the 2M-row shuffle) for mixed
+      // plain+distinct aggregates
+      val sums = nbr.groupBy("seed").agg(
+        count(lit(1)).as("nbr_count"),
+        round(sum(col("c_acctbal")), 2).as("acctbal_sum"))
+      val segs = nbr.select("seed", "c_mktsegment").distinct()
+        .groupBy("seed").agg(count(lit(1)).as("segments"))
+      sums.join(segs, Seq("seed"))
     },
       Some(s"""WITH $edgesSql,
               |h1 AS (SELECT DISTINCT src AS seed, dst AS n FROM edges),
@@ -602,7 +608,7 @@ object Queries {
       val e = eventEdges(T(s, d, "events")).ckpt()
       val adult = T(s, d, "customer").filter(col("c_acctbal") >= 1000)
         .select(col("c_custkey").as("n"))
-      val h1 = e.select(col("src").as("seed"), col("dst").as("n")).distinct()
+      val h1 = e.select(col("src").as("seed"), col("dst").as("n")) // distinct by construction (eventEdges dedups)
       val h2 = h1.join(e.withColumnRenamed("src", "n"), Seq("n"))
         .select(col("seed"), col("dst").as("n")).distinct()
       h1.union(h2).distinct().join(broadcast(adult), Seq("n"))
@@ -631,7 +637,7 @@ object Queries {
         fr.join(e.withColumnRenamed("src", "n"), Seq("n"))
           .select(col("seed"), col("dst").as("n")).distinct()
       val h1 = e.filter(col("src") % 16 === 0)
-        .select(col("src").as("seed"), col("dst").as("n")).distinct()
+        .select(col("src").as("seed"), col("dst").as("n")) // distinct by construction
       val h4 = hop(hop(hop(h1)))
       h4.groupBy("seed").agg(count(lit(1)).as("n4_count"))
     },
@@ -653,7 +659,7 @@ object Queries {
         fr.join(e.withColumnRenamed("src", "n"), Seq("n"))
           .select(col("seed"), col("dst").as("n")).distinct()
       val h1 = e.filter(col("src") % 16 === 0)
-        .select(col("src").as("seed"), col("dst").as("n")).distinct()
+        .select(col("src").as("seed"), col("dst").as("n")) // distinct by construction
       val h3 = hop(hop(h1)).withColumnRenamed("n", "n4")
       h3.join(e.select(col("dst").as("n4"), col("src").as("witness")), Seq("n4"))
         .select(col("seed"), col("witness")).distinct()

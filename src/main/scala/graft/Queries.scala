@@ -1144,6 +1144,22 @@ object Queries {
               |FROM tr JOIN ev ON tr.s = ev.s
               |GROUP BY 1 HAVING count(DISTINCT tr.s) >= 1""".stripMargin)),
 
+    // contiguous token-budget shard packing (training-data export
+    // shape): greedy by doc order, shard = floor(prefix_sum / budget).
+    // The Spark side runs the two-level distributed prefix sum
+    // (Sharding.packByBudget — no global sort); the oracle states the
+    // same function as a plain window cumsum.
+    Spec("pipe_pack_shards", (s, d) => {
+      val docs = T(s, d, "documents")
+        .select(col("doc_id"), size(TF.tokens(col("text"))).cast("long").as("w"))
+      graft.pipeline.Sharding.packByBudget(docs, "doc_id", "w", budget = 2000L)
+        .select("doc_id", "w", "shard")
+    },
+      Some(s"""SELECT doc_id, w, CAST(FLOOR(
+              |    (SUM(w) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - w)
+              |    / 2000.0) AS BIGINT) AS shard
+              |FROM (SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS w FROM documents) t""".stripMargin)),
+
     // deterministic stratified sampling via Knuth multiplicative hashing
     // (pure integer arithmetic — the oracle reproduces it bit-for-bit;
     // the xxhash64 family is the production default for non-int keys)

@@ -1160,6 +1160,29 @@ object Queries {
               |    / 2000.0) AS BIGINT) AS shard
               |FROM (SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS w FROM documents) t""".stripMargin)),
 
+    // source-mixture balancing: every language downsampled to the size
+    // of the smallest (equal weights), keeping each source's
+    // smallest-hash rows — counts integer-exact, selection
+    // hash-deterministic. The oracle restates the same two stages
+    // (prefilter threshold + rank within survivors) from its own counts.
+    Spec("pipe_balance_sources", (s, d) =>
+      graft.pipeline.Balance.balanceSources(
+          T(s, d, "documents").select("doc_id", "lang"), "lang", "doc_id")
+        .select("doc_id", "lang"),
+      Some("""WITH counts AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+             |anchor AS (SELECT n AS a_n FROM counts ORDER BY CAST(n AS DOUBLE), lang LIMIT 1),
+             |plan AS (SELECT c.lang, c.n, a.a_n AS target,
+             |  LEAST((a.a_n + 1000) * 21 // 20 * 1073741824 // c.n + 1, 1073741824) AS thr
+             |  FROM counts c CROSS JOIN anchor a),
+             |hashed AS (SELECT doc_id, d.lang,
+             |    ((doc_id * 2654435761) % 4294967296) % 1073741824 AS h,
+             |    p.target, p.thr
+             |  FROM documents d JOIN plan p ON d.lang = p.lang),
+             |survivors AS (SELECT doc_id, lang, target,
+             |    row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rk
+             |  FROM hashed WHERE h < thr)
+             |SELECT doc_id, lang FROM survivors WHERE rk <= target""".stripMargin)),
+
     // deterministic stratified sampling via Knuth multiplicative hashing
     // (pure integer arithmetic — the oracle reproduces it bit-for-bit;
     // the xxhash64 family is the production default for non-int keys)

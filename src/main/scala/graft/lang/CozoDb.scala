@@ -166,8 +166,11 @@ class CozoDb(val spark: SparkSession) {
     relations.foreach { case (n, df) =>
       df.write.mode("overwrite").parquet(s"$dir/$n.parquet")
     }
+    // manifest rows: name, keys, validity column, assert column — so a
+    // restore round-trips time-travel registration, not just data
     val manifest = relations.keys.map { n =>
-      s"$n\t${relationKeys.getOrElse(n, Nil).mkString(",")}"
+      s"$n\t${relationKeys.getOrElse(n, Nil).mkString(",")}" +
+        s"\t${relationValidity.getOrElse(n, "")}\t${relationAssert.getOrElse(n, "")}"
     }.mkString("\n")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/_keys.tsv"), manifest)
   }
@@ -181,7 +184,9 @@ class CozoDb(val spark: SparkSession) {
       val parts = line.split("\t", -1)
       val name = parts(0)
       val keys = if (parts.length > 1 && parts(1).nonEmpty) parts(1).split(",").toSeq else Nil
-      registerTable(name, spark.read.parquet(s"$dir/$name.parquet"), keys)
+      def at(i: Int) = if (parts.length > i && parts(i).nonEmpty) Some(parts(i)) else None
+      registerTable(name, spark.read.parquet(s"$dir/$name.parquet"), keys,
+        validity = at(2), validityAssert = at(3))
     }
   }
 
@@ -627,7 +632,10 @@ class CozoDb(val spark: SparkSession) {
                             pipe: graft.search.Fts.Pipeline) extends IndexSpec
   private case class LshIdx(rel: String, extractor: String, nGram: Int,
                             threshold: Double, bands: Int, rowsPerBand: Int) extends IndexSpec
-  private case class VecIdx(rel: String, field: String, distance: String,
+  /** `fields` may list several vector columns (multi_index_vec,
+    * hnsw_index in runtime/tests.rs): the reference indexes every
+    * field's vector; a probe matches a row through its CLOSEST field. */
+  private case class VecIdx(rel: String, fields: Seq[String], distance: String,
                             filter: Option[Expr] = None) extends IndexSpec
   private case class PlainIdx(rel: String, cols: Seq[String]) extends IndexSpec
 
@@ -680,7 +688,7 @@ class CozoDb(val spark: SparkSession) {
       // a pointer graph, so the scannable surface is the admitted set
       val admitted = v.filter.fold(relation(v.rel))(e =>
         relation(v.rel).filter(compiler(_ => None, Map.empty).compileExpr(e)))
-      admitted.select(col(keyColOf(v.rel)), col(v.field))
+      admitted.select(col(keyColOf(v.rel)) +: v.fields.map(col): _*)
     case p: PlainIdx =>
       // the reference's covering index stores the named columns plus the
       // REMAINING KEY columns only (runtime/relation.rs:1232) — enough
@@ -770,11 +778,17 @@ class CozoDb(val spark: SparkSession) {
           .orderBy(col("__sim").desc, col(key).asc).limit(k)
         select(scored, bindVar("bind_similarity").map(_ -> col("__sim")))
       case v: VecIdx =>
-        val fvec = col(v.field).cast("array<float>")
-        def distTo(q: org.apache.spark.sql.Column) = v.distance.toLowerCase match {
-          case "cosine" => VF.cosineDistance(fvec, q)
-          case "ip" | "innerproduct" => VF.ipDist(fvec, q)
-          case _ => VF.l2Dist(fvec, q)
+        // several indexed fields → a row matches through its closest one
+        def distTo(q: org.apache.spark.sql.Column) = {
+          val ds = v.fields.map { f =>
+            val fvec = col(f).cast("array<float>")
+            v.distance.toLowerCase match {
+              case "cosine" => VF.cosineDistance(fvec, q)
+              case "ip" | "innerproduct" => VF.ipDist(fvec, q)
+              case _ => VF.l2Dist(fvec, q)
+            }
+          }
+          if (ds.length == 1) ds.head else least(ds: _*)
         }
         val exprC = compiler(_ => None, params)
         // index-admission filter (::hnsw create ... filter:) then
@@ -893,12 +907,12 @@ class CozoDb(val spark: SparkSession) {
         val (b, r) = lshParamsFor(threshold)
         indexes(target) = LshIdx(rel, extractor, nGram, threshold, b, r)
       case "hnsw" =>
-        val field = opts.get("fields") match {
-          case Some(ListE(Seq(item))) => asStr(item)
-          case Some(e) => asStr(e)
+        val fields = opts.get("fields") match {
+          case Some(ListE(items)) if items.nonEmpty => items.map(asStr)
+          case Some(e) => Seq(asStr(e))
           case None => throw CompileException("::hnsw create — missing fields: [col]")
         }
-        indexes(target) = VecIdx(rel, field,
+        indexes(target) = VecIdx(rel, fields,
           opts.get("distance").map(asStr).getOrElse("L2"), opts.get("filter"))
       case other => throw CompileException(s"unknown index kind ::$other")
     }

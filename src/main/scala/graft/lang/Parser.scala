@@ -288,8 +288,16 @@ object Parser {
               rels += FixedStoredRel(s, cols.toSeq)
             case TIdent(s, _) if toks(pos + 1) == TPunct("[", toks(pos + 1).pos) =>
               next(); eat("[")
-              while (!at("]")) { ident(); tryEat(",") }
+              val binds = ArrayBuffer.empty[String]
+              while (!at("]")) { binds += ident(); tryEat(",") }
               eat("]")
+              // repeated bindings in a fixed-rule input head are illegal
+              // (runtime/tests.rs strict_checks_for_fixed_rules_args;
+              // `_` repeats freely)
+              val named = binds.filter(_ != "_")
+              if (named.distinct.length != named.length)
+                throw ParseException(
+                  s"repeated binding in fixed-rule input $s[${binds.mkString(", ")}]", cur.pos)
               rels += FixedRuleRel(s)
             case TIdent(s, _) =>
               next(); eat(":")

@@ -191,6 +191,42 @@ class RuntimePorts2Spec extends AnyFunSuite {
     ok(d, "::fts drop entity:fts_index")
   }
 
+  test("strict_checks_for_fixed_rules_args (tests.rs): repeated bindings are illegal") {
+    ok(db(), "r[] <- [[1, 2]]\n?[] <~ PageRank(r[_, _])")
+    ok(db(), "r[] <- [[1, 2]]\n?[] <~ PageRank(r[a, b])")
+    fails(db(), "r[] <- [[1, 2]]\n?[] <~ PageRank(r[a, a])")
+  }
+
+  test("hnsw_index (tests.rs): rich :create + hnsw over two fields + bound probe") {
+    val d = db()
+    ok(d,
+      """:create beliefs {
+        |  belief_id, character_id, belief,
+        |  =>
+        |  details: String default "",
+        |  valence: Float default 0,
+        |  belief_embedding: <F32; 8>,
+        |  details_embedding: <F32; 8>,
+        |}""".stripMargin)
+    ok(d,
+      """::hnsw create beliefs:embedding_space {
+        |  dim: 8, m: 50, dtype: F32,
+        |  fields: [belief_embedding, details_embedding],
+        |  distance: Cosine, ef_construction: 20,
+        |}""".stripMargin)
+    ok(d,
+      """?[belief_id, character_id, belief, belief_embedding, details_embedding] <-
+        |  [[1, 10, "test", [1.0,0,0,0,0,0,0,1], [0,1.0,0,0,0,0,0,1]]]
+        |:put beliefs {}""".stripMargin)
+    val r = d.run(
+      """?[belief, valence, dist] := ~beliefs:embedding_space{ belief, valence |
+        |  query: vec([1.0,0,0,0,0,0,0,1]), k: 10, ef: 20,
+        |  bind_distance: dist }
+        |:order -valence
+        |:order dist""".stripMargin).collect()
+    assert(r.nonEmpty && r.head.getString(0) == "test")
+  }
+
   test("test_dependencies (query/stratify.rs:315): multi-layer aggregation strata") {
     ok(db(),
       """x[a] <- [[1], [2]]

@@ -779,17 +779,25 @@ class CozoDb(val spark: SparkSession) {
         select(scored, bindVar("bind_similarity").map(_ -> col("__sim")))
       case v: VecIdx =>
         // several indexed fields → a row matches through its closest one
-        def distTo(q: org.apache.spark.sql.Column) = {
-          val ds = v.fields.map { f =>
-            val fvec = col(f).cast("array<float>")
-            v.distance.toLowerCase match {
-              case "cosine" => VF.cosineDistance(fvec, q)
-              case "ip" | "innerproduct" => VF.ipDist(fvec, q)
-              case _ => VF.l2Dist(fvec, q)
-            }
+        def fieldDist(f: String, q: org.apache.spark.sql.Column) = {
+          val fvec = col(f).cast("array<float>")
+          v.distance.toLowerCase match {
+            case "cosine" => VF.cosineDistance(fvec, q)
+            case "ip" | "innerproduct" => VF.ipDist(fvec, q)
+            case _ => VF.l2Dist(fvec, q)
           }
+        }
+        def distTo(q: org.apache.spark.sql.Column) = {
+          val ds = v.fields.map(fieldDist(_, q))
           if (ds.length == 1) ds.head else least(ds: _*)
         }
+        /** the MATCHED field's vector (hnsw.rs bind_vector): min-by-dist
+          * via lexicographic struct least */
+        def matchedVec(q: org.apache.spark.sql.Column) =
+          if (v.fields.length == 1) col(v.fields.head).cast("array<float>")
+          else least(v.fields.map(f =>
+            struct(fieldDist(f, q).as("d"), col(f).cast("array<float>").as("v"))): _*)
+            .getField("v")
         val exprC = compiler(_ => None, params)
         // index-admission filter (::hnsw create ... filter:) then
         // per-probe filter: (parse/sys.rs:77-91; ra.rs hnsw opts)
@@ -811,7 +819,9 @@ class CozoDb(val spark: SparkSession) {
             val top = graft.operators.TopK.perGroup(scored, Seq("__qvec"),
               Seq(col("__dist").asc, col(key).asc), k)
             top.select((col("__qvec").as(n) +: (pairs.map { case (c, vr) => col(c).as(vr) } ++
-              bindVar("bind_distance").map(b => col("__dist").as(b)))): _*)
+              bindVar("bind_distance").map(b => col("__dist").as(b)) ++
+              bindVar("bind_vector").map(b =>
+                matchedVec(col("__qvec").cast("array<float>")).as(b)))): _*)
           case _ =>
             val qvec = optConst("query") match {
               case Some(s: Seq[_]) => s.map {
@@ -825,7 +835,9 @@ class CozoDb(val spark: SparkSession) {
             val qArr = array(qvec.map(lit): _*).cast("array<float>")
             val scored = probeOpts(admitted.withColumn("__dist", distTo(qArr)))
               .orderBy(col("__dist").asc, col(key).asc).limit(k)
-            select(scored, bindVar("bind_distance").map(_ -> col("__dist")))
+            scored.select(pairs.map { case (c, vr) => col(c).as(vr) } ++
+              bindVar("bind_distance").map(b => col("__dist").as(b)) ++
+              bindVar("bind_vector").map(b => matchedVec(qArr).as(b)): _*)
         }
       case _: PlainIdx =>
         throw CompileException(s"$target is a covering index — scan it with *$target{...}")

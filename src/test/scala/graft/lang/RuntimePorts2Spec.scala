@@ -219,12 +219,15 @@ class RuntimePorts2Spec extends AnyFunSuite {
         |  [[1, 10, "test", [1.0,0,0,0,0,0,0,1], [0,1.0,0,0,0,0,0,1]]]
         |:put beliefs {}""".stripMargin)
     val r = d.run(
-      """?[belief, valence, dist] := ~beliefs:embedding_space{ belief, valence |
+      """?[belief, valence, dist, vector] := ~beliefs:embedding_space{ belief, valence |
         |  query: vec([1.0,0,0,0,0,0,0,1]), k: 10, ef: 20,
-        |  bind_distance: dist }
+        |  bind_distance: dist, bind_vector: vector }
         |:order -valence
         |:order dist""".stripMargin).collect()
     assert(r.nonEmpty && r.head.getString(0) == "test")
+    // bind_vector binds the MATCHED field's vector — here the
+    // belief_embedding, which is closer to the query than details
+    assert(r.head.getSeq[Float](3).head == 1.0f)
   }
 
   test("test_dependencies (query/stratify.rs:315): multi-layer aggregation strata") {

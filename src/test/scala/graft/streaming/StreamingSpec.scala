@@ -84,6 +84,30 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream/batch parity: windowedStats over a stream equals the batch groupBy") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val data = (0 until 200).map(i =>
+      (ts(f"2024-01-01 00:${i / 10}%02d:${i % 10}0"), (i % 7).toLong, i.toDouble))
+    val input = MemoryStream[(Timestamp, Long, Double)]
+    val agg = Streaming.windowedStats(input.toDF().toDF("ts", "user_id", "value"),
+      "ts", "user_id", window = "5 minutes", slide = "5 minutes", watermark = "1 minute")
+    val q = agg.writeStream.format("memory").queryName("parity_win")
+      .outputMode("complete").start()
+    try {
+      data.grouped(37).foreach { batch => input.addData(batch); q.processAllAvailable() }
+      val streamed = spark.sql("SELECT * FROM parity_win")
+        .select(col("window.start"), col("user_id"), col("cnt"), col("sum_value"))
+        .collect().map(_.toSeq).toSet
+      val batch = data.toDF("ts", "user_id", "value")
+        .groupBy(window(col("ts"), "5 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("cnt"), sum("value").as("sum_value"))
+        .select(col("window.start"), col("user_id"), col("cnt"), col("sum_value"))
+        .collect().map(_.toSeq).toSet
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("sessionize tracks per-key state across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

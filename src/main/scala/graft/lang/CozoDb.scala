@@ -636,7 +636,8 @@ class CozoDb(val spark: SparkSession) {
     * hnsw_index in runtime/tests.rs): the reference indexes every
     * field's vector; a probe matches a row through its CLOSEST field. */
   private case class VecIdx(rel: String, fields: Seq[String], distance: String,
-                            filter: Option[Expr] = None) extends IndexSpec
+                            filter: Option[Expr] = None,
+                            dim: Option[Int] = None) extends IndexSpec
   private case class PlainIdx(rel: String, cols: Seq[String]) extends IndexSpec
 
   private val indexes = mutable.LinkedHashMap.empty[String, IndexSpec]
@@ -832,6 +833,10 @@ class CozoDb(val spark: SparkSession) {
               }
               case other => throw CompileException(s"$target probe needs query: [vector], got $other")
             }
+            // declared dim is a hard contract (the reference rejects
+            // wrong-width vectors at the type level)
+            v.dim.filter(_ != qvec.length).foreach(d => throw CompileException(
+              s"$target expects dim $d, query vector has ${qvec.length}"))
             val qArr = array(qvec.map(lit): _*).cast("array<float>")
             val scored = probeOpts(admitted.withColumn("__dist", distTo(qArr)))
               .orderBy(col("__dist").asc, col(key).asc).limit(k)
@@ -925,7 +930,8 @@ class CozoDb(val spark: SparkSession) {
           case None => throw CompileException("::hnsw create — missing fields: [col]")
         }
         indexes(target) = VecIdx(rel, fields,
-          opts.get("distance").map(asStr).getOrElse("L2"), opts.get("filter"))
+          opts.get("distance").map(asStr).getOrElse("L2"), opts.get("filter"),
+          dim = numOpt("dim").map(_.toInt))
       case other => throw CompileException(s"unknown index kind ::$other")
     }
     Seq(("created", target)).toDF("status", "index")

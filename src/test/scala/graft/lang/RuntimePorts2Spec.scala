@@ -228,6 +228,10 @@ class RuntimePorts2Spec extends AnyFunSuite {
     // bind_vector binds the MATCHED field's vector — here the
     // belief_embedding, which is closer to the query than details
     assert(r.head.getSeq[Float](3).head == 1.0f)
+    // declared dim is enforced on probe queries
+    fails(d,
+      """?[belief] := ~beliefs:embedding_space{ belief |
+        |  query: vec([1.0, 0]), k: 1 }""".stripMargin)
   }
 
   test("test_dependencies (query/stratify.rs:315): multi-layer aggregation strata") {

@@ -51,24 +51,39 @@ object Balance {
 
   /** Balance `df` so each `srcCol` group's kept count follows
     * `weights` (missing sources weigh 1). Returns the kept rows with
-    * their original columns. */
+    * their original columns.
+    *
+    * `exact = true` (default) keeps precisely target_s rows per source
+    * via rank-within-survivors; the rank is a per-source window, so the
+    * largest single source's ~1.05·target survivors must sort in one
+    * task — fine up to hundreds of millions of rows per source. For
+    * larger targets set `exact = false`: a pure hash-rate filter
+    * (threshold = target/N of the hash space) with NO window — fully
+    * distributed and codegen'd, kept counts match targets to sampling
+    * noise (±√target). */
   def balanceSources(df: DataFrame, srcCol: String, idCol: String,
-                     weights: Map[String, Long] = Map.empty): DataFrame = {
+                     weights: Map[String, Long] = Map.empty,
+                     exact: Boolean = true): DataFrame = {
     val counts = df.groupBy(srcCol).count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val ps = plans(counts, weights)
-    val thrExpr = ps.foldLeft(lit(null).cast("long")) { (acc, p) =>
-      when(col(srcCol) === p.source, lit(p.threshold)).otherwise(acc)
-    }
-    val tgtExpr = ps.foldLeft(lit(null).cast("long")) { (acc, p) =>
-      when(col(srcCol) === p.source, lit(p.target)).otherwise(acc)
-    }
+    def perSource(f: SourcePlan => Long) =
+      ps.foldLeft(lit(null).cast("long")) { (acc, p) =>
+        when(col(srcCol) === p.source, lit(f(p))).otherwise(acc)
+      }
     val h = Sampling.knuthBucket(col(idCol), (1L << 30).toInt)
-    val w = Window.partitionBy(col(srcCol)).orderBy(col("__h"), col(idCol))
-    df.withColumn("__h", h)
-      .filter(col("__h") < thrExpr) // codegen'd scan prefilter
-      .withColumn("__rank", row_number().over(w))
-      .filter(col("__rank") <= tgtExpr)
-      .drop("__h", "__rank")
+    if (!exact) {
+      // rate-only scale path: threshold sized to hit the target in
+      // expectation, no per-source sort anywhere
+      val rateThr = perSource(p => (BigInt(p.target) * D / p.n).toLong)
+      df.withColumn("__h", h).filter(col("__h") < rateThr).drop("__h")
+    } else {
+      val w = Window.partitionBy(col(srcCol)).orderBy(col("__h"), col(idCol))
+      df.withColumn("__h", h)
+        .filter(col("__h") < perSource(_.threshold)) // codegen'd scan prefilter
+        .withColumn("__rank", row_number().over(w))
+        .filter(col("__rank") <= perSource(_.target))
+        .drop("__h", "__rank")
+    }
   }
 }

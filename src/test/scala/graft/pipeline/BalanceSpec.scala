@@ -29,6 +29,17 @@ class BalanceSpec extends AnyFunSuite {
     assert(counts == Map("a" -> 100L, "b" -> 300L))
   }
 
+  test("rate-only scale path lands within sampling noise of the targets") {
+    val df = ((0L until 2000L).map(i => (i, "a")) ++
+      (2000L until 12000L).map(i => (i, "b"))).toDF("id", "src")
+    val out = Balance.balanceSources(df, "src", "id", exact = false)
+    val counts = out.groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // targets are 2000/2000; hash-rate keeps each within ±5·sqrt(target)
+    assert(math.abs(counts("a") - 2000L) <= 225, counts)
+    assert(math.abs(counts("b") - 2000L) <= 225, counts)
+  }
+
   test("selection is deterministic and stable across repartitioning") {
     val df = (0L until 500L).map(i => (i, if (i < 50) "small" else "big")).toDF("id", "src")
     val once = Balance.balanceSources(df, "src", "id").select("id").as[Long].collect().sorted.toSeq

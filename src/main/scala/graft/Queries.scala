@@ -1160,6 +1160,24 @@ object Queries {
               |    / 2000.0) AS BIGINT) AS shard
               |FROM (SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS w FROM documents) t""".stripMargin)),
 
+    // sequence packing: overlong docs split into maxLen chunks, the
+    // chunk stream packed into budget-unit shards (the fixed-context
+    // training pre-pass); same distributed prefix-sum underneath
+    Spec("pipe_pack_sequences", (s, d) => {
+      val docs = T(s, d, "documents")
+        .select(col("doc_id"), size(TF.tokens(col("text"))).cast("long").as("w"))
+      graft.pipeline.Sharding.packSequences(docs, "doc_id", "w",
+        maxLen = 64L, budget = 512L)
+    },
+      Some(s"""WITH d AS (SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS w FROM documents),
+              |ch AS (SELECT doc_id, w, unnest(generate_series(0, CAST(ceil(w / 64.0) AS BIGINT) - 1)) AS chunk_idx
+              |       FROM d WHERE w > 0),
+              |cw AS (SELECT doc_id, chunk_idx, LEAST(64, w - chunk_idx * 64) AS chunk_w FROM ch)
+              |SELECT doc_id, chunk_idx, chunk_w,
+              |  CAST(FLOOR((SUM(chunk_w) OVER (ORDER BY doc_id, chunk_idx ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - chunk_w)
+              |    / 512.0) AS BIGINT) AS shard
+              |FROM cw""".stripMargin)),
+
     // source-mixture balancing: every language downsampled to the size
     // of the smallest (equal weights), keeping each source's
     // smallest-hash rows — counts integer-exact, selection

@@ -56,4 +56,31 @@ object Sharding {
           .cast("long"))
       .drop("__bucket", "__local_end", "__offset")
   }
+
+  /** Sequence packing: documents longer than `maxLen` split into
+    * `ceil(w / maxLen)` chunks (all maxLen except a short tail), then
+    * every chunk packs contiguously into `budget`-unit shards via
+    * [[packByBudget]] over the chunk stream — the standard tokenized
+    * pre-pass for fixed-context training (chunk, then pack the
+    * chunks). Returns (id, chunk_idx, chunk_w, shard). The chunk
+    * explode is a codegen'd `sequence` generator — no UDFs, no skew
+    * beyond the documents' own length distribution. Chunk ids must
+    * stay ordered inside a doc, so the chunk key is id·2^20 + idx
+    * (caller guarantees < 2^20 chunks/doc = 1B-unit docs at the
+    * default 1k maxLen). */
+  def packSequences(df: DataFrame, idCol: String, weightCol: String,
+                    maxLen: Long, budget: Long,
+                    bucketWidth: Long = 1 << 16): DataFrame = {
+    require(maxLen > 0 && budget > 0, "maxLen and budget must be positive")
+    val chunks = df
+      .select(col(idCol), col(weightCol))
+      .filter(col(weightCol) > 0)
+      .withColumn("chunk_idx",
+        explode(sequence(lit(0L), ceil(col(weightCol) / lit(maxLen.toDouble)).cast("long") - 1)))
+      .withColumn("chunk_w",
+        least(lit(maxLen), col(weightCol) - col("chunk_idx") * lit(maxLen)))
+      .withColumn("__ck", col(idCol).cast("long") * lit(1L << 20) + col("chunk_idx"))
+    packByBudget(chunks, "__ck", "chunk_w", budget, bucketWidth * (1L << 20))
+      .select(col(idCol), col("chunk_idx"), col("chunk_w"), col("shard"))
+  }
 }

@@ -29,6 +29,35 @@ class ShardingSpec extends AnyFunSuite {
     assert(out == Seq(0L, 0L, 1L))
   }
 
+  test("packSequences splits overlong docs then packs the chunk stream") {
+    val docs = Seq((0L, 2500L), (1L, 300L), (2L, 1000L)).toDF("id", "w")
+    val out = Sharding.packSequences(docs, "id", "w", maxLen = 1000L, budget = 2000L)
+      .orderBy("id", "chunk_idx")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    // doc 0 → chunks 1000, 1000, 500; doc 1 → 300; doc 2 → 1000
+    // prefix starts: 0, 1000, 2000, 2500, 2800 → shards 0, 0, 1, 1, 1
+    assert(out == Seq(
+      (0L, 0L, 1000L, 0L), (0L, 1L, 1000L, 0L), (0L, 2L, 500L, 1L),
+      (1L, 0L, 300L, 1L), (2L, 0L, 1000L, 1L)))
+  }
+
+  test("packSequences equals the naive definition on random weights") {
+    val docs = (0L until 200L).map(i => (i, 1L + (i * 2654435761L % 3000))).toDF("id", "w")
+    val out = Sharding.packSequences(docs, "id", "w", maxLen = 1000L, budget = 4000L)
+    // naive: enumerate chunks driver-side, single cumsum
+    val naive = docs.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      .flatMap { case (id, w) =>
+        (0L until ((w + 999) / 1000)).map(ci => (id, ci, math.min(1000L, w - ci * 1000L)))
+      }
+    var cum = 0L
+    val expect = naive.map { case (id, ci, cw) =>
+      val start = cum; cum += cw
+      (id, ci, cw, start / 4000L)
+    }.toSet
+    val got = out.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == expect)
+  }
+
   test("sparse ids and empty buckets are harmless") {
     val docs = Seq((5L, 10L), (100000L, 10L), (300000L, 10L)).toDF("id", "w")
     val out = Sharding.packByBudget(docs, "id", "w", budget = 15L, bucketWidth = 64)

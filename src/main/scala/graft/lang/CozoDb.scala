@@ -607,7 +607,7 @@ class CozoDb(val spark: SparkSession) {
         // unchanged, evaluates only the seeds' cone — not the full closure
         val magic: Map[String, DataFrame => DataFrame] =
           if (scc.size == 1)
-            magicSeedFilter(scc.head, byName, params).map(scc.head -> _).toMap
+            magicSeedFilter(scc.head, byName, params, evaluated).map(scc.head -> _).toMap
           else Map.empty
         evalRecursive(scc, byName, evaluated, params, magic)
       }
@@ -1097,15 +1097,19 @@ class CozoDb(val spark: SparkSession) {
     * the full closure. At 100× data this is the difference between one
     * node's reachability and the whole graph's. */
   private def magicSeedFilter(r: String, byName: Map[String, Seq[RuleDef]],
-                              params: Map[String, Any]): Option[DataFrame => DataFrame] = {
+                              params: Map[String, Any],
+                              evaluated: collection.Map[String, DataFrame]): Option[DataFrame => DataFrame] = {
     val defs = byName(r)
     val clauses = defs.collect { case h: HornClause => h }
     if (clauses.isEmpty || clauses.length != defs.length) return None
     val arity = clauses.head.head.length
-    var refs = List.empty[RelApply]
+    // (caller clause body, reference to r) — the body gives the binding
+    // context for variable-valued seed arguments
+    var refs = List.empty[(Seq[Atom], RelApply)]
     for ((name, ds) <- byName if name != r; d <- ds) d match {
       case HornClause(_, _, body) =>
-        refs = body.flatMap(collectRuleApplies).filter(_.name == r).toList ::: refs
+        refs = body.flatMap(collectRuleApplies).filter(_.name == r)
+          .map(body -> _).toList ::: refs
       case FixedApply(_, _, _, rels, _) =>
         // a fixed rule consumes the whole relation — no goal to push
         if (rels.exists { case FixedRuleRel(n) => n == r; case _ => false }) return None
@@ -1117,20 +1121,68 @@ class CozoDb(val spark: SparkSession) {
       case Param(nm) => params.get(nm)
       case _ => None
     }
-    val positions = (0 until arity).filter { p =>
-      refs.forall(ref => ref.args.length == arity && constOf(ref.args(p)).isDefined) &&
-        clauses.forall { h =>
-          h.head(p).aggr.isEmpty &&
-            h.body.flatMap(collectRuleApplies).filter(_.name == r)
-              .forall(ra => ra.args.length == arity && ra.args(p) == V(h.head(p).v))
-        }
+    /** An already-available relation df for a body atom, plus the
+      * column bound to `v` (seed over-approximation source): any
+      * SUPERSET of the true probe values is sound AND complete, so the
+      * binding relation's whole column works even before the caller's
+      * own joins/filters run. */
+    def seedSource(body: Seq[Atom], v: String): Option[DataFrame] = {
+      def availDf(name: String, stored: Boolean): Option[DataFrame] =
+        if (stored) relations.get(name) else evaluated.get(name)
+      body.collectFirst {
+        case RelApply(name2, args2, stored2, None)
+            if name2 != r && args2.contains(V(v)) &&
+              availDf(name2, stored2).exists(_.columns.length == args2.length) =>
+          val df = availDf(name2, stored2).get
+          df.select(col(df.columns(args2.indexOf(V(v)))).as("__seed"))
+        case NamedApply(name2, pairs2, None)
+            if name2 != r && relations.contains(name2) &&
+              pairs2.exists { case (f, b) => b.contains(V(v)) || (b.isEmpty && f == v) } =>
+          val f = pairs2.collectFirst {
+            case (f0, b) if b.contains(V(v)) || (b.isEmpty && f0 == v) => f0
+          }.get
+          relations(name2).select(col(f).as("__seed"))
+      }
     }
-    if (positions.isEmpty) None
-    else {
-      val seedsByPos = positions.map(p => p -> refs.map(ref => constOf(ref.args(p)).get).distinct)
-      Some(df => seedsByPos.foldLeft(df) { case (d, (p, seeds)) =>
-        d.filter(col(d.columns(p)).isin(seeds: _*))
-      })
+    // a position seeds when EVERY caller either passes a compile-time
+    // constant or a variable bound by an available relation in the same
+    // clause (query/magic.rs adornment, bound-argument cases)
+    val positions = (0 until arity).flatMap { p =>
+      val threaded = clauses.forall { h =>
+        h.head(p).aggr.isEmpty &&
+          h.body.flatMap(collectRuleApplies).filter(_.name == r)
+            .forall(ra => ra.args.length == arity && ra.args(p) == V(h.head(p).v))
+      }
+      if (!threaded) None
+      else {
+        val perRef: Seq[Option[Either[Any, DataFrame]]] = refs.map { case (body, ref) =>
+          if (ref.args.length != arity) None
+          else constOf(ref.args(p)).map(Left(_)).orElse(ref.args(p) match {
+            case V(v) => seedSource(body, v).map(Right(_))
+            case _ => None
+          })
+        }
+        if (perRef.exists(_.isEmpty)) None else Some(p -> perRef.flatten)
+      }
+    }
+    if (positions.isEmpty) return None
+    Some { df =>
+      positions.foldLeft(df) { case (d, (p, sources)) =>
+        val lits = sources.collect { case Left(v) => v }
+        val dfs = sources.collect { case Right(s) => s }
+        if (dfs.isEmpty) d.filter(col(d.columns(p)).isin(lits: _*))
+        else {
+          val seedCol = col(d.columns(p))
+          val litDf = if (lits.isEmpty) None
+            else Some(spark.createDataFrame(
+              spark.sparkContext.parallelize(lits.map(Row(_)), 1),
+              StructType(Seq(StructField("__seed", d.schema(p).dataType, nullable = true)))))
+          scala.util.Try {
+            val seeds = (dfs ++ litDf).reduce(_ unionByName _).dropDuplicates()
+            d.join(broadcast(seeds), seedCol <=> col("__seed"), "left_semi")
+          }.getOrElse(d) // type mismatch across seed sources → no restriction
+        }
+      }
     }
   }
 

@@ -306,6 +306,24 @@ class LangSpec extends AnyFunSuite {
     assert(deltas.sum == 3L)
   }
 
+  test("magic-set seeding from a VARIABLE bound by a stored relation (seed-relation adornment)") {
+    val db = new CozoDb(spark)
+    val n = 12
+    db.registerTable("chain2",
+      (1 until n).map(i => (i.toLong, i.toLong + 1)).toDF("fr", "to"), Seq("fr", "to"))
+    db.registerTable("starts", Seq(Tuple1(9L)).toDF("s"), Seq("s"))
+    val res = rows(db,
+      """reach[a, b] := *chain2[a, b]
+        |reach[a, c] := reach[a, b], *chain2[b, c]
+        |?[b] := *starts[s], reach[s, b]""".stripMargin).map(_.head).toSet
+    assert(res == Set(10L, 11L, 12L))
+    // the seed set is starts' whole column (sound over-approximation):
+    // each round derives one fact per live seed, not the O(n) frontier
+    val deltas = db.lastFixpointStats.map(_.getOrElse("reach", 0L))
+    assert(deltas.max == 1L, s"var-bound seeding should bound deltas to the cone, got $deltas")
+    assert(deltas.sum == 3L)
+  }
+
   test("magic-set seeding does not fire when recursion rebinds the position") {
     val db = freshDb()
     // sssp-shape: head n comes from the edge, not the recursive atom —

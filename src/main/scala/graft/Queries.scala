@@ -397,6 +397,30 @@ object Queries {
               |  SELECT r.start, e.dst, r.depth + 1 FROM reach r JOIN edges e ON r.node = e.src WHERE r.depth < 3)
               |SELECT DISTINCT start, node FROM reach""".stripMargin)),
 
+    // GOAL-DIRECTED script recursion: the callers bind the recursion's
+    // first position through the `seeds` stored relation, so magic-set
+    // adornment evaluates only the seeds' cone — at 100× data this
+    // touches two vertices' reachability, never the full closure. The
+    // oracle states the same restricted semantics.
+    Spec("lang_reach_seeded", (s, d) => {
+      val db = new graft.lang.CozoDb(s)
+      val e = eventEdges(T(s, d, "events")).ckpt()
+      db.registerTable("edges", e)
+      db.registerTable("seeds",
+        e.select(col("src")).filter(col("src") < 2).distinct().toDF("s"))
+      db.run(
+        """r[s, n, dd] := *seeds[s], n = s, dd = 0
+          |r[s, n, dd] := r[s, m, d0], d0 < 3, *edges{src: m, dst: n}, dd = d0 + 1
+          |?[start, node] := *seeds[start], r[start, node, dd]""".stripMargin)
+        .toDF("start", "node")
+    },
+      Some(s"""WITH RECURSIVE $edgesSql,
+              |reach(start, node, depth) AS (
+              |  SELECT src, src, 0 FROM (SELECT DISTINCT src FROM edges WHERE src < 2) s
+              |  UNION
+              |  SELECT r.start, e.dst, r.depth + 1 FROM reach r JOIN edges e ON r.node = e.src WHERE r.depth < 3)
+              |SELECT DISTINCT start, node FROM reach""".stripMargin)),
+
     // script-path head aggregation over the full lineitem scan (key vars
     // keep multiplicity under set semantics; quantities are integral so
     // the double sum is order-exact)

@@ -606,9 +606,8 @@ class CozoDb(val spark: SparkSession) {
         // constant, and whose recursive clauses thread that position
         // unchanged, evaluates only the seeds' cone — not the full closure
         val magic: Map[String, DataFrame => DataFrame] =
-          if (scc.size == 1)
-            magicSeedFilter(scc.head, byName, params, evaluated).map(scc.head -> _).toMap
-          else Map.empty
+          magicSeedFilter(scc, byName, params, evaluated)
+            .map(f => scc.map(_ -> f).toMap).getOrElse(Map.empty)
         evalRecursive(scc, byName, evaluated, params, magic)
       }
     }
@@ -1086,36 +1085,47 @@ class CozoDb(val spark: SparkSession) {
     case _ => Nil
   }
 
-  /** Magic-set seeding for a single-rule recursive component `r`
-    * (query/magic.rs:55-511 adornment, the bound-argument case): if
-    * every reference to `r` from OUTSIDE the component binds position p
-    * to a compile-time constant, and every clause of `r` threads head
-    * position p unchanged into each recursive atom (so the set of
-    * values at p never grows beyond the base facts'), then restricting
-    * every round's derivations to the callers' seed constants is sound
-    * and complete — the fixpoint computes the seeds' cone instead of
-    * the full closure. At 100× data this is the difference between one
-    * node's reachability and the whole graph's. */
-  private def magicSeedFilter(r: String, byName: Map[String, Seq[RuleDef]],
+  /** Magic-set seeding for a recursive component (query/magic.rs:55-511
+    * adornment, the bound-argument cases — incl. MUTUAL recursion): if
+    * every reference to any member from OUTSIDE the component binds
+    * position p to a compile-time constant or to a variable bound by an
+    * already-available relation, and every clause of every member
+    * threads head position p unchanged into each in-SCC atom (so the
+    * set of values at p never grows beyond the seeds'), then
+    * restricting every round's derivations to the seed set is sound and
+    * complete — the fixpoint computes the seeds' cone instead of the
+    * full closure. Seeds from a relation column over-approximate the
+    * true probe values, which preserves completeness. At 100× data this
+    * is the difference between one node's reachability and the whole
+    * graph's. */
+  private def magicSeedFilter(scc: Seq[String], byName: Map[String, Seq[RuleDef]],
                               params: Map[String, Any],
                               evaluated: collection.Map[String, DataFrame]): Option[DataFrame => DataFrame] = {
-    val defs = byName(r)
-    val clauses = defs.collect { case h: HornClause => h }
-    if (clauses.isEmpty || clauses.length != defs.length) return None
-    val arity = clauses.head.head.length
-    // (caller clause body, reference to r) — the body gives the binding
-    // context for variable-valued seed arguments
+    val inScc = scc.toSet
+    val memberClauses: Map[String, Seq[HornClause]] = scc.map { n =>
+      val defs = byName(n)
+      val hs = defs.collect { case h: HornClause => h }
+      if (hs.isEmpty || hs.length != defs.length) return None
+      n -> hs
+    }.toMap
+    val arity = memberClauses(scc.head).head.head.length
+    if (scc.exists(n => memberClauses(n).head.head.length != arity)) return None
+    // (caller clause body, reference to an SCC member) from OUTSIDE the
+    // component — the body gives the binding context for variable-valued
+    // seed arguments. Members referenced only from inside contribute no
+    // refs (vacuously seedable: their facts flow only through members).
     var refs = List.empty[(Seq[Atom], RelApply)]
-    for ((name, ds) <- byName if name != r; d <- ds) d match {
+    for ((name, ds) <- byName if !inScc(name); d <- ds) d match {
       case HornClause(_, _, body) =>
-        refs = body.flatMap(collectRuleApplies).filter(_.name == r)
+        refs = body.flatMap(collectRuleApplies).filter(a => inScc(a.name))
           .map(body -> _).toList ::: refs
       case FixedApply(_, _, _, rels, _) =>
         // a fixed rule consumes the whole relation — no goal to push
-        if (rels.exists { case FixedRuleRel(n) => n == r; case _ => false }) return None
+        if (rels.exists { case FixedRuleRel(n) => inScc(n); case _ => false }) return None
       case _: ConstRule => ()
     }
     if (refs.isEmpty) return None
+    val clauses = scc.flatMap(memberClauses)
     def constOf(e: Expr): Option[Any] = e match {
       case Lit(v) if v != null => Some(v)
       case Param(nm) => params.get(nm)
@@ -1131,12 +1141,12 @@ class CozoDb(val spark: SparkSession) {
         if (stored) relations.get(name) else evaluated.get(name)
       body.collectFirst {
         case RelApply(name2, args2, stored2, None)
-            if name2 != r && args2.contains(V(v)) &&
+            if !inScc(name2) && args2.contains(V(v)) &&
               availDf(name2, stored2).exists(_.columns.length == args2.length) =>
           val df = availDf(name2, stored2).get
           df.select(col(df.columns(args2.indexOf(V(v)))).as("__seed"))
         case NamedApply(name2, pairs2, None)
-            if name2 != r && relations.contains(name2) &&
+            if !inScc(name2) && relations.contains(name2) &&
               pairs2.exists { case (f, b) => b.contains(V(v)) || (b.isEmpty && f == v) } =>
           val f = pairs2.collectFirst {
             case (f0, b) if b.contains(V(v)) || (b.isEmpty && f0 == v) => f0
@@ -1148,9 +1158,11 @@ class CozoDb(val spark: SparkSession) {
     // constant or a variable bound by an available relation in the same
     // clause (query/magic.rs adornment, bound-argument cases)
     val positions = (0 until arity).flatMap { p =>
+      // threading across the WHOLE component: every in-SCC atom of every
+      // member's clause carries the head's p-var unchanged at p
       val threaded = clauses.forall { h =>
         h.head(p).aggr.isEmpty &&
-          h.body.flatMap(collectRuleApplies).filter(_.name == r)
+          h.body.flatMap(collectRuleApplies).filter(a => inScc(a.name))
             .forall(ra => ra.args.length == arity && ra.args(p) == V(h.head(p).v))
       }
       if (!threaded) None

@@ -324,6 +324,25 @@ class LangSpec extends AnyFunSuite {
     assert(deltas.sum == 3L)
   }
 
+  test("magic-set seeding through MUTUAL recursion (multi-rule SCC)") {
+    val db = new CozoDb(spark)
+    val n = 12
+    db.registerTable("chain3",
+      (1 until n).map(i => (i.toLong, i.toLong + 1)).toDF("fr", "to"), Seq("fr", "to"))
+    // even/odd-hop reachability: the two rules call each other, both
+    // threading the start position; the caller seeds start = 9
+    val res = rows(db,
+      """even[s, m] := s = 9, m = s
+        |even[s, m] := odd[s, k], *chain3[k, m]
+        |odd[s, m] := even[s, k], *chain3[k, m]
+        |?[m] := even[9, m]""".stripMargin).map(_.head).toSet
+    assert(res == Set(9L, 11L)) // even-hop nodes from 9 on the chain
+    val evenDeltas = db.lastFixpointStats.map(_.getOrElse("even", 0L))
+    val oddDeltas = db.lastFixpointStats.map(_.getOrElse("odd", 0L))
+    assert((evenDeltas ++ oddDeltas).max <= 1L,
+      s"mutual seeding should bound both members to the cone, got even=$evenDeltas odd=$oddDeltas")
+  }
+
   test("magic-set seeding does not fire when recursion rebinds the position") {
     val db = freshDb()
     // sssp-shape: head n comes from the edge, not the recursive atom —

@@ -146,7 +146,20 @@ class CozoDb(val spark: SparkSession) {
     })
   }
   def relationNames: Seq[String] = relations.keys.toSeq
-  def removeRelation(name: String): Unit = { relations.remove(name); relationKeys.remove(name) }
+  /** Drop a relation AND all of its per-relation metadata. Leaving
+    * validity/assert/declared/defaults behind made a recreated relation
+    * of the same name silently inherit validity coercion (phantom
+    * assert columns, bogus sentinel errors on ordinary array values). */
+  def removeRelation(name: String): Unit = {
+    relations.remove(name); relationKeys.remove(name)
+    relationValidity.remove(name); relationAssert.remove(name)
+    relationDeclared.remove(name); relationDefaults.remove(name)
+    bareCreates.remove(name)
+    putTriggers.remove(name); rmTriggers.remove(name)
+    scriptTriggers.remove(name)
+    relationAccess.remove(name); relationDescriptions.remove(name)
+    indexes.filterInPlace { case (_, s) => s.rel != name }
+  }
 
   /** Export stored relations as DataFrames (db.rs:448-474
     * export_relations). */
@@ -266,11 +279,20 @@ class CozoDb(val spark: SparkSession) {
     private val snapIndexes = indexes.clone()
     private val snapTriggers = scriptTriggers.clone()
     private var done = false
+    openTxDepth += 1
     def run(script: String, params: Map[String, Any] = Map.empty): DataFrame = {
       if (done) throw new IllegalStateException("transaction already closed")
       CozoDb.this.run(script, params)
     }
-    def commit(): Unit = { done = true }
+    private def close(): Unit = {
+      done = true
+      openTxDepth -= 1
+      // temp relations live for the WHOLE transaction (db.rs:298 shares
+      // one temp store across statements); clear them at close instead
+      // of per-statement
+      if (openTxDepth == 0 && runDepth == 0) clearTempRelations()
+    }
+    def commit(): Unit = if (!done) close()
     def abort(): Unit = {
       if (!done) {
         relations.clear(); relations ++= snapRelations
@@ -280,7 +302,7 @@ class CozoDb(val spark: SparkSession) {
         indexes.clear(); indexes ++= snapIndexes
         scriptTriggers.clear(); scriptTriggers ++= snapTriggers
         mutationEpoch += 1
-        done = true
+        close()
       }
     }
   }
@@ -324,6 +346,7 @@ class CozoDb(val spark: SparkSession) {
     val id = queryCounter.incrementAndGet()
     runningQueries.put(id, trimmed.linesIterator.nextOption().getOrElse("").take(120))
     spark.sparkContext.setJobGroup(s"graft-q$id", s"graft query $id", interruptOnCancel = true)
+    runDepth += 1
     try {
       // imperative script: { query } blocks with `as _temp`, %if/%loop/
       // %return/%swap control flow (imperative.rs:67-250); plain
@@ -332,18 +355,28 @@ class CozoDb(val spark: SparkSession) {
         if (Imperative.looksImperative(trimmed))
           Imperative.execute(this, Imperative.parse(trimmed), params)
         else runSingle(trimmed, params)
-      val res = decodeAnyColumns(out)
-      // `_`-prefixed relations are temporaries scoped to ONE script
-      // (tests.rs returning_relations; the reference clears its script
-      // stores at script end). The result's plan is already built, so
-      // dropping registry entries cannot invalidate it.
-      relationNames.filter(_.startsWith("_")).foreach(removeRelation)
-      res
+      decodeAnyColumns(out)
     } finally {
+      runDepth -= 1
+      // `_`-prefixed relations are temporaries scoped to ONE top-level
+      // script (tests.rs returning_relations; the reference clears its
+      // script stores at script end). Cleanup runs in the finally so
+      // failed scripts clear temps too, but ONLY for the outermost,
+      // non-transactional run: nested runs (::explain, triggers) and
+      // statements inside a multiTransaction share the outer script's
+      // temp store (db.rs:298 run_multi_transaction shares one tx).
+      // A returned result's plan is already built, so dropping registry
+      // entries cannot invalidate it.
+      if (runDepth == 0 && openTxDepth == 0) clearTempRelations()
       runningQueries.remove(id)
       spark.sparkContext.clearJobGroup()
     }
   }
+
+  private var runDepth = 0
+  private var openTxDepth = 0
+  private def clearTempRelations(): Unit =
+    relationNames.filter(_.startsWith("_")).foreach(removeRelation)
 
   /** Final-result projection: Any-tagged (mixed-type, JSON-encoded)
     * columns decode to their display form on the way OUT of [[run]]
@@ -1180,22 +1213,58 @@ class CozoDb(val spark: SparkSession) {
     if (positions.isEmpty) return None
     Some { df =>
       positions.foldLeft(df) { case (d, (p, sources)) =>
-        val lits = sources.collect { case Left(v) => v }
+        val rawLits = sources.collect { case Left(v) => v }
         val dfs = sources.collect { case Right(s) => s }
-        if (dfs.isEmpty) d.filter(col(d.columns(p)).isin(lits: _*))
+        // Coerce literal seeds to the recursion column's type UP FRONT:
+        // a JVM-type mismatch (Long literal probing an Int column) fed
+        // straight into createDataFrame surfaces as a mid-job encoder
+        // failure, past any plan-time Try. If any literal cannot be
+        // represented, degrade to the unfiltered (still correct)
+        // fixpoint rather than risk a runtime error.
+        val coerced = rawLits.map(coerceSeedLit(_, d.schema(p).dataType))
+        if (coerced.exists(_.isEmpty)) d
         else {
-          val seedCol = col(d.columns(p))
-          val litDf = if (lits.isEmpty) None
-            else Some(spark.createDataFrame(
-              spark.sparkContext.parallelize(lits.map(Row(_)), 1),
-              StructType(Seq(StructField("__seed", d.schema(p).dataType, nullable = true)))))
-          scala.util.Try {
-            val seeds = (dfs ++ litDf).reduce(_ unionByName _).dropDuplicates()
-            d.join(broadcast(seeds), seedCol <=> col("__seed"), "left_semi")
-          }.getOrElse(d) // type mismatch across seed sources → no restriction
+          val lits = coerced.flatten
+          if (dfs.isEmpty) d.filter(col(d.columns(p)).isin(lits: _*))
+          else {
+            val seedCol = col(d.columns(p))
+            val litDf = if (lits.isEmpty) None
+              else Some(spark.createDataFrame(
+                spark.sparkContext.parallelize(lits.map(Row(_)), 1),
+                StructType(Seq(StructField("__seed", d.schema(p).dataType, nullable = true)))))
+            scala.util.Try {
+              val seeds = (dfs ++ litDf).reduce(_ unionByName _).dropDuplicates()
+              d.join(broadcast(seeds), seedCol <=> col("__seed"), "left_semi")
+            }.getOrElse(d) // type mismatch across seed sources → no restriction
+          }
         }
       }
     }
+  }
+
+  /** Represent a seed literal in the recursion column's Spark type, or
+    * None when it cannot be (then the caller skips seeding — the
+    * unrestricted fixpoint is always correct). Narrowing only succeeds
+    * when the value round-trips exactly. */
+  private def coerceSeedLit(v: Any, dt: DataType): Option[Any] = (v, dt) match {
+    case (null, _) => Some(null)
+    case (n: java.lang.Number, LongType) => n match {
+      case _: java.lang.Double | _: java.lang.Float =>
+        val d = n.doubleValue
+        if (d.isWhole && d >= Long.MinValue.toDouble && d <= Long.MaxValue.toDouble)
+          Some(d.toLong)
+        else None
+      case _ => Some(n.longValue)
+    }
+    case (n: java.lang.Number, IntegerType) if n.longValue.isValidInt => Some(n.intValue)
+    case (n: java.lang.Number, ShortType) if n.longValue.isValidShort => Some(n.shortValue)
+    case (n: java.lang.Number, ByteType) if n.longValue.isValidByte => Some(n.byteValue)
+    case (n: java.lang.Number, DoubleType) => Some(n.doubleValue)
+    case (n: java.lang.Number, FloatType) => Some(n.floatValue)
+    case (s: String, StringType) => Some(s)
+    case (b: java.lang.Boolean, BooleanType) => Some(b)
+    case (x, StringType) => Some(String.valueOf(x))
+    case _ => None
   }
 
   /** Semi-naive bottom-up fixpoint for a recursive component
@@ -1421,14 +1490,22 @@ class CozoDb(val spark: SparkSession) {
     o.relationOp.foreach { case (op, rel, spec) =>
       if (op == "create" || op == "replace") {
         if (spec.all.nonEmpty) relationDeclared(rel) = spec.all
+        else relationDeclared.remove(rel)
         if (spec.defaults.nonEmpty) relationDefaults(rel) = spec.defaults
+        else relationDefaults.remove(rel)
         // `col: Validity` in the schema braces: the relation becomes
         // time-travelable; the assert flag lives in a synthesized
         // companion column (the reference packs (ts, assert) into one
-        // Validity value, value.rs:112-131)
-        spec.validity.foreach { v =>
-          relationValidity(rel) = v
-          relationAssert(rel) = s"${v}__assert"
+        // Validity value, value.rs:112-131). A create WITHOUT the
+        // annotation must reset any validity metadata a same-named
+        // earlier relation left behind.
+        spec.validity match {
+          case Some(v) =>
+            relationValidity(rel) = v
+            relationAssert(rel) = s"${v}__assert"
+          case None =>
+            relationValidity.remove(rel)
+            relationAssert.remove(rel)
         }
       }
       df = relationMutation(op, rel, spec.keys, df)

@@ -19,42 +19,53 @@ import org.apache.spark.sql.functions._
   *
   * 100 TB note: a naive `Window.orderBy(id)` cumsum is a SINGLE-PARTITION
   * sort — a driver-killer at scale. This implementation is the classic
-  * two-level distributed prefix sum instead:
-  *   1. coarse bucket per document (id range / `bucketWidth`) — no sort;
-  *   2. per-bucket cumsum (parallel window, partitioned by bucket);
-  *   3. tiny per-bucket totals → bucket offsets (a window over #buckets
-  *      rows, not #docs);
-  *   4. global prefix = bucket offset + local cumsum.
-  * Every stage is a hash shuffle or a broadcast-size aggregate; nothing
-  * materializes a global sort.
+  * range-partitioned distributed prefix sum:
+  *   1. `repartitionByRange(id)` — Spark's sampled range partitioner
+  *      balances partitions by the DATA distribution, so a sparse or
+  *      skewed id domain still yields even partitions (a fixed
+  *      id-range/width bucketing does not: a 1e12-wide sparse domain
+  *      once pushed millions of bucket-offset rows through one window
+  *      partition);
+  *   2. per-partition cumsum (parallel window, keyed by partition id);
+  *   3. per-partition totals → partition offsets — the ONLY
+  *      unpartitioned window, over exactly `numParts` rows, bounded by
+  *      construction;
+  *   4. global prefix = partition offset + local cumsum.
+  * All arithmetic is integer (`div`, never `/`): long `/` in Spark is a
+  * double divide that loses exactness past 2^53, which real token
+  * prefix sums cross in the billions-of-docs regime.
   */
 object Sharding {
 
-  /** (id, weight, …) → original columns + `shard` (long). `bucketWidth`
-    * controls parallelism of the per-bucket cumsum: ~budget-sized ranges
-    * of the id domain per bucket work well (dense ids assumed; sparse
-    * ids simply make buckets lighter, which is harmless). */
+  /** (id, weight, …) → original columns + `shard` (long). `numParts`
+    * controls the parallelism of the distributed cumsum; 0 (default)
+    * uses `spark.sql.shuffle.partitions`. Ids are assumed unique (they
+    * are document keys); weights must be non-negative longs. */
   def packByBudget(df: DataFrame, idCol: String, weightCol: String,
-                   budget: Long, bucketWidth: Long = 1 << 16): DataFrame = {
+                   budget: Long, numParts: Int = 0): DataFrame = {
     require(budget > 0, "budget must be positive")
-    val bucket = (col(idCol).cast("long") / lit(bucketWidth)).cast("long")
-    val inBucket = Window.partitionBy(col("__bucket")).orderBy(col(idCol))
-    val withLocal = df
-      .withColumn("__bucket", bucket)
-      .withColumn("__local_end", sum(col(weightCol)).over(inBucket))
-    // per-bucket totals are one row per bucket — the only sequential
-    // window runs over THAT relation, which is broadcast-small
-    val overBuckets = Window.orderBy(col("__bucket"))
+    val n =
+      if (numParts > 0) numParts
+      else df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    val ranged = df.repartitionByRange(n, col(idCol))
+      .withColumn("__pid", spark_partition_id().cast("long"))
+    val inPart = Window.partitionBy(col("__pid")).orderBy(col(idCol))
+    val withLocal = ranged
+      .withColumn("__local_end", sum(col(weightCol).cast("long")).over(inPart))
+    // per-partition totals are one row per range partition — the only
+    // sequential window runs over THAT relation (`n` rows, broadcast-
+    // small by construction regardless of the id distribution)
+    val overParts = Window.orderBy(col("__pid"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = withLocal.groupBy("__bucket")
-      .agg(sum(col(weightCol)).as("__bucket_total"))
-      .withColumn("__offset", coalesce(sum(col("__bucket_total")).over(overBuckets), lit(0L)))
-      .select("__bucket", "__offset")
-    withLocal.join(broadcast(offsets), Seq("__bucket"))
+    val offsets = withLocal.groupBy("__pid")
+      .agg(sum(col(weightCol).cast("long")).as("__part_total"))
+      .withColumn("__offset",
+        coalesce(sum(col("__part_total")).over(overParts), lit(0L)))
+      .select("__pid", "__offset")
+    withLocal.join(broadcast(offsets), Seq("__pid"))
       .withColumn("shard",
-        ((col("__offset") + col("__local_end") - col(weightCol)) / lit(budget))
-          .cast("long"))
-      .drop("__bucket", "__local_end", "__offset")
+        expr(s"(__offset + __local_end - cast(`$weightCol` as bigint)) div ${budget}L"))
+      .drop("__pid", "__local_end", "__offset")
   }
 
   /** Sequence packing: documents longer than `maxLen` split into
@@ -65,22 +76,24 @@ object Sharding {
     * chunks). Returns (id, chunk_idx, chunk_w, shard). The chunk
     * explode is a codegen'd `sequence` generator — no UDFs, no skew
     * beyond the documents' own length distribution. Chunk ids must
-    * stay ordered inside a doc, so the chunk key is id·2^20 + idx
-    * (caller guarantees < 2^20 chunks/doc = 1B-unit docs at the
+    * stay ordered inside a doc, so the chunk key is id·2^20 + idx;
+    * the composite stays exact (integer ops throughout) for
+    * id < 2^43 ≈ 8.8e12 with < 2^20 chunks/doc (1B-unit docs at the
     * default 1k maxLen). */
   def packSequences(df: DataFrame, idCol: String, weightCol: String,
                     maxLen: Long, budget: Long,
-                    bucketWidth: Long = 1 << 16): DataFrame = {
+                    numParts: Int = 0): DataFrame = {
     require(maxLen > 0 && budget > 0, "maxLen and budget must be positive")
     val chunks = df
       .select(col(idCol), col(weightCol))
       .filter(col(weightCol) > 0)
       .withColumn("chunk_idx",
-        explode(sequence(lit(0L), ceil(col(weightCol) / lit(maxLen.toDouble)).cast("long") - 1)))
+        explode(sequence(lit(0L),
+          expr(s"(cast(`$weightCol` as bigint) + ${maxLen - 1}L) div ${maxLen}L") - 1)))
       .withColumn("chunk_w",
         least(lit(maxLen), col(weightCol) - col("chunk_idx") * lit(maxLen)))
       .withColumn("__ck", col(idCol).cast("long") * lit(1L << 20) + col("chunk_idx"))
-    packByBudget(chunks, "__ck", "chunk_w", budget, bucketWidth * (1L << 20))
+    packByBudget(chunks, "__ck", "chunk_w", budget, numParts)
       .select(col(idCol), col("chunk_idx"), col("chunk_w"), col("shard"))
   }
 }

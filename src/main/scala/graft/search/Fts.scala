@@ -357,8 +357,15 @@ object Fts {
         var done = false
         while (!done) {
           ws()
+          require(i < s.length, "unterminated NEAR(...) — expected )")
           if (s.charAt(i) == ')') { i += 1; done = true }
-          else if (s.charAt(i) == ',') { i += 1; ws(); dist = word().toInt }
+          else if (s.charAt(i) == ',') {
+            i += 1; ws()
+            val d = word()
+            require(d.nonEmpty && d.forall(_.isDigit),
+              s"NEAR distance must be a non-negative integer, got '$d'")
+            dist = d.toInt
+          }
           else ts += termText()
         }
         Near(ts.toSeq, dist)

@@ -98,4 +98,43 @@ class SysOpsSpec extends AnyFunSuite {
     assert(running.length == 1 && running.head.getString(1).startsWith("::running"))
     assert(db.run("::kill 999999").collect().head.getString(0) == "not_found")
   }
+
+  test("temp relations persist across statements of one transaction (db.rs:298 shares one tx)") {
+    val db = freshDb()
+    db.transact { tx =>
+      tx.run("?[k, v] := *kv[k, v] :replace _stage {k}")
+      // a later statement in the SAME transaction still sees the temp
+      assert(tx.run("?[k] := *_stage[k, v]").count() == 2)
+    }
+    // cleared once the transaction closes
+    assert(!db.relationNames.exists(_.startsWith("_")))
+  }
+
+  test("failed scripts clear temps too (cleanup runs in finally)") {
+    val db = freshDb()
+    intercept[Exception](db.run(
+      """{ ?[k, v] := *kv[k, v] :replace _junk {k} }
+        |{ ?[k] := *nonexistent[k] }""".stripMargin))
+    assert(!db.relationNames.exists(_.startsWith("_")))
+  }
+
+  test("recreating a dropped validity relation does not inherit validity coercion") {
+    val db = freshDb()
+    db.run("?[k, vld] <- [[1, 'ASSERT']] :create hist {k, vld: Validity}")
+    db.run("::remove hist")
+    // same name, now an ordinary array column: must NOT be rewritten
+    // into timestamps / grow a phantom assert column
+    db.run("?[k, vld] <- [[1, [1, 2, 3]]] :create hist {k, vld}")
+    val row = db.run("?[k, vld] := *hist[k, vld]").collect().head
+    assert(row.getSeq[Long](1) == Seq(1L, 2L, 3L))
+    assert(!db.relation("hist").columns.exists(_.endsWith("__assert")))
+  }
+
+  test(":replace without a Validity annotation resets validity metadata") {
+    val db = freshDb()
+    db.run("?[k, vld] <- [[1, 'ASSERT']] :create hist2 {k, vld: Validity}")
+    db.run("?[k, vld] <- [[1, [4, 5]]] :replace hist2 {k, vld}")
+    val row = db.run("?[k, vld] := *hist2[k, vld]").collect().head
+    assert(row.getSeq[Long](1) == Seq(4L, 5L))
+  }
 }

@@ -15,10 +15,39 @@ class ShardingSpec extends AnyFunSuite {
       .withColumn("shard",
         ((sum(col("w")).over(Window.orderBy("id")) - col("w")) / lit(1000L)).cast("long"))
       .select("id", "shard")
-    // small bucketWidth forces many buckets → exercises the offset join
-    val packed = Sharding.packByBudget(docs, "id", "w", budget = 1000L, bucketWidth = 32)
+    // small numParts still exercises the offset join; large forces
+    // near-empty range partitions
+    for (parts <- Seq(4, 64)) {
+      val packed = Sharding.packByBudget(docs, "id", "w", budget = 1000L, numParts = parts)
+        .select("id", "shard")
+      assert(packed.except(naive).isEmpty && naive.except(packed).isEmpty)
+    }
+  }
+
+  test("sparse 1e12-range id domain packs without a data-sized single-partition window") {
+    // ids scattered across [0, 1e12] — the fixed-width bucketing this
+    // replaced would have pushed ~1.5e7 offset rows through ONE window
+    // partition; the range-partitioned cumsum's only unpartitioned
+    // window is over numParts rows by construction
+    val docs = (0L until 400L).map(i => (i * 2_500_000_000L + (i * 48271 % 1000), 1L + i % 7))
+      .toDF("id", "w")
+    val packed = Sharding.packByBudget(docs, "id", "w", budget = 100L, numParts = 8)
+    val naive = docs
+      .withColumn("shard",
+        ((sum(col("w")).over(Window.orderBy("id")) - col("w")) / lit(100L)).cast("long"))
       .select("id", "shard")
-    assert(packed.except(naive).isEmpty && naive.except(packed).isEmpty)
+    assert(packed.select("id", "shard").except(naive).isEmpty
+      && naive.except(packed.select("id", "shard")).isEmpty)
+    // every unpartitioned (global) window in the plan must sit above an
+    // aggregate (the per-partition totals), never above the raw data
+    val plan = packed.queryExecution.optimizedPlan
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow, Aggregate}
+    val globals = plan.collect { case w: LWindow if w.partitionSpec.isEmpty => w }
+    assert(globals.nonEmpty)
+    globals.foreach { w =>
+      assert(w.child.collectFirst { case a: Aggregate => a }.nonEmpty,
+        "global window must run over per-partition totals, not the data")
+    }
   }
 
   test("documents straddling a boundary belong to the shard of their first unit") {
@@ -58,9 +87,9 @@ class ShardingSpec extends AnyFunSuite {
     assert(got == expect)
   }
 
-  test("sparse ids and empty buckets are harmless") {
+  test("sparse ids and empty range partitions are harmless") {
     val docs = Seq((5L, 10L), (100000L, 10L), (300000L, 10L)).toDF("id", "w")
-    val out = Sharding.packByBudget(docs, "id", "w", budget = 15L, bucketWidth = 64)
+    val out = Sharding.packByBudget(docs, "id", "w", budget = 15L, numParts = 64)
       .orderBy("id").select("shard").as[Long].collect().toSeq
     // starts 0, 10, 20 → shards 0, 0, 1
     assert(out == Seq(0L, 0L, 1L))

@@ -27,6 +27,11 @@ class FtsSpec extends AnyFunSuite {
     assert(Fts.parseQuery("NEAR(x y, 3)") == Fts.Near(Seq("x", "y"), 3))
   }
 
+  test("malformed probes raise clean parse errors, not raw JVM exceptions") {
+    for (bad <- Seq("NEAR(a b", "NEAR(a, x)", "NEAR(a,)", "NEAR(a, 3", "\"unterminated", ")"))
+      intercept[IllegalArgumentException](Fts.parseQuery(bad))
+  }
+
   test("term / and / or / not match sets") {
     assert(ids(Fts.Term("spark")) == Set(1L, 3L))
     assert(ids(Fts.And(Seq(Fts.Term("hash"), Fts.Term("join")))) == Set(2L, 4L))

@@ -55,6 +55,43 @@ object Queries {
 
   private def T(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
 
+  // ————— driver-checked invariants (operators DuckDB cannot express) —————
+
+  /** Assemble an invariant-check relation: each entry is a named
+    * one-row boolean aggregate computed from the operator's ACTUAL
+    * distributed output; the DuckDB oracle is the constant truth table
+    * ([[truthTable]]), so a regression flips a row to false and the
+    * driver's hash compare goes red. This is the second,
+    * algorithmically different verification for outputs no SQL engine
+    * can reproduce (seeded LSH, modularity-greedy louvain,
+    * pseudo-random walks, simhash banding). */
+  private def invariants(rows: (String, DataFrame)*): DataFrame =
+    rows.map { case (n, df) =>
+      df.select(lit(n).as("invariant"), col("ok").cast("boolean").as("ok"))
+    }.reduce(_ unionByName _)
+
+  /** The DuckDB side of [[invariants]]: every named check must be true. */
+  private def truthTable(names: String*): String =
+    names.map(n => s"SELECT '$n' AS invariant, CAST(1 AS BOOLEAN) AS ok")
+      .mkString("\n UNION ALL ")
+
+  /** ok ⇔ `df` (a relation of violations) is empty. */
+  private def noViolations(df: DataFrame): DataFrame =
+    df.agg((count(lit(1)) === 0).as("ok"))
+
+  /** ok ⇔ several violation relations are ALL empty. */
+  private def noViolationsAll(dfs: DataFrame*): DataFrame =
+    noViolations(dfs.map(_.select(lit(1).as("__v"))).reduce(_ unionAll _))
+
+  /** ok ⇔ the two relations hold the same set of rows. */
+  private def sameRows(a: DataFrame, b: DataFrame): DataFrame =
+    noViolationsAll(a.except(b), b.except(a))
+
+  /** ok ⇔ qa ≥ qb − eps, for one-row (q) relations (e.g. modularity). */
+  private def scalarGe(a: DataFrame, b: DataFrame, eps: Double): DataFrame =
+    a.select(col("q").as("__qa")).crossJoin(b.select(col("q").as("__qb")))
+      .select((col("__qa") >= col("__qb") - lit(eps)).as("ok"))
+
   /** DuckDB PageRank with the 10 synchronous iterations unrolled as
     * chained CTEs — mirrors Graphs.pageRank exactly (damped, dangling
     * mass redistributed uniformly). */
@@ -730,17 +767,65 @@ object Queries {
               |  SELECT e.dst, p.d + 1 FROM paths p JOIN dag e ON p.node = e.src)
               |SELECT node, CAST(max(d) AS BIGINT) AS layer FROM paths GROUP BY 1""".stripMargin)),
 
-    Spec("graph_louvain", (s, d) =>
-      Graphs.louvain(eventEdges(T(s, d, "events")), maxOuter = 2, maxInner = 5),
-      None),
+    // Louvain's labels are engine-specific (greedy modularity ascent);
+    // no SQL engine reproduces them. The driver-checked invariants are
+    // the algorithm's CONTRACT instead: the assignment is a valid total
+    // partition, and its modularity beats both the do-nothing baseline
+    // (singleton communities) and an independent community algorithm
+    // (label propagation) on the same graph — louvain.rs:1-318 is a
+    // greedy maximizer of exactly this Q.
+    Spec("graph_louvain", (s, d) => {
+      val e = eventEdges(T(s, d, "events"))
+      val louv = Graphs.louvain(e, maxOuter = 2, maxInner = 5)
+      val lp = Graphs.labelPropagation(e)
+      val nodesDf = e.select(col("src").as("node"))
+        .unionByName(e.select(col("dst").as("node"))).distinct()
+      val qLouv = Graphs.modularity(e, louv, "node", "community")
+      val qLp = Graphs.modularity(e, lp, "node", "label")
+      val qSingle = Graphs.modularity(e, nodesDf.withColumn("c", col("node")), "node", "c")
+      invariants(
+        "partition_total_and_unique" -> noViolationsAll(
+          louv.groupBy("node").agg(count(lit(1)).as("c")).filter(col("c") =!= 1),
+          nodesDf.join(louv, Seq("node"), "left_anti"),
+          louv.join(nodesDf, Seq("node"), "left_anti")),
+        "modularity_ge_singletons" -> scalarGe(qLouv, qSingle, 1e-9),
+        "modularity_ge_labelprop" -> scalarGe(qLouv, qLp, 1e-9))
+    },
+      Some(truthTable("partition_total_and_unique",
+        "modularity_ge_singletons", "modularity_ge_labelprop"))),
 
+    // The walk is seeded-pseudo-random (xxhash64 choices) — not SQL-
+    // expressible. Re-walk the emitted paths edge-by-edge against the
+    // edge relation instead: every transition is a real edge, every
+    // walk starts at its start, steps are contiguous and bounded, and
+    // a walk that stopped early did so only at a sink.
     Spec("graph_walk", (s, d) => {
       val e = eventEdges(T(s, d, "events"))
       val starts = e.filter(col("src") < 5).select(col("src").as("start")).distinct()
         .withColumn("walk_id", col("start"))
-      Graphs.randomWalk(e, starts, steps = 5)
+      val walk = Graphs.randomWalk(e, starts, steps = 5)
+      val trans = walk.join(
+          walk.select(col("walk_id").as("w2"), col("node").as("nxt"), col("step").as("s2")),
+          col("walk_id") === col("w2") && col("s2") === col("step") + 1)
+        .select(col("node").as("src"), col("nxt").as("dst"))
+      val s0 = walk.filter(col("step") === 0)
+      val perWalk = walk.groupBy("walk_id")
+        .agg(max("step").as("mx"), count(lit(1)).as("c"), countDistinct("step").as("cd"))
+      val earlyEnd = walk.join(
+          perWalk.filter(col("mx") < 5).select(col("walk_id"), col("mx")), Seq("walk_id"))
+        .filter(col("step") === col("mx"))
+      invariants(
+        "transitions_are_edges" -> noViolations(trans.join(e, Seq("src", "dst"), "left_anti")),
+        "starts_at_start" -> noViolationsAll(
+          s0.filter(col("node") =!= col("start")),
+          starts.join(s0, Seq("walk_id"), "left_anti")),
+        "steps_contiguous_and_bounded" -> noViolations(
+          perWalk.filter(col("mx") =!= col("c") - 1 || col("cd") =!= col("c") || col("mx") > 5)),
+        "early_stop_only_at_sinks" -> noViolations(
+          earlyEnd.join(e.select(col("src").as("node")).distinct(), Seq("node"), "left_semi")))
     },
-      None),
+      Some(truthTable("transitions_are_edges", "starts_at_start",
+        "steps_contiguous_and_bounded", "early_stop_only_at_sinks"))),
 
     // ——————————————————— time travel (SURVEY §1.4) ———————————————————
 
@@ -858,9 +943,36 @@ object Queries {
         .withColumn("jaccard", round(col("jaccard"), 4)),
       Some(exactJaccardSql)),
 
-    Spec("dedup_simhash", (s, d) =>
-      Dedup.simhashPairs(T(s, d, "documents"), "doc_id", "text", maxHamming = 3),
-      None),
+    // SimHash fingerprints aren't SQL-expressible (xxhash64 token
+    // votes); verify the banding join against a second path instead:
+    // brute-force hamming over a ≤1K-doc id sample must equal the
+    // banded output restricted to the sample (completeness — the
+    // pigeonhole banding claim), and every reported pair's hamming,
+    // recomputed from the fingerprints, must match and be ≤ 3
+    // (soundness, over the FULL output).
+    Spec("dedup_simhash", (s, d) => {
+      val docs = T(s, d, "documents")
+      val banded = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
+      val fp = Dedup.simhashFingerprints(docs, "doc_id", "text")
+      val sfp = fp.filter(col("id") < 1000)
+      val brute = sfp.select(col("id").as("id_a"), col("fp").as("fa"))
+        .join(sfp.select(col("id").as("id_b"), col("fp").as("fb")), col("id_a") < col("id_b"))
+        .withColumn("hamming", TF.hamming64(col("fa"), col("fb")))
+        .filter(col("hamming") <= 3)
+        .select("id_a", "id_b", "hamming")
+      val recomputed = banded
+        .join(fp.select(col("id").as("id_a"), col("fp").as("fa")), Seq("id_a"))
+        .join(fp.select(col("id").as("id_b"), col("fp").as("fb")), Seq("id_b"))
+      invariants(
+        "sample_bruteforce_equals_banded" -> sameRows(
+          brute, banded.filter(col("id_a") < 1000 && col("id_b") < 1000)
+            .select("id_a", "id_b", "hamming")),
+        "reported_hamming_exact_and_bounded" -> noViolations(
+          recomputed.filter(
+            TF.hamming64(col("fa"), col("fb")) =!= col("hamming") || col("hamming") > 3)))
+    },
+      Some(truthTable("sample_bruteforce_equals_banded",
+        "reported_hamming_exact_and_bounded"))),
 
     // Hyperplane-LSH buckets + exact-cosine verify. The sf testdata's
     // planted pairs sit at cosine 0.40-0.51, the selectivity floor for
@@ -914,14 +1026,32 @@ object Queries {
     // neighbors sit at cosine ~0.3-0.5, so short 3-bit signatures with
     // many independent tables are needed for recall (12-bit signatures
     // almost never collide below cosine 0.8 — measured recall 0.01)
+    // Seeded hyperplane signs aren't SQL-expressible; the driver-checked
+    // contract is recall@5 against the EXACT brute-force top-k computed
+    // in the same query (the reference asserts its HNSW the same way —
+    // against a linear scan), plus shape invariants on the probe output.
     Spec("ann_lsh", (s, d) => {
       val emb = T(s, d, "embeddings")
       val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
       val queries = emb.filter(col("vec_id") < 20)
         .select(col("vec_id").as("query_id"), col("embedding").as("vec"))
-      Ann.lshTopK(corpus, queries, k = 5, planes = 3, tables = 16)
+      val lsh = Ann.lshTopK(corpus, queries, k = 5, planes = 3, tables = 16)
+      val exact = Ann.bruteForceTopK(corpus, queries, k = 5)
+      val recallOk = lsh.select("query_id", "id").intersect(exact.select("query_id", "id"))
+        .agg(count(lit(1)).as("__nh"))
+        .crossJoin(exact.agg(count(lit(1)).as("__ne")))
+        .select((col("__nh") >= col("__ne") * lit(0.5)).as("ok"))
+      val w = Window.partitionBy(col("query_id")).orderBy(col("rank"))
+      invariants(
+        "recall_at_5_ge_half" -> recallOk,
+        "no_self_matches" -> noViolations(lsh.filter(col("query_id") === col("id"))),
+        "at_most_k_ranked_by_cosine" -> noViolations(
+          lsh.withColumn("__prev", lag(col("cosine"), 1).over(w))
+            .filter(col("rank") > 5 ||
+              (col("__prev").isNotNull && col("__prev") < col("cosine") - lit(1e-9)))))
     },
-      None),
+      Some(truthTable("recall_at_5_ge_half", "no_self_matches",
+        "at_most_k_ranked_by_cosine"))),
 
     // IVF-Flat with a FULL probe (nProbe = nCells) must reproduce the
     // exact top-k — the oracle checks the whole centroid/invert/probe/
@@ -1108,15 +1238,31 @@ object Queries {
     // sampled frames per doc is (n_frames + stride - 1) div stride where
     // n_frames = xxhash-derived — not SQL-expressible, so assert the
     // aggregate row count relation instead via embedding extraction
+    // The fake-decode features aren't SQL-expressible (xxhash-derived);
+    // cross-check the KNN over them with a second, algorithmically
+    // different implementation instead: IVF-Flat with a FULL probe must
+    // reproduce the brute-force top-k exactly (different plan — inverted
+    // file + probe — same math), plus shape invariants.
     Spec("mm_features_knn", (s, d) => {
       val media = graft.multimodal.Multimodal.asMedia(
         T(s, d, "documents").filter(col("doc_id") < 100), "doc_id", "text", "utf8")
       val feats = graft.multimodal.Multimodal.extractFeatures(media, dim = 16)
       val corpus = feats.select(col("id"), col("embedding").as("vec"))
       val queries = feats.filter(col("id") < 5).select(col("id").as("query_id"), col("embedding").as("vec"))
-      Ann.bruteForceTopK(corpus, queries, k = 3).select("query_id", "id", "rank")
+      val brute = Ann.bruteForceTopK(corpus, queries, k = 3)
+      val ivf = Ann.ivfTopK(corpus, queries, k = 3, nCells = 4, nProbe = 4)
+      invariants(
+        "ivf_full_probe_equals_brute" -> sameRows(
+          brute.select("query_id", "id", "rank"), ivf.select("query_id", "id", "rank")),
+        "exactly_k_contiguous_ranks" -> noViolations(
+          brute.groupBy("query_id")
+            .agg(count(lit(1)).as("c"), max("rank").as("m"), sum("rank").as("sr"))
+            .filter(col("c") =!= 3 || col("m") =!= 3 || col("sr") =!= 6)),
+        "all_queries_answered" -> noViolations(
+          queries.join(brute, Seq("query_id"), "left_anti")))
     },
-      None),
+      Some(truthTable("ivf_full_probe_equals_brute", "exactly_k_contiguous_ranks",
+        "all_queries_answered"))),
 
     // ————— training-data pipeline: clustering / decontamination /
     // ————— sampling / redaction (beyond-reference north-star ops)

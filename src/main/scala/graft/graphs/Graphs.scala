@@ -320,6 +320,36 @@ object Graphs {
     result
   }
 
+  /** Newman modularity Q of a node→community assignment over the
+    * undirected simple unit-weight graph of `edges` (direction and
+    * self-loops dropped — the same graph [[louvain]] and
+    * [[labelPropagation]] operate on). Q = Σ_c (in_c/2m − (tot_c/2m)²).
+    * Returns a one-row (q: double) DataFrame; per-community terms are
+    * aggregated distributed, nothing is collected. Used as the
+    * second, algorithmically different cross-check of louvain's output
+    * (louvain.rs:1-318 greedily maximizes exactly this quantity). */
+  def modularity(edges: DataFrame, assign: DataFrame,
+                 nodeCol: String, commCol: String): DataFrame = {
+    val base = edges.select("src", "dst")
+    val und = base.unionByName(base.select(col("dst").as("src"), col("src").as("dst")))
+      .filter(col("src") =!= col("dst"))
+      .groupBy("src", "dst").agg(lit(1.0).as("w"))
+    val a = assign.select(col(nodeCol).as("node"), col(commCol).as("comm"))
+    val deg = und.groupBy(col("src").as("node")).agg(sum(col("w")).as("k"))
+    val tot = deg.join(a, Seq("node")).groupBy("comm").agg(sum(col("k")).as("tot"))
+    // both directions of each internal edge counted → inw = 2·in_c,
+    // m2 = 2m, so inw/m2 = in_c/m exactly as the formula wants
+    val inw = und
+      .join(a.withColumnRenamed("node", "src").withColumnRenamed("comm", "ca"), Seq("src"))
+      .join(a.withColumnRenamed("node", "dst").withColumnRenamed("comm", "cb"), Seq("dst"))
+      .filter(col("ca") === col("cb"))
+      .groupBy(col("ca").as("comm")).agg(sum(col("w")).as("inw"))
+    tot.join(inw, Seq("comm"), "left")
+      .na.fill(Map("inw" -> 0.0))
+      .crossJoin(und.agg(sum(col("w")).as("m2")))
+      .agg(coalesce(sum(col("inw") / col("m2") - pow(col("tot") / col("m2"), 2.0)), lit(0.0)).as("q"))
+  }
+
   /** CommunityDetectionLouvain (algos/louvain.rs:1-318) as distributed
     * synchronous label moves + graph contraction. Each inner round every
     * node evaluates the modularity gain of adopting a neighboring

@@ -946,7 +946,9 @@ class CozoDb(val spark: SparkSession) {
           lowercase = hasFilter("Lowercase") || hasFilter("LowerCase") || filters.isEmpty,
           asciiFolding = hasFilter("AsciiFolding"),
           removeLong = filterArg("RemoveLong").collect { case Lit(n: Long) => n.toInt },
-          stopwords = hasFilter("Stopwords"), stem = hasFilter("Stemmer"))
+          // the reference's Stemmer filter IS Snowball (fts/mod.rs:176
+          // via rust-stemmers); English is the shipped language
+          stopwords = hasFilter("Stopwords"), snowball = hasFilter("Stemmer"))
         indexes(target) = FtsIdx(rel, extractor, pipe)
       case "lsh" =>
         val extractor = opts.get("extractor").map(asStr)

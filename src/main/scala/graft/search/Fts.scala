@@ -53,13 +53,17 @@ object Fts {
                             minGram: Int = 1, maxGram: Int = 1, prefixOnly: Boolean = false,
                             lowercase: Boolean = true, asciiFolding: Boolean = false,
                             removeLong: Option[Int] = None,
-                            stopwords: Boolean = false, stem: Boolean = false)
+                            stopwords: Boolean = false, stem: Boolean = false,
+                            snowball: Boolean = false)
 
   /** Light English stemmer (suffix stripping): conflates plural /
     * participle / common derivational variants consistently between
-    * index and query — the reference ships full Snowball;
-    * same-pipeline-both-sides is the correctness requirement. KEEP IN
-    * SYNC with [[stemLightStr]]. */
+    * index and query. Kept alongside the full [[Snowball]] stemmer
+    * because this one is a pure regexp chain — whole-stage codegen on
+    * the index side AND mirrorable in a SQL oracle, which the
+    * conditional-region Porter2 is not. `::fts create`'s Stemmer filter
+    * uses Snowball (reference parity); this remains the oracle-friendly
+    * option. KEEP IN SYNC with [[stemLightStr]]. */
   def stemLight(t: Column): Column = {
     val r0 = regexp_replace(t, "(ational)$", "ate")
     val r1 = regexp_replace(r0, "(ization|isation)$", "ize")
@@ -147,8 +151,18 @@ object Fts {
       val sw = array(stopwordsEn.map(lit): _*)
       filter(notLong, t => !array_contains(sw, t))
     } else notLong
-    if (p.stem) transform(stopped, stemLight(_)) else stopped
+    if (p.snowball) snowballArr(stopped)
+    else if (p.stem) transform(stopped, stemLight(_))
+    else stopped
   }
+
+  /** Column-side Snowball over a token array. Porter2's conditional
+    * regions aren't expressible as a regexp chain, so this one filter
+    * is a (vectorized per-array) Scala UDF — applied once per document
+    * at index build, never in a per-row probe loop. KEEP the query side
+    * ([[tokenizeTermStr]]) on the identical [[Snowball.stem]]. */
+  private lazy val snowballArr =
+    udf((arr: Seq[String]) => if (arr == null) null else arr.map(Snowball.stem))
 
   /** Driver-side mirror of [[tokenizeWith]] for a single query term:
     * returns the term's token(s) after the index's pipeline — several
@@ -167,7 +181,9 @@ object Fts {
     }
     val notLong = p.removeLong.fold(toks)(n => toks.filter(_.length < n))
     val stopped = if (p.stopwords) notLong.filterNot(stopwordSet.contains) else notLong
-    if (p.stem) stopped.map(stemLightStr) else stopped
+    if (p.snowball) stopped.map(Snowball.stem)
+    else if (p.stem) stopped.map(stemLightStr)
+    else stopped
   }
 
   /** Legacy boolean-flag entry point (Simple tokenizer). */

@@ -16,6 +16,11 @@ object Imperative {
 
   sealed trait Stmt
   final case class QueryStmt(script: String, storeAs: Option[String]) extends Stmt
+  /** `::sysop ... as _temp` inside an imperative script — the
+    * reference's ImperativeSysop with store_as (parse/mod.rs:70-76,
+    * pest:242 imperative_sysop): the sysop's result relation is
+    * stashed as a temp for later statements. */
+  final case class SysopStmt(script: String, storeAs: Option[String]) extends Stmt
   /** %ignore_error { query } — failures are swallowed (parse dispatch
     * cozoscript.pest:253, parse/imperative.rs:206). */
   final case class IgnoreErrorStmt(inner: QueryStmt) extends Stmt
@@ -37,7 +42,16 @@ object Imperative {
 
   def looksImperative(script: String): Boolean = {
     val t = script.trim
-    t.startsWith("%") || t.startsWith("{")
+    // a script beginning with a sysop is imperative only when MORE
+    // statements follow (pest:13 imperative_script = stmt+); a lone
+    // `::sysop` goes through the plain path — SysopStmt execution
+    // re-enters db.run with exactly that single-statement text, so this
+    // distinction is also what terminates the recursion
+    t.startsWith("%") || t.startsWith("{") ||
+      (t.startsWith("::") && t.linesIterator.drop(1).exists { l =>
+        val s = l.trim
+        s.startsWith("{") || s.startsWith("%") || s.startsWith("::")
+      })
   }
 
   // ———————————————————————— parsing ————————————————————————
@@ -97,6 +111,36 @@ object Imperative {
       throw ImperativeException("unbalanced { }")
     }
 
+    /** One `::...` sysop statement: to end of line, except balanced
+      * braces/strings may span lines (::fts create rel { ... }). A
+      * trailing `as _name` is the store_as capture (pest:242 puts it
+      * after sys_script_inner; no sysop's own grammar ends in `as`). */
+    def sysop(): (String, Option[String]) = {
+      skipWs()
+      val start = pos
+      var i = pos
+      var inStr: Char = 0
+      var depth = 0
+      while (i < src.length && (depth > 0 || inStr != 0 || src.charAt(i) != '\n')) {
+        val c = src.charAt(i)
+        if (inStr != 0) { if (c == '\\') i += 1 else if (c == inStr) inStr = 0 }
+        else c match {
+          case '\'' | '"' => inStr = c
+          case '{' => depth += 1
+          case '}' => depth -= 1
+          case _ => ()
+        }
+        i += 1
+      }
+      pos = i
+      val text = src.substring(start, pos).trim
+      val m = "\\bas\\s+(_\\w+)$".r.findFirstMatchIn(text)
+      m match {
+        case Some(g) => (text.substring(0, g.start).trim, Some(g.group(1)))
+        case None => (text, None)
+      }
+    }
+
     private def storeAs(): Option[String] = {
       val save = pos
       if (peekWord() == "as") {
@@ -128,6 +172,9 @@ object Imperative {
         else if (src.charAt(pos) == '{') {
           val b = block()
           out += QueryStmt(b, storeAs())
+        } else if (src.startsWith("::", pos)) {
+          val (text, as) = sysop()
+          out += SysopStmt(text, as)
         } else {
           peekWord() match {
             case "%if" | "%if_not" =>
@@ -206,6 +253,9 @@ object Imperative {
     def exec(ss: Seq[Stmt]): Unit = ss.foreach {
       case QueryStmt(script, as) =>
         ret = db.runQueryText(script, params)
+        as.foreach(n => db.registerTable(n, ret.ckptLazy()))
+      case SysopStmt(script, as) =>
+        ret = db.run(script, params)
         as.foreach(n => db.registerTable(n, ret.ckptLazy()))
       case IfStmt(c, negated, thenB, elseB) =>
         val (truthy, _) = evalCond(c)

@@ -99,6 +99,24 @@ class SysOpsSpec extends AnyFunSuite {
     assert(db.run("::kill 999999").collect().head.getString(0) == "not_found")
   }
 
+  test("sysop inside an imperative script stashes its result via as _temp (parse/mod.rs:70-76)") {
+    val db = freshDb()
+    val res = db.run(
+      """{ ?[k, v] := *kv[k, v] :replace other {k} }
+        |::columns kv as _cols
+        |{ ?[column, is_key] := *_cols[column, idx, is_key] }""".stripMargin)
+    val cols = res.collect().map(r => (r.getString(0), r.getBoolean(1))).toSet
+    assert(cols == Set(("k", true), ("v", false)))
+  }
+
+  test("imperative script may BEGIN with a sysop (pest:13 imperative_script = stmt+)") {
+    val db = freshDb()
+    val res = db.run(
+      """::relations as _rels
+        |{ ?[name] := *_rels[name, arity, keys, lvl, desc] }""".stripMargin)
+    assert(res.collect().map(_.getString(0)).toSet == Set("kv"))
+  }
+
   test("temp relations persist across statements of one transaction (db.rs:298 shares one tx)") {
     val db = freshDb()
     db.transact { tx =>

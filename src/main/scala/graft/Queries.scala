@@ -30,10 +30,40 @@ object Queries {
     * traversal graph over the driver's synthetic `events` table.
     */
   def eventEdges(events: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("event_type")).orderBy(col("ts"), col("event_id"))
-    events.select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
-      .withColumn("next_user", lead(col("user_id"), 1).over(w))
-      .filter(col("next_user").isNotNull && col("next_user") =!= col("user_id"))
+    // A window partitioned by event_type ALONE funnels every event of a
+    // type through one partition — the skew bottleneck at 100×. Salt
+    // the partition key with a 6-hour ts bucket (bucket boundaries are
+    // monotone in the sort key, so in-bucket lead() is exact) and
+    // stitch each bucket's last row to the type's next bucket's first
+    // row — one tiny join over #buckets rows. Same edge set as the
+    // single-partition lead, verified by every graph_* oracle.
+    val bucketUs = 21600000000L // 6h in µs
+    val base = events.select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("__b", expr(s"unix_micros(ts) div ${bucketUs}L"))
+    val wAsc = Window.partitionBy(col("event_type"), col("__b"))
+      .orderBy(col("ts"), col("event_id"))
+    val wDesc = Window.partitionBy(col("event_type"), col("__b"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val inBucket = base.withColumn("next_user", lead(col("user_id"), 1).over(wAsc))
+      .filter(col("next_user").isNotNull)
+      .select(col("user_id"), col("next_user"))
+    val firsts = base.withColumn("__rn", row_number().over(wAsc)).filter(col("__rn") === 1)
+      .select(col("event_type"), col("__b"), col("user_id").as("first_user"))
+    val lasts = base.withColumn("__rn", row_number().over(wDesc)).filter(col("__rn") === 1)
+      .select(col("event_type"), col("__b"), col("user_id").as("last_user"))
+    // successor bucket per type over the DISTINCT bucket list (tiny:
+    // span/6h rows per type), since buckets need not be contiguous
+    val nextB = base.select("event_type", "__b").distinct()
+      .withColumn("__nb",
+        lead(col("__b"), 1).over(Window.partitionBy(col("event_type")).orderBy(col("__b"))))
+    val crossing = lasts
+      .join(nextB, Seq("event_type", "__b"))
+      .where(col("__nb").isNotNull)
+      .join(firsts.select(col("event_type"), col("__b").as("__nb"), col("first_user")),
+        Seq("event_type", "__nb"))
+      .select(col("last_user").as("user_id"), col("first_user").as("next_user"))
+    inBucket.unionByName(crossing)
+      .filter(col("next_user") =!= col("user_id"))
       .select(col("user_id").as("src"), col("next_user").as("dst"))
       .distinct()
   }

@@ -376,11 +376,15 @@ object Graphs {
       var moved = true
       var movedPrev = true // converged = two still rounds (one per parity)
       while ((moved || movedPrev) && inner < maxInner) {
-        val sigma = comm.join(deg, Seq("node"))
-          .groupBy(col("comm")).agg(sum(col("k")).as("sigma"))
         // weight from each node to each neighboring community
         val toComm = g.join(comm.withColumnRenamed("node", "dst"), Seq("dst"))
           .groupBy(col("src").as("node"), col("comm")).agg(sum(col("w")).as("k_in"))
+        // sigma(c) = Σ_{node∈c} k(node) folds out of toComm itself:
+        // summing k_in over ALL sources per community counts, for every
+        // member dst∈c, its full (symmetric) degree — one aggregate of
+        // an exchange the candidate join already produces (ReusedExchange)
+        // instead of a separate comm⋈deg join + shuffle per round
+        val sigma = toComm.groupBy(col("comm")).agg(sum(col("k_in")).as("sigma"))
         val cand = toComm
           .join(deg, Seq("node"))
           .join(sigma, Seq("comm"))

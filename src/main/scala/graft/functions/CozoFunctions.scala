@@ -144,8 +144,38 @@ object CozoFunctions {
     "车轧轨轩连运进违这还边辽达迁过迈" +
     "红纣紃约级纪纫纬纭纮纯纰纱纲纳纴纵纶纷纸纹纺" +
     "语学话说谁请读写听见视觉观点线练组经给统继"
-  /** functions.rs:1446 `t2s` — common-character subset. */
-  def t2s(c: Column): Column = translate(c, t2sTraditional, t2sSimplified)
+  /** Phrase-level rules applied before the character table, the part
+    * of OpenCC/fast2s semantics a char map cannot express: ambiguous
+    * traditional characters (乾/著/藉/瞭) convert differently inside
+    * certain phrases. Protected phrases round-trip through a
+    * private-use placeholder so the char pass cannot rewrite them.
+    * A curated subset — the full Apache-2.0 OpenCC phrase data is the
+    * swap-in at deployment; the char table carries everything else. */
+  private val t2sPhrases: Seq[(String, String)] = Seq(
+    // 乾 → 干 in general (乾燥→干燥), but stays 乾 in these
+    "乾隆" -> "乾隆", "乾坤" -> "乾坤", "乾卦" -> "乾卦",
+    // 著 → 着 as the aspect particle, stays 著 in writing-related senses
+    "著作" -> "著作", "著名" -> "著名", "顯著" -> "显著", "土著" -> "土著",
+    "編著" -> "编著", "名著" -> "名著",
+    // 藉 → 借 in excuse/by-means-of senses, stays 藉 otherwise
+    "藉口" -> "借口", "憑藉" -> "凭借", "慰藉" -> "慰藉", "狼藉" -> "狼藉",
+    // 瞭 → 了 in understanding senses, stays 瞭 in looking senses
+    "瞭望" -> "瞭望", "瞭解" -> "了解", "明瞭" -> "明了")
+  private val t2sAmbiguousChars = ("乾著藉瞭", "干着藉了") // defaults outside phrases
+
+  /** functions.rs:1446 `t2s` — phrase rules + common-character table
+    * (the reference embeds the full fast2s data). */
+  def t2s(c: Column): Column = {
+    // phrase → placeholder, char pass, placeholder → simplified phrase
+    val masked = t2sPhrases.zipWithIndex.foldLeft(c) { case (acc, ((trad, _), i)) =>
+      replace(acc, lit(trad), lit((0xE000 + i).toChar.toString))
+    }
+    val translated = translate(masked,
+      t2sTraditional + t2sAmbiguousChars._1, t2sSimplified + t2sAmbiguousChars._2)
+    t2sPhrases.zipWithIndex.foldLeft(translated) { case (acc, ((_, simp), i)) =>
+      replace(acc, lit((0xE000 + i).toChar.toString), lit(simp))
+    }
+  }
 
   // — bitwise over packed bool lists (functions.rs:1194-1216). The
   // reference packs into Bytes; a cold-path UDF is acceptable here

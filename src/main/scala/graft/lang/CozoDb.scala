@@ -939,10 +939,21 @@ class CozoDb(val spark: SparkSession) {
           case _ => default
         }
         val minG = intArg(0, 1)
+        // Cangjie('default'|'all'|'search'|'unicode', use_hmm) — kind
+        // string first, hmm flag accepted-and-ignored (fts/mod.rs:109;
+        // the HMM unknown-word tables are data we cannot ship)
+        val cangjieKind = tokArgs.headOption.collect {
+          case Lit(s: String) => s
+          case V(s) => s
+        }.getOrElse("default")
+        if (tokName == "Cangjie" &&
+            !Seq("default", "all", "search", "unicode").contains(cangjieKind))
+          throw CompileException(s"Unknown Cangjie kind: $cangjieKind")
         val pipe = graft.search.Fts.Pipeline(
           tokenizer = tokName,
           minGram = minG, maxGram = intArg(1, minG),
           prefixOnly = tokArgs.lift(2).contains(Lit(true)),
+          cangjieKind = cangjieKind,
           lowercase = hasFilter("Lowercase") || hasFilter("LowerCase") || filters.isEmpty,
           asciiFolding = hasFilter("AsciiFolding"),
           removeLong = filterArg("RemoveLong").collect { case Lit(n: Long) => n.toInt },

@@ -54,7 +54,8 @@ object Fts {
                             lowercase: Boolean = true, asciiFolding: Boolean = false,
                             removeLong: Option[Int] = None,
                             stopwords: Boolean = false, stem: Boolean = false,
-                            snowball: Boolean = false)
+                            snowball: Boolean = false,
+                            cangjieKind: String = "default")
 
   /** Light English stemmer (suffix stripping): conflates plural /
     * participle / common derivational variants consistently between
@@ -143,6 +144,12 @@ object Fts {
             .otherwise(array().cast("array<string>"))
         }
         grams.reduce(concat(_, _))
+      case "Cangjie" =>
+        // jieba-style CJK dictionary segmentation (fts/mod.rs:109-139);
+        // the trie DP isn't a Column expression, so this tokenizer is a
+        // per-document UDF like the reference's per-document tantivy call
+        val kind = p.cangjieKind
+        udf((s: String) => Cangjie.cut(s, kind)).apply(lowered)
       case _ => // Simple: split on non-alphanumeric
         filter(split(lowered, "[^\\p{L}\\p{N}]+"), t => length(t) > 0)
     }
@@ -177,6 +184,7 @@ object Fts {
           else if (p.prefixOnly) Seq(t.substring(0, n))
           else t.sliding(n).toSeq
         }
+      case "Cangjie" => Cangjie.cut(t, p.cangjieKind)
       case _ => Seq(t)
     }
     val notLong = p.removeLong.fold(toks)(n => toks.filter(_.length < n))

@@ -116,6 +116,22 @@ class DbLifecycleSpec extends AnyFunSuite {
       == "simplified 简体 text")
   }
 
+  test("t2s phrase rules override the ambiguous-character defaults") {
+    def conv(s: String): String =
+      Seq(Tuple1(s)).toDF("s").select(CozoFunctions.t2s(col("s"))).collect().head.getString(0)
+    // 乾 → 干 in general, but the era/yi-jing phrases keep 乾
+    assert(conv("乾燥") == "干燥")
+    assert(conv("乾隆皇帝 乾坤") == "乾隆皇帝 乾坤")
+    // 著 → 着 as the particle, but writing senses keep 著
+    assert(conv("看著 跟著") == "看着 跟着")
+    assert(conv("著作 顯著 著名") == "著作 显著 著名")
+    // 藉 → 借 only in the excuse/by-means-of phrases
+    assert(conv("藉口 憑藉") == "借口 凭借")
+    assert(conv("慰藉 狼藉") == "慰藉 狼藉")
+    // 瞭 → 了 in understanding senses, stays in 瞭望
+    assert(conv("瞭解 明瞭 瞭望") == "了解 明了 瞭望")
+  }
+
   test("pack_bits/unpack_bits round-trip") {
     val df = Seq(Tuple1(Seq(true, false, true, true))).toDF("bits")
     val packed = df.select(CozoFunctions.packBits(col("bits")).as("b"))

@@ -1,0 +1,80 @@
+package graft.search
+
+import graft.SparkFixture
+import graft.lang.CozoDb
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Cangjie CJK tokenizer (fts/mod.rs:109-139): jieba-style dictionary
+  * DP segmentation with the reference's four kinds, plus a CJK
+  * index+query round-trip through `::fts create`.
+  */
+class CangjieSpec extends AnyFunSuite {
+
+  test("default kind: max-probability dictionary cut") {
+    assert(Cangjie.cut("我们喜欢机器学习") == Seq("我们", "喜欢", "机器学习"))
+    assert(Cangjie.cut("人工智能时代") == Seq("人工智能", "时代"))
+    // uncovered characters fall back to single codepoints
+    assert(Cangjie.cut("我们齉龘") == Seq("我们", "齉", "龘"))
+  }
+
+  test("unicode kind: one token per CJK codepoint") {
+    assert(Cangjie.cut("中国人", "unicode") == Seq("中", "国", "人"))
+  }
+
+  test("all kind: every dictionary word occurrence") {
+    val toks = Cangjie.cut("人工智能", "all").toSet
+    assert(toks.contains("人工"))
+    assert(toks.contains("智能"))
+    assert(toks.contains("人工智能"))
+  }
+
+  test("search kind: long words also emit their dictionary sub-words") {
+    val toks = Cangjie.cut("机器学习", "search").toSet
+    assert(toks.contains("机器学习"))
+    assert(toks.contains("机器"))
+    assert(toks.contains("学习"))
+  }
+
+  test("mixed CJK and ASCII text splits both ways") {
+    assert(Cangjie.cut("我们用spark处理数据") == Seq("我们", "用", "spark", "处理", "数据"))
+  }
+
+  test("CJK ::fts create + probe round-trip (fts/mod.rs Cangjie)") {
+    val spark = SparkFixture.spark
+    val db = new CozoDb(spark)
+    db.run(
+      """?[k, v] <- [
+        |  ['a', '我们喜欢机器学习和人工智能'],
+        |  ['b', '今天北京天气很好'],
+        |  ['c', '数据库查询引擎的索引搜索']
+        |] :create zh {k}""".stripMargin)
+    db.run(
+      """::fts create zh:fts {
+        |  extractor: v,
+        |  tokenizer: Cangjie('search'),
+        |  filters: []
+        |}""".stripMargin)
+    def probe(q: String): Set[String] =
+      db.run(s"?[k] := ~zh:fts{k | query: '$q', k: 3}")
+        .collect().map(_.getString(0)).toSet
+    assert(probe("机器学习") == Set("a"))
+    assert(probe("北京") == Set("b"))
+    assert(probe("索引") == Set("c"))
+    // multi-word CJK query segments and must hit via AND of its words
+    assert(probe("人工智能") == Set("a"))
+  }
+
+  test("dictionary swap-in extends segmentation (loadDictLines shape)") {
+    val before = Cangjie.cut("量子计算")
+    assert(before != Seq("量子计算")) // not in the seed dict as one word
+    val saved = Cangjie.dictionarySize
+    try {
+      Cangjie.loadDictLines(Iterator("量子计算 50000", "量子 80000 n", "计算 90000"))
+      assert(Cangjie.cut("量子计算") == Seq("量子计算"))
+      assert(Cangjie.dictionarySize == 3)
+    } finally {
+      Cangjie.resetDictionary()
+      assert(Cangjie.dictionarySize == saved)
+    }
+  }
+}

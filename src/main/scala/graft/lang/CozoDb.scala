@@ -957,6 +957,13 @@ class CozoDb(val spark: SparkSession) {
           lowercase = hasFilter("Lowercase") || hasFilter("LowerCase") || filters.isEmpty,
           asciiFolding = hasFilter("AsciiFolding"),
           removeLong = filterArg("RemoveLong").collect { case Lit(n: Long) => n.toInt },
+          alphaNumOnly = hasFilter("AlphaNumOnly"),
+          // SplitCompoundWords(['list', 'of', 'words']) — fts/mod.rs:153
+          compoundWords = filterArg("SplitCompoundWords").toSeq.flatMap {
+            case ListE(items) => items.collect { case Lit(s: String) => s }
+            case _ => throw CompileException(
+              "First argument `compound_words_list` must be a list of strings")
+          },
           // the reference's Stemmer filter IS Snowball (fts/mod.rs:176
           // via rust-stemmers); English is the shipped language
           stopwords = hasFilter("Stopwords"), snowball = hasFilter("Stemmer"))

@@ -45,9 +45,11 @@ object Fts {
 
   /** Tokenizer + filter chain configuration, mirroring the reference's
     * construct_tokenizer / construct_token_filter surface: tokenizers
-    * Raw / Simple / Whitespace / NGram(min, max, prefix_only); filters
-    * Lowercase, AsciiFolding, RemoveLong(limit), Stopwords, Stemmer.
-    * (Cangjie/jieba requires a shipped dictionary and is not ported.)
+    * Raw / Simple / Whitespace / NGram(min, max, prefix_only) /
+    * Cangjie(kind) (jieba-style dict segmentation, [[Cangjie]]);
+    * filters Lowercase, AsciiFolding, AlphaNumOnly, RemoveLong(limit),
+    * SplitCompoundWords(list), Stopwords, Stemmer (Snowball English,
+    * [[Snowball]]; `stem` is the legacy regexp-chain light stemmer).
     */
   final case class Pipeline(tokenizer: String = "Simple",
                             minGram: Int = 1, maxGram: Int = 1, prefixOnly: Boolean = false,
@@ -55,7 +57,9 @@ object Fts {
                             removeLong: Option[Int] = None,
                             stopwords: Boolean = false, stem: Boolean = false,
                             snowball: Boolean = false,
-                            cangjieKind: String = "default")
+                            cangjieKind: String = "default",
+                            alphaNumOnly: Boolean = false,
+                            compoundWords: Seq[String] = Nil)
 
   /** Light English stemmer (suffix stripping): conflates plural /
     * participle / common derivational variants consistently between
@@ -153,7 +157,17 @@ object Fts {
       case _ => // Simple: split on non-alphanumeric
         filter(split(lowered, "[^\\p{L}\\p{N}]+"), t => length(t) > 0)
     }
-    val notLong = p.removeLong.fold(base)(n => filter(base, t => length(t) < n))
+    val alnum =
+      if (p.alphaNumOnly) filter(base, t => t.rlike("^[\\p{L}\\p{N}]+$"))
+      else base
+    val decompounded =
+      if (p.compoundWords.isEmpty) alnum
+      else {
+        val words = p.compoundWords.toSet
+        udf((arr: Seq[String]) =>
+          if (arr == null) null else arr.flatMap(splitCompound(_, words))).apply(alnum)
+      }
+    val notLong = p.removeLong.fold(decompounded)(n => filter(decompounded, t => length(t) < n))
     val stopped = if (p.stopwords) {
       val sw = array(stopwordsEn.map(lit): _*)
       filter(notLong, t => !array_contains(sw, t))
@@ -171,6 +185,26 @@ object Fts {
   private lazy val snowballArr =
     udf((arr: Seq[String]) => if (arr == null) null else arr.map(Snowball.stem))
 
+  /** SplitCompoundWords (fts/mod.rs:153, tantivy semantics): a token
+    * that decomposes ENTIRELY into two or more dictionary words is
+    * replaced by its parts; anything else passes through unchanged.
+    * Longest-part-first decomposition with backtracking (greedy on the
+    * part boundary, exact on the all-or-nothing requirement). */
+  private[search] def splitCompound(t: String, words: Set[String]): Seq[String] = {
+    if (t == null || words.isEmpty) return Seq(t)
+    val maxLen = words.iterator.map(_.length).max
+    def decompose(from: Int): Option[List[String]] =
+      if (from == t.length) Some(Nil)
+      else (math.min(maxLen, t.length - from) to 1 by -1).iterator.flatMap { len =>
+        val part = t.substring(from, from + len)
+        if (words.contains(part)) decompose(from + len).map(part :: _) else None
+      }.nextOption()
+    decompose(0) match {
+      case Some(parts) if parts.length >= 2 => parts
+      case _ => Seq(t)
+    }
+  }
+
   /** Driver-side mirror of [[tokenizeWith]] for a single query term:
     * returns the term's token(s) after the index's pipeline — several
     * for an NGram index (the term's grams), none if stopworded. */
@@ -187,7 +221,12 @@ object Fts {
       case "Cangjie" => Cangjie.cut(t, p.cangjieKind)
       case _ => Seq(t)
     }
-    val notLong = p.removeLong.fold(toks)(n => toks.filter(_.length < n))
+    val alnum =
+      if (p.alphaNumOnly) toks.filter(_.matches("^[\\p{L}\\p{N}]+$")) else toks
+    val decompounded =
+      if (p.compoundWords.isEmpty) alnum
+      else { val ws = p.compoundWords.toSet; alnum.flatMap(splitCompound(_, ws)) }
+    val notLong = p.removeLong.fold(decompounded)(n => decompounded.filter(_.length < n))
     val stopped = if (p.stopwords) notLong.filterNot(stopwordSet.contains) else notLong
     if (p.snowball) stopped.map(Snowball.stem)
     else if (p.stem) stopped.map(stemLightStr)

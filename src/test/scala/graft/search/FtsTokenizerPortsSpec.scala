@@ -75,6 +75,30 @@ class FtsTokenizerPortsSpec extends AnyFunSuite {
     assert(toks("hello tantivy, happy searching!", p) == Seq("hello", "happy"))
   }
 
+  test("AlphaNumOnly drops tokens with non-alphanumeric chars (fts/mod.rs:141)") {
+    val p = Fts.Pipeline(tokenizer = "Whitespace", alphaNumOnly = true)
+    assert(Fts.tokenizeTermStr("hello", p) == Seq("hello"))
+    assert(Fts.tokenizeTermStr("can't", p).isEmpty)
+    assert(Fts.tokenizeTermStr("café42", p) == Seq("café42")) // unicode letters count
+  }
+
+  test("SplitCompoundWords splits full decompositions only (fts/mod.rs:153)") {
+    val dict = Seq("dampf", "schiff", "fahrt")
+    val p = Fts.Pipeline(tokenizer = "Whitespace", compoundWords = dict)
+    assert(Fts.tokenizeTermStr("dampfschifffahrt", p) == Seq("dampf", "schiff", "fahrt"))
+    // partial coverage → token unchanged
+    assert(Fts.tokenizeTermStr("dampfboot", p) == Seq("dampfboot"))
+    // a bare dictionary word is NOT split (needs >= 2 parts)
+    assert(Fts.tokenizeTermStr("schiff", p) == Seq("schiff"))
+    // index side agrees
+    val spark = graft.SparkFixture.spark
+    import spark.implicits._
+    val toks = Seq(Tuple1("die dampfschifffahrt beginnt")).toDF("text")
+      .select(Fts.tokenizeWith(org.apache.spark.sql.functions.col("text"), p))
+      .collect().head.getSeq[String](0)
+    assert(toks == Seq("die", "dampf", "schiff", "fahrt", "beginnt"))
+  }
+
   test("fts query parser shapes (parse/fts.rs:147)") {
     assert(Fts.parseQuery(" hello world OR bye bye world").isInstanceOf[Fts.Or])
     assert(Fts.parseQuery(" hello world AND bye bye world").isInstanceOf[Fts.And])

@@ -717,6 +717,84 @@ object Graphs {
     vs.map(v => (v, bc(v) / 2.0)).toSeq.toDF("node", "betweenness")
   }
 
+  /** Distributed (optionally sampled) Brandes betweenness: the
+    * per-source accumulations are independent, so the forward
+    * multi-source BFS carries ALL sampled sources at once as
+    * (start, node, depth, sigma) rows, and the backward dependency
+    * sweep walks depth levels globally — O(diameter) join rounds, no
+    * driver materialization (unlike [[betweennessCentrality]], which
+    * mirrors the reference's in-memory walk and is exact but caps at
+    * driver size). `sample >= |V|` makes it exact Brandes; smaller
+    * samples use the standard n/s contribution scaling. Same
+    * undirected /2 convention as the driver version. */
+  def betweennessCentralityApprox(edges: DataFrame, sample: Int = 1000,
+                                  maxIter: Int = 30): DataFrame = {
+    val spark = edges.sparkSession
+    val und = undirected(edges).select("src", "dst").distinct().ckpt()
+    val ns = nodes(und).ckptLazy()
+    val n = ns.count()
+    val s = math.min(sample.toLong, n)
+    val sources =
+      (if (s >= n) ns
+       else ns.orderBy(xxhash64(col("node")), col("node")).limit(s.toInt))
+        .select(col("node").as("start"))
+    // forward BFS: depth + number-of-shortest-paths sigma per (start, node)
+    var frontier = sources
+      .select(col("start"), col("start").as("node"), lit(1.0).as("sigma")).ckpt()
+    var visited = frontier.withColumn("depth", lit(0)).ckpt()
+    var depth = 0
+    var go = true
+    while (go && depth < maxIter) {
+      val next = frontier.join(und, frontier("node") === und("src"))
+        .select(col("start"), col("dst").as("node"), col("sigma"))
+        .join(visited.select("start", "node"), Seq("start", "node"), "left_anti")
+        .groupBy("start", "node").agg(sum(col("sigma")).as("sigma"))
+        .withColumn("depth", lit(depth + 1))
+        .ckptLazy()
+      go = !next.isEmpty
+      if (go) {
+        visited = visited.unionByName(next).ckptLazy()
+        frontier = next.select("start", "node", "sigma")
+        depth += 1
+      }
+    }
+    visited = visited.ckpt()
+    // backward sweep, deepest level first: delta(v) = Σ_w σv/σw (1+δw)
+    // over DAG successors w (depth(w) = depth(v)+1, (v,w) an edge)
+    var deltas = spark.emptyDataFrame
+    var haveDeltas = false
+    var d = depth - 1
+    while (d >= 0) {
+      val vd = visited.filter(col("depth") === d)
+        .select(col("start"), col("node"), col("sigma"))
+      val wd = visited.filter(col("depth") === d + 1)
+        .select(col("start").as("__ws"), col("node").as("__wn"), col("sigma").as("__wsig"))
+      val wWithDelta =
+        if (!haveDeltas) wd.withColumn("__wdelta", lit(0.0))
+        else wd.join(deltas.select(col("start").as("__ds"), col("node").as("__dn"),
+            col("delta").as("__wdelta")),
+          col("__ws") === col("__ds") && col("__wn") === col("__dn"), "left")
+          .select(col("__ws"), col("__wn"), col("__wsig"),
+            coalesce(col("__wdelta"), lit(0.0)).as("__wdelta"))
+      val level = vd.join(und, vd("node") === und("src"))
+        .join(wWithDelta,
+          col("dst") === col("__wn") && col("start") === col("__ws"))
+        .groupBy(col("start"), col("node"))
+        .agg(sum(col("sigma") / col("__wsig") * (lit(1.0) + col("__wdelta"))).as("delta"))
+        .ckptLazy()
+      deltas = if (!haveDeltas) level else deltas.unionByName(level).ckptLazy()
+      haveDeltas = true
+      d -= 1
+    }
+    val scale = if (s > 0) n.toDouble / s.toDouble else 1.0
+    val contrib =
+      if (!haveDeltas) ns.select(col("node"), lit(0.0).as("betweenness"))
+      else deltas.filter(col("node") =!= col("start"))
+        .groupBy("node").agg((sum(col("delta")) * lit(scale) / lit(2.0)).as("betweenness"))
+    ns.join(contrib, Seq("node"), "left")
+      .select(col("node"), coalesce(col("betweenness"), lit(0.0)).as("betweenness"))
+  }
+
   /** ShortestPathAStar (algos/astar.rs): driver-side A* over the
     * collected graph, like the reference's in-memory walk. `heuristic`
     * gives an admissible estimate to the goal (default 0 = Dijkstra).

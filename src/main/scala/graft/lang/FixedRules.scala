@@ -138,7 +138,13 @@ object FixedRules {
   // (Eppstein–Wang estimate); exact only when it covers every node
   register("ClosenessCentrality", (rels, o, _) =>
     Graphs.closenessCentrality(edges(rels), sample = optInt(o, "sample", 1000)))
-  register("BetweennessCentrality", (rels, _, _) => Graphs.betweennessCentrality(edges(rels)))
+  // a `sample:` option switches to the fully distributed Brandes
+  // (multi-source forward BFS + level-synchronous backward sweep);
+  // without it, exact driver-side Brandes like the reference
+  register("BetweennessCentrality", (rels, o, _) =>
+    if (o.contains("sample"))
+      Graphs.betweennessCentralityApprox(edges(rels), sample = optInt(o, "sample", 1000))
+    else Graphs.betweennessCentrality(edges(rels)))
   register("ShortestPathAStar", (rels, o, _) => {
     val e = edges(rels)
     // reference shape: (edges, nodes_with_coords, starting, goal,

@@ -30,7 +30,12 @@ object Imperative {
   final case class LoopStmt(body: Seq[Stmt], label: Option[String] = None) extends Stmt
   final case class BreakStmt(label: Option[String] = None) extends Stmt
   final case class ContinueStmt(label: Option[String] = None) extends Stmt
-  final case class ReturnStmt(value: Option[Cond]) extends Stmt
+  /** `%return [val val ...]` — zero values returns the EMPTY relation
+    * (imperative.rs:88 Termination(NamedRows::default())); several
+    * values all evaluate (store_as side effects included) and the
+    * FIRST is the primary result — the head of the reference's
+    * NamedRows `next` chain, which is what run_script surfaces. */
+  final case class ReturnStmt(values: Seq[Cond]) extends Stmt
   final case class SwapStmt(a: String, b: String) extends Stmt
   final case class DebugStmt(name: String) extends Stmt
 
@@ -211,12 +216,15 @@ object Imperative {
               out += ContinueStmt(if (l.nonEmpty && !l.startsWith("%")) Some(word()) else None)
             case "%return" =>
               word()
-              skipWs()
-              val v =
-                if (!eof && src.charAt(pos) == '{') Some(cond())
-                else if (peekWord().startsWith("_")) Some(RelCond(word()))
-                else None
-              out += ReturnStmt(v)
+              val vs = ArrayBuffer.empty[Cond]
+              var more = true
+              while (more) {
+                skipWs()
+                if (!eof && src.charAt(pos) == '{') vs += cond()
+                else if (peekWord().startsWith("_")) vs += RelCond(word())
+                else more = false
+              }
+              out += ReturnStmt(vs.toSeq)
             case "%swap" =>
               word(); out += SwapStmt(word(), word())
             case "%debug" =>
@@ -277,11 +285,10 @@ object Imperative {
         }
       case BreakStmt(l) => throw BreakEx(l)
       case ContinueStmt(l) => throw ContinueEx(l)
-      case ReturnStmt(v) =>
-        val out = v match {
-          case None => ret
-          case Some(c) => evalCond(c)._2
-        }
+      case ReturnStmt(vs) =>
+        val out =
+          if (vs.isEmpty) db.spark.emptyDataFrame
+          else vs.map(evalCond(_)._2).head // all evaluate; first is primary
         throw ReturnEx(out)
       case SwapStmt(a, b) =>
         val (da, db_) = (db.relation(a), db.relation(b))

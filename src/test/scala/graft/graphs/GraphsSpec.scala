@@ -67,6 +67,26 @@ class GraphsSpec extends AnyFunSuite {
     assert(b(2L) == 1.0 && b(1L) == 0.0 && b(3L) == 0.0)
   }
 
+  test("distributed Brandes with a full sample equals the exact driver version") {
+    // a graph with branching, a cycle, and asymmetric path counts
+    val g = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (2L, 6L), (6L, 7L)).toDF("src", "dst")
+    val exact = Graphs.betweennessCentrality(g)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val dist = Graphs.betweennessCentralityApprox(g, sample = 100)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(dist.keySet == exact.keySet)
+    for ((k, v) <- exact)
+      assert(math.abs(dist(k) - v) < 1e-9, s"node $k: $v vs ${dist(k)}")
+  }
+
+  test("distributed Brandes sampling scales contributions (path graph, middle dominates)") {
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val b = Graphs.betweennessCentralityApprox(path, sample = 100)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(b(2L) == 1.0 && b(1L) == 0.0 && b(3L) == 0.0)
+  }
+
   test("aStar finds the weighted shortest path") {
     val r = Graphs.aStar(wEdges, Seq((1L, 4L))).collect().head
     assert(r.getDouble(2) == 3.0) // 1→2→3→4

@@ -233,6 +233,16 @@ class LangSpec extends AnyFunSuite {
     assert(cc.collect().map(_.getLong(1)).toSet == Set(1L)) // one component
   }
 
+  test("fixed rule BetweennessCentrality: sample option selects the distributed Brandes") {
+    val db = freshDb()
+    val exact = db.run("?[node, bc] <~ BetweennessCentrality(*edge[])")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val dist = db.run("?[node, bc] <~ BetweennessCentrality(*edge[], sample: 100)")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(dist.keySet == exact.keySet)
+    for ((k, v) <- exact) assert(math.abs(dist(k) - v) < 1e-9, s"node $k")
+  }
+
   test("fixed rule StronglyConnectedComponents") {
     val db = freshDb()
     val scc = db.run("?[node, comp] <~ StronglyConnectedComponents(*edge[])")

@@ -117,6 +117,17 @@ class SysOpsSpec extends AnyFunSuite {
     assert(res.collect().map(_.getString(0)).toSet == Set("kv"))
   }
 
+  test("%return with no value returns the empty relation; multiple values return the first (imperative.rs:88-115)") {
+    val db = freshDb()
+    assert(db.run("{ ?[k] := *kv[k, v] }\n%return").isEmpty)
+    val multi = db.run(
+      """{ ?[k, v] := *kv[k, v] :replace _snap {k} }
+        |%return { ?[v] := *_snap[k, v] } as _vals _snap""".stripMargin)
+    // first value is the primary result; the second still evaluated
+    assert(multi.columns.toSeq == Seq("v"))
+    assert(multi.count() == 2)
+  }
+
   test("temp relations persist across statements of one transaction (db.rs:298 shares one tx)") {
     val db = freshDb()
     db.transact { tx =>

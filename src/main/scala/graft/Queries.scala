@@ -857,6 +857,36 @@ object Queries {
       Some(truthTable("transitions_are_edges", "starts_at_start",
         "steps_contiguous_and_bounded", "early_stop_only_at_sinks"))),
 
+    // Betweenness has no SQL oracle (all-pairs shortest-path delta
+    // accumulation). Verify the DISTRIBUTED level-synchronous Brandes
+    // against the driver-side stack Brandes — algorithmically
+    // independent second implementation — on a bounded subgraph (≤200
+    // nodes so the driver side stays cheap at every SF), full source
+    // sample so both are exact; plus nonnegativity. Edges are
+    // pre-deduped so both sides see the same simple graph (the driver
+    // version counts parallel adjacency entries into sigma by design,
+    // like the reference's multigraph walk).
+    Spec("graph_betweenness", (s, d) => {
+      val sub = eventEdges(T(s, d, "events"))
+        .filter(col("src") < 200 && col("dst") < 200 && col("src") =!= col("dst"))
+        // canonicalize to UNDIRECTED simple edges: a directed distinct
+        // would keep both (a,b) and (b,a), which the driver Brandes
+        // expands into parallel adjacency entries (doubling sigma)
+        .select(least(col("src"), col("dst")).as("src"),
+          greatest(col("src"), col("dst")).as("dst")).distinct()
+      val dist = Graphs.betweennessCentralityApprox(sub, sample = Int.MaxValue)
+      val exact = Graphs.betweennessCentrality(sub)
+      val joined = dist.select(col("node"), col("betweenness").as("__ba"))
+        .join(exact.select(col("node"), col("betweenness").as("__bb")),
+          Seq("node"), "full_outer")
+      invariants(
+        "matches_driver_brandes" -> noViolations(joined.filter(
+          col("__ba").isNull || col("__bb").isNull ||
+            abs(col("__ba") - col("__bb")) > lit(1e-6) * (abs(col("__bb")) + lit(1.0)))),
+        "nonnegative" -> noViolations(dist.filter(col("betweenness") < 0)))
+    },
+      Some(truthTable("matches_driver_brandes", "nonnegative"))),
+
     // ——————————————————— time travel (SURVEY §1.4) ———————————————————
 
     Spec("tt_asof", (s, d) =>
@@ -963,6 +993,32 @@ object Queries {
           maxDocFreq = Some(Long.MaxValue))
         .withColumn("jaccard", round(col("jaccard"), 4)),
       Some(exactJaccardSql)),
+
+    // Lee-et-al exact-substring dedup (beyond the reference): L-token
+    // rolling-window hashes, corpus-wide HAVING count>1, per-doc covered
+    // positions. The oracle recomputes the same coverage from n-gram
+    // STRINGS — agreement also certifies the xxhash64-keyed plan
+    // collision-free on this corpus.
+    Spec("dedup_substring", (s, d) =>
+      Dedup.duplicatedCoverage(T(s, d, "documents"), "doc_id", "text", minLen = 10)
+        .withColumnRenamed("id", "doc_id")
+        .withColumn("dup_ratio", round(col("dup_ratio"), 6)),
+      Some(s"""WITH d AS (SELECT doc_id, $toksSql AS tk FROM documents),
+              |tot AS (SELECT doc_id, len(tk) AS total_tokens FROM d WHERE len(tk) > 0),
+              |wins AS (
+              |  SELECT doc_id, i AS st, array_to_string(tk[i:i+9], ' ') AS w
+              |  FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 9)) AS i
+              |        FROM d WHERE len(tk) >= 10)),
+              |dup AS (SELECT w FROM wins GROUP BY w HAVING count(*) > 1),
+              |cover AS (
+              |  SELECT DISTINCT doc_id, p
+              |  FROM (SELECT doc_id, unnest(generate_series(st, st + 9)) AS p
+              |        FROM wins JOIN dup USING (w))),
+              |cc AS (SELECT doc_id, count(*) AS dup_tokens FROM cover GROUP BY doc_id)
+              |SELECT t.doc_id, CAST(t.total_tokens AS BIGINT) AS total_tokens,
+              |  CAST(coalesce(cc.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+              |  round(CAST(coalesce(cc.dup_tokens, 0) AS DOUBLE) / t.total_tokens, 6) AS dup_ratio
+              |FROM tot t LEFT JOIN cc USING (doc_id)""".stripMargin)),
 
     // LSH candidates + exact-Jaccard verification: recall ≥ 1-7e-5 per
     // true pair at j≥0.5, so the result coincides with the full exact

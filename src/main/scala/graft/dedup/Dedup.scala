@@ -184,6 +184,82 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Exact duplicated-substring coverage (the "exact substring dedup"
+    * of Lee et al., Deduplicating Training Data Makes Language Models
+    * Better, arXiv:2107.06499 — beyond the reference engine): every
+    * L-token window whose text occurs MORE THAN ONCE corpus-wide marks
+    * its token positions as duplicated; per document we report how many
+    * positions are covered. Suffix arrays (the paper's structure) don't
+    * distribute; fixed-L rolling windows are the standard shuffle-native
+    * equivalent and find exactly the spans ≥ L tokens.
+    *
+    * Plan shape (100 TB honest):
+    *  - tokenize once; window generation is per-row `transform` over the
+    *    token array (no cross-row window function, nothing per-doc on
+    *    the driver);
+    *  - windows shuffle as 8-byte xxhash64 keys, never n-gram strings
+    *    (same stance as [[graft.pipeline.Decontaminate]]; equality up to
+    *    64-bit collisions, P ≈ m²/2⁶⁵);
+    *  - corpus-wide duplicate test = groupBy(hash) HAVING count>1 — one
+    *    linear shuffle of (hash, doc, start);
+    *  - coverage = explode(sequence(start, start+L−1)) of duplicated
+    *    starts, distinct per doc — bounded by the corpus token count.
+    *
+    * Returns every non-empty document:
+    * (id, total_tokens, dup_tokens, dup_ratio).
+    */
+  def duplicatedCoverage(df: DataFrame, idCol: String, textCol: String,
+                         minLen: Int = 10): DataFrame = {
+    val base = df.select(col(idCol).as("id"), TF.tokens(col(textCol)).as("tk"))
+      .filter(size(col("tk")) > 0)
+    val wins = base.filter(size(col("tk")) >= minLen)
+      .select(col("id"), posexplode(transform(
+        sequence(lit(0), size(col("tk")) - lit(minLen)),
+        i => xxhash64(concat_ws(" ", slice(col("tk"), i + 1, lit(minLen)))))))
+      .toDF("id", "start", "h")
+    val dup = wins.groupBy("h").agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1).select("h")
+    val cover = wins.join(dup, Seq("h"))
+      .select(col("id"),
+        explode(sequence(col("start"), col("start") + lit(minLen - 1))).as("p"))
+      .distinct()
+      .groupBy("id").agg(count(lit(1)).as("dup_tokens"))
+    base.select(col("id"), size(col("tk")).cast("long").as("total_tokens"))
+      .join(cover, Seq("id"), "left")
+      .select(col("id"), col("total_tokens"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"))
+      .withColumn("dup_ratio", col("dup_tokens").cast("double") / col("total_tokens"))
+  }
+
+  /** Maximal duplicated span RANGES per document (token positions,
+    * 0-based inclusive): duplicated window starts merged gaps-and-islands
+    * style — a start ≤ previous start + L extends the island (overlap or
+    * adjacency), otherwise a new span begins. All windows are partitioned
+    * by document id; nothing global. Returns (id, span_start, span_end).
+    */
+  def duplicatedSpans(df: DataFrame, idCol: String, textCol: String,
+                      minLen: Int = 10): DataFrame = {
+    val base = df.select(col(idCol).as("id"), TF.tokens(col(textCol)).as("tk"))
+      .filter(size(col("tk")) >= minLen)
+    val wins = base
+      .select(col("id"), posexplode(transform(
+        sequence(lit(0), size(col("tk")) - lit(minLen)),
+        i => xxhash64(concat_ws(" ", slice(col("tk"), i + 1, lit(minLen)))))))
+      .toDF("id", "start", "h")
+    val dup = wins.groupBy("h").agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1).select("h")
+    val w = Window.partitionBy("id").orderBy("start")
+    wins.join(dup, Seq("h"))
+      .select("id", "start").dropDuplicates("id", "start")
+      .withColumn("island",
+        sum(when(col("start") > lag(col("start"), 1, Int.MinValue).over(w) + lit(minLen), 1)
+          .otherwise(0)).over(w))
+      .groupBy("id", "island")
+      .agg(min("start").as("span_start"),
+        (max("start") + lit(minLen - 1)).as("span_end"))
+      .select("id", "span_start", "span_end")
+  }
+
   /** SimHash near-dup pairs: 64-bit simhash per doc (explode + 64
     * codegen'd vote-sums, one shuffle), banded into four 16-bit blocks
     * (pigeonhole: hamming ≤ 3 ⇒ at least one block equal), candidates

@@ -73,6 +73,60 @@ class DedupSpec extends AnyFunSuite {
     assert(lsh == brute)
   }
 
+  test("duplicatedCoverage finds exactly the planted shared span (Lee-et-al substring dedup)") {
+    import spark.implicits._
+    // docs 1 and 2 share a 12-token run; doc 3 is unrelated filler long
+    // enough to window but with every 5-gram unique
+    val shared = (1 to 12).map(i => s"s$i").mkString(" ")
+    val corpus = Seq(
+      (1L, s"alpha beta $shared gamma delta"),
+      (2L, s"$shared omega psi chi phi upsilon"),
+      (3L, (1 to 20).map(i => s"u$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val cov = Dedup.duplicatedCoverage(corpus, "doc_id", "text", minLen = 5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // the shared 12-token span is covered in both carriers, nothing else:
+    // windows are length-5, only those fully inside the shared run repeat
+    assert(cov(1L) == (16L, 12L))
+    assert(cov(2L) == (17L, 12L))
+    assert(cov(3L) == (20L, 0L))
+  }
+
+  test("duplicatedSpans merges windows into one maximal range per carrier") {
+    import spark.implicits._
+    val shared = (1 to 12).map(i => s"s$i").mkString(" ")
+    val corpus = Seq(
+      (1L, s"alpha beta $shared gamma delta"),
+      (2L, s"$shared omega psi chi phi upsilon")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.duplicatedSpans(corpus, "doc_id", "text", minLen = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    // doc 1: tokens 2..13 are the shared run (0-based); doc 2: 0..11
+    assert(spans == Set((1L, 2, 13), (2L, 0, 11)))
+  }
+
+  test("duplicatedCoverage agrees with a string-keyed recomputation on real testdata") {
+    val byHash = Dedup.duplicatedCoverage(docs, "doc_id", "text", minLen = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // independent recomputation with STRING window keys (no hashing)
+    val base = docs.select(col("doc_id").as("id"), TF.tokens(col("text")).as("tk"))
+      .filter(size(col("tk")) > 0)
+    val wins = base.filter(size(col("tk")) >= 10)
+      .select(col("id"), posexplode(transform(
+        sequence(lit(0), size(col("tk")) - lit(10)),
+        i => concat_ws(" ", slice(col("tk"), i + 1, lit(10))))))
+      .toDF("id", "start", "w")
+    val dup = wins.groupBy("w").agg(count(lit(1)).as("c")).filter(col("c") > 1).select("w")
+    val cover = wins.join(dup, Seq("w"))
+      .select(col("id"), explode(sequence(col("start"), col("start") + lit(9))).as("p"))
+      .distinct().groupBy("id").agg(count(lit(1)).as("dup_tokens"))
+    val expected = base.select(col("id"), size(col("tk")).cast("long").as("total_tokens"))
+      .join(cover, Seq("id"), "left")
+      .select(col("id"), col("total_tokens"), coalesce(col("dup_tokens"), lit(0L)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(byHash == expected)
+  }
+
   test("minhash signatures are set-order invariant (runtime/minhash_lsh.rs:371 test_minhash)") {
     val k = 64
     def sig(elems: Seq[String]): Seq[Long] =

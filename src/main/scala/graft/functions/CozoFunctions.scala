@@ -163,6 +163,147 @@ object CozoFunctions {
     "瞭望" -> "瞭望", "瞭解" -> "了解", "明瞭" -> "明了")
   private val t2sAmbiguousChars = ("乾著藉瞭", "干着藉了") // defaults outside phrases
 
+  /** Additional single-character mappings beyond the legacy rows, one
+    * 2-char "trad simp" entry each so every mapping is auditable in
+    * place. Merged with the legacy table at init; conflicting duplicates
+    * fail loudly there. Still a curated subset of the full OpenCC data
+    * (the deployment swap-in), but this covers the high-frequency
+    * simplifications the legacy rows missed. */
+  private val t2sMorePairs: Seq[String] = Seq(
+    // extremely common single chars
+    "發发", "後后", "時时", "實实", "當当", "對对", "裡里", "裏里", "麵面",
+    "隻只", "幹干", "並并", "沒没", "電电", "點点", "無无", "該该", "爾尔",
+    "將将", "從从", "數数", "準准", "備备", "條条", "師师", "農农", "雜杂",
+    // finance / trade (貝 radical)
+    "財财", "責责", "賢贤", "敗败", "貨货", "貪贪", "貧贫", "購购", "貯贮",
+    "貴贵", "費费", "贈赠", "資资", "賊贼", "賞赏", "賦赋", "賬账", "賓宾",
+    "負负", "貢贡", "貶贬", "貿贸", "賄贿", "賠赔", "賤贱", "賭赌", "贊赞",
+    "賴赖", "賀贺", "贏赢", "質质", "貝贝", "賣卖", "賽赛", "贗赝",
+    // metals (釒 radical)
+    "鐵铁", "銀银", "錢钱", "銅铜", "鋁铝", "鋼钢", "針针", "釘钉", "鈣钙",
+    "鈉钠", "鉀钾", "鎂镁", "鋅锌", "錫锡", "鉛铅", "鏈链", "鎖锁", "鍵键",
+    "錯错", "鍋锅", "鑄铸", "鑒鉴", "鑑鉴", "錄录", "鑼锣", "鈴铃", "鐘钟",
+    "鍾钟", "錶表", "鏡镜", "鏟铲", "鑽钻", "銷销", "鋒锋", "銳锐", "鍛锻",
+    "鎮镇", "鋪铺",
+    // 頁 radical
+    "頁页", "頂顶", "項项", "順顺", "須须", "頑顽", "顧顾", "頓顿", "頒颁",
+    "頌颂", "預预", "領领", "頭头", "頸颈", "頻频", "題题", "額额", "顏颜",
+    "願愿", "類类", "顯显", "頗颇", "顆颗", "顫颤", "頃顷",
+    // food (飠 radical)
+    "飯饭", "飲饮", "餓饿", "館馆", "飽饱", "飾饰", "餃饺", "餅饼", "養养",
+    "餘余", "餡馅", "飢饥", "饑饥", "饒饶", "饞馋",
+    // horses (馬 radical)
+    "馮冯", "馳驰", "駕驾", "騎骑", "騙骗", "驚惊", "驗验", "驕骄", "駐驻",
+    "騷骚", "驟骤", "駛驶", "騰腾", "驢驴", "驥骥", "驅驱", "駱骆",
+    // silk (糹 radical)
+    "絞绞", "綁绑", "繩绳", "維维", "綿绵", "緊紧", "縣县", "織织", "繞绕",
+    "繡绣", "續续", "纏缠", "縮缩", "總总", "績绩", "縫缝", "編编", "緣缘",
+    "緒绪", "緩缓", "締缔", "縛缚", "絡络", "絕绝", "結结", "綜综", "綠绿",
+    "綢绸", "網网", "紹绍", "繪绘", "繳缴", "糾纠", "纖纤", "纔才", "籤签",
+    "緻致", "縷缕", "纜缆", "纏缠",
+    // 門 radical
+    "閃闪", "閥阀", "閣阁", "閱阅", "闆板", "闊阔", "闖闯", "關关", "閘闸",
+    "閏闰", "闢辟", "閨闺",
+    // speech (訁 radical) beyond legacy
+    "詳详", "誅诛", "誕诞", "誘诱", "誤误", "誦诵", "說说", "誠诚", "誡诫",
+    "誌志", "諒谅", "談谈", "諸诸", "諾诺", "謀谋", "謂谓", "謊谎", "謝谢",
+    "謠谣", "謹谨", "譜谱", "譽誉", "護护", "變变", "讚赞", "誇夸", "詩诗",
+    "誼谊", "調调", "課课", "諺谚", "謎谜", "謙谦", "詢询",
+    // vehicles (車 radical)
+    "軟软", "較较", "載载", "輔辅", "輕轻", "輛辆", "輝辉", "輪轮", "輸输",
+    "轉转", "轎轿", "輩辈", "轟轰", "輯辑", "輻辐", "轄辖", "軍军", "軌轨",
+    "軀躯", "輿舆",
+    // fish / birds / bugs
+    "鮮鲜", "鯉鲤", "鯊鲨", "鴨鸭", "鴿鸽", "鵝鹅", "鷹鹰", "鶴鹤", "鵬鹏",
+    "鴻鸿", "蟲虫", "蠶蚕", "蠟蜡", "蟬蝉", "蝦虾", "螞蚂", "螢萤", "蝕蚀",
+    "蟻蚁", "蠅蝇", "鷗鸥",
+    // misc high-frequency
+    "龍龙", "龜龟", "鹽盐", "鹼碱", "麥麦", "黃黄", "黨党", "齊齐", "齒齿",
+    "勁劲", "辦办", "蘇苏", "蘭兰", "藝艺", "藥药", "蘋苹", "蓮莲", "薩萨",
+    "蔣蒋", "蕭萧", "蘿萝", "葉叶", "萊莱", "莊庄", "蒼苍", "蓋盖", "蔥葱",
+    "蕩荡", "薦荐", "藍蓝", "蘆芦", "蘊蕴", "艱艰", "虛虚", "虜虏",
+    "愛爱", "憲宪", "憶忆", "應应", "懷怀", "懼惧", "憑凭", "態态", "慶庆",
+    "慮虑", "慣惯", "憤愤", "悅悦", "惱恼", "憂忧", "鬱郁", "懲惩", "戀恋",
+    "懶懒", "戲戏", "戰战", "戶户",
+    "擊击", "擔担", "據据", "擁拥", "擇择", "擴扩", "攔拦", "攜携", "攝摄",
+    "擺摆", "擾扰", "撲扑", "撐撑", "搶抢", "撈捞", "損损", "換换", "揚扬",
+    "搖摇", "擬拟", "掛挂", "採采", "捨舍", "捲卷", "擋挡", "擠挤",
+    "樹树", "橋桥", "機机", "權权", "樓楼", "標标", "樣样", "檢检", "榮荣",
+    "構构", "槍枪", "極极", "楊杨", "夢梦", "棄弃", "檔档", "櫃柜", "欄栏",
+    "樸朴", "棟栋", "桿杆", "橫横",
+    "歡欢", "歲岁", "歷历", "曆历", "歸归", "殘残", "殺杀", "毀毁", "殼壳",
+    "毆殴", "歎叹", "歐欧",
+    "氫氢", "淺浅", "濟济", "濤涛", "灣湾", "溫温", "湯汤", "測测", "湧涌",
+    "滿满", "漸渐", "潔洁", "澤泽", "濃浓", "濕湿", "瀉泻", "瀏浏", "滲渗",
+    "漲涨", "潛潜", "潤润", "澆浇", "淪沦", "洶汹", "湊凑", "減减", "渦涡",
+    "決决", "況况", "淨净", "涼凉", "沖冲", "潑泼", "灘滩", "灑洒", "濱滨",
+    "燈灯", "燒烧", "爐炉", "煙烟", "熱热", "燦灿", "燭烛", "爛烂", "營营",
+    "煉炼", "熒荧", "燉炖", "爺爷", "牆墙", "牽牵", "犧牺", "獻献",
+    "獨独", "獲获", "穫获", "獎奖", "獄狱", "猶犹", "狀状", "獅狮", "貓猫",
+    "豬猪", "狹狭",
+    "環环", "現现", "瑪玛", "瓊琼",
+    "畢毕", "畫画", "異异", "疇畴", "瘋疯", "療疗", "瘡疮", "癢痒", "瘧疟",
+    "癱瘫", "盡尽", "儘尽", "監监", "盤盘", "盜盗", "睜睁", "瞞瞒", "矚瞩",
+    "睏困",
+    "礦矿", "碼码", "磚砖", "礎础", "確确", "碩硕", "礙碍",
+    "禮礼", "禍祸", "禱祷", "禪禅", "種种", "稱称", "穀谷", "積积", "穩稳",
+    "稅税", "窮穷", "竊窃", "窩窝", "窺窥", "競竞",
+    "筆笔", "筍笋", "節节", "範范", "築筑", "簡简", "簽签", "籃篮", "籌筹",
+    "籠笼", "篩筛", "簾帘", "篤笃", "簫箫",
+    "糧粮", "粵粤", "糞粪",
+    "罰罚", "罷罢", "羅罗", "罵骂",
+    "聖圣", "聯联", "聰聪", "聲声", "職职", "聳耸", "肅肃",
+    "脈脉", "腦脑", "腸肠", "膚肤", "膠胶", "臟脏", "髒脏", "脹胀", "腫肿",
+    "膽胆", "脅胁", "脫脱", "腎肾", "膩腻", "臉脸", "腳脚",
+    "艦舰", "艙舱", "興兴", "舖铺",
+    "術术", "衛卫", "補补", "裝装", "褲裤", "襯衬", "複复", "復复", "製制",
+    "襪袜", "襲袭", "衝冲", "衆众",
+    "規规", "覽览", "豎竖", "豈岂", "艷艳",
+    "趕赶", "趙赵", "趨趋", "躍跃", "踐践", "蹤踪",
+    "辭辞", "辯辩", "辮辫",
+    "遠远", "適适", "選选", "遺遗", "邏逻", "遲迟", "遞递", "鄰邻", "鄭郑",
+    "鄧邓", "郵邮", "遊游", "遙遥", "遜逊", "週周",
+    "釀酿", "釋释",
+    "陸陆", "陽阳", "陰阴", "階阶", "際际", "隨随", "險险", "隱隐", "隊队",
+    "陣阵", "陳陈", "隸隶", "陝陕",
+    "雖虽", "雙双", "難难", "離离", "靈灵", "靜静", "霧雾", "靂雳",
+    "韋韦", "韓韩", "響响", "飄飘",
+    "鬆松", "鬚须", "魯鲁",
+    "齡龄", "屬属", "層层", "屆届", "屍尸", "屜屉", "屢屡",
+    "帶带", "幫帮", "幣币", "帥帅", "幟帜", "帳帐", "廣广", "廟庙", "廠厂",
+    "廢废", "廳厅", "廬庐", "庫库", "廈厦", "廚厨", "廁厕", "龐庞",
+    "彈弹", "強强", "彎弯", "彙汇", "彌弥", "徑径", "徹彻", "徵征",
+    "敵敌", "敘叙", "斬斩", "斃毙", "曉晓",
+    "壓压", "壘垒", "墮堕", "壞坏", "壟垄",
+    "婦妇", "媽妈", "嬰婴", "嬌娇", "孫孙", "寧宁", "寬宽", "審审", "宮宫",
+    "尋寻", "導导", "對对", "壽寿", "夾夹", "奪夺", "奮奋", "奧奥", "妝妆",
+    "姦奸", "嚇吓", "噸吨", "嘆叹", "嗎吗", "嘔呕", "嘩哗", "嘯啸", "嚴严",
+    "囑嘱", "囪囱", "圍围", "園园", "圖图", "團团", "聞闻",
+    "傑杰", "儲储", "償偿", "優优", "僱雇", "債债", "傾倾",
+    "劇剧", "劉刘", "劍剑", "創创", "劃划", "則则", "剛刚", "剝剥", "剎刹",
+    "勝胜", "勞劳", "勢势", "動动", "務务", "勵励", "勸劝", "匯汇", "區区",
+    "醫医", "協协", "單单", "華华", "惡恶", "矯矫",
+    "黴霉", "髮发", "雞鸡", "鳳凤", "鳴鸣", "鴉鸦", "鬧闹", "鬨哄", "鬥斗",
+    "麗丽", "齋斋")
+
+  /** Merged character table: legacy rows + [[t2sMorePairs]]. Duplicate
+    * entries with the SAME target are collapsed; a conflicting duplicate
+    * or an entry colliding with the ambiguous-char set fails loudly at
+    * class init (tests would go red before any query runs). */
+  private val (t2sTradMerged, t2sSimpMerged): (String, String) = {
+    val legacy = t2sTraditional.zip(t2sSimplified)
+    val more = t2sMorePairs.map { p =>
+      require(p.length == 2, s"t2s pair must be 2 chars: '$p'"); (p(0), p(1))
+    }
+    val m = scala.collection.mutable.LinkedHashMap.empty[Char, Char]
+    for ((t, s) <- legacy ++ more) {
+      require(!m.contains(t) || m(t) == s, s"conflicting t2s mapping for '$t'")
+      require(!t2sAmbiguousChars._1.contains(t), s"ambiguous char '$t' belongs to the phrase pass")
+      if (!m.contains(t)) m(t) = s
+    }
+    (m.keys.mkString, m.values.mkString)
+  }
+
   /** functions.rs:1446 `t2s` — phrase rules + common-character table
     * (the reference embeds the full fast2s data). */
   def t2s(c: Column): Column = {
@@ -171,7 +312,7 @@ object CozoFunctions {
       replace(acc, lit(trad), lit((0xE000 + i).toChar.toString))
     }
     val translated = translate(masked,
-      t2sTraditional + t2sAmbiguousChars._1, t2sSimplified + t2sAmbiguousChars._2)
+      t2sTradMerged + t2sAmbiguousChars._1, t2sSimpMerged + t2sAmbiguousChars._2)
     t2sPhrases.zipWithIndex.foldLeft(translated) { case (acc, ((_, simp), i)) =>
       replace(acc, lit((0xE000 + i).toChar.toString), lit(simp))
     }

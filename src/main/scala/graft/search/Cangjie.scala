@@ -186,11 +186,13 @@ object Cangjie {
     }
   }
 
-  /** Seed dictionary: ~200 high-frequency Mandarin words with rough
+  /** Seed dictionary: ~450 high-frequency Mandarin words with rough
     * relative frequencies — enough for real segmentation behavior and
     * the FTS round-trip tests; swap in the full jieba dict via
     * [[setDictionary]]/[[loadDictLines]] where the data is available. */
-  private def seedDict: Map[String, Long] = Map(
+  private def seedDict: Map[String, Long] = seedDictCore ++ seedDictMore
+
+  private def seedDictCore: Map[String, Long] = Map(
     "我们" -> 900000L, "你们" -> 300000L, "他们" -> 500000L, "自己" -> 400000L,
     "什么" -> 800000L, "怎么" -> 300000L, "这个" -> 600000L, "那个" -> 300000L,
     "一个" -> 900000L, "没有" -> 800000L, "可以" -> 800000L, "知道" -> 500000L,
@@ -244,4 +246,69 @@ object Cangjie {
     "认为" -> 90000L, "表示" -> 70000L, "成为" -> 80000L, "进行" -> 90000L,
     "通过" -> 90000L, "根据" -> 60000L, "关于" -> 55000L, "对于" -> 55000L,
     "皇后" -> 12000L, "王后" -> 8000L, "皇帝" -> 30000L, "国王" -> 25000L)
+
+  /** Round-6 expansion: connectives, frequent verbs, software/tech
+    * vocabulary (the corpus domain), positional/temporal nouns, and the
+    * classic segmentation-test compounds (研究生/北京大学/自然语言处理)
+    * whose nested sub-words exercise the DP cut and `search` mode. */
+  private def seedDictMore: Map[String, Long] = Map(
+    // connectives / adverbs
+    "以及" -> 200000L, "而且" -> 180000L, "或者" -> 150000L, "虽然" -> 160000L,
+    "然后" -> 200000L, "然而" -> 90000L, "于是" -> 80000L, "并且" -> 90000L,
+    "不过" -> 140000L, "只是" -> 120000L, "只有" -> 130000L, "只要" -> 90000L,
+    "无论" -> 60000L, "不管" -> 55000L, "即使" -> 60000L, "尽管" -> 50000L,
+    "既然" -> 40000L, "否则" -> 40000L, "例如" -> 50000L, "比如" -> 70000L,
+    "首先" -> 60000L, "其次" -> 35000L, "另外" -> 60000L, "此外" -> 45000L,
+    "总之" -> 25000L, "终于" -> 50000L, "突然" -> 60000L, "立刻" -> 30000L,
+    "马上" -> 50000L, "刚才" -> 40000L, "正在" -> 90000L, "曾经" -> 50000L,
+    "从来" -> 40000L, "永远" -> 45000L, "一直" -> 90000L, "总是" -> 60000L,
+    "经常" -> 55000L, "有时" -> 40000L, "偶尔" -> 15000L, "几乎" -> 60000L,
+    "大约" -> 30000L, "左右" -> 45000L, "差不多" -> 30000L, "越来越" -> 40000L,
+    // frequent verbs / abstract nouns
+    "关系" -> 90000L, "影响" -> 90000L, "作用" -> 70000L, "结果" -> 90000L,
+    "原因" -> 70000L, "目的" -> 55000L, "条件" -> 60000L, "标准" -> 60000L,
+    "规定" -> 50000L, "要求" -> 90000L, "决定" -> 80000L, "选择" -> 80000L,
+    "继续" -> 70000L, "停止" -> 30000L, "完成" -> 70000L, "实现" -> 70000L,
+    "建设" -> 70000L, "建立" -> 60000L, "创建" -> 25000L, "创新" -> 45000L,
+    "设计" -> 70000L, "开发" -> 70000L, "测试" -> 45000L, "部署" -> 15000L,
+    "运行" -> 45000L, "执行" -> 40000L, "存储" -> 25000L, "读取" -> 15000L,
+    "写入" -> 12000L, "删除" -> 20000L, "更新" -> 35000L, "插入" -> 15000L,
+    "修改" -> 30000L, "配置" -> 25000L, "支持" -> 80000L, "提供" -> 90000L,
+    "帮助" -> 70000L, "解决" -> 65000L, "讨论" -> 45000L, "介绍" -> 45000L,
+    "说明" -> 45000L, "描述" -> 25000L, "定义" -> 30000L, "理解" -> 50000L,
+    // software / data vocabulary (the corpus domain)
+    "版本" -> 35000L, "文件" -> 60000L, "文档" -> 30000L, "目录" -> 25000L,
+    "路径" -> 18000L, "代码" -> 50000L, "函数" -> 30000L, "变量" -> 22000L,
+    "参数" -> 30000L, "类型" -> 40000L, "对象" -> 35000L, "接口" -> 30000L,
+    "模块" -> 25000L, "组件" -> 22000L, "框架" -> 25000L, "平台" -> 45000L,
+    "工具" -> 45000L, "功能" -> 55000L, "性能" -> 35000L, "效率" -> 35000L,
+    "优化" -> 30000L, "错误" -> 35000L, "异常" -> 22000L, "日志" -> 18000L,
+    "监控" -> 18000L, "调试" -> 12000L, "编译" -> 15000L, "语法" -> 18000L,
+    "逻辑" -> 28000L, "结构" -> 45000L, "数组" -> 15000L, "列表" -> 20000L,
+    "字典" -> 15000L, "字符" -> 18000L, "字符串" -> 15000L, "数字" -> 40000L,
+    "整数" -> 10000L, "内存" -> 25000L, "磁盘" -> 12000L, "缓存" -> 15000L,
+    "队列" -> 12000L, "线程" -> 15000L, "进程" -> 15000L, "并发" -> 12000L,
+    "分布" -> 20000L, "分布式" -> 12000L, "集群" -> 12000L, "节点" -> 18000L,
+    "服务器" -> 30000L, "客户" -> 40000L, "客户端" -> 18000L, "请求" -> 30000L,
+    "响应" -> 20000L, "协议" -> 20000L, "端口" -> 10000L, "地址" -> 30000L,
+    "网站" -> 40000L, "网页" -> 25000L, "页面" -> 28000L, "链接" -> 20000L,
+    "按钮" -> 15000L, "输入" -> 30000L, "输出" -> 25000L, "界面" -> 22000L,
+    "图片" -> 35000L, "视频" -> 45000L, "音频" -> 15000L, "声音" -> 35000L,
+    // physical / positional / temporal
+    "颜色" -> 30000L, "大小" -> 25000L, "位置" -> 35000L, "方向" -> 30000L,
+    "速度" -> 35000L, "距离" -> 28000L, "重量" -> 15000L, "温度" -> 25000L,
+    "压力" -> 35000L, "能量" -> 25000L, "电力" -> 15000L, "力量" -> 35000L,
+    "水平" -> 35000L, "垂直" -> 10000L, "中心" -> 50000L, "中间" -> 35000L,
+    "左边" -> 15000L, "右边" -> 15000L, "上面" -> 30000L, "下面" -> 30000L,
+    "前面" -> 30000L, "后面" -> 30000L, "里面" -> 35000L, "外面" -> 25000L,
+    "旁边" -> 20000L, "附近" -> 25000L, "周围" -> 25000L, "之间" -> 60000L,
+    "之前" -> 55000L, "之后" -> 60000L, "以前" -> 55000L, "以后" -> 60000L,
+    "当时" -> 50000L, "同时" -> 60000L, "最近" -> 50000L, "最后" -> 70000L,
+    "最初" -> 20000L, "时期" -> 35000L, "阶段" -> 30000L, "过程" -> 50000L,
+    // classic segmentation-test compounds and their sub-words
+    "研究生" -> 25000L, "生命" -> 45000L, "起源" -> 12000L,
+    "北京大学" -> 15000L, "清华大学" -> 12000L, "中文分词" -> 3000L,
+    "分词" -> 5000L, "自然语言" -> 8000L, "自然语言处理" -> 6000L,
+    "语言处理" -> 4000L, "词典" -> 8000L, "词语" -> 10000L,
+    "句子" -> 18000L, "段落" -> 8000L, "翻译" -> 25000L, "词汇" -> 12000L)
 }

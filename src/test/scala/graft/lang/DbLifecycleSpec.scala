@@ -116,6 +116,23 @@ class DbLifecycleSpec extends AnyFunSuite {
       == "simplified 简体 text")
   }
 
+  test("t2s covers the expanded character table (radical families, variants, multi-source)") {
+    def conv(s: String): String =
+      Seq(Tuple1(s)).toDF("s").select(CozoFunctions.t2s(col("s"))).collect().head.getString(0)
+    assert(conv("頭髮 發現") == "头发 发现")        // 髮 and 發 both → 发
+    assert(conv("電腦網絡 時間") == "电脑网络 时间")
+    assert(conv("該說的話都說了") == "该说的话都说了")
+    assert(conv("準備 農業 貿易") == "准备 农业 贸易")
+    assert(conv("儘管 盡力 睏了") == "尽管 尽力 困了")  // 儘/盡 → 尽
+    assert(conv("手錶 鐘錶 钟表") == "手表 钟表 钟表") // 錶 → 表, 鐘/鍾 → 钟
+    assert(conv("歷史 日曆") == "历史 日历")          // 歷/曆 → 历
+    assert(conv("老闆 開闢 關門") == "老板 开辟 关门")
+    assert(conv("遊戲 週末 對話") == "游戏 周末 对话")
+    assert(conv("麵包 船隻 幹部") == "面包 船只 干部")
+    assert(conv("這裡 那裏") == "这里 那里")          // both 裡 and 裏
+    assert(conv("臟器 骯髒") == "脏器 骯脏")          // 臟/髒 → 脏 (骯 uncovered, passes through)
+  }
+
   test("t2s phrase rules override the ambiguous-character defaults") {
     def conv(s: String): String =
       Seq(Tuple1(s)).toDF("s").select(CozoFunctions.t2s(col("s"))).collect().head.getString(0)

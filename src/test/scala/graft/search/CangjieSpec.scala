@@ -39,6 +39,21 @@ class CangjieSpec extends AnyFunSuite {
     assert(Cangjie.cut("我们用spark处理数据") == Seq("我们", "用", "spark", "处理", "数据"))
   }
 
+  test("expanded dictionary: classic compounds and nested sub-word DP") {
+    // the canonical jieba demo sentence segments into real words
+    assert(Cangjie.cut("研究生命的起源") == Seq("研究生", "命", "的", "起源") ||
+      Cangjie.cut("研究生命的起源") == Seq("研究", "生命", "的", "起源"))
+    // DP picks the higher-probability parse for unambiguous compounds
+    assert(Cangjie.cut("自然语言处理平台") == Seq("自然语言处理", "平台"))
+    assert(Cangjie.cut("分布式服务器集群") == Seq("分布式", "服务器", "集群"))
+    // search mode surfaces nested sub-words of the long compound
+    val toks = Cangjie.cut("自然语言处理", "search").toSet
+    assert(toks.contains("自然语言处理"))
+    assert(toks.contains("自然"))
+    assert(toks.contains("语言"))
+    assert(toks.contains("处理"))
+  }
+
   test("CJK ::fts create + probe round-trip (fts/mod.rs Cangjie)") {
     val spark = SparkFixture.spark
     val db = new CozoDb(spark)

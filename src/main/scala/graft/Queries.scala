@@ -1223,6 +1223,30 @@ object Queries {
               |  (CASE WHEN stopword_ratio >= 0.05 THEN 0.3 ELSE stopword_ratio * 6 END), 4) AS quality
               |FROM st""".stripMargin)),
 
+    // Gopher/MassiveText repetition filters: the Spark side is a
+    // zero-shuffle sorted-run HOF per row; the oracle recomputes the
+    // same counts the relational way (unnest + GROUP BY).
+    Spec("text_repetition", (s, d) =>
+      TextAnalysis.repetitionSignals(T(s, d, "documents"), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .withColumn("top_bigram_frac", round(col("top_bigram_frac"), 6))
+        .withColumn("dup_trigram_frac", round(col("dup_trigram_frac"), 6)),
+      Some(s"""WITH d AS (SELECT doc_id, $toksSql AS tk FROM documents),
+              |bi AS (SELECT doc_id, tk[i] || ' ' || tk[i+1] AS g
+              |       FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 1)) AS i
+              |             FROM d WHERE len(tk) >= 2)),
+              |tri AS (SELECT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS g
+              |        FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 2)) AS i
+              |              FROM d WHERE len(tk) >= 3)),
+              |bs AS (SELECT doc_id, sum(c) AS total, max(c) AS top
+              |       FROM (SELECT doc_id, g, count(*) AS c FROM bi GROUP BY 1, 2) GROUP BY 1),
+              |ts AS (SELECT doc_id, sum(c) AS total, count(*) AS nd
+              |       FROM (SELECT doc_id, g, count(*) AS c FROM tri GROUP BY 1, 2) GROUP BY 1)
+              |SELECT d.doc_id, CAST(len(d.tk) AS BIGINT) AS n_tokens,
+              |  round(coalesce(CAST(bs.top AS DOUBLE) / bs.total, 0.0), 6) AS top_bigram_frac,
+              |  round(coalesce(CAST(ts.total - ts.nd AS DOUBLE) / ts.total, 0.0), 6) AS dup_trigram_frac
+              |FROM d LEFT JOIN bs USING (doc_id) LEFT JOIN ts USING (doc_id)""".stripMargin)),
+
     Spec("text_fingerprint", (s, d) =>
       T(s, d, "documents").select(col("doc_id"),
         md5(concat_ws(" ", TF.tokens(col("text")))).as("fingerprint")),

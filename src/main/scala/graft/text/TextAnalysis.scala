@@ -49,6 +49,52 @@ object TextAnalysis {
         when(col("stopword_ratio") >= 0.05, lit(0.3)).otherwise(col("stopword_ratio") * 6), 4))
   }
 
+  /** Within-document repetition signals (the Gopher/MassiveText
+    * repetition filters, Rae et al. 2021 Table A1 — public): documents
+    * dominated by a few repeated n-grams are boilerplate/spam.
+    * Returns (id, n_tokens, top_bigram_frac = occurrences of the most
+    * frequent word bigram / total bigrams, dup_trigram_frac = fraction
+    * of trigram occurrences beyond each gram's first).
+    *
+    * Plan shape: ZERO shuffles — per-row `array_sort` + one `aggregate`
+    * HOF pass counting run lengths (top count and distinct count fall
+    * out of runs over the sorted grams), all inside whole-stage codegen.
+    * A 100 TB pass is embarrassingly parallel and reads only (id, text)
+    * — compare the explode+groupBy alternative, which shuffles every
+    * gram occurrence. Cost per doc is the O(L log L) sort.
+    */
+  def repetitionSignals(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = TF.tokens(col(textCol))
+    def grams(n: Int): Column =
+      when(size(toks) >= n,
+        transform(sequence(lit(0), size(toks) - lit(n)),
+          i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+        .otherwise(array().cast("array<string>"))
+    // runs over the sorted gram array: (prev, run, best-run, distinct)
+    def runStats(a: Column): Column = aggregate(
+      array_sort(a),
+      struct(lit(null).cast("string").as("prev"), lit(0L).as("run"),
+        lit(0L).as("best"), lit(0L).as("nd")),
+      (acc, x) => {
+        val same = acc.getField("prev").isNotNull && (acc.getField("prev") === x)
+        val run = when(same, acc.getField("run") + 1L).otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"),
+          (acc.getField("nd") + when(same, lit(0L)).otherwise(lit(1L))).as("nd"))
+      })
+    val bi = runStats(grams(2))
+    val tri = runStats(grams(3))
+    val nBi = size(grams(2)).cast("long")
+    val nTri = size(grams(3)).cast("long")
+    df.select(
+      col(idCol).as("id"),
+      size(toks).cast("long").as("n_tokens"),
+      when(nBi > 0, bi.getField("best").cast("double") / nBi)
+        .otherwise(lit(0.0)).as("top_bigram_frac"),
+      when(nTri > 0, (nTri - tri.getField("nd")).cast("double") / nTri)
+        .otherwise(lit(0.0)).as("dup_trigram_frac"))
+  }
+
   /** Script/stopword language-ID heuristic (n-gram profiles degenerate
     * to this on the synthetic corpus): CJK / Cyrillic / Arabic scripts
     * by Unicode range, then Latin languages by marker stopwords,

@@ -24,6 +24,42 @@ class PipelineSpec extends AnyFunSuite {
     assert(small.subsetOf(a), "nested samples (bucket < t is monotone in t)")
   }
 
+  test("repetitionSignals: hand-computed fractions and explode-groupBy agreement") {
+    import spark.implicits._
+    // "a b a b a": bigrams [ab, ba, ab, ba] → top 2/4; trigrams
+    // [aba, bab, aba] → 3 occurrences, 2 distinct → dup 1/3
+    val tiny = Seq((1L, "a b a b a"), (2L, "x y z"), (3L, "w")).toDF("doc_id", "text")
+    val r = TextAnalysis.repetitionSignals(tiny, "doc_id", "text")
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getDouble(2), x.getDouble(3))).toMap
+    assert(r(1L) == ((5L, 0.5, 1.0 / 3)))
+    assert(r(2L) == ((3L, 0.5, 0.0))) // xy, yz both unique → top 1/2
+    assert(r(3L) == ((1L, 0.0, 0.0))) // no bigrams at all
+    // the zero-shuffle sorted-run plan equals the relational recount
+    val hof = TextAnalysis.repetitionSignals(docs, "doc_id", "text")
+      .collect().map(x => (x.getLong(0), x.getLong(1),
+        math.rint(x.getDouble(2) * 1e9), math.rint(x.getDouble(3) * 1e9))).toSet
+    val toks = graft.functions.TextFunctions.tokens(col("text"))
+    def gramRel(n: Int) = docs.select(col("doc_id"), posexplode(
+        when(size(toks) >= n, transform(sequence(lit(0), size(toks) - lit(n)),
+          i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+          .otherwise(array().cast("array<string>"))))
+      .toDF("doc_id", "p", "g")
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(sum("c").as("total"), max("c").as("top"),
+        count(lit(1)).as("nd"))
+    val bi = gramRel(2).select(col("doc_id"),
+      (col("top").cast("double") / col("total")).as("tbf"))
+    val tri = gramRel(3).select(col("doc_id"),
+      ((col("total") - col("nd")).cast("double") / col("total")).as("dtf"))
+    val expected = docs.select(col("doc_id"), size(toks).cast("long").as("n"))
+      .join(bi, Seq("doc_id"), "left").join(tri, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n"), coalesce(col("tbf"), lit(0.0)),
+        coalesce(col("dtf"), lit(0.0)))
+      .collect().map(x => (x.getLong(0), x.getLong(1),
+        math.rint(x.getDouble(2) * 1e9), math.rint(x.getDouble(3) * 1e9))).toSet
+    assert(hof == expected)
+  }
+
   test("split is disjoint, exhaustive and stable under corpus growth") {
     val full = Sampling.split(docs, "doc_id").select("doc_id", "split").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap

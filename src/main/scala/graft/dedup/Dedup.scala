@@ -212,10 +212,8 @@ object Dedup {
                          minLen: Int = 10): DataFrame = {
     val base = df.select(col(idCol).as("id"), TF.tokens(col(textCol)).as("tk"))
       .filter(size(col("tk")) > 0)
-    val wins = base.filter(size(col("tk")) >= minLen)
-      .select(col("id"), posexplode(transform(
-        sequence(lit(0), size(col("tk")) - lit(minLen)),
-        i => xxhash64(concat_ws(" ", slice(col("tk"), i + 1, lit(minLen)))))))
+    val wins = base
+      .select(col("id"), posexplode(TF.windowHashes(col("tk"), minLen)))
       .toDF("id", "start", "h")
     val dup = wins.groupBy("h").agg(count(lit(1)).as("c"))
       .filter(col("c") > 1).select("h")
@@ -242,9 +240,7 @@ object Dedup {
     val base = df.select(col(idCol).as("id"), TF.tokens(col(textCol)).as("tk"))
       .filter(size(col("tk")) >= minLen)
     val wins = base
-      .select(col("id"), posexplode(transform(
-        sequence(lit(0), size(col("tk")) - lit(minLen)),
-        i => xxhash64(concat_ws(" ", slice(col("tk"), i + 1, lit(minLen)))))))
+      .select(col("id"), posexplode(TF.windowHashes(col("tk"), minLen)))
       .toDF("id", "start", "h")
     val dup = wins.groupBy("h").agg(count(lit(1)).as("c"))
       .filter(col("c") > 1).select("h")

@@ -37,6 +37,32 @@ object TextFunctions {
     }
   }
 
+  /** Positional n-token window HASHES (one per start offset, no
+    * distinct), equivalent to hashing the joined window string for
+    * counting/joining purposes (injective up to xxhash64 collisions).
+    * Two regimes, picked by n — higher-order functions evaluate
+    * interpreted (CodegenFallback), so per-element cost and array
+    * allocations rule:
+    *  - small n (≤4): hash each token once, combine positionally with
+    *    an (n−1)-stage `zip_with` chain of long pairs — ~2.5× faster
+    *    than rebuilding 2-3-token substrings per window;
+    *  - large n: ONE `transform` doing `slice`+`concat_ws`+hash per
+    *    window — the chain's n−1 intermediate array materializations
+    *    per document overtake the single string build (measured at
+    *    n=10: chain 6.0 s vs string 3.1 s on the sf0.1 corpus). */
+  def windowHashes(toks: Column, n: Int): Column = {
+    val combined =
+      if (n <= 4) {
+        val th = transform(toks, t => xxhash64(t))
+        val len = size(toks) - lit(n - 1)
+        val parts = (0 until n).map(o => slice(th, lit(o + 1), len))
+        parts.reduce((a, b) => zip_with(a, b, (x, y) => xxhash64(x, y)))
+      } else
+        transform(sequence(lit(0), size(toks) - lit(n)),
+          i => xxhash64(concat_ws(" ", slice(toks, i + 1, lit(n)))))
+    when(size(toks) >= n, combined).otherwise(array().cast("array<bigint>"))
+  }
+
   /** Lowercased character n-gram shingles (fts/mod.rs:107 NGram
     * tokenizer; minhash_lsh over chars) — strings shorter than n shingle
     * to themselves so they can still match exactly. */

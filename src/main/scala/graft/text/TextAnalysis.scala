@@ -75,16 +75,7 @@ object TextAnalysis {
     // is interpreted — CodegenFallback — so duplicated or struct-tagged
     // gram construction dominates wall time; measured 4× on this corpus)
     def gramStats(n: Int): DataFrame = {
-      // hash each token ONCE, then combine hashes positionally with
-      // zip_with over shifted slices — no per-gram string rebuild
-      // (slice+concat_ws per gram measured ~2.5× slower interpreted)
-      val th = transform(toks, t => xxhash64(t))
-      val len = size(toks) - lit(n - 1)
-      val parts = (0 until n).map(o => slice(th, lit(o + 1), len))
-      val grams = when(size(toks) >= n,
-          parts.reduce((a, b) => zip_with(a, b, (x, y) => xxhash64(x, y))))
-        .otherwise(array().cast("array<bigint>"))
-      df.select(col(idCol).as("id"), explode(grams).as("h"))
+      df.select(col(idCol).as("id"), explode(TF.windowHashes(toks, n)).as("h"))
         .groupBy("id", "h").agg(count(lit(1)).as("c"))
         .groupBy("id").agg(sum("c").as("total"), max("c").as("top"),
           count(lit(1)).as("nd"))

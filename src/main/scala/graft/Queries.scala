@@ -930,6 +930,42 @@ object Queries {
     },
       Some("SELECT count(*) AS n FROM events")),
 
+    // Structured Streaming through the CORRECTNESS gate (SURVEY §2.7):
+    // the events parquet replayed as a file-source stream, tumbling
+    // 1-day windows per event_type, complete-mode memory sink — the
+    // STREAM's final answer must equal the batch SQL the oracle runs.
+    // (The file source only reads DIRECTORIES, so the single-file table
+    // is staged into a /tmp dir first — at scale the corpus is already a
+    // directory of part files and the copy disappears. ts is
+    // TIMESTAMP(NANOS) → nanosAsLong + µs truncation, same as
+    // Tables.load, so both engines see identical instants. Session TZ is
+    // UTC, so Spark's epoch-aligned 1-day windows equal DuckDB's
+    // date_trunc('day').)
+    Spec("stream_window_agg", (s, d) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val src = new java.io.File(s"$d/events.parquet")
+      val dir = new java.io.File(s"/tmp/graft_stream_src_${math.abs(d.hashCode)}")
+      dir.mkdirs()
+      val dst = new java.io.File(dir, "events.parquet")
+      if (!dst.exists() || dst.length() != src.length())
+        java.nio.file.Files.copy(src.toPath, dst.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      val schema = s.read.parquet(s"$d/events.parquet").schema
+      val stream = s.readStream.schema(schema).parquet(dir.getAbsolutePath)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val agg = graft.streaming.Streaming.windowedStats(stream, "ts", "event_type",
+        window = "1 day", slide = "1 day", watermark = "1 hour")
+      val q = agg.writeStream.format("memory").queryName("stream_window_agg_sink")
+        .outputMode("complete").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table("stream_window_agg_sink")
+        .select(col("window.start").as("window_start"), col("event_type"),
+          col("cnt"), round(col("sum_value"), 2).as("sum_value"))
+    },
+      Some("""SELECT date_trunc('day', date_trunc('microseconds', ts)) AS window_start,
+             |  event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value
+             |FROM events GROUP BY 1, 2""".stripMargin)),
+
     // the reference's time-travel BENCH classes (time_travel.rs:153-187):
     // "travel aggregation" — aggregate over each key's CURRENT version.
     // The as-of window prunes to one row per key before the sum, one

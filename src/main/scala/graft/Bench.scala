@@ -28,6 +28,12 @@ object Bench {
       // blocking: an async drop races the next query's memory demand —
       // the measured query then pays its predecessor's cleanup
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      // shuffle-file cleanup is ContextCleaner-driven and only fires on
+      // GC; forcing one between queries keeps 60 queries' worth of
+      // deferred cleanup (and tenured garbage) out of the NEXT query's
+      // measured window — late-suite iterative queries (louvain) were
+      // paying 2-2.5× for predecessors' debris
+      System.gc()
     }
     def runOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Either[String, Double] = {
       val t0 = System.nanoTime()

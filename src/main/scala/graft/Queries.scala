@@ -1203,6 +1203,55 @@ object Queries {
              |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, id) AS rank
              |  FROM scored) t WHERE rank <= 5""".stripMargin)),
 
+    // product quantization (the 100 TB embedding-scan path: 64-dim
+    // float vectors compress 16x into 16 one-byte codes, ADC ranks
+    // candidates over codes only, exact re-rank restores true cosines).
+    // Like ann_lsh, recall is the contract: driver-checked invariants
+    // over the actual distributed output, constant truth table as the
+    // oracle. Config validated by sweep: M=16/K=64/refine=8 measures
+    // recall@5 = 0.99 (sf0.01) / 0.96 (sf0.1) on this near-random
+    // corpus; the 0.7 gate leaves noise margin without hiding a
+    // regression to the next-best regime (~0.6).
+    Spec("ann_pq", (s, d) => {
+      val emb = T(s, d, "embeddings")
+      val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val queries = emb.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("embedding").as("vec"))
+      val cb = Ann.pqCodebooks(corpus, subspaces = 16, codes = 64)
+      val pq = Ann.pqTopK(corpus, queries, k = 5, subspaces = 16, codes = 64,
+        refine = 8, codebooks = Some(cb))
+      val exact = Ann.bruteForceTopK(corpus, queries, k = 5)
+      val recallOk = pq.select("query_id", "id").intersect(exact.select("query_id", "id"))
+        .agg(count(lit(1)).as("__nh"))
+        .crossJoin(exact.agg(count(lit(1)).as("__ne")))
+        .select((col("__nh") >= col("__ne") * lit(0.7)).as("ok"))
+      // the re-rank is the exact kernel: every reported cosine must
+      // agree with brute force's for the same pair
+      val drift = pq.select(col("query_id"), col("id"), col("cosine").as("__c"))
+        .join(Ann.bruteForceTopK(corpus, queries, k = Int.MaxValue)
+          .select(col("query_id"), col("id"), col("cosine").as("__e")),
+          Seq("query_id", "id"))
+        .filter(abs(col("__c") - col("__e")) > 1e-9)
+      val enc = Ann.pqEncode(corpus, cb, subspaces = 16)
+      val codesOk = enc.groupBy("id").agg(count(lit(1)).as("__n"))
+        .filter(col("__n") =!= 16)
+        .unionByName(enc.filter(col("code") < 0 || col("code") >= 64)
+          .select(col("id"), lit(0L).as("__n")))
+      val w = Window.partitionBy(col("query_id")).orderBy(col("rank"))
+      invariants(
+        "recall_at_5_ge_07" -> recallOk,
+        "rerank_scores_exact" -> noViolations(drift),
+        "index_16_codes_per_id_in_range" -> noViolations(codesOk),
+        "no_self_matches" -> noViolations(pq.filter(col("query_id") === col("id"))),
+        "at_most_k_ranked_by_cosine" -> noViolations(
+          pq.withColumn("__prev", lag(col("cosine"), 1).over(w))
+            .filter(col("rank") > 5 ||
+              (col("__prev").isNotNull && col("__prev") < col("cosine") - lit(1e-9)))))
+    },
+      Some(truthTable("recall_at_5_ge_07", "rerank_scores_exact",
+        "index_16_codes_per_id_in_range", "no_self_matches",
+        "at_most_k_ranked_by_cosine"))),
+
     // ——————————————————— text analysis (north-star) ———————————————————
 
     Spec("text_stats", (s, d) =>

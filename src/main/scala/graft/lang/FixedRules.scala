@@ -269,6 +269,14 @@ object FixedRules {
       relAs(rels, 0, "AnnKnn", "id", "vec"),
       relAs(rels, 1, "AnnKnn", "query_id", "vec"),
       k = optInt(o, "k", 10)))
+  register("AnnPq", (rels, o, _) =>
+    graft.similarity.Ann.pqTopK(
+      relAs(rels, 0, "AnnPq", "id", "vec"),
+      relAs(rels, 1, "AnnPq", "query_id", "vec"),
+      k = optInt(o, "k", 10),
+      subspaces = optInt(o, "subspaces", 16),
+      codes = optInt(o, "codes", 64),
+      refine = optInt(o, "refine", 8)))
 
   register("CsvReader", (_, o, spark) => {
     val url = o.get("url") match {

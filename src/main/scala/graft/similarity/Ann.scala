@@ -18,7 +18,12 @@ import org.apache.spark.sql.functions._
   *     one pass over the corpus, no shuffle of the corpus itself;
   *   - LSH-bucketed: hyperplane sign buckets prefilter candidates, then
   *     exact re-rank — approximate, corpus-side work drops to the
-  *     collision set (the 100 TB path).
+  *     collision set (the 100 TB path);
+  *   - IVF-Flat: nearest-centroid inverted file, probes read nProbe of
+  *     nCells partitions — the partition-pruning path;
+  *   - PQ + ADC: per-subspace codebooks compress vectors ~32×, scoring
+  *     scans codes not floats, exact re-rank restores true cosines —
+  *     the path when even one float copy of the corpus is too much I/O.
   */
 object Ann {
 
@@ -130,6 +135,136 @@ object Ann {
       .select("query_id", "qvec", "cell")
     val scored = probeCells.join(inverted, Seq("cell"))
       .filter(col("query_id") =!= col("id"))
+      .withColumn("cosine", VF.cosineSimilarity(col("qvec"), col("vec")))
+      .select("query_id", "id", "cosine")
+    TopK.perGroup(scored, Seq("query_id"),
+      Seq(col("cosine").desc, col("id").asc), k, rankCol = Some("rank"))
+  }
+
+  // ———————————————————— Product quantization ————————————————————
+
+  /** Per-subspace explode: one row (id, m, sub) per subspace, where
+    * `sub` is the m-th ⌈dim/subspaces⌉-wide slice of `vec` (the last
+    * slice is shorter when the dimension doesn't divide — slice()
+    * truncates at the array end, so every vector's m-th slice has the
+    * same width and no dimension is silently dropped).
+    */
+  private def subvecs(df: DataFrame, idCol: String, subspaces: Int): DataFrame =
+    df.select(col(idCol), col("vec"),
+        explode(sequence(lit(0), lit(subspaces - 1))).as("m"))
+      .withColumn("__d", ceil(size(col("vec")).cast("double") / lit(subspaces)).cast("int"))
+      .select(col(idCol), col("m"),
+        slice(col("vec"), col("m") * col("__d") + lit(1), col("__d")).as("sub"))
+
+  /** PQ codebooks: `codes` L2 sub-centroids per subspace, trained by
+    * Lloyd rounds over a hash-bounded sample (`trainN` caps driver-free
+    * training cost at 100 TB — codebook quality saturates long before
+    * the corpus does, the standard practice for IVF-PQ indexes).
+    * Seeding is deterministic (minimal xxhash64(id, seed, m) per
+    * subspace), so the index is reproducible across runs and
+    * partitionings. Codes that lose every member during a round drop
+    * out (k-means empty-cluster shrink); encoding only needs the codes
+    * that exist. Returns (m, code, cvec).
+    */
+  def pqCodebooks(corpus: DataFrame, subspaces: Int = 8, codes: Int = 16,
+                  iters: Int = 3, trainN: Int = 65536, seed: Int = 0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.plan._
+    val train = corpus.select(col("id"), col("vec"))
+      .withColumn("__h", xxhash64(col("id"), lit(seed)))
+      .orderBy("__h", "id").limit(trainN).drop("__h")
+    val sv = subvecs(train, "id", subspaces).ckpt()
+    var cb = sv.withColumn("__h", xxhash64(col("id"), lit(seed), col("m")))
+      .withColumn("__rk", row_number().over(Window.partitionBy("m").orderBy("__h", "id")))
+      .filter(col("__rk") <= codes)
+      .select(col("m"), (col("__rk") - 1).cast("int").as("code"), col("sub").as("cvec"))
+      .ckpt()
+    for (_ <- 0 until iters) {
+      // assign: broadcast the (subspaces·codes) codebook, min_by picks
+      // the nearest code per (id, m) with a deterministic tie-break;
+      // map-side partial aggregation keeps the shuffle at N·M rows
+      val asg = sv.join(broadcast(cb), Seq("m"))
+        .withColumn("__d2", VF.l2Dist(col("sub"), col("cvec")))
+        .groupBy("id", "m")
+        // every row of the group carries the same sub (it is keyed by
+        // (id, m)), so first() is deterministic here
+        .agg(min_by(col("code"), struct(col("__d2"), col("code"))).as("code"),
+          first(col("sub")).as("sub"))
+      cb = asg.select(col("m"), col("code"), posexplode(col("sub"))).toDF("m", "code", "i", "v")
+        .groupBy("m", "code", "i").agg(avg("v").as("mu"))
+        .groupBy("m", "code")
+        // struct sorts by its first field, so array_sort orders by dim i
+        .agg(transform(array_sort(collect_list(struct(col("i"), col("mu")))),
+          x => x.getField("mu").cast("float")).as("cvec"))
+        .ckpt()
+    }
+    cb
+  }
+
+  /** Encode a corpus against trained codebooks: (id, m, code, selfdot)
+    * — the PQ index, `subspaces` small ints per vector (dim·4 bytes →
+    * M bytes at codes ≤ 256, the compression that lets a 100 TB
+    * embedding corpus scan as a few TB of codes). `selfdot` =
+    * ⟨x_m, x_m⟩ rides along so ADC can recover ‖x‖² = Σ_m selfdot by
+    * the same aggregation that sums the score — no second corpus scan
+    * or per-id norm join at query time. One broadcast join + one
+    * map-side-combined min_by shuffle of N·M rows.
+    */
+  def pqEncode(corpus: DataFrame, codebooks: DataFrame, subspaces: Int): DataFrame =
+    subvecs(corpus.select(col("id"), col("vec")), "id", subspaces)
+      .join(broadcast(codebooks), Seq("m"))
+      .withColumn("__d2", VF.l2Dist(col("sub"), col("cvec")))
+      .groupBy("id", "m")
+      .agg(min_by(col("code"), struct(col("__d2"), col("code"))).as("code"),
+        first(VF.dot(col("sub"), col("sub"))).as("selfdot"))
+
+  /** PQ approximate top-k cosine with asymmetric distance computation
+    * (ADC) and exact re-rank:
+    *  - train codebooks on a bounded sample, broadcast them;
+    *  - encode the corpus once (codes ride every later shuffle instead
+    *    of float vectors);
+    *  - per query, a lookup table part(q, m, code) = ⟨q_m, c_{m,code}⟩
+    *    (queries·subspaces·codes rows — broadcast-size for any sane
+    *    query batch);
+    *  - approx IP(q, x) = Σ_m part(q, m, code_m(x)): the LUT join
+    *    lands on the code relation and partial-aggregates map-side, so
+    *    the ADC shuffle is (queries·corpus) score rows, never vectors;
+    *    ranking divides by ‖x‖ (query norm is rank-invariant), i.e.
+    *    scores approximate cosine without materializing normalized
+    *    vectors;
+    *  - top (k·refine) ADC candidates per query re-rank with the exact
+    *    codegen'd cosine kernel against the true vectors (the standard
+    *    IVF-PQ refinement step), so returned cosines are EXACT — PQ
+    *    error can only cost recall, never corrupt a reported score.
+    */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+             subspaces: Int = 8, codes: Int = 16, iters: Int = 3,
+             refine: Int = 8, trainN: Int = 65536, seed: Int = 0,
+             codebooks: Option[DataFrame] = None): DataFrame = {
+    import graft.plan._
+    val base = corpus.select(col("id"), col("vec"))
+    val cb = codebooks.getOrElse(pqCodebooks(base, subspaces, codes, iters, trainN, seed))
+    val enc = pqEncode(base, cb, subspaces).ckpt()
+    val lut = subvecs(queries.select(col("query_id").as("id"), col("vec")), "id", subspaces)
+      .withColumnRenamed("id", "query_id")
+      .join(broadcast(cb), Seq("m"))
+      .select(col("query_id"), col("m"), col("code"),
+        VF.dot(col("sub"), col("cvec")).as("part"))
+    // every enc row matches exactly one LUT row per query (one part per
+    // (query, m, code)), so sum(selfdot) over the group is ‖x‖²
+    val approx = enc.join(broadcast(lut), Seq("m", "code"))
+      .groupBy("query_id", "id")
+      .agg(sum(col("part")).as("__ip"), sum(col("selfdot")).as("__xn2"))
+      .withColumn("__approx",
+        when(col("__xn2") > 0, col("__ip") / sqrt(col("__xn2")))
+          .otherwise(lit(Double.MinValue)))
+      .filter(col("query_id") =!= col("id"))
+    val cand = TopK.perGroup(approx, Seq("query_id"),
+      Seq(col("__approx").desc, col("id").asc), k * refine)
+      .select("query_id", "id")
+    val scored = cand
+      .join(queries.select(col("query_id"), col("vec").as("qvec")), Seq("query_id"))
+      .join(base, Seq("id"))
       .withColumn("cosine", VF.cosineSimilarity(col("qvec"), col("vec")))
       .select("query_id", "id", "cosine")
     TopK.perGroup(scored, Seq("query_id"),

@@ -102,4 +102,20 @@ class PipelineRulesSpec extends AnyFunSuite {
     assert(rows.length == 6) // 2 probes x top-3
     assert(rows.forall(_.getInt(3) <= 3))
   }
+
+  test("AnnPq over registered embeddings from script") {
+    val db = new CozoDb(spark)
+    db.registerTable("emb",
+      spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .selectExpr("vec_id", "embedding"))
+    db.registerTable("probes",
+      spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .selectExpr("vec_id", "embedding").limit(2))
+    val rows = db.run(
+      "?[q, id, cos, rank] <~ AnnPq(*emb[], *probes[], k: 3, refine: 16)")
+      .collect()
+    assert(rows.length == 6) // 2 probes x top-3 (refine covers any recall slip)
+    assert(rows.forall(_.getInt(3) <= 3))
+    assert(rows.forall(r => r.getLong(0) != r.getLong(1)))
+  }
 }

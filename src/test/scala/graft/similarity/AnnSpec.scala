@@ -47,6 +47,62 @@ class AnnSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"IVF recall@5 too low: $recall")
   }
 
+  test("pqTopK: exact re-ranked scores, recall vs brute force, deterministic") {
+    val emb = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val queries = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("embedding").as("vec"))
+    def triples(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Int)] =
+      df.select("query_id", "id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val exact = triples(Ann.bruteForceTopK(corpus, queries, k = 5))
+    val pq = Ann.pqTopK(corpus, queries, k = 5, subspaces = 16, codes = 64, refine = 8)
+    // ADC ranks candidates; the re-rank is the exact kernel, so every
+    // reported cosine must MATCH brute force's for the same pair
+    val pqPairs = pq.select("query_id", "id", "cosine").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val exactCos = Ann.bruteForceTopK(corpus, queries, k = 500)
+      .select("query_id", "id", "cosine").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    pqPairs.foreach { case (pair, c) =>
+      assert(math.abs(exactCos(pair) - c) < 1e-12, s"re-ranked cosine drifted for $pair") }
+    // recall on this hostile near-random corpus (neighbors at cosine
+    // 0.3-0.5; production embedding corpora cluster far tighter) —
+    // M=16/K=64 measured 0.99 here and 0.96 at sf0.1's 2000 vectors
+    val recall = (exact.map(t => (t._1, t._2)) intersect
+      pqPairs.keySet).size.toDouble / exact.size
+    assert(recall >= 0.8, s"PQ recall@5 too low: $recall")
+    // hash-seeded training + deterministic tie-breaks: identical output
+    // under a different input partitioning
+    val again = triples(Ann.pqTopK(corpus.repartition(7), queries, k = 5,
+      subspaces = 16, codes = 64, refine = 8))
+    assert(again == triples(pq))
+  }
+
+  test("pqEncode: exactly `subspaces` codes per id, all within [0, codes)") {
+    val emb = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val cb = Ann.pqCodebooks(corpus, subspaces = 8, codes = 16, iters = 2)
+    val enc = Ann.pqEncode(corpus, cb, subspaces = 8)
+    val bad = enc.groupBy("id").agg(count(lit(1)).as("n"))
+      .filter(col("n") =!= 8)
+    assert(bad.count() == 0)
+    assert(enc.filter(col("code") < 0 || col("code") >= 16).count() == 0)
+  }
+
+  test("pqTopK plan: codebook/LUT/ADC joins all broadcast, no shuffled join of the corpus") {
+    val emb = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val queries = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("vec"))
+    val pq = Ann.pqTopK(corpus, queries, k = 5, subspaces = 16, codes = 64, refine = 8)
+    pq.collect() // materialize so AQE settles the physical plan
+    val physical = pq.queryExecution.executedPlan.toString
+    // the corpus-side scans must only ever meet broadcast relations —
+    // a SortMergeJoin would mean vectors or codes got shuffled by key
+    assert(!physical.contains("SortMergeJoin"), physical.linesIterator.take(40).mkString("\n"))
+  }
+
   test("bruteForceTopK excludes self and ranks by cosine") {
     val emb = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))

@@ -270,4 +270,58 @@ object Ann {
     TopK.perGroup(scored, Seq("query_id"),
       Seq(col("cosine").desc, col("id").asc), k, rankCol = Some("rank"))
   }
+
+  /** IVF-PQ: the two prunings composed, the standard billion-scale
+    * index shape. The inverted file prunes the corpus to nProbe of
+    * nCells cells per query (at rest: codes partitioned BY cell, so a
+    * probe reads only its cells' files); within probed cells ADC ranks
+    * codes exactly as [[pqTopK]] (probe set joins the code relation
+    * broadcast, so the corpus side never shuffles); exact re-rank of
+    * the surviving k·refine candidates. nProbe = nCells degrades to
+    * exactly pqTopK's answer (tested), making the recall/efficiency
+    * trade a single knob.
+    */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                nCells: Int = 16, nProbe: Int = 4,
+                subspaces: Int = 16, codes: Int = 64, iters: Int = 2,
+                refine: Int = 8, trainN: Int = 65536, seed: Int = 0): DataFrame = {
+    import graft.plan._
+    val base = corpus.select(col("id"), col("vec"))
+    val cents = ivfCentroids(base, nCells, iters, seed)
+    val inverted = assignCells(base, cents)
+    val cb = pqCodebooks(base, subspaces, codes, iters, trainN, seed)
+    // index build: codes + their cell (one id-keyed join, once at build
+    // time; persisted form would write partitionBy(cell))
+    val enc = pqEncode(base, cb, subspaces)
+      .join(inverted.select(col("id"), col("cell")), Seq("id")).ckpt()
+    val probes = queries.select(col("query_id"), col("vec").as("qvec"))
+      .crossJoin(broadcast(cents))
+      .withColumn("__sim", VF.cosineSimilarity(col("qvec"), col("cvec")))
+    val probeCells = TopK.perGroup(probes, Seq("query_id"),
+      Seq(col("__sim").desc, col("cell").asc), nProbe)
+      .select("query_id", "cell")
+    val lut = subvecs(queries.select(col("query_id").as("id"), col("vec")), "id", subspaces)
+      .withColumnRenamed("id", "query_id")
+      .join(broadcast(cb), Seq("m"))
+      .select(col("query_id"), col("m"), col("code"),
+        VF.dot(col("sub"), col("cvec")).as("part"))
+    val approx = enc.join(broadcast(probeCells), Seq("cell"))
+      .join(broadcast(lut), Seq("query_id", "m", "code"))
+      .groupBy("query_id", "id")
+      .agg(sum(col("part")).as("__ip"), sum(col("selfdot")).as("__xn2"))
+      .withColumn("__approx",
+        when(col("__xn2") > 0, col("__ip") / sqrt(col("__xn2")))
+          .otherwise(lit(Double.MinValue)))
+      .filter(col("query_id") =!= col("id"))
+    val cand = TopK.perGroup(approx, Seq("query_id"),
+      Seq(col("__approx").desc, col("id").asc), k * refine)
+      .select("query_id", "id")
+    val scored = cand
+      .join(queries.select(col("query_id"), col("vec").as("qvec")), Seq("query_id"))
+      .join(base, Seq("id"))
+      .withColumn("cosine", VF.cosineSimilarity(col("qvec"), col("vec")))
+      .select("query_id", "id", "cosine")
+    TopK.perGroup(scored, Seq("query_id"),
+      Seq(col("cosine").desc, col("id").asc), k, rankCol = Some("rank"))
+  }
 }

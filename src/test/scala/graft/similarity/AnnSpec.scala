@@ -90,6 +90,31 @@ class AnnSpec extends AnyFunSuite {
     assert(enc.filter(col("code") < 0 || col("code") >= 16).count() == 0)
   }
 
+  test("ivfPqTopK: full probe equals pqTopK; partial probe keeps recall") {
+    val emb = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val queries = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("embedding").as("vec"))
+    def triples(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Int)] =
+      df.select("query_id", "id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // probing every cell visits every code row: must reproduce the
+    // flat-PQ answer exactly (same codebooks — matched iters/seed)
+    val pqAll = triples(Ann.pqTopK(corpus, queries, k = 5,
+      subspaces = 16, codes = 64, iters = 2, refine = 8))
+    val full = triples(Ann.ivfPqTopK(corpus, queries, k = 5, nCells = 8, nProbe = 8,
+      subspaces = 16, codes = 64, iters = 2, refine = 8))
+    assert(full == pqAll)
+    // 3 of 8 cells (~2.7x less ADC work on top of the 16x code
+    // compression) against exact brute force
+    val exact = triples(Ann.bruteForceTopK(corpus, queries, k = 5))
+    val part = triples(Ann.ivfPqTopK(corpus, queries, k = 5, nCells = 8, nProbe = 3,
+      subspaces = 16, codes = 64, iters = 2, refine = 8))
+    val recall = (exact.map(t => (t._1, t._2)) intersect
+      part.map(t => (t._1, t._2))).size.toDouble / exact.size
+    assert(recall >= 0.4, s"IVF-PQ recall@5 too low: $recall")
+  }
+
   test("pqTopK plan: codebook/LUT/ADC joins all broadcast, no shuffled join of the corpus") {
     val emb = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))

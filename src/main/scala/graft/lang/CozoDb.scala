@@ -159,6 +159,7 @@ class CozoDb(val spark: SparkSession) {
     scriptTriggers.remove(name)
     relationAccess.remove(name); relationDescriptions.remove(name)
     indexes.filterInPlace { case (_, s) => s.rel != name }
+    indexCreateTexts.filterInPlace { case (t, _) => indexes.contains(t) }
   }
 
   /** Export stored relations as DataFrames (db.rs:448-474
@@ -186,6 +187,25 @@ class CozoDb(val spark: SparkSession) {
         s"\t${relationValidity.getOrElse(n, "")}\t${relationAssert.getOrElse(n, "")}"
     }.mkString("\n")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/_keys.tsv"), manifest)
+    // DDL side-manifest: index create statements (replayed on restore),
+    // script triggers, and non-default access levels — the reference's
+    // backup_db carries all three inside the storage snapshot
+    // (db.rs:644-700); bodies are base64ed so multiline scripts stay
+    // one TSV row
+    def b64(s: String) =
+      java.util.Base64.getEncoder.encodeToString(s.getBytes("UTF-8"))
+    val ddl =
+      indexCreateTexts.map { case (t, s) => s"IDX\t$t\t${b64(s)}" } ++
+      scriptTriggers.flatMap { case (rel, (puts, rms, reps)) =>
+        puts.map(q => s"TRG\t$rel\tput\t${b64(q)}") ++
+          rms.map(q => s"TRG\t$rel\trm\t${b64(q)}") ++
+          reps.map(q => s"TRG\t$rel\treplace\t${b64(q)}")
+      } ++
+      relationAccess.collect { case (rel, lvl) if lvl != "normal" =>
+        s"ACC\t$rel\t$lvl"
+      }
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/_ddl.tsv"),
+      ddl.mkString("\n"))
   }
 
   /** Restore relations from a [[backup]] directory (db.rs:702-758). */
@@ -200,6 +220,25 @@ class CozoDb(val spark: SparkSession) {
       def at(i: Int) = if (parts.length > i && parts(i).nonEmpty) Some(parts(i)) else None
       registerTable(name, spark.read.parquet(s"$dir/$name.parquet"), keys,
         validity = at(2), validityAssert = at(3))
+    }
+    val ddlPath = java.nio.file.Paths.get(s"$dir/_ddl.tsv")
+    if (java.nio.file.Files.exists(ddlPath)) {
+      def unb64(s: String) = new String(java.util.Base64.getDecoder.decode(s), "UTF-8")
+      java.nio.file.Files.readString(ddlPath).split("\n").filter(_.nonEmpty).foreach { line =>
+        line.split("\t", -1) match {
+          case Array("IDX", _, b) => run(unb64(b))
+          case Array("TRG", rel, kind, b) =>
+            val (p, r, rp) = scriptTriggers.getOrElse(rel, (Nil, Nil, Nil))
+            val q = unb64(b)
+            scriptTriggers(rel) = kind match {
+              case "put" => (p :+ q, r, rp)
+              case "rm" => (p, r :+ q, rp)
+              case _ => (p, r, rp :+ q)
+            }
+          case Array("ACC", rel, lvl) => relationAccess(rel) = lvl
+          case _ => ()
+        }
+      }
     }
   }
 
@@ -277,6 +316,7 @@ class CozoDb(val spark: SparkSession) {
     private val snapValidity = relationValidity.clone()
     private val snapAssert = relationAssert.clone()
     private val snapIndexes = indexes.clone()
+    private val snapIndexTexts = indexCreateTexts.clone()
     private val snapTriggers = scriptTriggers.clone()
     private var done = false
     openTxDepth += 1
@@ -300,6 +340,7 @@ class CozoDb(val spark: SparkSession) {
         relationValidity.clear(); relationValidity ++= snapValidity
         relationAssert.clear(); relationAssert ++= snapAssert
         indexes.clear(); indexes ++= snapIndexes
+        indexCreateTexts.clear(); indexCreateTexts ++= snapIndexTexts
         scriptTriggers.clear(); scriptTriggers ++= snapTriggers
         mutationEpoch += 1
         close()
@@ -436,7 +477,10 @@ class CozoDb(val spark: SparkSession) {
     import spark.implicits._
     op match {
       case indexOpRe(kind, sub, target, optsRaw) =>
-        return indexOp(kind, sub, target, Option(optsRaw), params)
+        val res = indexOp(kind, sub, target, Option(optsRaw), params)
+        if (sub == "create") indexCreateTexts(target) = "::" + op
+        else indexCreateTexts.remove(target)
+        return res
       case _ => ()
     }
     if (op.startsWith("set_triggers"))
@@ -673,6 +717,12 @@ class CozoDb(val spark: SparkSession) {
   private case class PlainIdx(rel: String, cols: Seq[String]) extends IndexSpec
 
   private val indexes = mutable.LinkedHashMap.empty[String, IndexSpec]
+  /** The raw `::… create` statement for every live index, so backup can
+    * round-trip index DEFINITIONS by replaying them on restore (the
+    * reference's backup_db persists index state with the storage,
+    * db.rs:644-700 — replay reaches the same post-restore behavior
+    * without a second serialization format for IndexSpec). */
+  private val indexCreateTexts = mutable.LinkedHashMap.empty[String, String]
   /** Bumped on every mutation; index artifacts cache against it so a
     * probe after a put sees the new rows (the reference updates indexes
     * inside the mutating tx, stored.rs:322-328 — we rebuild lazily,

@@ -34,6 +34,28 @@ class DbLifecycleSpec extends AnyFunSuite {
     assert(db2.relation("t").count() == 2)
   }
 
+  test("backup/restore round-trips index definitions, triggers, access levels") {
+    val dir = Files.createTempDirectory("graft_backup_ddl").toString
+    val db = new CozoDb(spark)
+    db.run("?[k, v] <- [['a', 'hello world'], ['b', 'round world']] :create docs {k}")
+    db.run("::fts create docs:fts {extractor: v, tokenizer: Simple, filters: [Lowercase]}")
+    db.run("?[k] <- [[0]] :create log {k}")
+    db.run("::set_triggers docs on put { ?[k] := _new[k, v] :put log {k} }")
+    db.run("::access_level read_only docs")
+    db.backup(dir)
+    val db2 = new CozoDb(spark)
+    db2.restore(dir)
+    // the FTS probe works without re-creating the index
+    val hits = db2.run("?[k] := ~docs:fts{k | query: 'world', k: 2}").collect()
+    assert(hits.length == 2)
+    // the trigger text survived
+    val trg = db2.run("::show_triggers docs").collect()
+    assert(trg.length == 1 && trg.head.getString(0) == "put")
+    // the access level survived: mutation must be denied
+    val denied = intercept[Exception](db2.run("?[k, v] <- [['c', 'x']] :put docs {k}"))
+    assert(denied.getMessage.contains("access"))
+  }
+
   test("register_fixed_rule: user-defined fixed rules dispatch from scripts") {
     FixedRules.register("DoubleUp", (rels, _, _) =>
       rels.head.select((col(rels.head.columns.head) * 2).as("doubled")))

@@ -109,9 +109,10 @@ object Dedup {
   }
 
   /** Exact n-gram Jaccard pairs: distinct shingles exploded, candidates
-    * from an AllPairs-style PREFIX-filtered equi-join (exact, see
-    * inline note), |A∩B| verified by joining candidates back to the
-    * shingle relation. Returns (id_a, id_b, jaccard ≥ threshold).
+    * from an AllPairs-style PREFIX-filtered equi-join tightened by a
+    * PPJoin-style POSITIONAL filter (both exact, see inline notes),
+    * |A∩B| verified by joining candidates back to the shingle
+    * relation. Returns (id_a, id_b, jaccard ≥ threshold).
     * Hot shingles (docFreq > maxDocFreq) are additionally cut from the
     * WHOLE universe — candidates, intersections AND set sizes — so the
     * estimate stays a consistent Jaccard over the filtered shingle space
@@ -160,15 +161,32 @@ object Dedup {
           .withColumn("rk", row_number().over(Window.partitionBy("id").orderBy("df", "s")))
           .join(sizes, Seq("id"))
           .filter(col("rk") <= col("n") - ceil(lit(threshold) * col("n")) + lit(1))
-          .select("id", "s")
-        val cand = ranked.select(col("id").as("id_a"), col("s"))
-          .join(ranked.select(col("id").as("id_b"), col("s")), Seq("s"))
+          .select("id", "s", "rk")
+        val cand = ranked.select(col("id").as("id_a"), col("s"), col("rk").as("rk_a"))
+          .join(ranked.select(col("id").as("id_b"), col("s"), col("rk").as("rk_b")), Seq("s"))
           .filter(col("id_a") < col("id_b"))
-          .dropDuplicates("id_a", "id_b")
+          // PPJoin-style POSITIONAL filter (exact): the joint-prefix
+          // matches are counted exactly (c_pref); any OTHER common
+          // shingle sorts after the largest joint-prefix match (a
+          // smaller one would sit inside both prefixes — rank is
+          // monotone in the global (df, s) order — and be counted
+          // already), so at most min(n_a − maxRk_a, n_b − maxRk_b)
+          // more can exist. Pairs whose bound can't reach the overlap
+          // equivalent of J ≥ t, α = ⌈t·(n_a+n_b)/(1+t)⌉, never enter
+          // the verify join. (Same shuffle as the old dropDuplicates —
+          // the dedup became an aggregate.)
+          .groupBy("id_a", "id_b")
+          .agg(count(lit(1)).as("c_pref"),
+            max(col("rk_a")).as("mra"), max(col("rk_b")).as("mrb"))
           .join(sizes.select(col("id").as("id_a"), col("n").as("n_a")), Seq("id_a"))
           .join(sizes.select(col("id").as("id_b"), col("n").as("n_b")), Seq("id_b"))
           // length filter: J ≥ t forces t·|B| ≤ |A| for |A| ≤ |B|
           .filter(greatest(col("n_a"), col("n_b")) * lit(threshold) <= least(col("n_a"), col("n_b")))
+          // 1e-9 slack keeps float rounding from over-tightening α —
+          // a kept false candidate is harmless (the verify join still
+          // filters by exact Jaccard), a dropped true pair is not
+          .filter(col("c_pref") + least(col("n_a") - col("mra"), col("n_b") - col("mrb"))
+            >= ceil(lit(threshold / (1.0 + threshold)) * (col("n_a") + col("n_b")) - lit(1e-9)))
           // project away the candidate shingle `s` — if it leaks, the
           // verify join below resolves its "s" against it and counts
           // n_a per pair

@@ -324,4 +324,74 @@ object Ann {
     TopK.perGroup(scored, Seq("query_id"),
       Seq(col("cosine").desc, col("id").asc), k, rankCol = Some("rank"))
   }
+
+  /** Persist an IVF-PQ index: centroids + codebooks + the code relation
+    * written `partitionBy(cell)` + the vectors (for exact re-rank).
+    * Same deterministic training as [[ivfPqTopK]] — writing then
+    * probing with matching parameters reproduces its answer exactly
+    * (tested). At 100 TB the cell-partitioned layout is the point: a
+    * probe's scan touches nProbe of nCells directories, which
+    * [[probeIndex]] asserts via static partition pruning.
+    */
+  def writeIndex(dir: String, corpus: DataFrame,
+                 nCells: Int = 16, subspaces: Int = 16, codes: Int = 64,
+                 iters: Int = 2, trainN: Int = 65536, seed: Int = 0): Unit = {
+    val base = corpus.select(col("id"), col("vec"))
+    val cents = ivfCentroids(base, nCells, iters, seed)
+    val cb = pqCodebooks(base, subspaces, codes, iters, trainN, seed)
+    val enc = pqEncode(base, cb, subspaces)
+      .join(assignCells(base, cents).select(col("id"), col("cell")), Seq("id"))
+    cents.write.mode("overwrite").parquet(s"$dir/centroids")
+    cb.write.mode("overwrite").parquet(s"$dir/codebooks")
+    enc.write.mode("overwrite").partitionBy("cell").parquet(s"$dir/codes")
+    base.write.mode("overwrite").parquet(s"$dir/vectors")
+  }
+
+  /** Probe a persisted [[writeIndex]] index. The probed cell set (a
+    * few dozen ints — one tiny driver-side collect, same stance as
+    * Balance's per-source rate map) turns into a STATIC partition
+    * filter on the cell-partitioned code files, so the scan reads
+    * nProbe of nCells directories — the on-disk analogue of the
+    * reference probing its HNSW layers instead of the full relation.
+    * Scoring past the pruned scan is identical to [[ivfPqTopK]].
+    */
+  def probeIndex(dir: String, queries: DataFrame, k: Int,
+                 nProbe: Int = 4, refine: Int = 8): DataFrame = {
+    val spark = queries.sparkSession
+    val cents = spark.read.parquet(s"$dir/centroids")
+    val cb = spark.read.parquet(s"$dir/codebooks")
+    val subspaces = cb.agg(max(col("m"))).head().getInt(0) + 1
+    val probes = queries.select(col("query_id"), col("vec").as("qvec"))
+      .crossJoin(broadcast(cents))
+      .withColumn("__sim", VF.cosineSimilarity(col("qvec"), col("cvec")))
+    val probeCells = TopK.perGroup(probes, Seq("query_id"),
+      Seq(col("__sim").desc, col("cell").asc), nProbe)
+      .select("query_id", "cell")
+    val cellList = probeCells.select("cell").distinct().collect().map(_.getInt(0)).toSeq
+    val enc = spark.read.parquet(s"$dir/codes")
+      .filter(col("cell").isInCollection(cellList))
+    val lut = subvecs(queries.select(col("query_id").as("id"), col("vec")), "id", subspaces)
+      .withColumnRenamed("id", "query_id")
+      .join(broadcast(cb), Seq("m"))
+      .select(col("query_id"), col("m"), col("code"),
+        VF.dot(col("sub"), col("cvec")).as("part"))
+    val approx = enc.join(broadcast(probeCells), Seq("cell"))
+      .join(broadcast(lut), Seq("query_id", "m", "code"))
+      .groupBy("query_id", "id")
+      .agg(sum(col("part")).as("__ip"), sum(col("selfdot")).as("__xn2"))
+      .withColumn("__approx",
+        when(col("__xn2") > 0, col("__ip") / sqrt(col("__xn2")))
+          .otherwise(lit(Double.MinValue)))
+      .filter(col("query_id") =!= col("id"))
+    val cand = TopK.perGroup(approx, Seq("query_id"),
+      Seq(col("__approx").desc, col("id").asc), k * refine)
+      .select("query_id", "id")
+    val scored = cand
+      .join(queries.select(col("query_id"), col("vec").as("qvec")), Seq("query_id"))
+      .join(spark.read.parquet(s"$dir/vectors"), Seq("id"))
+      .withColumn("cosine", VF.cosineSimilarity(col("qvec"), col("vec")))
+      .select("query_id", "id", "cosine")
+    TopK.perGroup(scored, Seq("query_id"),
+      Seq(col("cosine").desc, col("id").asc), k, rankCol = Some("rank"))
+  }
 }

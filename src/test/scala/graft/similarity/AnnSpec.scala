@@ -115,6 +115,45 @@ class AnnSpec extends AnyFunSuite {
     assert(recall >= 0.4, s"IVF-PQ recall@5 too low: $recall")
   }
 
+  test("writeIndex/probeIndex: on-disk probe matches in-memory IVF-PQ, scan prunes to probed cells") {
+    val emb = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val queries = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("embedding").as("vec"))
+    def triples(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Int)] =
+      df.select("query_id", "id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val dir = java.nio.file.Files.createTempDirectory("graft_annidx").toString
+    Ann.writeIndex(dir, corpus, nCells = 8, subspaces = 16, codes = 64, iters = 2)
+    // same deterministic training persisted -> probing the files must
+    // reproduce the in-memory composition exactly
+    val onDisk = Ann.probeIndex(dir, queries, k = 5, nProbe = 3, refine = 8)
+    val inMem = Ann.ivfPqTopK(corpus, queries, k = 5, nCells = 8, nProbe = 3,
+      subspaces = 16, codes = 64, iters = 2, refine = 8)
+    assert(triples(onDisk) == triples(inMem))
+    // one query probing 3 of 8 cells: the code scan must read at most
+    // 3 partition directories (static pruning, not a post-scan filter)
+    val one = Ann.probeIndex(dir, queries.filter(col("query_id") === 0), k = 5, nProbe = 3)
+    one.collect()
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    // AQE wraps the final plan in adaptive/stage nodes collect() won't
+    // cross — walk through them explicitly
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec => scans(q.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans)
+    }
+    val codeScans = scans(one.queryExecution.executedPlan)
+      .filter(_.relation.location.rootPaths.exists(_.toString.contains("/codes")))
+    assert(codeScans.nonEmpty, "expected a file scan over the codes relation")
+    codeScans.foreach { f =>
+      assert(f.selectedPartitions.partitionCount <= 3,
+        s"probe read ${f.selectedPartitions.partitionCount} of 8 cell partitions")
+    }
+  }
+
   test("pqTopK plan: codebook/LUT/ADC joins all broadcast, no shuffled join of the corpus") {
     val emb = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))

@@ -277,6 +277,19 @@ object FixedRules {
       subspaces = optInt(o, "subspaces", 16),
       codes = optInt(o, "codes", 64),
       refine = optInt(o, "refine", 8)))
+  // probe a persisted Ann.writeIndex directory (cell-partitioned codes,
+  // statically pruned scan) from script
+  register("AnnPqProbe", (rels, o, _) => {
+    val path = o.get("path") match {
+      case Some(s: String) => s.stripPrefix("file://")
+      case _ => throw Compiler.CompileException("AnnPqProbe needs path: 'file://...'")
+    }
+    graft.similarity.Ann.probeIndex(path,
+      relAs(rels, 0, "AnnPqProbe", "query_id", "vec"),
+      k = optInt(o, "k", 10),
+      nProbe = optInt(o, "n_probe", 4),
+      refine = optInt(o, "refine", 8))
+  })
 
   register("CsvReader", (_, o, spark) => {
     val url = o.get("url") match {

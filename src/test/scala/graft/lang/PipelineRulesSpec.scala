@@ -118,4 +118,19 @@ class PipelineRulesSpec extends AnyFunSuite {
     assert(rows.forall(_.getInt(3) <= 3))
     assert(rows.forall(r => r.getLong(0) != r.getLong(1)))
   }
+
+  test("AnnPqProbe probes a persisted index from script") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .selectExpr("vec_id as id", "embedding as vec")
+    val dir = java.nio.file.Files.createTempDirectory("graft_annidx_script").toString
+    graft.similarity.Ann.writeIndex(dir, emb, nCells = 8, subspaces = 16, codes = 64)
+    val db = new CozoDb(spark)
+    db.registerTable("probes",
+      emb.selectExpr("id as vec_id", "vec as embedding").limit(2))
+    val rows = db.run(
+      s"?[q, id, cos, rank] <~ AnnPqProbe(*probes[], path: 'file://$dir', k: 3, n_probe: 8)")
+      .collect()
+    assert(rows.length == 6) // full probe: 2 queries x top-3
+    assert(rows.forall(r => r.getLong(0) != r.getLong(1)))
+  }
 }

@@ -948,6 +948,58 @@ class CozoDb(val spark: SparkSession) {
       case V(n) => n
       case other => other.toString
     }
+    // Stemmer(language): required-arg semantics per fts/mod.rs:176-208.
+    // Unknown names and reference languages this build does not ship
+    // both fail loudly — silently stemming French text with the English
+    // algorithm would be a wrong answer, not a fallback.
+    def stemLangOf(filters: Seq[Expr]): String = {
+      filters.collectFirst {
+        case V(x) if x.equalsIgnoreCase("Stemmer") =>
+          throw CompileException("Missing first argument `language` to Stemmer")
+        case App(x, args) if x.equalsIgnoreCase("Stemmer") =>
+          args.headOption match {
+            case Some(Lit(s: String)) => s.toLowerCase
+            case Some(V(s)) => s.toLowerCase
+            case _ => throw CompileException(
+              "First argument `language` to Stemmer must be a string")
+          }
+      } match {
+        case None => "english"
+        case Some(l) =>
+          if (!graft.search.Stemmers.referenceLanguages.contains(l))
+            throw CompileException(s"Unsupported language: $l")
+          if (graft.search.Stemmers.forLanguage(l).isEmpty)
+            throw CompileException(
+              s"Stemmer language '$l' is not shipped in this build; shipped: " +
+                graft.search.Stemmers.shippedLanguages.mkString(", "))
+          l
+      }
+    }
+    // Stopwords(code | ['explicit', 'list']) per fts/mod.rs:210-233.
+    def stopListOf(filters: Seq[Expr]): Seq[String] =
+      filters.collectFirst {
+        case V(x) if x.equalsIgnoreCase("Stopwords") =>
+          throw CompileException(
+            "Filter Stopwords requires language name or a list of stopwords")
+        case App(x, args) if x.equalsIgnoreCase("Stopwords") =>
+          args.headOption match {
+            case Some(Lit(s: String)) =>
+              if (!graft.search.Stopwords.referenceCodes.contains(s.toLowerCase))
+                throw CompileException(s"Unsupported language: $s")
+              graft.search.Stopwords.forLang(s).getOrElse(throw CompileException(
+                s"Stopwords language '$s' is not shipped in this build; shipped: " +
+                  graft.search.Stopwords.shippedCodes.mkString(", ") +
+                  " — or pass an explicit list: Stopwords(['word', ...])"))
+            case Some(ListE(items)) =>
+              items.map {
+                case Lit(s: String) => s
+                case _ => throw CompileException(
+                  "First argument `stopwords` must be a list of strings")
+              }
+            case _ => throw CompileException(
+              "Filter Stopwords requires language name or a list of stopwords")
+          }
+      }.getOrElse(Nil)
     if (kind == "index") {
       // bare column list, a permuted covering copy (runtime/relation.rs:1232)
       val cols = optsRaw.toSeq.flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
@@ -1015,8 +1067,11 @@ class CozoDb(val spark: SparkSession) {
               "First argument `compound_words_list` must be a list of strings")
           },
           // the reference's Stemmer filter IS Snowball (fts/mod.rs:176
-          // via rust-stemmers); English is the shipped language
-          stopwords = hasFilter("Stopwords"), snowball = hasFilter("Stemmer"))
+          // via rust-stemmers) and REQUIRES a language argument; its
+          // Stopwords takes an ISO code or an explicit word list
+          // (fts/mod.rs:210-233)
+          stopwords = hasFilter("Stopwords"), snowball = hasFilter("Stemmer"),
+          stemLang = stemLangOf(filters), stopList = stopListOf(filters))
         indexes(target) = FtsIdx(rel, extractor, pipe)
       case "lsh" =>
         val extractor = opts.get("extractor").map(asStr)

@@ -59,7 +59,15 @@ object Fts {
                             snowball: Boolean = false,
                             cangjieKind: String = "default",
                             alphaNumOnly: Boolean = false,
-                            compoundWords: Seq[String] = Nil)
+                            compoundWords: Seq[String] = Nil,
+                            stemLang: String = "english",
+                            stopList: Seq[String] = Nil) {
+    /** Stopword list in effect when `stopwords` is set: the explicit /
+      * per-language list from `Stopwords(...)`, else the English
+      * default (legacy boolean form). */
+    def effectiveStopwords: Seq[String] =
+      if (stopList.nonEmpty) stopList else stopwordsEn
+  }
 
   /** Light English stemmer (suffix stripping): conflates plural /
     * participle / common derivational variants consistently between
@@ -108,7 +116,6 @@ object Fts {
     "they", "this", "those", "through", "to", "too", "under", "until", "up",
     "very", "was", "we", "were", "what", "when", "where", "which", "while", "who",
     "whom", "why", "will", "with", "would", "you", "your", "yours")
-  private val stopwordSet = stopwordsEn.toSet
 
   /** Latin-1 letters that do NOT decompose to base + combining mark
     * (ascii_folding_filter.rs:1581 latin1 expectations — ligatures and
@@ -169,10 +176,10 @@ object Fts {
       }
     val notLong = p.removeLong.fold(decompounded)(n => filter(decompounded, t => length(t) < n))
     val stopped = if (p.stopwords) {
-      val sw = array(stopwordsEn.map(lit): _*)
+      val sw = array(p.effectiveStopwords.map(lit): _*)
       filter(notLong, t => !array_contains(sw, t))
     } else notLong
-    if (p.snowball) snowballArr(stopped)
+    if (p.snowball) snowballArr(p.stemLang)(stopped)
     else if (p.stem) transform(stopped, stemLight(_))
     else stopped
   }
@@ -181,9 +188,16 @@ object Fts {
     * regions aren't expressible as a regexp chain, so this one filter
     * is a (vectorized per-array) Scala UDF — applied once per document
     * at index build, never in a per-row probe loop. KEEP the query side
-    * ([[tokenizeTermStr]]) on the identical [[Snowball.stem]]. */
-  private lazy val snowballArr =
-    udf((arr: Seq[String]) => if (arr == null) null else arr.map(Snowball.stem))
+    * ([[tokenizeTermStr]]) on the identical stemmer (dispatch by
+    * language through [[Stemmers.forLanguage]]). */
+  private def snowballArr(lang: String) =
+    udf { (arr: Seq[String]) =>
+      if (arr == null) null
+      else {
+        val f = Stemmers.forLanguage(lang).getOrElse(Snowball.stem(_: String))
+        arr.map(f)
+      }
+    }
 
   /** SplitCompoundWords (fts/mod.rs:153, tantivy semantics): a token
     * that decomposes ENTIRELY into two or more dictionary words is
@@ -227,9 +241,13 @@ object Fts {
       if (p.compoundWords.isEmpty) alnum
       else { val ws = p.compoundWords.toSet; alnum.flatMap(splitCompound(_, ws)) }
     val notLong = p.removeLong.fold(decompounded)(n => decompounded.filter(_.length < n))
-    val stopped = if (p.stopwords) notLong.filterNot(stopwordSet.contains) else notLong
-    if (p.snowball) stopped.map(Snowball.stem)
-    else if (p.stem) stopped.map(stemLightStr)
+    val stopped =
+      if (p.stopwords) { val sw = p.effectiveStopwords.toSet; notLong.filterNot(sw.contains) }
+      else notLong
+    if (p.snowball) {
+      val f = Stemmers.forLanguage(p.stemLang).getOrElse(Snowball.stem(_: String))
+      stopped.map(f)
+    } else if (p.stem) stopped.map(stemLightStr)
     else stopped
   }
 

@@ -99,6 +99,53 @@ class IndexesSpec extends AnyFunSuite {
       Seq(Seq(1L, 2L, 3L, 100L, 5L)))
   }
 
+  test("::fts Stemmer/Stopwords argument semantics mirror the reference (fts/mod.rs:176-233)") {
+    val db = new CozoDb(spark)
+    db.run("?[k, v] <- [['a', 'x']] :create t {k}")
+    def create(filters: String): Unit =
+      db.run(s"::fts create t:f { extractor: v, tokenizer: Simple, filters: [$filters] }")
+    // missing / malformed arguments fail like the reference
+    val e1 = intercept[Exception](create("Stemmer"))
+    assert(e1.getMessage.contains("Missing first argument"))
+    val e2 = intercept[Exception](create("Stemmer('klingon')"))
+    assert(e2.getMessage.contains("Unsupported language"))
+    // reference-accepted but unshipped: loud, names the shipped set
+    val e3 = intercept[Exception](create("Stemmer('finnish')"))
+    assert(e3.getMessage.contains("not shipped"))
+    val e4 = intercept[Exception](create("Stopwords"))
+    assert(e4.getMessage.contains("requires language name or a list"))
+    val e5 = intercept[Exception](create("Stopwords('xx')"))
+    assert(e5.getMessage.contains("Unsupported language"))
+    // shipped language + explicit list both create successfully
+    create("Lowercase, Stemmer('german'), Stopwords('de')")
+    db.run("::fts drop t:f")
+    create("Lowercase, Stopwords(['foo', 'bar'])")
+    db.run("::fts drop t:f")
+  }
+
+  test("german FTS round-trip: index-side and query-side stemming agree") {
+    val db = new CozoDb(spark)
+    db.run(
+      """?[k, v] <- [
+        |  ['a', 'Die Häuser der Stadt'],
+        |  ['b', 'Ein Haus am See'],
+        |  ['c', 'Der Fluss und die Brücke']
+        |] :create docs {k}""".stripMargin)
+    db.run(
+      """::fts create docs:fts {
+        |  extractor: v, tokenizer: Simple,
+        |  filters: [Lowercase, Stemmer('german'), Stopwords('de')]
+        |}""".stripMargin)
+    // Haus and Häuser stem to the same token, so either query form
+    // finds both documents; the stopworded article finds nothing
+    val hits = rows(db, "?[k] := ~docs:fts{k | query: 'Häuser', k: 10}")
+      .map(_.head).toSet
+    assert(hits == Set("a", "b"))
+    val hits2 = rows(db, "?[k] := ~docs:fts{k | query: 'hauses', k: 10}")
+      .map(_.head).toSet
+    assert(hits2 == Set("a", "b"))
+  }
+
   test("::index create registers a scannable permuted copy; ::indices lists; drop removes") {
     val db = new CozoDb(spark)
     db.run("?[k, v] <- [['a', 1], ['b', 2]] :create a {k}")

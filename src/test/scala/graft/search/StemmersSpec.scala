@@ -1,0 +1,136 @@
+package graft.search
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Multi-language Snowball stemmer vectors (from-the-spec ports,
+  * Stemmers/StemmersWest). Vectors follow the published algorithm
+  * descriptions at snowballstem.org — region computations and
+  * longest-suffix semantics are exercised per step family. The
+  * reference reaches the same algorithms through rust-stemmers
+  * (fts/mod.rs:176-208).
+  */
+class StemmersSpec extends AnyFunSuite {
+
+  private def check(lang: String, vectors: (String, String)*): Unit = {
+    val f = Stemmers.forLanguage(lang).getOrElse(fail(s"$lang not shipped"))
+    for ((in, want) <- vectors)
+      assert(f(in) == want, s"$lang: $in -> ${f(in)} (want $want)")
+  }
+
+  test("german: plural/derivational suffixes, umlaut removal, ß->ss") {
+    check("german",
+      "häuser" -> "haus", "haus" -> "haus", "katzen" -> "katz",
+      "bücher" -> "buch", "größe" -> "gross", "aufeinander" -> "aufeinand",
+      "verständnisses" -> "verstandnis", "kategorie" -> "kategori",
+      "möglichkeit" -> "moglich", "keiten" -> "keit",
+      // lich outside R2 is kept
+      "lieblich" -> "lieblich")
+  }
+
+  test("swedish: definite/plural endings, s-ending, step-3 lig/ig") {
+    check("swedish",
+      "jackorna" -> "jack", "flickorna" -> "flick", "möjligheten" -> "möj",
+      "friskt" -> "frisk", "hundarnas" -> "hund", "tröttast" -> "trött")
+  }
+
+  test("norwegian: ene/et endings, heten* family") {
+    check("norwegian",
+      "huset" -> "hus", "båtene" -> "båt", "hetenes" -> "het",
+      "vakreste" -> "vakrest", "billigste" -> "billigst")
+  }
+
+  test("danish: erne/et endings, double-consonant undouble, lig family") {
+    check("danish",
+      "huset" -> "hus", "bilerne" -> "bil", "bestemmelse" -> "bestem",
+      "venligheden" -> "ven", "dejligst" -> "dej")
+  }
+
+  test("russian: noun/adjective/verb/gerund endings, derivational ость") {
+    check("russian",
+      "книги" -> "книг", "красивый" -> "красив", "важная" -> "важн",
+      "столами" -> "стол", "возможностью" -> "возможн",
+      "бегавшая" -> "бега", "программист" -> "программист",
+      "программистов" -> "программист",
+      // ё folds to е before stemming
+      "весёлый" -> "весел")
+  }
+
+  test("dutch: en/e with undoubling, heid, lijk, heden->heid") {
+    check("dutch",
+      "lichamelijk" -> "licham", "bogen" -> "bog", "huizen" -> "huiz",
+      "werkelijkheid" -> "werkelijk", "mogelijkheden" -> "mogelijk")
+  }
+
+  test("spanish: gerund/verb suffixes, attached pronouns, residual step") {
+    check("spanish",
+      "caminando" -> "camin", "niños" -> "niñ", "comieron" -> "com",
+      "generosidad" -> "gener", "haciéndola" -> "hac",
+      "construyeron" -> "constru",
+      // longest-match prefers the verb reading erías over noun ías
+      "librerías" -> "libr")
+  }
+
+  test("french: ement/ité/aux families, verb suffixes, undoubling") {
+    check("french",
+      "continuité" -> "continu", "majestueux" -> "majestu",
+      "grandement" -> "grand", "nationale" -> "national",
+      "nationaux" -> "national", "maisons" -> "maison",
+      "voudriez" -> "voudr", "habituellement" -> "habituel")
+  }
+
+  test("italian: azione/ità, verb suffixes, final-vowel removal") {
+    check("italian",
+      "cantando" -> "cant", "felicità" -> "felic", "abitazione" -> "abit",
+      "nazionali" -> "nazional", "mangiare" -> "mang")
+  }
+
+  test("portuguese: idade/amente, verb suffixes, nasal-vowel marking") {
+    check("portuguese",
+      "bonecas" -> "bonec", "felicidade" -> "felic",
+      "trabalhando" -> "trabalh", "nacionais" -> "nacion",
+      "rapidamente" -> "rapid", "corações" -> "coraçõ")
+  }
+
+  test("dispatch: all shipped languages resolve; unshipped do not") {
+    for (l <- Stemmers.shippedLanguages)
+      assert(Stemmers.forLanguage(l).isDefined, l)
+    for (l <- Seq("finnish", "turkish", "arabic", "greek", "hungarian",
+      "romanian", "tamil"))
+      assert(Stemmers.forLanguage(l).isEmpty, l)
+    assert(Stemmers.referenceLanguages.size == 18)
+    // every shipped language is one the reference accepts
+    Stemmers.shippedLanguages.foreach(l =>
+      assert(Stemmers.referenceLanguages.contains(l), l))
+  }
+
+  test("stemmers are idempotent on their own output (index/query parity)") {
+    val words = Map(
+      "german" -> Seq("häuser", "katzen", "möglichkeit"),
+      "swedish" -> Seq("jackorna", "möjligheten"),
+      "norwegian" -> Seq("huset", "båtene"),
+      "danish" -> Seq("bilerne", "bestemmelse"),
+      "dutch" -> Seq("lichamelijk", "mogelijkheden"),
+      "french" -> Seq("grandement", "habituellement"),
+      "italian" -> Seq("cantando", "abitazione"),
+      "portuguese" -> Seq("trabalhando", "felicidade"))
+    // a second application must not keep stripping (otherwise an
+    // indexed stem and a stemmed query term could diverge)
+    for ((lang, ws) <- words; w <- ws) {
+      val f = Stemmers.forLanguage(lang).get
+      val once = f(w)
+      assert(f(once) == once, s"$lang: $w -> $once -> ${f(once)}")
+    }
+  }
+
+  test("stopwords: shipped codes resolve, reference codes validated") {
+    for (c <- Stopwords.shippedCodes) {
+      val l = Stopwords.forLang(c).get
+      assert(l.nonEmpty)
+      assert(l.distinct.size == l.size, s"$c has duplicates")
+      assert(Stopwords.referenceCodes.contains(c), c)
+    }
+    assert(Stopwords.forLang("xx").isEmpty)
+    assert(Stopwords.forLang("fi").isEmpty) // reference-known, not shipped
+    assert(Stopwords.referenceCodes.contains("fi"))
+  }
+}

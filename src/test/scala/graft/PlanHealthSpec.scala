@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.catalyst.plans.logical.Window
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Scale-honesty regression gate over EVERY registered driver query:
+  * the physical plan must not contain an unpartitioned cartesian
+  * product, and logical Window nodes must be partitioned — the two
+  * plan shapes that quietly work at test scale and melt down at 100×
+  * (all-pairs work, single-partition windows).
+  *
+  * Exceptions are enumerated here WITH their justification, so a new
+  * query (or a regression in an existing one) that introduces either
+  * shape fails the suite and forces the author to either fix the plan
+  * or argue the case in this file.
+  */
+class PlanHealthSpec extends AnyFunSuite {
+  lazy val spark = SparkFixture.spark
+  private val dir = sys.env.getOrElse("GRAFT_SF_DIR", "/root/testdata/sf0.001")
+
+  /** Queries whose plan legitimately contains BroadcastNestedLoopJoin:
+    * every instance is a join against an explicitly broadcast SMALL
+    * side (bounded independent of the data scale), which is exactly
+    * how a non-equi join should run on a cluster. */
+  private val bnljAllowed: Map[String, String] = Map(
+    "ann_knn" -> "brute-force referee: probe set (100 rows) broadcast against all vectors",
+    "ann_ivf" -> "Lloyd assignment + probe: centroid table (k<=256) broadcast",
+    "ann_pq" -> "PQ codebooks (k*m<=4096 rows) broadcast for ADC scan + recall referee",
+    "ann_lsh" -> "recall referee inside the query joins the brute-force top-k (bounded probes)",
+    "dedup_simhash" -> "sample-vs-banded referee: 1K-doc sample broadcast for exact hamming",
+    "mm_features_knn" -> "probe features (15 rows) broadcast against extracted features",
+    "graph_louvain" -> "scalar 2m total-weight row broadcast into the modularity invariant")
+
+  /** Queries whose logical plan legitimately contains an unpartitioned
+    * Window: the two-level prefix sums run their TOP level over
+    * per-bucket offsets — a relation whose cardinality is bounded by
+    * the bucket count (bucketWidth auto-scales with max(id), see
+    * Sharding.scala), not by the data. */
+  private val globalWindowAllowed: Map[String, String] = Map(
+    "pipe_pack_shards" -> "top-level offsets window over <=bucketCount rows (two-level prefix sum)",
+    "pipe_pack_sequences" -> "same two-level prefix sum over chunk buckets")
+
+  for (name <- Queries.queries.keys.toSeq.sorted) {
+    test(s"$name: no cartesian, no unpartitioned window, BNLJ only where argued") {
+      val df = Queries.queries(name)(spark, dir)
+      val phys = df.queryExecution.executedPlan.toString
+
+      assert(!phys.contains("CartesianProduct"),
+        s"$name has a CartesianProduct — all-pairs work does not survive scale")
+
+      if (!bnljAllowed.contains(name))
+        assert(!phys.contains("BroadcastNestedLoopJoin"),
+          s"$name grew a BroadcastNestedLoopJoin; if the build side is " +
+            "provably small, add it to bnljAllowed with the argument")
+
+      val globalWins = df.queryExecution.optimizedPlan.collect {
+        case w: Window if w.partitionSpec.isEmpty => w
+      }
+      if (!globalWindowAllowed.contains(name))
+        assert(globalWins.isEmpty,
+          s"$name has ${globalWins.size} unpartitioned Window node(s) — " +
+            "a single-partition stage at scale; partition it or argue " +
+            "the bound in globalWindowAllowed")
+    }
+  }
+
+  test("allowlists only name registered queries") {
+    val known = Queries.queries.keySet
+    for (n <- bnljAllowed.keys ++ globalWindowAllowed.keys)
+      assert(known.contains(n), s"stale allowlist entry: $n")
+  }
+}

@@ -48,8 +48,9 @@ object Fts {
     * Raw / Simple / Whitespace / NGram(min, max, prefix_only) /
     * Cangjie(kind) (jieba-style dict segmentation, [[Cangjie]]);
     * filters Lowercase, AsciiFolding, AlphaNumOnly, RemoveLong(limit),
-    * SplitCompoundWords(list), Stopwords, Stemmer (Snowball English,
-    * [[Snowball]]; `stem` is the legacy regexp-chain light stemmer).
+    * SplitCompoundWords(list), Stopwords(code | list), Stemmer(lang)
+    * (Snowball, 11 languages via [[Stemmers.forLanguage]]; `stem` is
+    * the legacy regexp-chain light stemmer).
     */
   final case class Pipeline(tokenizer: String = "Simple",
                             minGram: Int = 1, maxGram: Int = 1, prefixOnly: Boolean = false,

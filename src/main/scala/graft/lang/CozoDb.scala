@@ -747,6 +747,8 @@ class CozoDb(val spark: SparkSession) {
         val ix = graft.search.Fts.Index.build(
           relation(spec.rel), keyColOf(spec.rel), spec.extractor, spec.pipe)
         ftsCache(target) = (mutationEpoch, ix)
+        ftsFullBuilds += 1
+        ftsDeltaCount(target) = 0
         ix
     }
 
@@ -939,6 +941,7 @@ class CozoDb(val spark: SparkSession) {
     if (sub == "drop") {
       val existed = indexes.remove(target).isDefined
       ftsCache.remove(target)
+      ftsDeltaCount.remove(target)
       return Seq(((if (existed) "dropped" else "absent"), target)).toDF("status", "index")
     }
     val rel = target.split(":")(0)
@@ -1710,7 +1713,49 @@ class CozoDb(val spark: SparkSession) {
       case "ensure_not" => Mutations.ensureNot(relation(rel), delta)
       case other => throw CompileException(s"unknown relation op :$other")
     }
+    if (Seq("put", "insert", "update", "rm", "delete").contains(op))
+      maintainFtsIndexes(rel, delta)
     delta
+  }
+
+  /** Incremental FTS index maintenance on mutation (the reference
+    * updates index entries inside the mutation tx, fts/indexing.rs):
+    * a cached index absorbs the mutation as a broadcast anti-join on
+    * the changed keys plus an O(|delta|) tokenization of the new rows
+    * — NOT the full-corpus re-tokenization a cache drop would cost on
+    * the next probe. Chains are bounded: after [[ftsMaxDeltas]]
+    * stacked deltas the cache is dropped and the next probe compacts
+    * to a freshly built index (checkpoint-block hygiene — the LSM
+    * compaction analogue). `::replace` and schema changes drop the
+    * cache via the epoch mismatch as before. */
+  private val ftsDeltaCount = mutable.HashMap.empty[String, Int]
+  private[lang] val ftsMaxDeltas = 32
+  private[lang] var ftsFullBuilds = 0 // observability for tests
+  private def maintainFtsIndexes(rel: String, delta: DataFrame): Unit = {
+    val targets = indexes.collect { case (t, f: FtsIdx) if f.rel == rel => (t, f) }.toSeq
+    if (targets.isEmpty) return
+    val key = keyColOf(rel)
+    if (!delta.columns.contains(key)) {
+      targets.foreach { case (t, _) => ftsCache.remove(t); ftsDeltaCount.remove(t) }
+      return
+    }
+    val changedIds = delta.select(col(key)).dropDuplicates().ckptLazy()
+    // post-mutation rows for the changed keys: present for put/insert/
+    // update, naturally empty for rm/delete
+    val added = relation(rel).join(changedIds, Seq(key), "left_semi")
+    for ((target, spec) <- targets) ftsCache.get(target) match {
+      case Some((_, ix)) =>
+        val n = ftsDeltaCount.getOrElse(target, 0)
+        if (n >= ftsMaxDeltas || !relation(rel).columns.contains(spec.extractor)) {
+          ftsCache.remove(target); ftsDeltaCount.remove(target)
+        } else {
+          val ix2 = graft.search.Fts.Index.applyDelta(
+            ix, changedIds, added, key, spec.extractor)
+          ftsCache(target) = (mutationEpoch, ix2)
+          ftsDeltaCount(target) = n + 1
+        }
+      case None => () // nothing cached: the next probe builds fresh
+    }
   }
 
   // ———————————————————————— helpers ————————————————————————

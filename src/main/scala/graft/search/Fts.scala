@@ -272,17 +272,50 @@ object Fts {
       build(docs, idCol, textCol, Pipeline(stopwords = stopwords, stem = stem))
 
     def build(docs: DataFrame, idCol: String, textCol: String, pipe: Pipeline): Index = {
-      val toks = tokenizeWith(col(textCol), pipe)
-      val postings = docs
-        .select(col(idCol).as("id"), posexplode(toks))
+      val postings = docPostings(docs, idCol, textCol, pipe).ckptLazy()
+      val lens = docLens(docs, idCol, textCol, pipe).ckptLazy()
+      val (n, avgdl) = lensStats(lens)
+      Index(postings, lens, n, avgdl, pipe)
+    }
+
+    private def docPostings(docs: DataFrame, idCol: String, textCol: String,
+                            pipe: Pipeline): DataFrame =
+      docs.select(col(idCol).as("id"), posexplode(tokenizeWith(col(textCol), pipe)))
         .toDF("id", "pos", "term")
         .groupBy("id", "term")
         .agg(count(lit(1)).as("tf"), sort_array(collect_list(col("pos"))).as("positions"))
-        .ckptLazy()
-      val lens = docs.select(col(idCol).as("id"), size(toks).cast("double").as("dl"))
-        .ckptLazy()
+
+    private def docLens(docs: DataFrame, idCol: String, textCol: String,
+                        pipe: Pipeline): DataFrame =
+      docs.select(col(idCol).as("id"),
+        size(tokenizeWith(col(textCol), pipe)).cast("double").as("dl"))
+
+    private def lensStats(lens: DataFrame): (Double, Double) = {
       val stats = lens.agg(count(lit(1)).cast("double"), avg(col("dl"))).head()
-      Index(postings, lens, stats.getDouble(0), stats.getDouble(1), pipe)
+      (stats.getDouble(0), if (stats.isNullAt(1)) 0.0 else stats.getDouble(1))
+    }
+
+    /** Per-row index maintenance: drop the postings/lens of the
+      * mutated ids (broadcast anti-join — a map-side filter when the
+      * changed-key set is small, which a point mutation is) and append
+      * the freshly tokenized delta. O(|delta|) tokenization instead of
+      * the full-corpus rebuild a cache drop costs — the reference does
+      * the same inside the mutation transaction (fts/indexing.rs
+      * del/put per changed row). `changedIds` must be a single-column
+      * frame of `idCol`; `addedDocs` the post-mutation rows for those
+      * ids (empty for a pure rm). Stats are re-aggregated from the
+      * 2-column lens table, never from text. */
+    def applyDelta(ix: Index, changedIds: DataFrame, addedDocs: DataFrame,
+                   idCol: String, textCol: String): Index = {
+      val ids = broadcast(changedIds.select(col(idCol).as("id")).dropDuplicates())
+      val postings = ix.postings.join(ids, Seq("id"), "left_anti")
+        .unionByName(docPostings(addedDocs, idCol, textCol, ix.pipe))
+        .ckptLazy()
+      val lens = ix.lens.join(ids, Seq("id"), "left_anti")
+        .unionByName(docLens(addedDocs, idCol, textCol, ix.pipe))
+        .ckptLazy()
+      val (n, avgdl) = lensStats(lens)
+      Index(postings, lens, n, avgdl, ix.pipe)
     }
   }
 

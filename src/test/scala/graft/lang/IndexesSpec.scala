@@ -146,6 +146,45 @@ class IndexesSpec extends AnyFunSuite {
     assert(hits2 == Set("a", "b"))
   }
 
+  test("FTS index absorbs put/rm as deltas — no full rebuild per mutation") {
+    val db = new CozoDb(spark)
+    db.run("?[k, v] <- [['a', 'red apples'], ['b', 'green pears']] :create d {k}")
+    db.run("::fts create d:fts { extractor: v, tokenizer: Simple, filters: [Lowercase] }")
+    def search(q: String): Set[Any] =
+      rows(db, s"?[k] := ~d:fts{k | query: '$q', k: 10}").map(_.head).toSet
+    assert(search("apples") == Set("a"))
+    assert(db.ftsFullBuilds == 1)
+    // put: new doc + overwrite of an existing one
+    db.run("?[k, v] <- [['c', 'red grapes'], ['a', 'yellow bananas']] :put d {k}")
+    assert(search("red") == Set("c"))       // a's old text is gone
+    assert(search("bananas") == Set("a"))   // a's new text is found
+    assert(search("grapes") == Set("c"))
+    // rm: document drops out of the index
+    db.run("?[k] <- [['b']] :rm d {k}")
+    assert(search("pears") == Set())
+    assert(search("bananas") == Set("a"))
+    // every mutation above was absorbed as a delta on the single build
+    assert(db.ftsFullBuilds == 1)
+  }
+
+  test("FTS delta chain compacts to a fresh build after ftsMaxDeltas mutations") {
+    val db = new CozoDb(spark)
+    db.run("?[k, v] <- [[0, 'seed document']] :create d {k}")
+    db.run("::fts create d:fts { extractor: v, tokenizer: Simple, filters: [Lowercase] }")
+    def search(q: String): Set[Any] =
+      rows(db, s"?[k] := ~d:fts{k | query: '$q', k: 50}").map(_.head).toSet
+    assert(search("seed") == Set(0L))
+    assert(db.ftsFullBuilds == 1)
+    for (i <- 1 to db.ftsMaxDeltas + 1)
+      db.run(s"?[k, v] <- [[$i, 'doc number word$i']] :put d {k}")
+    // the chain hit the bound: the cache was dropped mid-stream and the
+    // next probe recompacted (exactly one extra full build)
+    assert(search("word1") == Set(1L))
+    assert(search(s"word${db.ftsMaxDeltas + 1}") == Set((db.ftsMaxDeltas + 1).toLong))
+    assert(search("number").size == db.ftsMaxDeltas + 1)
+    assert(db.ftsFullBuilds == 2)
+  }
+
   test("::index create registers a scannable permuted copy; ::indices lists; drop removes") {
     val db = new CozoDb(spark)
     db.run("?[k, v] <- [['a', 1], ['b', 2]] :create a {k}")

@@ -730,6 +730,11 @@ class CozoDb(val spark: SparkSession) {
     * per-row index maintenance). */
   private var mutationEpoch = 0L
   private val ftsCache = mutable.HashMap.empty[String, (Long, graft.search.Fts.Index)]
+  /** Cached per-document LSH band table (key, band) — minhash
+    * signatures are the expensive part of a `~rel:lsh` probe and are
+    * pure per-document state, so they persist across probes and absorb
+    * mutations as deltas exactly like the FTS postings. */
+  private val lshCache = mutable.HashMap.empty[String, (Long, DataFrame)]
 
   private def keyColOf(rel: String): String =
     relationKeys.getOrElse(rel, relation(rel).columns.toSeq).head
@@ -747,9 +752,29 @@ class CozoDb(val spark: SparkSession) {
         val ix = graft.search.Fts.Index.build(
           relation(spec.rel), keyColOf(spec.rel), spec.extractor, spec.pipe)
         ftsCache(target) = (mutationEpoch, ix)
-        ftsFullBuilds += 1
+        indexFullBuilds += 1
         ftsDeltaCount(target) = 0
         ix
+    }
+
+  /** The per-document (key, band) table of an LSH index. */
+  private def lshBandsOf(docs: DataFrame, key: String, l: LshIdx): DataFrame = {
+    import graft.functions.{TextFunctions => TF}
+    val nPerm = l.bands * l.rowsPerBand
+    docs.select(col(key), explode(TF.lshBandKeys(
+      TF.minhashSignature(TF.charNgrams(col(l.extractor), l.nGram), nPerm),
+      l.bands, l.rowsPerBand)).as("band"))
+  }
+
+  private def lshBandTable(target: String, l: LshIdx): DataFrame =
+    lshCache.get(target) match {
+      case Some((epoch, df)) if epoch == mutationEpoch => df
+      case _ =>
+        val df = lshBandsOf(relation(l.rel), keyColOf(l.rel), l).ckptLazy()
+        lshCache(target) = (mutationEpoch, df)
+        indexFullBuilds += 1 // shared observability counter for tests
+        lshDeltaCount(target) = 0
+        df
     }
 
   /** `*rel:idx{...}` — scan the index's own relation (the reference
@@ -847,10 +872,7 @@ class CozoDb(val spark: SparkSession) {
         val qBands = qRow.select(explode(TF.lshBandKeys(
           TF.minhashSignature(TF.charNgrams(col(l.extractor), l.nGram), nPerm),
           l.bands, l.rowsPerBand)).as("band"))
-        val corpusBands = base.select(col(key), explode(TF.lshBandKeys(
-          TF.minhashSignature(TF.charNgrams(col(l.extractor), l.nGram), nPerm),
-          l.bands, l.rowsPerBand)).as("band"))
-        val candidates = corpusBands.join(broadcast(qBands), Seq("band"))
+        val candidates = lshBandTable(target, l).join(broadcast(qBands), Seq("band"))
           .select(key).distinct()
         // exact-similarity verify on the candidate set only (linear)
         val qShingles = queryString.toLowerCase.sliding(l.nGram).toSeq.distinct match {
@@ -942,6 +964,8 @@ class CozoDb(val spark: SparkSession) {
       val existed = indexes.remove(target).isDefined
       ftsCache.remove(target)
       ftsDeltaCount.remove(target)
+      lshCache.remove(target)
+      lshDeltaCount.remove(target)
       return Seq(((if (existed) "dropped" else "absent"), target)).toDF("status", "index")
     }
     val rel = target.split(":")(0)
@@ -1718,25 +1742,29 @@ class CozoDb(val spark: SparkSession) {
     delta
   }
 
-  /** Incremental FTS index maintenance on mutation (the reference
+  /** Incremental search-index maintenance on mutation (the reference
     * updates index entries inside the mutation tx, fts/indexing.rs):
-    * a cached index absorbs the mutation as a broadcast anti-join on
-    * the changed keys plus an O(|delta|) tokenization of the new rows
-    * — NOT the full-corpus re-tokenization a cache drop would cost on
-    * the next probe. Chains are bounded: after [[ftsMaxDeltas]]
-    * stacked deltas the cache is dropped and the next probe compacts
-    * to a freshly built index (checkpoint-block hygiene — the LSM
-    * compaction analogue). `::replace` and schema changes drop the
-    * cache via the epoch mismatch as before. */
+    * a cached FTS index or LSH band table absorbs the mutation as a
+    * broadcast anti-join on the changed keys plus an O(|delta|)
+    * tokenization/signature pass over the new rows — NOT the
+    * full-corpus recompute a cache drop would cost on the next probe.
+    * Chains are bounded: after [[ftsMaxDeltas]] stacked deltas the
+    * cache is dropped and the next probe compacts to a freshly built
+    * artifact (checkpoint-block hygiene — the LSM compaction
+    * analogue). `::replace` and schema changes drop caches via the
+    * epoch mismatch as before. */
   private val ftsDeltaCount = mutable.HashMap.empty[String, Int]
+  private val lshDeltaCount = mutable.HashMap.empty[String, Int]
   private[lang] val ftsMaxDeltas = 32
-  private[lang] var ftsFullBuilds = 0 // observability for tests
+  private[lang] var indexFullBuilds = 0 // observability for tests
   private def maintainFtsIndexes(rel: String, delta: DataFrame): Unit = {
     val targets = indexes.collect { case (t, f: FtsIdx) if f.rel == rel => (t, f) }.toSeq
-    if (targets.isEmpty) return
+    val lshTargets = indexes.collect { case (t, l: LshIdx) if l.rel == rel => (t, l) }.toSeq
+    if (targets.isEmpty && lshTargets.isEmpty) return
     val key = keyColOf(rel)
     if (!delta.columns.contains(key)) {
       targets.foreach { case (t, _) => ftsCache.remove(t); ftsDeltaCount.remove(t) }
+      lshTargets.foreach { case (t, _) => lshCache.remove(t); lshDeltaCount.remove(t) }
       return
     }
     val changedIds = delta.select(col(key)).dropDuplicates().ckptLazy()
@@ -1755,6 +1783,20 @@ class CozoDb(val spark: SparkSession) {
           ftsDeltaCount(target) = n + 1
         }
       case None => () // nothing cached: the next probe builds fresh
+    }
+    for ((target, spec) <- lshTargets) lshCache.get(target) match {
+      case Some((_, bands)) =>
+        val n = lshDeltaCount.getOrElse(target, 0)
+        if (n >= ftsMaxDeltas || !relation(rel).columns.contains(spec.extractor)) {
+          lshCache.remove(target); lshDeltaCount.remove(target)
+        } else {
+          val df = bands.join(broadcast(changedIds), Seq(key), "left_anti")
+            .unionByName(lshBandsOf(added, key, spec))
+            .ckptLazy()
+          lshCache(target) = (mutationEpoch, df)
+          lshDeltaCount(target) = n + 1
+        }
+      case None => ()
     }
   }
 

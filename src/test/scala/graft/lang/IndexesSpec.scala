@@ -153,7 +153,7 @@ class IndexesSpec extends AnyFunSuite {
     def search(q: String): Set[Any] =
       rows(db, s"?[k] := ~d:fts{k | query: '$q', k: 10}").map(_.head).toSet
     assert(search("apples") == Set("a"))
-    assert(db.ftsFullBuilds == 1)
+    assert(db.indexFullBuilds == 1)
     // put: new doc + overwrite of an existing one
     db.run("?[k, v] <- [['c', 'red grapes'], ['a', 'yellow bananas']] :put d {k}")
     assert(search("red") == Set("c"))       // a's old text is gone
@@ -164,7 +164,24 @@ class IndexesSpec extends AnyFunSuite {
     assert(search("pears") == Set())
     assert(search("bananas") == Set("a"))
     // every mutation above was absorbed as a delta on the single build
-    assert(db.ftsFullBuilds == 1)
+    assert(db.indexFullBuilds == 1)
+  }
+
+  test("LSH band table absorbs put/rm as deltas and keeps probing correctly") {
+    val db = new CozoDb(spark)
+    db.run("?[k, v] <- [['a', 'the quick brown fox jumps over the lazy dog']] :create d {k}")
+    db.run("::lsh create d:lsh {extractor: v, tokenizer: NGram, n_gram: 3, target_threshold: 0.5}")
+    def probe(q: String): Set[Any] =
+      rows(db, s"?[k] := ~d:lsh{k | query: '$q', k: 5}").map(_.head).toSet
+    assert(probe("the quick brown fox jumps over the lazy dog") == Set("a"))
+    val builds = db.indexFullBuilds
+    // near-duplicate added by put is found through the delta path
+    db.run("?[k, v] <- [['b', 'the quick brown fox jumps over the lazy cat']] :put d {k}")
+    assert(probe("the quick brown fox jumps over the lazy cat").contains("b"))
+    // removing a doc drops its bands
+    db.run("?[k] <- [['a']] :rm d {k}")
+    assert(!probe("the quick brown fox jumps over the lazy dog").contains("a"))
+    assert(db.indexFullBuilds == builds, "mutations must not trigger a band-table rebuild")
   }
 
   test("FTS delta chain compacts to a fresh build after ftsMaxDeltas mutations") {
@@ -174,7 +191,7 @@ class IndexesSpec extends AnyFunSuite {
     def search(q: String): Set[Any] =
       rows(db, s"?[k] := ~d:fts{k | query: '$q', k: 50}").map(_.head).toSet
     assert(search("seed") == Set(0L))
-    assert(db.ftsFullBuilds == 1)
+    assert(db.indexFullBuilds == 1)
     for (i <- 1 to db.ftsMaxDeltas + 1)
       db.run(s"?[k, v] <- [[$i, 'doc number word$i']] :put d {k}")
     // the chain hit the bound: the cache was dropped mid-stream and the
@@ -182,7 +199,7 @@ class IndexesSpec extends AnyFunSuite {
     assert(search("word1") == Set(1L))
     assert(search(s"word${db.ftsMaxDeltas + 1}") == Set((db.ftsMaxDeltas + 1).toLong))
     assert(search("number").size == db.ftsMaxDeltas + 1)
-    assert(db.ftsFullBuilds == 2)
+    assert(db.indexFullBuilds == 2)
   }
 
   test("::index create registers a scannable permuted copy; ::indices lists; drop removes") {

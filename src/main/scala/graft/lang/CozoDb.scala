@@ -535,6 +535,14 @@ class CozoDb(val spark: SparkSession) {
         Seq(("described", rel)).toDF("status", "relation")
       // storage housekeeping is a no-op on immutable parquet state
       case "compact" =>
+        // the Spark-native analogue of the reference's storage
+        // compaction (db.rs Compact → RocksDB): eagerly materialize
+        // every stored relation, collapsing accumulated mutation-chain
+        // lineage into checkpoint blocks, and drop index delta chains
+        // so the next probe serves a freshly compacted artifact
+        relationNames.foreach(r => relations(r) = relations(r).ckpt())
+        ftsCache.clear(); ftsDeltaCount.clear()
+        lshCache.clear(); lshDeltaCount.clear()
         Seq(Tuple1("ok")).toDF("status")
       case "running" =>
         runningQueries.asScala.toSeq.map { case (id, desc) => (id, desc) }

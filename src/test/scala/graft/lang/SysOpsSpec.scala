@@ -166,4 +166,18 @@ class SysOpsSpec extends AnyFunSuite {
     val row = db.run("?[k, vld] := *hist2[k, vld]").collect().head
     assert(row.getSeq[Long](1) == Seq(4L, 5L))
   }
+
+  test("::compact materializes mutation chains; data and probes survive") {
+    val db = freshDb()
+    db.run("?[k, v] <- [[1, 'alpha beta'], [2, 'gamma delta']] :create c {k}")
+    db.run("::fts create c:fts { extractor: v, tokenizer: Simple, filters: [Lowercase] }")
+    for (i <- 3 to 8)
+      db.run(s"?[k, v] <- [[$i, 'word$i text']] :put c {k}")
+    assert(db.run("?[k] := ~c:fts{k | query: 'word5', k: 5}").count() == 1)
+    assert(db.run("::compact").collect().head.getString(0) == "ok")
+    // everything still reads correctly from the compacted blocks
+    assert(db.relation("c").count() == 8)
+    assert(db.run("?[k] := ~c:fts{k | query: 'word5', k: 5}").count() == 1)
+    assert(db.run("?[k] := ~c:fts{k | query: 'alpha', k: 5}").count() == 1)
+  }
 }

@@ -41,6 +41,16 @@ object Fts {
     case Near(ts, _) => ts
   }
 
+  /** Every term the evaluation touches, negated sides included (a
+    * NOT's exclusion set still reads its postings). */
+  def allTerms(q: Q): Seq[String] = q match {
+    case Term(t) => Seq(t)
+    case And(qs) => qs.flatMap(allTerms)
+    case Or(qs) => qs.flatMap(allTerms)
+    case Not(pos, neg) => allTerms(pos) ++ allTerms(neg)
+    case Near(ts, _) => ts
+  }
+
   // ———————————————————— tokenizer pipeline (fts/mod.rs:77-238) ————————————————————
 
   /** Tokenizer + filter chain configuration, mirroring the reference's
@@ -326,20 +336,22 @@ object Fts {
     * conjuncts, like the reference dropping the token at tokenize
     * time); on an NGram index a term expands to the conjunction of its
     * grams (substring search). None = the whole query normalized away. */
-  private def normalizeQ(ix: Index, q: Q): Option[Q] = q match {
-    case Term(t) => tokenizeTermStr(t, ix.pipe) match {
+  private def normalizeQ(ix: Index, q: Q): Option[Q] = normalizeQ(ix.pipe, q)
+
+  private def normalizeQ(pipe: Pipeline, q: Q): Option[Q] = q match {
+    case Term(t) => tokenizeTermStr(t, pipe) match {
       case Seq() => None
       case Seq(one) => Some(Term(one))
       case many => Some(And(many.map(Term)))
     }
     case And(qs) =>
-      val ns = qs.flatMap(normalizeQ(ix, _)); if (ns.isEmpty) None else Some(And(ns))
+      val ns = qs.flatMap(normalizeQ(pipe, _)); if (ns.isEmpty) None else Some(And(ns))
     case Or(qs) =>
-      val ns = qs.flatMap(normalizeQ(ix, _)); if (ns.isEmpty) None else Some(Or(ns))
+      val ns = qs.flatMap(normalizeQ(pipe, _)); if (ns.isEmpty) None else Some(Or(ns))
     case Not(pos, neg) =>
-      normalizeQ(ix, pos).map(p => normalizeQ(ix, neg).fold(p)(Not(p, _)))
+      normalizeQ(pipe, pos).map(p => normalizeQ(pipe, neg).fold(p)(Not(p, _)))
     case Near(ts, d) =>
-      val ns = ts.flatMap(tokenizeTermStr(_, ix.pipe))
+      val ns = ts.flatMap(tokenizeTermStr(_, pipe))
       if (ns.isEmpty) None
       else if (ns.length == 1) Some(Term(ns.head))
       else Some(Near(ns, d))
@@ -367,10 +379,16 @@ object Fts {
 
   /** BM25 scores of docs matching the boolean query; score sums over
     * the query's positive terms. Returns (id, score). */
-  def search(ix: Index, q0: Q, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val q = normalizeQ(ix, q0).getOrElse(
+  def search(ix: Index, q0: Q, k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    normalizeQ(ix.pipe, q0) match {
       // the query was entirely stopwords: nothing to score
-      return ix.lens.limit(0).select(col("id"), lit(0.0).as("score")))
+      case None => ix.lens.limit(0).select(col("id"), lit(0.0).as("score"))
+      case Some(q) => scoreNormalized(ix, q, k1, b)
+    }
+
+  /** BM25 scoring past normalization — `q`'s terms are already through
+    * the index pipeline. */
+  private def scoreNormalized(ix: Index, q: Q, k1: Double, b: Double): DataFrame = {
     val terms = positiveTerms(q).distinct
     val matched = matchSet(ix, q)
     val termPost = ix.postings.filter(col("term").isin(terms: _*))
@@ -489,6 +507,67 @@ object Fts {
         require(w.nonEmpty, s"empty term at $i")
         Term(w)
       }
+    }
+  }
+
+  // ————————————————— on-disk index (cross-session) —————————————————
+
+  /** Serialized index header: corpus stats + the tokenizer pipeline,
+    * which MUST round-trip so query-side normalization matches the
+    * index that was written. */
+  private[search] final case class IndexMeta(n: Double, avgdl: Double,
+                                             buckets: Int, pipe: Pipeline)
+
+  /** Persist a built [[Index]] as parquet, postings partitioned by
+    * xxhash64(term) bucket — the FTS analogue of [[graft.similarity.Ann.writeIndex]]'s
+    * cell-partitioned codes. At 100 TB the layout is the point: a
+    * probe's scan touches only the bucket directories its query terms
+    * hash to (static partition pruning, plan-asserted in FtsSpec),
+    * not the whole postings relation. The reference's FTS index is
+    * durable the same way (fts/indexing.rs rows live in the storage
+    * engine); the in-memory [[Index]] dies with the session. */
+  def writeIndex(dir: String, ix: Index, buckets: Int = 64): Unit = {
+    val spark = ix.postings.sparkSession
+    import spark.implicits._
+    ix.postings
+      .withColumn("bucket", pmod(xxhash64(col("term")), lit(buckets)).cast("int"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/postings")
+    ix.lens.write.mode("overwrite").parquet(s"$dir/lens")
+    Seq(IndexMeta(ix.n, ix.avgdl, buckets, ix.pipe)).toDS()
+      .write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  /** Load a persisted index wholesale (no pruning — for scans or
+    * handing to [[search]] directly). */
+  def readIndex(spark: org.apache.spark.sql.SparkSession, dir: String): Index = {
+    import spark.implicits._
+    val m = spark.read.parquet(s"$dir/meta").as[IndexMeta].head()
+    Index(spark.read.parquet(s"$dir/postings").drop("bucket"),
+      spark.read.parquet(s"$dir/lens"), m.n, m.avgdl, m.pipe)
+  }
+
+  /** Probe a persisted index: the query's terms (run through the
+    * persisted pipeline) hash to a handful of bucket ids, which become
+    * a STATIC partition filter on `dir/postings` — the scan reads
+    * those directories only. Scoring past the pruned scan is
+    * [[search]] verbatim. */
+  def searchIndexed(spark: org.apache.spark.sql.SparkSession, dir: String,
+                    query: String, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import spark.implicits._
+    val m = spark.read.parquet(s"$dir/meta").as[IndexMeta].head()
+    val lens = spark.read.parquet(s"$dir/lens")
+    normalizeQ(m.pipe, parseQuery(query)) match {
+      case None => lens.limit(0).select(col("id"), lit(0.0).as("score"))
+      case Some(q) =>
+        val terms = allTerms(q).distinct
+        // tiny driver-side bucket-id collect, same stance as
+        // Ann.probeIndex's cell list
+        val bucketIds = spark.createDataset(terms)
+          .select(pmod(xxhash64(col("value")), lit(m.buckets)).cast("int").as("b"))
+          .distinct().as[Int].collect().toSeq
+        val postings = spark.read.parquet(s"$dir/postings")
+          .filter(col("bucket").isin(bucketIds: _*)).drop("bucket")
+        scoreNormalized(Index(postings, lens, m.n, m.avgdl, m.pipe), q, k1, b)
     }
   }
 

@@ -105,4 +105,45 @@ class FtsSpec extends AnyFunSuite {
     assert(Fts.search(ix2, Fts.Near(Seq("HASH", "joins"), 2))
       .collect().map(_.getLong(0)).toSet.contains(2L))
   }
+
+  test("persisted index round-trips: searchIndexed == in-memory search, pipe included") {
+    val dir = "/tmp/graft_fts_persist_test"
+    val pipe = Fts.Pipeline(stopwords = true, snowball = true, stemLang = "english")
+    val pix = Fts.Index.build(docs, "doc_id", "text", pipe)
+    Fts.writeIndex(dir, pix, buckets = 8)
+    def scores(df: org.apache.spark.sql.DataFrame): Map[Long, Double] =
+      df.collect().map(r => r.getLong(0) -> (math.rint(r.getDouble(1) * 1e9) / 1e9)).toMap
+    for (q <- Seq("hash AND join", "spark OR fox", "joins NOT merge", "the")) {
+      val mem = scores(Fts.search(pix, Fts.parseQuery(q)))
+      val disk = scores(Fts.searchIndexed(spark, dir, q))
+      assert(disk == mem, s"query '$q': $disk != $mem")
+    }
+    // readIndex reproduces the index wholesale (stats + pipe intact)
+    val rix = Fts.readIndex(spark, dir)
+    assert(rix.n == pix.n && rix.avgdl == pix.avgdl && rix.pipe == pix.pipe)
+    assert(scores(Fts.search(rix, Fts.parseQuery("hash AND join"))) ==
+      scores(Fts.search(pix, Fts.parseQuery("hash AND join"))))
+  }
+
+  test("persisted-index probe reads only the query terms' bucket partitions") {
+    val dir = "/tmp/graft_fts_persist_prune"
+    Fts.writeIndex(dir, ix, buckets = 8)
+    val res = Fts.searchIndexed(spark, dir, "fox")
+    res.collect()
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec => scans(q.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans)
+    }
+    val postScans = scans(res.queryExecution.executedPlan)
+      .filter(_.relation.location.rootPaths.exists(_.toString.contains("/postings")))
+    assert(postScans.nonEmpty, "expected a file scan over the postings")
+    postScans.foreach { f =>
+      assert(f.selectedPartitions.partitionCount <= 1,
+        s"one-term probe read ${f.selectedPartitions.partitionCount} of 8 bucket partitions")
+    }
+  }
 }

@@ -291,6 +291,22 @@ object FixedRules {
       refine = optInt(o, "refine", 8))
   })
 
+  // probe a persisted Fts.writeIndex directory (term-bucketed postings,
+  // statically pruned scan) from script
+  register("FtsIndexProbe", (_, o, spark) => {
+    val path = o.get("path") match {
+      case Some(s: String) => s.stripPrefix("file://")
+      case _ => throw Compiler.CompileException("FtsIndexProbe needs path: 'file://...'")
+    }
+    val query = o.get("query") match {
+      case Some(s: String) => s
+      case _ => throw Compiler.CompileException("FtsIndexProbe needs query: '...'")
+    }
+    graft.search.Fts.searchIndexed(spark, path, query)
+      .orderBy(col("score").desc, col("id").asc)
+      .limit(optInt(o, "k", 10))
+  })
+
   register("CsvReader", (_, o, spark) => {
     val url = o.get("url") match {
       case Some(s: String) => s.stripPrefix("file://")

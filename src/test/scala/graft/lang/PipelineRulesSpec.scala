@@ -133,4 +133,22 @@ class PipelineRulesSpec extends AnyFunSuite {
     assert(rows.length == 6) // full probe: 2 queries x top-3
     assert(rows.forall(r => r.getLong(0) != r.getLong(1)))
   }
+
+  test("FtsIndexProbe probes a persisted FTS index from script") {
+    import spark.implicits._
+    val docs = Seq((1L, "red apples and pears"), (2L, "green apples"),
+      (3L, "yellow bananas")).toDF("id", "text")
+    val ix = graft.search.Fts.Index.build(docs, "id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ftsidx_script").toString
+    graft.search.Fts.writeIndex(dir, ix, buckets = 8)
+    val db = new CozoDb(spark)
+    val rows = db.run(
+      s"?[id, score] <~ FtsIndexProbe(path: 'file://$dir', query: 'apples', k: 5)")
+      .collect()
+    assert(rows.map(_.getLong(0)).toSet == Set(1L, 2L))
+    assert(rows.forall(_.getDouble(1) > 0))
+    // missing options fail loudly
+    intercept[Exception](db.run(s"?[id, s] <~ FtsIndexProbe(path: 'file://$dir')"))
+    intercept[Exception](db.run("?[id, s] <~ FtsIndexProbe(query: 'apples')"))
+  }
 }

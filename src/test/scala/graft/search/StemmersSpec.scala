@@ -122,6 +122,20 @@ class StemmersSpec extends AnyFunSuite {
     }
   }
 
+  test("no stemmer throws on adversarial input (they run inside UDFs over raw corpus text)") {
+    val rng = new scala.util.Random(42)
+    val adversarial = Seq("", "a", "ß", "é", "ъь", "ñ", "x" * 300, "щщщ",
+      "0123", "...", "ÄÖÜäöü", "łódź", "ꙮ", "🙂🙂", "mixedСмесь漢字") ++
+      (1 to 200).map { _ =>
+        val len = rng.nextInt(12) + 1
+        (1 to len).map(_ => (rng.nextInt(0x2000) + 1).toChar).mkString
+      }
+    for (lang <- Stemmers.shippedLanguages; w <- adversarial) {
+      val out = Stemmers.forLanguage(lang).get(w)
+      assert(out != null, s"$lang returned null for ${w.take(20)}")
+    }
+  }
+
   test("stopwords: shipped codes resolve, reference codes validated") {
     for (c <- Stopwords.shippedCodes) {
       val l = Stopwords.forLang(c).get

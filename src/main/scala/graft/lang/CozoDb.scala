@@ -309,7 +309,12 @@ class CozoDb(val spark: SparkSession) {
     * exactly (DataFrames are immutable plans, so the snapshot is map
     * copies, not data copies). Weaker isolation than the reference's
     * MVCC — concurrent readers of this CozoDb observe uncommitted
-    * writes — as documented in the build survey. */
+    * writes — as documented in the build survey.
+    *
+    * CONTRACT: every transaction MUST be closed with `commit()` or
+    * `abort()` — an abandoned open transaction suspends `_`-temp
+    * cleanup for the whole session (temps are tx-scoped, db.rs:298).
+    * Prefer [[transact]], which closes in a finally. */
   final class Transaction private[CozoDb] () {
     private val snapRelations = relations.clone()
     private val snapKeys = relationKeys.clone()
@@ -1011,7 +1016,8 @@ class CozoDb(val spark: SparkSession) {
       }
     }
     // Stopwords(code | ['explicit', 'list']) per fts/mod.rs:210-233.
-    def stopListOf(filters: Seq[Expr]): Seq[String] =
+    // None = no Stopwords filter given; Some(Nil) = explicit empty list.
+    def stopListOf(filters: Seq[Expr]): Option[Seq[String]] =
       filters.collectFirst {
         case V(x) if x.equalsIgnoreCase("Stopwords") =>
           throw CompileException(
@@ -1034,7 +1040,7 @@ class CozoDb(val spark: SparkSession) {
             case _ => throw CompileException(
               "Filter Stopwords requires language name or a list of stopwords")
           }
-      }.getOrElse(Nil)
+      }
     if (kind == "index") {
       // bare column list, a permuted covering copy (runtime/relation.rs:1232)
       val cols = optsRaw.toSeq.flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
@@ -1406,19 +1412,26 @@ class CozoDb(val spark: SparkSession) {
     * None when it cannot be (then the caller skips seeding — the
     * unrestricted fixpoint is always correct). Narrowing only succeeds
     * when the value round-trips exactly. */
+  /** A numeric seed literal as an exact whole Long — fractional
+    * doubles are None (narrowing must round-trip, never truncate). */
+  private def wholeLong(n: java.lang.Number): Option[Long] = n match {
+    case _: java.lang.Double | _: java.lang.Float =>
+      val d = n.doubleValue
+      if (d.isWhole && d >= Long.MinValue.toDouble && d <= Long.MaxValue.toDouble)
+        Some(d.toLong)
+      else None
+    case _ => Some(n.longValue)
+  }
+
   private def coerceSeedLit(v: Any, dt: DataType): Option[Any] = (v, dt) match {
     case (null, _) => Some(null)
-    case (n: java.lang.Number, LongType) => n match {
-      case _: java.lang.Double | _: java.lang.Float =>
-        val d = n.doubleValue
-        if (d.isWhole && d >= Long.MinValue.toDouble && d <= Long.MaxValue.toDouble)
-          Some(d.toLong)
-        else None
-      case _ => Some(n.longValue)
-    }
-    case (n: java.lang.Number, IntegerType) if n.longValue.isValidInt => Some(n.intValue)
-    case (n: java.lang.Number, ShortType) if n.longValue.isValidShort => Some(n.shortValue)
-    case (n: java.lang.Number, ByteType) if n.longValue.isValidByte => Some(n.byteValue)
+    case (n: java.lang.Number, LongType) => wholeLong(n)
+    case (n: java.lang.Number, IntegerType) =>
+      wholeLong(n).filter(_.isValidInt).map(_.toInt)
+    case (n: java.lang.Number, ShortType) =>
+      wholeLong(n).filter(_.isValidShort).map(_.toShort)
+    case (n: java.lang.Number, ByteType) =>
+      wholeLong(n).filter(_.isValidByte).map(_.toByte)
     case (n: java.lang.Number, DoubleType) => Some(n.doubleValue)
     case (n: java.lang.Number, FloatType) => Some(n.floatValue)
     case (s: String, StringType) => Some(s)
@@ -1680,6 +1693,7 @@ class CozoDb(val spark: SparkSession) {
     // and mutation chains don't grow unbounded lineage
     if (op != "create") requireAccess(rel, "normal", s":$op")
     mutationEpoch += 1 // stale any index artifact caches
+    val epochOfThisMutation = mutationEpoch
     // fill declared-but-omitted columns with their default generators
     // (relation.rs:114-118; stored.rs applies default_gen on put)
     val withDefaults = relationDeclared.get(rel) match {
@@ -1746,7 +1760,7 @@ class CozoDb(val spark: SparkSession) {
       case other => throw CompileException(s"unknown relation op :$other")
     }
     if (Seq("put", "insert", "update", "rm", "delete").contains(op))
-      maintainFtsIndexes(rel, delta)
+      maintainFtsIndexes(rel, delta, epochOfThisMutation)
     delta
   }
 
@@ -1765,7 +1779,8 @@ class CozoDb(val spark: SparkSession) {
   private val lshDeltaCount = mutable.HashMap.empty[String, Int]
   private[lang] val ftsMaxDeltas = 32
   private[lang] var indexFullBuilds = 0 // observability for tests
-  private def maintainFtsIndexes(rel: String, delta: DataFrame): Unit = {
+  private def maintainFtsIndexes(rel: String, delta: DataFrame,
+                                 epochOfThisMutation: Long): Unit = {
     val targets = indexes.collect { case (t, f: FtsIdx) if f.rel == rel => (t, f) }.toSeq
     val lshTargets = indexes.collect { case (t, l: LshIdx) if l.rel == rel => (t, l) }.toSeq
     if (targets.isEmpty && lshTargets.isEmpty) return
@@ -1779,29 +1794,42 @@ class CozoDb(val spark: SparkSession) {
     // post-mutation rows for the changed keys: present for put/insert/
     // update, naturally empty for rm/delete
     val added = relation(rel).join(changedIds, Seq(key), "left_semi")
+    // A delta may be stacked ONLY onto a cache that was current right
+    // before this mutation (cached epoch == epoch-1). Anything older is
+    // stale (an unmaintained ::replace, a tx abort, an interleaved
+    // mutation) — applying a delta to it and re-stamping would launder
+    // the staleness into a "fresh" wrong index, so drop it instead.
+    // Anything NEWER (a trigger probed and rebuilt mid-mutation, which
+    // sees post-mutation data) is already correct — leave it alone.
+    def deltaApplicable(cachedEpoch: Long): Boolean =
+      cachedEpoch == epochOfThisMutation - 1
     for ((target, spec) <- targets) ftsCache.get(target) match {
-      case Some((_, ix)) =>
+      case Some((cachedEpoch, _)) if cachedEpoch >= epochOfThisMutation => ()
+      case Some((cachedEpoch, ix)) =>
         val n = ftsDeltaCount.getOrElse(target, 0)
-        if (n >= ftsMaxDeltas || !relation(rel).columns.contains(spec.extractor)) {
+        if (!deltaApplicable(cachedEpoch) || n >= ftsMaxDeltas ||
+          !relation(rel).columns.contains(spec.extractor)) {
           ftsCache.remove(target); ftsDeltaCount.remove(target)
         } else {
           val ix2 = graft.search.Fts.Index.applyDelta(
             ix, changedIds, added, key, spec.extractor)
-          ftsCache(target) = (mutationEpoch, ix2)
+          ftsCache(target) = (epochOfThisMutation, ix2)
           ftsDeltaCount(target) = n + 1
         }
       case None => () // nothing cached: the next probe builds fresh
     }
     for ((target, spec) <- lshTargets) lshCache.get(target) match {
-      case Some((_, bands)) =>
+      case Some((cachedEpoch, _)) if cachedEpoch >= epochOfThisMutation => ()
+      case Some((cachedEpoch, bands)) =>
         val n = lshDeltaCount.getOrElse(target, 0)
-        if (n >= ftsMaxDeltas || !relation(rel).columns.contains(spec.extractor)) {
+        if (!deltaApplicable(cachedEpoch) || n >= ftsMaxDeltas ||
+          !relation(rel).columns.contains(spec.extractor)) {
           lshCache.remove(target); lshDeltaCount.remove(target)
         } else {
           val df = bands.join(broadcast(changedIds), Seq(key), "left_anti")
             .unionByName(lshBandsOf(added, key, spec))
             .ckptLazy()
-          lshCache(target) = (mutationEpoch, df)
+          lshCache(target) = (epochOfThisMutation, df)
           lshDeltaCount(target) = n + 1
         }
       case None => ()

@@ -53,9 +53,22 @@ object Imperative {
     // re-enters db.run with exactly that single-statement text, so this
     // distinction is also what terminates the recursion
     t.startsWith("%") || t.startsWith("{") ||
-      (t.startsWith("::") && t.linesIterator.drop(1).exists { l =>
-        val s = l.trim
-        s.startsWith("{") || s.startsWith("%") || s.startsWith("::")
+      (t.startsWith("::") && {
+        // scan exactly one sysop statement (brace-aware — a create's
+        // { ... } options block may start on the next line) and call
+        // the script imperative only if ANOTHER STATEMENT follows it
+        // ('{', '%', '::'); a remainder like set_triggers' `on put
+        // { ... }` clauses belongs to the sysop's own grammar and goes
+        // through the plain path. This is also what terminates
+        // SysopStmt's re-entry into db.run.
+        val p = new P(t)
+        try {
+          p.sysop(); p.skipWs()
+          !p.eof && {
+            val c = t.charAt(p.pos)
+            c == '{' || c == '%' || t.startsWith("::", p.pos)
+          }
+        } catch { case _: Throwable => true }
       })
   }
 
@@ -126,16 +139,36 @@ object Imperative {
       var i = pos
       var inStr: Char = 0
       var depth = 0
-      while (i < src.length && (depth > 0 || inStr != 0 || src.charAt(i) != '\n')) {
+      var sawBrace = false
+      // ops whose grammar takes a { ... } options block — for these a
+      // newline before the brace is still the same statement (the
+      // plain-path indexOpRe is (?s) and spans it); for anything else
+      // a following '{' starts the next imperative statement
+      def takesBraceBlock(text: String): Boolean =
+        "^(index|fts|lsh|hnsw)\\s+create\\b".r
+          .findFirstIn(text.stripPrefix("::").trim).isDefined
+      var done = false
+      while (!done && i < src.length) {
         val c = src.charAt(i)
-        if (inStr != 0) { if (c == '\\') i += 1 else if (c == inStr) inStr = 0 }
-        else c match {
-          case '\'' | '"' => inStr = c
-          case '{' => depth += 1
-          case '}' => depth -= 1
-          case _ => ()
+        if (depth == 0 && inStr == 0 && c == '\n') {
+          var j = i
+          while (j < src.length && src.charAt(j).isWhitespace) j += 1
+          if (!sawBrace && j < src.length && src.charAt(j) == '{' &&
+            takesBraceBlock(src.substring(start, i)))
+            i = j // opts block on the next line: same statement
+          else done = true
         }
-        i += 1
+        if (!done) {
+          val c2 = src.charAt(i)
+          if (inStr != 0) { if (c2 == '\\') i += 1 else if (c2 == inStr) inStr = 0 }
+          else c2 match {
+            case '\'' | '"' => inStr = c2
+            case '{' => depth += 1; sawBrace = true
+            case '}' => depth -= 1
+            case _ => ()
+          }
+          i += 1
+        }
       }
       pos = i
       val text = src.substring(start, pos).trim

@@ -1,5 +1,6 @@
 package graft.pipeline
 
+import graft.plan._
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -47,8 +48,15 @@ object Sharding {
     val n =
       if (numParts > 0) numParts
       else df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    // ckpt FREEZES the range partitioning: the offsets branch and the
+    // main branch below both consume `ranged`, and without a shared
+    // materialization they can compile to two separate range exchanges
+    // whose sampled boundaries differ (RangePartitioner's sample seed
+    // involves the RDD id), silently crediting a boundary row's weight
+    // to one partition while the row itself lands in the other
     val ranged = df.repartitionByRange(n, col(idCol))
       .withColumn("__pid", spark_partition_id().cast("long"))
+      .ckptLazy()
     val inPart = Window.partitionBy(col("__pid")).orderBy(col(idCol))
     val withLocal = ranged
       .withColumn("__local_end", sum(col(weightCol).cast("long")).over(inPart))

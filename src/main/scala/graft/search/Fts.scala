@@ -72,12 +72,13 @@ object Fts {
                             alphaNumOnly: Boolean = false,
                             compoundWords: Seq[String] = Nil,
                             stemLang: String = "english",
-                            stopList: Seq[String] = Nil) {
+                            stopList: Option[Seq[String]] = None) {
     /** Stopword list in effect when `stopwords` is set: the explicit /
       * per-language list from `Stopwords(...)`, else the English
-      * default (legacy boolean form). */
-    def effectiveStopwords: Seq[String] =
-      if (stopList.nonEmpty) stopList else stopwordsEn
+      * default (legacy boolean form). An explicitly EMPTY list stays
+      * empty — `Stopwords([])` means "remove nothing", not "use the
+      * English default". */
+    def effectiveStopwords: Seq[String] = stopList.getOrElse(stopwordsEn)
   }
 
   /** Light English stemmer (suffix stripping): conflates plural /

@@ -323,14 +323,14 @@ object Stemmers {
     val r1 = region(w, 0, ruV)
     val r2 = region(w, r1, ruV)
 
-    def tryGroup(sufs: Seq[String], needAya: Boolean): Boolean = {
-      sufs.find(s => inR(w, s, rv)).exists { s =>
-        if (!needAya || {
-          val i = w.length - s.length - 1
-          i >= 0 && (w(i) == 'а' || w(i) == 'я')
-        }) { w = dropSuf(w, s.length); true }
-        else false
-      }
+    // group-1 endings require а/я immediately before the suffix, and
+    // the whole of step 1 runs under the RV limit (russian.sbl
+    // `backwards setlimit tomark pV`), so that а/я must itself lie in
+    // RV — a conditioning vowel at the boundary does NOT license the
+    // removal
+    def ayaBefore(sufLen: Int): Boolean = {
+      val i = w.length - sufLen - 1
+      i >= rv && (w(i) == 'а' || w(i) == 'я')
     }
 
     // step 1
@@ -338,8 +338,7 @@ object Stemmers {
     val didGerund = gerundAll.find(s => inR(w, s, rv)) match {
       case Some(s) =>
         if (ruPerfGerund1.contains(s)) {
-          val i = w.length - s.length - 1
-          if (i >= 0 && (w(i) == 'а' || w(i) == 'я')) { w = dropSuf(w, s.length); true }
+          if (ayaBefore(s.length)) { w = dropSuf(w, s.length); true }
           else false
         } else { w = dropSuf(w, s.length); true }
       case None => false
@@ -354,8 +353,7 @@ object Stemmers {
           val partAll = (ruParticiple2 ++ ruParticiple1).sortBy(-_.length)
           partAll.find(p => inR(w, p, rv)).foreach { p =>
             if (ruParticiple1.contains(p)) {
-              val i = w.length - p.length - 1
-              if (i >= 0 && (w(i) == 'а' || w(i) == 'я')) w = dropSuf(w, p.length)
+              if (ayaBefore(p.length)) w = dropSuf(w, p.length)
             } else w = dropSuf(w, p.length)
           }
           true
@@ -367,8 +365,7 @@ object Stemmers {
         val didVerb = verbAll.find(s => inR(w, s, rv)) match {
           case Some(s) =>
             if (ruVerb1.contains(s)) {
-              val i = w.length - s.length - 1
-              if (i >= 0 && (w(i) == 'а' || w(i) == 'я')) { w = dropSuf(w, s.length); true }
+              if (ayaBefore(s.length)) { w = dropSuf(w, s.length); true }
               else false
             } else { w = dropSuf(w, s.length); true }
           case None => false

@@ -121,6 +121,12 @@ class IndexesSpec extends AnyFunSuite {
     db.run("::fts drop t:f")
     create("Lowercase, Stopwords(['foo', 'bar'])")
     db.run("::fts drop t:f")
+    // an explicitly EMPTY list removes nothing (no English fallback)
+    db.run("?[k, v] <- [['s', 'the and of']] :put t {k}")
+    create("Lowercase, Stopwords([])")
+    assert(rows(db, "?[k] := ~t:f{k | query: 'the', k: 5}").map(_.head).toSet
+      == Set("s"))
+    db.run("::fts drop t:f")
   }
 
   test("german FTS round-trip: index-side and query-side stemming agree") {
@@ -182,6 +188,22 @@ class IndexesSpec extends AnyFunSuite {
     db.run("?[k] <- [['a']] :rm d {k}")
     assert(!probe("the quick brown fox jumps over the lazy dog").contains("a"))
     assert(db.indexFullBuilds == builds, "mutations must not trigger a band-table rebuild")
+  }
+
+  test(":replace staleness is not laundered by a later put's delta") {
+    val db = new CozoDb(spark)
+    db.run("?[k, v] <- [['a', 'old apples'], ['b', 'old pears']] :create d {k}")
+    db.run("::fts create d:fts { extractor: v, tokenizer: Simple, filters: [Lowercase] }")
+    def search(q: String): Set[Any] =
+      rows(db, s"?[k] := ~d:fts{k | query: '$q', k: 10}").map(_.head).toSet
+    assert(search("old") == Set("a", "b")) // cache built
+    // :replace rewrites the whole relation — the cached index is stale
+    db.run("?[k, v] <- [['x', 'new grapes']] :replace d {k}")
+    // a put right after must NOT delta-patch the pre-replace cache
+    db.run("?[k, v] <- [['y', 'new plums']] :put d {k}")
+    assert(search("old") == Set(), "pre-replace postings leaked through")
+    assert(search("new") == Set("x", "y"))
+    assert(search("grapes") == Set("x"))
   }
 
   test("FTS delta chain compacts to a fresh build after ftsMaxDeltas mutations") {

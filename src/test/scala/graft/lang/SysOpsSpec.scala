@@ -167,6 +167,27 @@ class SysOpsSpec extends AnyFunSuite {
     assert(row.getSeq[Long](1) == Seq(4L, 5L))
   }
 
+  test("a create sysop's { } options block may start on the next line") {
+    val db = freshDb()
+    db.run("?[k, v] <- [['a', 'hello world']] :create nl {k}")
+    // newline between target and the options brace: one statement, both
+    // standalone (plain path, (?s) indexOpRe) and inside an imperative
+    // script (the brace-aware sysop scan continues across the newline)
+    db.run("::fts create nl:f1\n{ extractor: v, tokenizer: Simple, filters: [Lowercase] }")
+    assert(db.run("?[k] := ~nl:f1{k | query: 'hello', k: 5}").count() == 1)
+    db.run(
+      """::fts create nl:f2
+        |{ extractor: v, tokenizer: Simple, filters: [Lowercase] }
+        |%debug nl
+        |""".stripMargin.trim)
+    assert(db.run("?[k] := ~nl:f2{k | query: 'world', k: 5}").count() == 1)
+    // a sysop that takes no brace block still ends at the newline: the
+    // following { } is the next imperative statement, not its options
+    db.run("::fts drop nl:f2\n{ ?[k, v] <- [['b', 'more text']] :put nl {k} }")
+    assert(db.relation("nl").count() == 2)
+    intercept[Exception](db.run("?[k] := ~nl:f2{k | query: 'world', k: 5}"))
+  }
+
   test("::compact materializes mutation chains; data and probes survive") {
     val db = freshDb()
     db.run("?[k, v] <- [[1, 'alpha beta'], [2, 'gamma delta']] :create c {k}")

@@ -5,10 +5,10 @@ import graft.dedup.Dedup
 import graft.fixpoint.Fixpoint
 import graft.functions.{CozoAggregates => CA, CozoFunctions => CozoFn, TextFunctions => TF}
 import graft.graphs.Graphs
-import graft.operators.{Mutations, TimeTravel, TopK}
+import graft.operators.{AsOfJoin, Mutations, RangeJoin, TimeTravel, TopK}
 import graft.search.Fts
 import graft.similarity.Ann
-import graft.text.TextAnalysis
+import graft.text.{LanguageModel, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -915,6 +915,51 @@ object Queries {
              |  FROM events WHERE ts <= TIMESTAMP '2024-01-15') t
              |WHERE rn = 1 AND is_assert""".stripMargin)),
 
+    // per-row as-of join (AsOfJoin.scala): each 'view' event matched to
+    // the user's latest 'purchase' at or before it — inner, ties at
+    // equal ts inclusive, broken by purchase event_id (greatest wins).
+    // This is the plain one-window plan; the hot-key stitched plan is
+    // asserted row-identical in AsOfRangeJoinSpec.
+    Spec("op_asof_join", (s, d) => {
+      val ev = T(s, d, "events")
+      val views = ev.filter(col("event_type") === "view")
+        .select("event_id", "user_id", "ts")
+      val buys = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("p_ts"),
+          col("event_id").as("p_event_id"), col("value").as("p_value"))
+      AsOfJoin.asOfJoin(views, buys, Seq("user_id"), "ts", "p_ts",
+          tieBreak = Seq("p_event_id"))
+        .select("event_id", "user_id", "p_event_id", "p_value")
+    },
+      Some("""SELECT event_id, user_id, p_event_id, p_value FROM (
+             |  SELECT v.event_id, v.user_id, p.event_id AS p_event_id, p.value AS p_value,
+             |    row_number() OVER (PARTITION BY v.event_id
+             |      ORDER BY date_trunc('microseconds', p.ts) DESC, p.event_id DESC) AS rn
+             |  FROM events v JOIN events p
+             |    ON v.user_id = p.user_id AND p.ts <= v.ts
+             |  WHERE v.event_type = 'view' AND p.event_type = 'purchase') t
+             |WHERE rn = 1""".stripMargin)),
+
+    // keyless interval join (RangeJoin.scala): lineitem shipdates into
+    // the 2-day windows opened by URGENT orders, aggregated per order.
+    // The bucketed plan manufactures an equi-key for the pure band
+    // predicate; DuckDB's IEJoin recomputes it from the raw θ-join.
+    Spec("op_range_join", (s, d) => {
+      val o = T(s, d, "orders").filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"), col("o_orderdate").as("w_start"),
+          expr("o_orderdate + INTERVAL 2 DAY").as("w_end"))
+      val li = T(s, d, "lineitem").select("l_shipdate", "l_quantity")
+      RangeJoin.intervalJoin(li, "l_shipdate", o, "w_start", "w_end",
+          bucketWidthMicros = 2L * 86400L * 1000000L)
+        .groupBy("o_orderkey")
+        .agg(count(lit(1)).as("n_items"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+    },
+      Some("""SELECT o_orderkey, count(*) AS n_items, round(sum(l_quantity), 2) AS sum_qty
+             |FROM orders JOIN lineitem
+             |  ON l_shipdate >= o_orderdate AND l_shipdate < o_orderdate + INTERVAL 2 DAY
+             |WHERE o_orderpriority = '1-URGENT'
+             |GROUP BY 1""".stripMargin)),
+
     // the BASELINE backup/restore class (README.md:144-145: ~1M rows/s
     // backup, ~400K rows/s restore): full round-trip of the events table
     // through the CozoDb backup format (parquet + key manifest), then a
@@ -936,11 +981,10 @@ object Queries {
     // STREAM's final answer must equal the batch SQL the oracle runs.
     // (The file source only reads DIRECTORIES, so the single-file table
     // is staged into a /tmp dir first — at scale the corpus is already a
-    // directory of part files and the copy disappears. ts is
-    // TIMESTAMP(NANOS) → nanosAsLong + µs truncation, same as
-    // Tables.load, so both engines see identical instants. Session TZ is
-    // UTC, so Spark's epoch-aligned 1-day windows equal DuckDB's
-    // date_trunc('day').)
+    // directory of part files and the copy disappears. ts follows the
+    // same ns-long/µs dispatch as Tables.load, so both engines see
+    // identical instants. Session TZ is UTC, so Spark's epoch-aligned
+    // 1-day windows equal DuckDB's date_trunc('day').)
     Spec("stream_window_agg", (s, d) => {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val src = new java.io.File(s"$d/events.parquet")
@@ -951,8 +995,13 @@ object Queries {
         java.nio.file.Files.copy(src.toPath, dst.toPath,
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       val schema = s.read.parquet(s"$d/events.parquet").schema
-      val stream = s.readStream.schema(schema).parquet(dir.getAbsolutePath)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val raw = s.readStream.schema(schema).parquet(dir.getAbsolutePath)
+      val stream = schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case _ =>
+          raw.withColumn("ts", col("ts").cast("timestamp"))
+      }
       val agg = graft.streaming.Streaming.windowedStats(stream, "ts", "event_type",
         window = "1 day", slide = "1 day", watermark = "1 hour")
       val q = agg.writeStream.format("memory").queryName("stream_window_agg_sink")
@@ -1337,6 +1386,29 @@ object Queries {
         md5(concat_ws(" ", TF.tokens(col("text")))).as("fingerprint")),
       Some(s"""SELECT doc_id, md5(array_to_string($toksSql, ' ')) AS fingerprint
               |FROM documents""".stripMargin)),
+
+    // corpus-trained bigram-LM perplexity (LanguageModel.scala), the
+    // CCNet-style ranking signal for pre-training data; the oracle
+    // retrains the identical Laplace-smoothed model in SQL, so the
+    // whole pipeline — tokenise, count, smooth, score — is hash-checked
+    // at 4 decimals (float-sum drift bound documented in the scaladoc).
+    Spec("text_perplexity", (s, d) =>
+      LanguageModel.bigramPerplexity(T(s, d, "documents"), "doc_id", "text"),
+      Some(s"""WITH d0 AS (SELECT doc_id, $toksSql AS toks FROM documents),
+              |d AS (SELECT * FROM d0 WHERE len(toks) > 0),
+              |uni AS (SELECT t, count(*) AS c FROM (SELECT unnest(toks) AS t FROM d) u GROUP BY 1),
+              |tot AS (SELECT sum(c) AS n, count(*) AS v FROM uni),
+              |bg AS (SELECT doc_id, toks[i] AS prev, toks[i + 1] AS cur
+              |       FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i FROM d) t),
+              |bgc AS (SELECT prev, cur, count(*) AS cb FROM bg GROUP BY 1, 2),
+              |bs AS (SELECT b.doc_id, sum(ln((c.cb + 1.0) / (u.c + t.v))) AS lpb
+              |       FROM bg b JOIN bgc c ON b.prev = c.prev AND b.cur = c.cur
+              |       JOIN uni u ON u.t = b.prev, tot t GROUP BY 1),
+              |f AS (SELECT d.doc_id, len(d.toks) AS n_tokens, ln(u.c * 1.0 / t.n) AS lp1
+              |      FROM d JOIN uni u ON u.t = d.toks[1], tot t)
+              |SELECT f.doc_id, f.n_tokens,
+              |  round(exp(-(f.lp1 + COALESCE(bs.lpb, 0)) / f.n_tokens), 4) AS perplexity
+              |FROM f LEFT JOIN bs ON bs.doc_id = f.doc_id""".stripMargin)),
 
     // ——————————————————— FTS (SURVEY §2.1 op 11) ———————————————————
 

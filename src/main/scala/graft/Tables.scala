@@ -10,11 +10,14 @@ import org.apache.spark.sql.functions._
   * path read through the DataFrame API so Catalyst gets pushdown,
   * pruning and partition statistics for free.
   *
-  * `events.ts` is INT64 TIMESTAMP(NANOS) in the parquet footer, which
-  * Spark 4 rejects at analysis time (PARQUET_TYPE_ILLEGAL). We read it
-  * as a raw nanosecond Long (legacy.parquet.nanosAsLong) and truncate
-  * to microsecond precision — the same `date_trunc('microseconds')`
-  * the DuckDB oracle applies, so both engines see identical instants.
+  * `events.ts` has shipped as both INT64 TIMESTAMP(NANOS) — which
+  * Spark 4 rejects at analysis time (PARQUET_TYPE_ILLEGAL) unless read
+  * as a raw nanosecond Long (legacy.parquet.nanosAsLong) and truncated
+  * to µs, matching the oracle's `date_trunc('microseconds')` — and as
+  * plain TIMESTAMP(MICROS) (NTZ), depending on the testdata
+  * generation. The loader dispatches on the type it actually finds;
+  * either way downstream sees a µs-precision TimestampType column
+  * (session TZ is pinned UTC everywhere, so NTZ→TZ is value-identity).
   */
 object Tables {
   val all: Seq[String] = Seq(
@@ -25,8 +28,14 @@ object Tables {
     if (name == "events") {
       // runtime-settable SQLConf; must be on before the scan is analyzed
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val raw = spark.read.parquet(s"$dir/$name.parquet")
+      raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType => // ns-as-long footer
+          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case _ => // µs footer (TZ or NTZ)
+          raw.withColumn("ts",
+            col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      }
     } else spark.read.parquet(s"$dir/$name.parquet")
   }
 

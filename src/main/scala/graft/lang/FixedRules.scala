@@ -307,6 +307,57 @@ object FixedRules {
       .limit(optInt(o, "k", 10))
   })
 
+  /** Positional reshape keeping trailing payload columns: first
+    * `fixed.length` columns renamed, the rest prefixed to avoid
+    * collisions between the two sides of a join rule. */
+  private def relShaped(rels: Seq[DataFrame], i: Int, rule: String,
+                        prefix: String, fixed: String*): DataFrame = {
+    val df = rels.lift(i).getOrElse(throw Compiler.CompileException(
+      s"$rule needs ${i + 1} input relation(s)"))
+    if (df.columns.length < fixed.length)
+      throw Compiler.CompileException(
+        s"$rule input ${i + 1} needs at least (${fixed.mkString(", ")}, payload...)")
+    df.select(df.columns.zipWithIndex.map { case (c, j) =>
+      if (j < fixed.length) col(c).as(fixed(j)) else col(c).as(s"$prefix$c")
+    }: _*)
+  }
+
+  // ?[key, ts, ..., r_...] <~ AsOfJoin(*left[key, ts, ...], *right[key, ts, ...])
+  // matches each left row to the latest same-key right row at or
+  // before it (operators/AsOfJoin.scala); join: 'left' keeps unmatched
+  register("AsOfJoin", (rels, o, _) => {
+    val left = relShaped(rels, 0, "AsOfJoin", "l_", "key", "ts")
+    val right = relShaped(rels, 1, "AsOfJoin", "r_", "key", "r_ts")
+    val joinType = o.get("join") match {
+      case Some(s: String) => s
+      case _ => "inner"
+    }
+    graft.operators.AsOfJoin.asOfJoin(left, right, Seq("key"), "ts", "r_ts",
+      joinType = joinType)
+  })
+  // ?[p, ..., start, end, i_...] <~ RangeJoin(*points[p, ...],
+  //   *intervals[start, end, ...], bucket_width: W) — points into
+  // containing half-open [start, end) windows (operators/RangeJoin.scala)
+  register("RangeJoin", (rels, o, _) => {
+    val pts = relShaped(rels, 0, "RangeJoin", "p_", "p")
+    val ivs = relShaped(rels, 1, "RangeJoin", "i_", "start", "end")
+    graft.operators.RangeJoin.intervalJoin(pts, "p", ivs, "start", "end",
+      bucketWidthMicros = o.get("bucket_width") match {
+        case Some(v: Long) => v
+        case Some(v: Int) => v.toLong
+        case None => 86400000000L // 1 day
+        case Some(other) => throw Compiler.CompileException(
+          s"option bucket_width: expected integer, got $other")
+      },
+      maxBucketsPerInterval = optInt(o, "max_buckets", 64))
+  })
+  // ?[id, n_tokens, perplexity] <~ Perplexity(*docs[id, text]) —
+  // corpus-trained smoothed bigram LM (text/LanguageModel.scala)
+  register("Perplexity", (rels, o, _) =>
+    graft.text.LanguageModel.bigramPerplexity(
+      relAs(rels, 0, "Perplexity", "id", "text"), "id", "text",
+      round = optInt(o, "round", 4)))
+
   register("CsvReader", (_, o, spark) => {
     val url = o.get("url") match {
       case Some(s: String) => s.stripPrefix("file://")

@@ -29,7 +29,10 @@ class PlanHealthSpec extends AnyFunSuite {
     "ann_lsh" -> "recall referee inside the query joins the brute-force top-k (bounded probes)",
     "dedup_simhash" -> "sample-vs-banded referee: 1K-doc sample broadcast for exact hamming",
     "mm_features_knn" -> "probe features (15 rows) broadcast against extracted features",
-    "graph_louvain" -> "scalar 2m total-weight row broadcast into the modularity invariant")
+    "graph_louvain" -> "scalar 2m total-weight row broadcast into the modularity invariant",
+    "op_range_join" -> ("degenerate-giant fallback side (intervals spanning > maxBuckets " +
+      "buckets, empty here) is explicitly broadcast; the main path is the bucketed equi-join"),
+    "text_perplexity" -> "one-row N/V model-totals relation broadcast onto the scoring joins")
 
   /** Queries whose logical plan legitimately contains an unpartitioned
     * Window: the two-level prefix sums run their TOP level over

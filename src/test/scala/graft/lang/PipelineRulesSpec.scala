@@ -151,4 +151,36 @@ class PipelineRulesSpec extends AnyFunSuite {
     intercept[Exception](db.run(s"?[id, s] <~ FtsIndexProbe(path: 'file://$dir')"))
     intercept[Exception](db.run("?[id, s] <~ FtsIndexProbe(query: 'apples')"))
   }
+
+  test("AsOfJoin from script: latest prior right row per left row") {
+    val db = new CozoDb(spark)
+    db.run("?[k, t, tag] <- [[1, 100, 'v1'], [1, 200, 'v2'], [2, 10, 'w']] :create l {k, t => tag}")
+    db.run("?[k, t, p] <- [[1, 90, 'early'], [1, 150, 'mid']] :create r {k, t => p}")
+    val rows = db.run("?[k, t, tag, p] <~ AsOfJoin(*l[k, t, tag], *r[k, t, p])")
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getString(2), x.getString(3))).toSet
+    assert(rows == Set((1L, 100L, "v1", "early"), (1L, 200L, "v2", "mid")))
+    // join: 'left' keeps the unmatched key-2 row with a null payload
+    val kept = db.run("?[k, t, tag, p] <~ AsOfJoin(*l[k, t, tag], *r[k, t, p], join: 'left')")
+      .collect()
+    assert(kept.length == 3 && kept.count(_.isNullAt(3)) == 1)
+  }
+
+  test("RangeJoin from script: points into containing windows") {
+    val db = new CozoDb(spark)
+    db.run("?[p, name] <- [[5, 'a'], [15, 'b'], [25, 'c']] :create pts {p => name}")
+    db.run("?[s, e, w] <- [[0, 10, 'w1'], [10, 30, 'w2']] :create iv {s, e => w}")
+    val rows = db.run(
+      "?[p, name, s, e, w] <~ RangeJoin(*pts[p, name], *iv[s, e, w], bucket_width: 10)")
+      .collect().map(x => (x.getString(1), x.getString(4))).toSet
+    assert(rows == Set(("a", "w1"), ("b", "w2"), ("c", "w2")))
+  }
+
+  test("Perplexity from script: twins score identically, the outlier differs") {
+    val rows = docsDb().run("?[id, n, ppl] <~ Perplexity(*docs[id, text], round: 6)")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(rows.keySet == Set(1L, 2L, 3L))
+    assert(rows(1L) == rows(2L)) // identical docs, identical perplexity
+    assert(rows(1L)._2 != rows(3L)._2)
+    assert(rows.values.forall(_._2 > 0))
+  }
 }

@@ -960,6 +960,23 @@ object Queries {
              |WHERE o_orderpriority = '1-URGENT'
              |GROUP BY 1""".stripMargin)),
 
+    // batch sessionization (Sessionize.scala): per-user sessions split
+    // at >6h gaps, aggregated to (count, start, end, duration) — the
+    // one-shuffle lag+running-sum plan vs DuckDB's gaps-and-islands.
+    Spec("pipe_sessionize", (s, d) =>
+      graft.pipeline.Sessionize.sessionStats(T(s, d, "events"), Seq("user_id"), "ts",
+        gapMicros = 21600000000L, tieBreak = Seq("event_id")),
+      Some("""WITH e AS (SELECT user_id, epoch_us(date_trunc('microseconds', ts)) AS us, event_id FROM events),
+             |m AS (SELECT user_id, us, event_id,
+             |        CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 21600000000 THEN 1 ELSE 0 END AS brk
+             |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+             |s AS (SELECT user_id, us,
+             |        CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS VARCHAR) AS session
+             |      FROM m)
+             |SELECT user_id, session, count(*) AS n_events, min(us) AS start_us, max(us) AS end_us,
+             |  max(us) - min(us) AS duration_us
+             |FROM s GROUP BY 1, 2""".stripMargin)),
+
     // the BASELINE backup/restore class (README.md:144-145: ~1M rows/s
     // backup, ~400K rows/s restore): full round-trip of the events table
     // through the CozoDb backup format (parquet + key manifest), then a

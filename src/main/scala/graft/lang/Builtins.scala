@@ -244,7 +244,24 @@ object Builtins {
     "smallest_by" -> ((c, extra) => CA.smallestBy(c, extra.head)),
     "bit_and" -> ((c, _) => CA.bitAnd(c)),
     "bit_or" -> ((c, _) => CA.bitOr(c)),
-    "bit_xor" -> ((c, _) => CA.bitXor(c))
+    "bit_xor" -> ((c, _) => CA.bitXor(c)),
+    // ——— beyond-reference sketch aggregates: at 100 TB exact distinct
+    // counts and exact quantiles are full-shuffle operations; these are
+    // the single-pass mergeable-sketch answers (HyperLogLog++ and an
+    // approximate percentile), exposed to script under names that make
+    // the approximation explicit. Optional extra args: count_approx(x,
+    // rsd) bounds the relative error; quantile_approx(x, p, accuracy).
+    "count_approx" -> ((c, extra) => extra.headOption match {
+      case Some(rsd) => call_function("approx_count_distinct", c, rsd)
+      case None => approx_count_distinct(c)
+    }),
+    "quantile_approx" -> ((c, extra) => extra match {
+      case Seq(p) => percentile_approx(c, p, lit(10000))
+      case Seq(p, acc) => percentile_approx(c, p, acc)
+      case _ => throw Compiler.CompileException(
+        "quantile_approx(x, p) needs the percentile argument p in [0, 1]")
+    }),
+    "median" -> ((c, _) => median(c))
   )
 
   def isAggr(name: String): Boolean = aggr.contains(name)

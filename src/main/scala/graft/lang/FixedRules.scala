@@ -351,6 +351,19 @@ object FixedRules {
       },
       maxBucketsPerInterval = optInt(o, "max_buckets", 64))
   })
+  // ?[key, ts, ..., session] <~ Sessionize(*events[key, ts, ...],
+  //   gap: µs) — gap-split sessions per key (pipeline/Sessionize.scala)
+  register("Sessionize", (rels, o, _) => {
+    val ev = relShaped(rels, 0, "Sessionize", "e_", "key", "ts")
+    val gap = o.get("gap") match {
+      case Some(v: Long) => v
+      case Some(v: Int) => v.toLong
+      case None => 1800000000L // 30 min
+      case Some(other) => throw Compiler.CompileException(
+        s"option gap: expected integer µs, got $other")
+    }
+    graft.pipeline.Sessionize.sessionize(ev, Seq("key"), "ts", gap)
+  })
   // ?[id, n_tokens, perplexity] <~ Perplexity(*docs[id, text]) —
   // corpus-trained smoothed bigram LM (text/LanguageModel.scala)
   register("Perplexity", (rels, o, _) =>

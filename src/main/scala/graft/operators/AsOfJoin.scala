@@ -39,7 +39,12 @@ import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
 object AsOfJoin {
 
   /** Left rows joined to their latest same-key right row at or before
-    * `leftTs`. Output: all left columns ++ right payload columns (the
+    * `leftTs` (direction "backward"), or the earliest at or after it
+    * ("forward" — implemented as backward over NEGATED timestamps,
+    * which preserves the inclusive-tie and greatest-tieBreak rules and
+    * reuses both plans unchanged: `div` truncation keeps the bucket
+    * function monotone non-decreasing in ts, which is all the stitch
+    * needs). Output: all left columns ++ right payload columns (the
     * right's non-key, non-ts columns — names must not collide with
     * left's). `joinType` "inner" drops unmatched left rows, "left"
     * keeps them with null payload.
@@ -47,9 +52,13 @@ object AsOfJoin {
   def asOfJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                leftTs: String, rightTs: String,
                tieBreak: Seq[String] = Nil, joinType: String = "inner",
+               direction: String = "backward",
                bucketWidthMicros: Option[Long] = None): DataFrame = {
     require(joinType == "inner" || joinType == "left",
       s"asOfJoin: joinType must be inner|left, got $joinType")
+    require(direction == "backward" || direction == "forward",
+      s"asOfJoin: direction must be backward|forward, got $direction")
+    val sign = if (direction == "forward") lit(-1L) else lit(1L)
     val payload = right.columns.filterNot(c => keys.contains(c) || c == rightTs).toSeq
     val collide = payload.toSet intersect left.columns.toSet
     require(collide.isEmpty, s"asOfJoin: right payload collides with left columns: $collide")
@@ -58,7 +67,7 @@ object AsOfJoin {
     val pStruct = struct(payload.map(col): _*)
     val pType = right.select(pStruct).schema.head.dataType
     val taggedL = left
-      .withColumn("__ts", micros(left, leftTs)).withColumn("__tag", lit(1))
+      .withColumn("__ts", micros(left, leftTs) * sign).withColumn("__tag", lit(1))
       .withColumn("__p", lit(null).cast(pType))
       .withColumn("__tb", lit(null).cast("string"))
       .select((keys.map(col) :+ col("__ts") :+ col("__tag") :+ col("__p") :+ col("__tb") :+
@@ -67,7 +76,7 @@ object AsOfJoin {
     // tie order among equal-ts right rows: greatest tieBreak wins =
     // last in ascending scan order
     val taggedR = right
-      .withColumn("__ts", micros(right, rightTs)).withColumn("__tag", lit(0))
+      .withColumn("__ts", micros(right, rightTs) * sign).withColumn("__tag", lit(0))
       .withColumn("__p", pStruct)
       .withColumn("__tb", concat_ws(" ", tieBreak.map(c => col(c).cast("string")): _*))
       .select((keys.map(col) :+ col("__ts") :+ col("__tag") :+ col("__p") :+ col("__tb") :+

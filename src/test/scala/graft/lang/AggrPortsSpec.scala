@@ -156,4 +156,29 @@ class AggrPortsSpec extends AnyFunSuite {
     assert(bytes(rel + "?[bit_or(b)] := r[v], b = decode_base64(v)") == Seq(0x1f.toByte))
     assert(bytes(rel + "?[bit_xor(b)] := r[v], b = decode_base64(v)") == Seq(0x17.toByte))
   }
+
+  // — beyond-reference sketch aggregates (no aggrs.rs counterpart):
+  // single-pass mergeable sketches for the scales where exact distinct
+  // counting / exact quantiles are the bottleneck —
+
+  test("count_approx: HLL++ estimate lands within the rsd bound of exact") {
+    val d = db()
+    d.registerTable("big", spark.range(1000).toDF("x"))
+    def n(s: String): Double = d.run(s).collect().head.get(0) match {
+      case v: java.lang.Number => v.doubleValue(); case o => fail(s"not a number: $o")
+    }
+    assert(n("?[count_unique(x)] := *big[x]") == 1000.0)
+    val approx = n("?[count_approx(x)] := *big[x]")
+    assert(math.abs(approx - 1000.0) / 1000.0 < 0.1, s"default rsd 5%: got $approx")
+    val tight = n("?[count_approx(x, 0.01)] := *big[x]")
+    assert(math.abs(tight - 1000.0) / 1000.0 < 0.03, s"rsd 1%: got $tight")
+  }
+
+  test("quantile_approx / median: exact on small inputs, loud without p") {
+    val rel = "r[x] := x in [1, 2, 3, 4, 5, 6, 7, 8, 9, 10]\n"
+    assert(num(rel + "?[quantile_approx(x, 0.5)] := r[x]") == 5.0)
+    assert(num(rel + "?[quantile_approx(x, 0.9)] := r[x]") == 9.0)
+    assert(num(rel + "?[median(x)] := r[x]") == 5.5)
+    intercept[Exception](db().run(rel + "?[quantile_approx(x)] := r[x]"))
+  }
 }

@@ -175,6 +175,16 @@ class PipelineRulesSpec extends AnyFunSuite {
     assert(rows == Set(("a", "w1"), ("b", "w2"), ("c", "w2")))
   }
 
+  test("Sessionize from script: gap option splits sessions per key") {
+    val db = new CozoDb(spark)
+    db.run("?[u, t, e] <- [[1, 0, 10], [1, 40, 11], [1, 500, 12], [2, 5, 13]] :create ev {u, t => e}")
+    val rows = db.run("?[u, t, e, session] <~ Sessionize(*ev[u, t, e], gap: 100)")
+      .collect().map(r => r.getLong(2) -> r.getString(3)).toMap
+    assert(rows(10L) == rows(11L)) // within gap
+    assert(rows(12L) != rows(10L)) // split at the 460µs gap
+    assert(rows(13L) == "1")
+  }
+
   test("Perplexity from script: twins score identically, the outlier differs") {
     val rows = docsDb().run("?[id, n, ppl] <~ Perplexity(*docs[id, text], round: 6)")
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap

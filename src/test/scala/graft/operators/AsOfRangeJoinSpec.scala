@@ -80,6 +80,29 @@ class AsOfRangeJoinSpec extends AnyFunSuite {
     assert(salted == expect)
   }
 
+  test("asOfJoin forward: earliest right at-or-after, both plans vs oracle") {
+    val l = (0 until 400).map(i => (i % 2 + 1L, i * 7L % 1000, s"L$i")).toDF("k", "t", "tag")
+      .distinct()
+    val r = (0 until 120).map(i => (i % 2 + 1L, i * 31L % 1000, 1000L + i, i / 10.0))
+      .toDF("k", "rt", "rid", "rv")
+    // independent oracle: θ-join rt >= t, rank-1 by (rt asc, rid desc)
+    val j = l.join(r, l("k") === r("k") && r("rt") >= l("t"))
+      .select(l("k"), col("t"), col("tag"), col("rt"), col("rid"), col("rv"))
+    val w = Window.partitionBy(col("k"), col("t"), col("tag"))
+      .orderBy(col("rt"), col("rid").desc)
+    val expect = j.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getString(2), x.getLong(4), x.getDouble(5)))
+      .toSet
+    val plain = AsOfJoin.asOfJoin(l, r, Seq("k"), "t", "rt", tieBreak = Seq("rid"),
+        direction = "forward")
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getString(2), x.getLong(3), x.getDouble(4))).toSet
+    val salted = AsOfJoin.asOfJoin(l, r, Seq("k"), "t", "rt", tieBreak = Seq("rid"),
+        direction = "forward", bucketWidthMicros = Some(50L))
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getString(2), x.getLong(3), x.getDouble(4))).toSet
+    assert(plain == expect)
+    assert(salted == expect)
+  }
+
   test("asOfJoin: timestamp columns compare at µs precision") {
     val l = Seq((1L, java.sql.Timestamp.valueOf("2024-01-02 00:00:00"), "a"))
       .toDF("k", "t", "tag")

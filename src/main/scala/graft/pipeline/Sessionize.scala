@@ -12,11 +12,11 @@ import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
   * interaction logs into training examples ("one session = one
   * document/trajectory").
   *
-  * Plan (Spark-first): ONE window shuffle per key carries both marks —
-  * `lag(ts)` for the gap test and a running `sum(isBreak)` for the
-  * session ordinal — since both ride the identical window spec,
-  * Catalyst evaluates them in a single Window operator over a single
-  * sort. Session ids are (key, ordinal), deterministic under the
+  * Plan (Spark-first): ONE shuffle and one sort per key serve both
+  * marks — `lag(ts)` for the gap test and a running `sum(isBreak)`
+  * for the session ordinal ride the identical partition/order spec,
+  * so the second (dependent) Window operator chains onto the first
+  * with no re-exchange and no re-sort (asserted in SessionizeSpec). Session ids are (key, ordinal), deterministic under the
   * `tieBreak` order. Skew note: the shuffle partitions by key, so a
   * single key carrying a large share of all rows is the hot-partition
   * regime; unlike as-of matching, sessionization's running state can

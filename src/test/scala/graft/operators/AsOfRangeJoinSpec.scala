@@ -112,6 +112,14 @@ class AsOfRangeJoinSpec extends AnyFunSuite {
     assert(out.toSeq == Seq(5L))
   }
 
+  test("asOfJoin plan shape: one shuffle, one window — never the pair blow-up") {
+    val plan = AsOfJoin.asOfJoin(lhs, rhs, Seq("k"), "t", "rt", tieBreak = Seq("rid"))
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1,
+      s"expected exactly one shuffle:\n$plan")
+    assert(!plan.contains("Join"), s"as-of must not plan a join:\n$plan")
+  }
+
   test("asOfJoin: payload collision is rejected loudly") {
     intercept[IllegalArgumentException] {
       AsOfJoin.asOfJoin(lhs, rhs.withColumnRenamed("rv", "tag"), Seq("k"), "t", "rt")

@@ -69,6 +69,15 @@ class SessionizeSpec extends AnyFunSuite {
     assert(exact.size == 1)
   }
 
+  test("plan shape: one shuffle and one sort serve both window passes") {
+    val plan = Sessionize.sessionize(ev, Seq("user"), "t", 100L, Seq("eid"))
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1,
+      s"expected exactly one shuffle:\n$plan")
+    assert("Sort \\[".r.findAllIn(plan).length == 1,
+      s"expected exactly one sort (dependent windows share the order):\n$plan")
+  }
+
   test("invalid gaps are rejected loudly") {
     intercept[IllegalArgumentException](Sessionize.sessionize(ev, Seq("user"), "t", 0L))
     intercept[IllegalArgumentException](

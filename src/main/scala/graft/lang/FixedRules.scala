@@ -364,6 +364,20 @@ object FixedRules {
     }
     graft.pipeline.Sessionize.sessionize(ev, Seq("key"), "ts", gap)
   })
+  // ?[id, cluster] <~ KMeans(*embeddings[id, vec], k: 8, iters: 3) —
+  // Lloyd clustering over cosine similarity, reusing the IVF trainer
+  // (similarity/Ann.scala ivfCentroids/assignCells: deterministic
+  // hash-seeded init, broadcast centroids, codegen'd distance) — the
+  // clustering-based curation step (topic balancing, cluster-level
+  // dedup/sampling) of a training-data pipeline
+  register("KMeans", (rels, o, _) => {
+    val v = relAs(rels, 0, "KMeans", "id", "vec")
+    val cents = graft.similarity.Ann.ivfCentroids(v,
+      nCells = optInt(o, "k", 8), iters = optInt(o, "iters", 3),
+      seed = optInt(o, "seed", 0))
+    graft.similarity.Ann.assignCells(v, cents)
+      .select(col("id"), col("cell").cast("long").as("cluster"))
+  })
   // ?[id, n_tokens, perplexity] <~ Perplexity(*docs[id, text]) —
   // corpus-trained smoothed bigram LM (text/LanguageModel.scala)
   register("Perplexity", (rels, o, _) =>

@@ -185,6 +185,24 @@ class PipelineRulesSpec extends AnyFunSuite {
     assert(rows(13L) == "1")
   }
 
+  test("KMeans from script: two well-separated groups land in two clusters") {
+    import spark.implicits._
+    val db = new CozoDb(spark)
+    // 4 vectors on +x, 4 on +y — cosine separates them perfectly
+    val vecs = (0 until 8).map { i =>
+      val base = if (i < 4) Array(1f, 0.05f * i, 0f) else Array(0.05f * i, 1f, 0f)
+      (i.toLong, base)
+    }.toDF("id", "vec")
+    db.registerTable("emb", vecs)
+    val rows = db.run("?[id, cluster] <~ KMeans(*emb[id, vec], k: 2, iters: 4)")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.keySet == (0L until 8L).toSet) // every id assigned exactly once
+    val g1 = (0 until 4).map(i => rows(i.toLong)).toSet
+    val g2 = (4 until 8).map(i => rows(i.toLong)).toSet
+    assert(g1.size == 1 && g2.size == 1 && g1 != g2,
+      s"x-group and y-group each one cluster, different ones: $rows")
+  }
+
   test("Perplexity from script: twins score identically, the outlier differs") {
     val rows = docsDb().run("?[id, n, ppl] <~ Perplexity(*docs[id, text], round: 6)")
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap

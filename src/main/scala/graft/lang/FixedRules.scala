@@ -329,11 +329,26 @@ object FixedRules {
     val left = relShaped(rels, 0, "AsOfJoin", "l_", "key", "ts")
     val right = relShaped(rels, 1, "AsOfJoin", "r_", "key", "r_ts")
     val joinType = o.get("join") match {
-      case Some(s: String) => s
-      case _ => "inner"
+      case Some(s: String) if s == "inner" || s == "left" => s
+      case None => "inner"
+      case Some(other) => throw Compiler.CompileException(
+        s"option join: expected 'inner' or 'left', got $other")
+    }
+    val direction = o.get("direction") match {
+      case Some(s: String) if s == "backward" || s == "forward" => s
+      case None => "backward"
+      case Some(other) => throw Compiler.CompileException(
+        s"option direction: expected 'backward' or 'forward', got $other")
+    }
+    val bucket = o.get("bucket_width") match {
+      case Some(v: Long) if v > 0 => Some(v)
+      case Some(v: Int) if v > 0 => Some(v.toLong)
+      case None => None
+      case Some(other) => throw Compiler.CompileException(
+        s"option bucket_width: expected positive integer µs, got $other")
     }
     graft.operators.AsOfJoin.asOfJoin(left, right, Seq("key"), "ts", "r_ts",
-      joinType = joinType)
+      joinType = joinType, direction = direction, bucketWidthMicros = bucket)
   })
   // ?[p, ..., start, end, i_...] <~ RangeJoin(*points[p, ...],
   //   *intervals[start, end, ...], bucket_width: W) — points into

@@ -163,6 +163,19 @@ class PipelineRulesSpec extends AnyFunSuite {
     val kept = db.run("?[k, t, tag, p] <~ AsOfJoin(*l[k, t, tag], *r[k, t, p], join: 'left')")
       .collect()
     assert(kept.length == 3 && kept.count(_.isNullAt(3)) == 1)
+    // direction: 'forward' matches the earliest right at-or-after;
+    // bucket_width engages the salted plan with identical output
+    val fwd = db.run(
+      "?[k, t, tag, p] <~ AsOfJoin(*l[k, t, tag], *r[k, t, p], direction: 'forward', bucket_width: 60)")
+      .collect().map(x => (x.getLong(1), x.getString(3))).toMap
+    assert(fwd == Map(100L -> "mid")) // t=100 → rt=150; t=200, key-2 unmatched
+    // malformed options raise clean compile errors
+    intercept[Compiler.CompileException](
+      db.run("?[k, t, tag, p] <~ AsOfJoin(*l[k, t, tag], *r[k, t, p], join: 'outer')"))
+    intercept[Compiler.CompileException](
+      db.run("?[k, t, tag, p] <~ AsOfJoin(*l[k, t, tag], *r[k, t, p], direction: 'sideways')"))
+    intercept[Compiler.CompileException](
+      db.run("?[k, t, tag, p] <~ AsOfJoin(*l[k, t, tag], *r[k, t, p], bucket_width: -5)"))
   }
 
   test("RangeJoin from script: points into containing windows") {

@@ -396,6 +396,41 @@ object Queries {
              |      FROM orders GROUP BY 1, 2) t
              |GROUP BY 1""".stripMargin)),
 
+    // beyond-reference sketch aggregates (lang/Builtins.scala
+    // count_approx / quantile_approx / median) through the driver gate:
+    // HLL++ and approx-percentile are deterministic for a fixed input,
+    // so the invariant rows pin their error bounds against EXACT
+    // in-query recomputation — a regression in either sketch or bound
+    // flips a row red. (No DuckDB value-oracle is possible: sketch
+    // internals differ across engines by design.)
+    Spec("agg_sketch", (s, d) => {
+      val o = T(s, d, "orders")
+      val li = T(s, d, "lineitem")
+      // default rsd 0.05 is ONE standard deviation — observed errors at
+      // sf0.001/0.01/0.1 are 0.7%/6.7%/5.1%, so the pinned bound is 2σ
+      val hll = o.agg(
+        approx_count_distinct(col("o_custkey")).as("approx"),
+        count_distinct(col("o_custkey")).as("exact"))
+        .select((abs(col("approx") - col("exact")) / col("exact") < 0.10).as("ok"))
+      val hllTight = o.agg(
+        call_function("approx_count_distinct", col("o_custkey"), lit(0.01)).as("approx"),
+        count_distinct(col("o_custkey")).as("exact"))
+        .select((abs(col("approx") - col("exact")) / col("exact") < 0.02).as("ok"))
+      // approx median must sit inside the exact [0.45, 0.55] quantile
+      // bracket: rank the approx value against the full column
+      val med = li.agg(percentile_approx(col("l_quantity"), lit(0.5), lit(10000)).as("m"))
+      val bracket = li.crossJoin(broadcast(med))
+        .agg((sum(when(col("l_quantity") <= col("m"), 1L).otherwise(0L)) * 1.0 / count(lit(1)))
+          .as("frac"))
+        .select((col("frac") >= 0.45 && col("frac") <= 0.56).as("ok"))
+      invariants(
+        "hll_default_rsd_within_2sigma" -> hll,
+        "hll_rsd1_within_2pct" -> hllTight,
+        "approx_median_in_exact_bracket" -> bracket)
+    },
+      Some(truthTable("hll_default_rsd_within_2sigma", "hll_rsd1_within_2pct",
+        "approx_median_in_exact_bracket"))),
+
     // ——————————————————— scalar-function groups (SURVEY §2.5) ———————————————————
 
     // haversine great-circle distance (functions.rs:1611) on synthetic

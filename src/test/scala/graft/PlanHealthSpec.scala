@@ -32,7 +32,8 @@ class PlanHealthSpec extends AnyFunSuite {
     "graph_louvain" -> "scalar 2m total-weight row broadcast into the modularity invariant",
     "op_range_join" -> ("degenerate-giant fallback side (intervals spanning > maxBuckets " +
       "buckets, empty here) is explicitly broadcast; the main path is the bucketed equi-join"),
-    "text_perplexity" -> "one-row N/V model-totals relation broadcast onto the scoring joins")
+    "text_perplexity" -> "one-row N/V model-totals relation broadcast onto the scoring joins",
+    "agg_sketch" -> "one-row approx-median relation broadcast for the exact-bracket referee")
 
   /** Queries whose logical plan legitimately contains an unpartitioned
     * Window: the two-level prefix sums run their TOP level over

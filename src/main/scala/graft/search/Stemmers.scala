@@ -11,10 +11,10 @@ package graft.search
   * The ports follow the published algorithm text (regions, longest-
   * suffix-match, per-suffix conditions); the per-language specs carry
   * curated test vectors in FtsStemmerSpec. Languages the reference
-  * accepts but this build does not ship (arabic, finnish, greek,
-  * hungarian, romanian, tamil, turkish) raise a clear error at
-  * `::fts create` instead of silently stemming with the wrong
-  * algorithm.
+  * accepts but this build does not ship (arabic, greek, tamil — their
+  * published algorithms hinge on word/affix data not reproducible
+  * offline with fidelity) raise a clear error at `::fts create`
+  * instead of silently stemming with the wrong algorithm.
   */
 object Stemmers {
 
@@ -38,12 +38,16 @@ object Stemmers {
       case "french" => Some(StemmersWest.french)
       case "italian" => Some(StemmersWest.italian)
       case "portuguese" => Some(StemmersWest.portuguese)
+      case "finnish" => Some(StemmersEast.finnish)
+      case "romanian" => Some(StemmersEast.romanian)
+      case "turkish" => Some(StemmersEast.turkish)
+      case "hungarian" => Some(StemmersEast.hungarian)
       case _ => None
     }
 
   def shippedLanguages: Seq[String] = Seq("danish", "dutch", "english",
-    "french", "german", "italian", "norwegian", "portuguese", "russian",
-    "spanish", "swedish")
+    "finnish", "french", "german", "hungarian", "italian", "norwegian",
+    "portuguese", "romanian", "russian", "spanish", "swedish", "turkish")
 
   // ——————————————————— shared region machinery ———————————————————
 

@@ -143,10 +143,51 @@ object Stopwords {
     "thi", "til", "ud", "under", "var", "vi", "vil", "ville", "vor",
     "være", "været")
 
+  private val fi = Seq(
+    "ei", "en", "että", "he", "hän", "ja", "jo", "jos", "joka", "jotka",
+    "kanssa", "keitä", "ken", "kuin", "kun", "me", "mikä", "minä", "mitä",
+    "mutta", "myös", "ne", "niin", "nyt", "olen", "olet", "oli", "olla",
+    "olleet", "on", "ovat", "sekä", "se", "sen", "siellä", "siitä", "sinä",
+    "sitä", "tai", "te", "tämä", "tässä", "vaan", "vai", "vain", "voi",
+    "yli", "kaikki", "hyvin", "paljon", "jossa", "jonka", "kuitenkin")
+
+  private val ro = Seq(
+    "acea", "această", "acel", "acest", "am", "ar", "are", "aş", "au",
+    "avea", "că", "către", "ce", "cel", "ceva", "cu", "cum", "da", "dacă",
+    "dar", "de", "deci", "din", "după", "e", "ea", "ei", "el", "ele",
+    "era", "este", "eu", "fără", "fi", "fie", "fost", "iar", "îi", "îl",
+    "în", "între", "la", "le", "lor", "lui", "mai", "mea", "mei", "mult",
+    "ne", "nu", "o", "ori", "până", "pe", "pentru", "prin", "sa", "să",
+    "sau", "se", "şi", "spre", "sunt", "tot", "un", "una", "unei", "unui",
+    "va", "voi", "vor")
+
+  private val hu = Seq(
+    "a", "az", "ahogy", "ahol", "aki", "akik", "akkor", "amely", "ami",
+    "amikor", "át", "azért", "azok", "azonban", "be", "csak", "de",
+    "e", "ebben", "egy", "egyes", "egyik", "el", "ez", "ezek", "ezt",
+    "fel", "felé", "ha", "hanem", "hogy", "így", "ill", "illetve", "is",
+    "ki", "kell", "le", "lehet", "lesz", "lett", "maga", "majd", "már",
+    "más", "meg", "mert", "mi", "mikor", "milyen", "minden", "mint",
+    "mintha", "mit", "nagy", "ne", "nem", "nincs", "oda", "ő", "ők",
+    "őket", "pedig", "rá", "s", "saját", "sem", "semmi", "sok", "szerint",
+    "szinte", "talán", "tehát", "több", "úgy", "új", "utána", "vagy",
+    "van", "vannak", "volt", "voltak", "például")
+
+  private val tr = Seq(
+    "acaba", "ama", "ancak", "artık", "bana", "bazı", "belki", "ben",
+    "beni", "benim", "bir", "biraz", "birçok", "biri", "biz", "bize",
+    "bizim", "böyle", "bu", "buna", "bunu", "bunun", "çok", "çünkü",
+    "da", "daha", "de", "değil", "diye", "eğer", "en", "gibi", "hem",
+    "hep", "hepsi", "her", "hiç", "için", "ile", "ise", "işte", "kadar",
+    "kendi", "ki", "kim", "mı", "mi", "mu", "mü", "nasıl", "ne", "neden",
+    "nerede", "niye", "o", "ona", "onlar", "onların", "onu", "onun",
+    "öyle", "sana", "sen", "senin", "siz", "sizin", "şey", "şimdi", "şu",
+    "tüm", "ve", "veya", "ya", "yani", "yok", "zaten")
+
   private val shipped: Map[String, Seq[String]] = Map(
     "en" -> Fts.stopwordsEn, "de" -> de, "fr" -> fr, "es" -> es,
     "ru" -> ru, "it" -> it, "pt" -> pt, "nl" -> nl, "sv" -> sv,
-    "no" -> no, "da" -> da)
+    "no" -> no, "da" -> da, "fi" -> fi, "ro" -> ro, "hu" -> hu, "tr" -> tr)
 
   /** The shipped list for `code`, if any. */
   def forLang(code: String): Option[Seq[String]] = shipped.get(code.toLowerCase)

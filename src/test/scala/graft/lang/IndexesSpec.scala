@@ -110,7 +110,7 @@ class IndexesSpec extends AnyFunSuite {
     val e2 = intercept[Exception](create("Stemmer('klingon')"))
     assert(e2.getMessage.contains("Unsupported language"))
     // reference-accepted but unshipped: loud, names the shipped set
-    val e3 = intercept[Exception](create("Stemmer('finnish')"))
+    val e3 = intercept[Exception](create("Stemmer('greek')"))
     assert(e3.getMessage.contains("not shipped"))
     val e4 = intercept[Exception](create("Stopwords"))
     assert(e4.getMessage.contains("requires language name or a list"))
@@ -150,6 +150,30 @@ class IndexesSpec extends AnyFunSuite {
     val hits2 = rows(db, "?[k] := ~docs:fts{k | query: 'hauses', k: 10}")
       .map(_.head).toSet
     assert(hits2 == Set("a", "b"))
+  }
+
+  test("turkish FTS round-trip: harmony-stemmed index and query agree") {
+    val db = new CozoDb(spark)
+    db.run(
+      """?[k, v] <- [
+        |  ['a', 'kitaplar masada'],
+        |  ['b', 'eski bir kitabı okudum'],
+        |  ['c', 'arabalar yolda']
+        |] :create tdocs {k}""".stripMargin)
+    db.run(
+      """::fts create tdocs:fts {
+        |  extractor: v, tokenizer: Simple,
+        |  filters: [Lowercase, Stemmer('turkish'), Stopwords('tr')]
+        |}""".stripMargin)
+    // kitaplar (plural) and kitabı (accusative with consonant softening)
+    // both stem to kitap, so either query form finds both documents
+    for (q <- Seq("kitap", "kitaplar", "kitabı")) {
+      val hits = rows(db, s"?[k] := ~tdocs:fts{k | query: '$q', k: 10}")
+        .map(_.head).toSet
+      assert(hits == Set("a", "b"), s"query $q -> $hits")
+    }
+    // the stopworded 'bir' matches nothing
+    assert(rows(db, "?[k] := ~tdocs:fts{k | query: 'bir', k: 10}").isEmpty)
   }
 
   test("FTS index absorbs put/rm as deltas — no full rebuild per mutation") {

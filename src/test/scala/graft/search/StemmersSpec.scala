@@ -91,11 +91,60 @@ class StemmersSpec extends AnyFunSuite {
       "rapidamente" -> "rapid", "corações" -> "coraçõ")
   }
 
+  test("finnish: particle/possessive/case steps, LV and cv conditions, tidy") {
+    check("finnish",
+      // case step: ssa/stä endings, then step-5 plural i, step-6 cv tidy
+      "taloissa" -> "talo", "koirien" -> "koir", "kaupungissa" -> "kaupung",
+      // possessive än after stä, then case stä
+      "edeltäjistään" -> "edeltäj", "edeltäjiinsä" -> "edeltäj",
+      // particle kin after vowel; illative hXn with its echo-vowel check
+      "kirjakin" -> "kirj", "talohon" -> "talo",
+      // no ending: untouched stems keep their final o (not in a/ä/e/i)
+      "talo" -> "talo")
+  }
+
+  test("romanian: plural/article step 0, combining suffixes, verbs, residual vowel") {
+    check("romanian",
+      "copilul" -> "copil", "frumoasă" -> "frumoas",
+      // step 1 reduction aţiune -> at, then step 2 R2 delete
+      "lucrează" -> "lucr", "cântând" -> "cânt",
+      // ist-normalization keeps the ist stem
+      "jurnalişti" -> "jurnalist", "jurnalism" -> "jurnalist",
+      // step 0 ile -> i (not after ab), then residual i
+      "cărţile" -> "cărţ", "zilele" -> "zil")
+  }
+
+  test("turkish: harmony-checked inflection stripping, final-consonant repair") {
+    check("turkish",
+      "kitaplar" -> "kitap",
+      // sU possessive strips, then b -> p restoration
+      "kitabı" -> "kitap",
+      // chain: ablative + lArI plural-possessive; one-syllable stop
+      "evlerinden" -> "ev",
+      // UmUz possessive + ğ -> k restoration
+      "çocuğumuz" -> "çocuk",
+      // over-stripped vowel-final stem repaired by the d/g vowel append
+      "kedim" -> "kedi",
+      // nominal-verb past-tense chain
+      "güzelliğini" -> "güzellik",
+      // one-syllable words are never stemmed
+      "ev" -> "ev", "at" -> "at")
+  }
+
+  test("hungarian: instrumental undoubling, cases, owners, plural") {
+    check("hungarian",
+      "fallal" -> "fal", "zsebbel" -> "zseb", // assimilated -val/-vel
+      "házakat" -> "ház", "házban" -> "ház", "házaim" -> "ház",
+      "gépekkel" -> "gép",
+      // -hoz with á -> a restoration, then the owned-a step takes the rest
+      "almához" -> "alm", "házában" -> "ház",
+      "könyvek" -> "könyv")
+  }
+
   test("dispatch: all shipped languages resolve; unshipped do not") {
     for (l <- Stemmers.shippedLanguages)
       assert(Stemmers.forLanguage(l).isDefined, l)
-    for (l <- Seq("finnish", "turkish", "arabic", "greek", "hungarian",
-      "romanian", "tamil"))
+    for (l <- Seq("arabic", "greek", "tamil"))
       assert(Stemmers.forLanguage(l).isEmpty, l)
     assert(Stemmers.referenceLanguages.size == 18)
     // every shipped language is one the reference accepts
@@ -112,7 +161,11 @@ class StemmersSpec extends AnyFunSuite {
       "dutch" -> Seq("lichamelijk", "mogelijkheden"),
       "french" -> Seq("grandement", "habituellement"),
       "italian" -> Seq("cantando", "abitazione"),
-      "portuguese" -> Seq("trabalhando", "felicidade"))
+      "portuguese" -> Seq("trabalhando", "felicidade"),
+      "finnish" -> Seq("taloissa", "edeltäjistään", "koirien"),
+      "romanian" -> Seq("copilul", "lucrează", "jurnalişti"),
+      "turkish" -> Seq("kitaplar", "çocuğumuz", "evlerinden"),
+      "hungarian" -> Seq("házakat", "fallal", "könyvek"))
     // a second application must not keep stripping (otherwise an
     // indexed stem and a stemmed query term could diverge)
     for ((lang, ws) <- words; w <- ws) {
@@ -144,7 +197,16 @@ class StemmersSpec extends AnyFunSuite {
       assert(Stopwords.referenceCodes.contains(c), c)
     }
     assert(Stopwords.forLang("xx").isEmpty)
-    assert(Stopwords.forLang("fi").isEmpty) // reference-known, not shipped
-    assert(Stopwords.referenceCodes.contains("fi"))
+    assert(Stopwords.forLang("el").isEmpty) // reference-known, not shipped
+    assert(Stopwords.referenceCodes.contains("el"))
+    // every shipped stemmer language has a shipped stopword list
+    for (l <- Stemmers.shippedLanguages) {
+      val code = Map("danish" -> "da", "dutch" -> "nl", "english" -> "en",
+        "finnish" -> "fi", "french" -> "fr", "german" -> "de",
+        "hungarian" -> "hu", "italian" -> "it", "norwegian" -> "no",
+        "portuguese" -> "pt", "romanian" -> "ro", "russian" -> "ru",
+        "spanish" -> "es", "swedish" -> "sv", "turkish" -> "tr")(l)
+      assert(Stopwords.forLang(code).isDefined, s"$l -> $code")
+    }
   }
 }

@@ -1353,6 +1353,42 @@ object Queries {
         "index_16_codes_per_id_in_range", "no_self_matches",
         "at_most_k_ranked_by_cosine"))),
 
+    // HNSW proper (the reference's hnsw.rs algorithm, partition-local
+    // graphs + global top-k merge — Ann.hnswTopK). Per-partition graphs
+    // are small at verify SF so the merge is near-exact: the recall bar
+    // is 0.9 (vs LSH's 0.5), plus exact-cosine agreement on shared
+    // pairs — the same linear-scan contract the reference's hnsw tests
+    // assert (runtime/hnsw.rs tests).
+    Spec("ann_hnsw", (s, d) => {
+      val emb = T(s, d, "embeddings")
+      val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val queries = emb.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("embedding").as("vec"))
+      val hnsw = Ann.hnswTopK(corpus, queries, k = 5,
+        m = 12, efConstruction = 80, efSearch = 64)
+      val exact = Ann.bruteForceTopK(corpus, queries, k = 5)
+      val recallOk = hnsw.select("query_id", "id").intersect(exact.select("query_id", "id"))
+        .agg(count(lit(1)).as("__nh"))
+        .crossJoin(exact.agg(count(lit(1)).as("__ne")))
+        .select((col("__nh") >= col("__ne") * lit(0.9)).as("ok"))
+      val drift = hnsw.select(col("query_id"), col("id"), col("cosine").as("__c"))
+        .join(Ann.bruteForceTopK(corpus, queries, k = Int.MaxValue)
+          .select(col("query_id"), col("id"), col("cosine").as("__e")),
+          Seq("query_id", "id"))
+        .filter(abs(col("__c") - col("__e")) > 1e-6)
+      val w = Window.partitionBy(col("query_id")).orderBy(col("rank"))
+      invariants(
+        "recall_at_5_ge_09" -> recallOk,
+        "walk_scores_exact" -> noViolations(drift),
+        "no_self_matches" -> noViolations(hnsw.filter(col("query_id") === col("id"))),
+        "at_most_k_ranked_by_cosine" -> noViolations(
+          hnsw.withColumn("__prev", lag(col("cosine"), 1).over(w))
+            .filter(col("rank") > 5 ||
+              (col("__prev").isNotNull && col("__prev") < col("cosine") - lit(1e-9)))))
+    },
+      Some(truthTable("recall_at_5_ge_09", "walk_scores_exact",
+        "no_self_matches", "at_most_k_ranked_by_cosine"))),
+
     // ——————————————————— text analysis (north-star) ———————————————————
 
     Spec("text_stats", (s, d) =>

@@ -277,6 +277,16 @@ object FixedRules {
       subspaces = optInt(o, "subspaces", 16),
       codes = optInt(o, "codes", 64),
       refine = optInt(o, "refine", 8)))
+  // partition-local HNSW graphs + top-k merge (Ann.hnswTopK — the
+  // reference's HnswSearchRA algorithm in its distributed shape)
+  register("AnnHnsw", (rels, o, _) =>
+    graft.similarity.Ann.hnswTopK(
+      relAs(rels, 0, "AnnHnsw", "id", "vec"),
+      relAs(rels, 1, "AnnHnsw", "query_id", "vec"),
+      k = optInt(o, "k", 10),
+      m = optInt(o, "m", 16),
+      efConstruction = optInt(o, "ef_construction", 100),
+      efSearch = optInt(o, "ef", 64)))
   // probe a persisted Ann.writeIndex directory (cell-partitioned codes,
   // statically pruned scan) from script
   register("AnnPqProbe", (rels, o, _) => {

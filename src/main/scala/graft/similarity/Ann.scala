@@ -6,6 +6,8 @@ import graft.operators.TopK
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+import scala.collection.mutable
+
 /** Similarity search over embedding columns.
   *
   * The reference's vector search is a per-probe HNSW walk
@@ -392,6 +394,111 @@ object Ann {
       .withColumn("cosine", VF.cosineSimilarity(col("qvec"), col("vec")))
       .select("query_id", "id", "cosine")
     TopK.perGroup(scored, Seq("query_id"),
+      Seq(col("cosine").desc, col("id").asc), k, rankCol = Some("rank"))
+  }
+
+  // ———————————————————————— HNSW (graph) ————————————————————————
+
+  /** Approximate top-k via partition-local HNSW graphs ([[HnswIndex]],
+    * the reference's hnsw.rs algorithm). The Lucene-segment shape: each
+    * corpus partition builds one in-memory graph inside mapPartitions
+    * (narrow — the corpus is NOT shuffled), every (broadcast) query
+    * greedy-walks every partition's graph, and per-partition top-k
+    * candidates merge through one global top-k. At 1000 executors the
+    * build is embarrassingly parallel, per-probe work is
+    * O(parts · ef · log n_part) instead of a full scan, and no pointer
+    * ever crosses a partition boundary — the distributed answer to a
+    * structure the reference can only keep on one node. The query set
+    * rides a broadcast (one driver-side collect of the SMALL probe
+    * side, same stance as bruteForceTopK's broadcast hint).
+    */
+  def hnswTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+               m: Int = 16, efConstruction: Int = 100,
+               efSearch: Int = 64): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val qs = queries.select(col("query_id").cast("long"), col("vec"))
+      .as[(Long, Array[Float])].collect()
+    val qB = spark.sparkContext.broadcast(qs)
+    val perPart = corpus.select(col("id").cast("long"), col("vec"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val idx = new HnswIndex(m, efConstruction)
+        it.foreach { case (id, v) => idx.insert(id, v) }
+        qB.value.iterator.flatMap { case (qid, qv) =>
+          idx.search(qv, k + 1, efSearch).iterator
+            .filter { case (id, _) => id != qid }
+            .take(k)
+            .map { case (id, s) => (qid, id, s) }
+        }
+      }
+      .toDF("query_id", "id", "cosine")
+    TopK.perGroup(perPart, Seq("query_id"),
+      Seq(col("cosine").desc, col("id").asc), k, rankCol = Some("rank"))
+  }
+
+  /** Persist partition-local HNSW graphs: nodes (normalized vectors +
+    * top level) and adjacency, both carrying their partition id, so
+    * [[hnswProbeIndex]] can restore each graph verbatim (no re-insert)
+    * and probe it. numParts bounds per-partition graph memory — size it
+    * so one partition's vectors fit an executor core. */
+  def hnswWriteIndex(dir: String, corpus: DataFrame, m: Int = 16,
+                     efConstruction: Int = 100, numParts: Int = 32): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val parts = corpus.select(col("id").cast("long"), col("vec"))
+      .repartition(numParts, col("id"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val idx = new HnswIndex(m, efConstruction)
+        it.foreach { case (id, v) => idx.insert(id, v) }
+        val nodes = idx.nodes.map { case (id, v, lvl) =>
+          (pid, id, v, lvl, null.asInstanceOf[Array[Long]], -1)
+        }
+        val adj = idx.edges.map { case (id, l, ns) =>
+          (pid, id, null.asInstanceOf[Array[Float]], -1, ns, l)
+        }
+        nodes ++ adj
+      }
+      .toDF("part", "id", "vec", "level", "nbrs", "edge_level")
+    parts.write.mode("overwrite").partitionBy("part").parquet(s"$dir/graph")
+    spark.createDataset(Seq((m, efConstruction))).toDF("m", "ef_construction")
+      .write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  /** Probe a persisted [[hnswWriteIndex]] index: one pass over the
+    * graph files grouped by partition, each group restored via
+    * [[HnswIndex.load]] and walked for every broadcast query. */
+  def hnswProbeIndex(dir: String, queries: DataFrame, k: Int,
+                     efSearch: Int = 64): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val meta = spark.read.parquet(s"$dir/meta").head()
+    val (m, efC) = (meta.getInt(0), meta.getInt(1))
+    val qs = queries.select(col("query_id").cast("long"), col("vec"))
+      .as[(Long, Array[Float])].collect()
+    val qB = spark.sparkContext.broadcast(qs)
+    val rows = spark.read.parquet(s"$dir/graph")
+      .select(col("part").cast("int"), col("id").cast("long"), col("vec"),
+        col("level").cast("int"), col("nbrs"), col("edge_level").cast("int"))
+      .as[(Int, Long, Array[Float], Int, Array[Long], Int)]
+    val perPart = rows.groupByKey(_._1).flatMapGroups { (_, it) =>
+      val nodes = mutable.ArrayBuffer.empty[(Long, Array[Float], Int)]
+      val adj = mutable.ArrayBuffer.empty[(Long, Int, Array[Long])]
+      it.foreach {
+        case (_, id, v, lvl, null, _) => nodes += ((id, v, lvl))
+        case (_, id, _, _, ns, l) => adj += ((id, l, ns))
+      }
+      val idx = HnswIndex.load(nodes.toSeq, adj.toSeq, m, efC)
+      qB.value.iterator.flatMap { case (qid, qv) =>
+        idx.search(qv, k + 1, efSearch).iterator
+          .filter { case (id, _) => id != qid }
+          .take(k)
+          .map { case (id, s) => (qid, id, s) }
+      }
+    }.toDF("query_id", "id", "cosine")
+    TopK.perGroup(perPart, Seq("query_id"),
       Seq(col("cosine").desc, col("id").asc), k, rankCol = Some("rank"))
   }
 }

@@ -27,6 +27,7 @@ class PlanHealthSpec extends AnyFunSuite {
     "ann_ivf" -> "Lloyd assignment + probe: centroid table (k<=256) broadcast",
     "ann_pq" -> "PQ codebooks (k*m<=4096 rows) broadcast for ADC scan + recall referee",
     "ann_lsh" -> "recall referee inside the query joins the brute-force top-k (bounded probes)",
+    "ann_hnsw" -> "recall/score referee: brute-force scan with the broadcast 20-probe set",
     "dedup_simhash" -> "sample-vs-banded referee: 1K-doc sample broadcast for exact hamming",
     "mm_features_knn" -> "probe features (15 rows) broadcast against extracted features",
     "graph_louvain" -> "scalar 2m total-weight row broadcast into the modularity invariant",

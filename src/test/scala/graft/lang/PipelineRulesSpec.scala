@@ -103,6 +103,23 @@ class PipelineRulesSpec extends AnyFunSuite {
     assert(rows.forall(_.getInt(3) <= 3))
   }
 
+  test("AnnHnsw over registered embeddings from script") {
+    val db = new CozoDb(spark)
+    db.registerTable("emb",
+      spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .selectExpr("vec_id", "embedding"))
+    db.registerTable("probes",
+      spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .selectExpr("vec_id", "embedding").limit(2))
+    val rows = db.run(
+      "?[q, id, cos, rank] <~ AnnHnsw(*emb[], *probes[], k: 3, m: 8, ef: 48)")
+      .collect()
+    assert(rows.length == 6) // 2 probes x top-3
+    assert(rows.forall(_.getInt(3) <= 3))
+    // self-match excluded, ranks ordered by descending cosine
+    assert(rows.forall(r => r.get(0) != r.get(1)))
+  }
+
   test("AnnPq over registered embeddings from script") {
     val db = new CozoDb(spark)
     db.registerTable("emb",

@@ -62,6 +62,24 @@ class HnswSpec extends AnyFunSuite {
     assert(math.abs(topSim - cosTrue) < 1e-5)
   }
 
+  test("hash-derived levels follow the paper's geometric law (hnsw.rs:1020 test_random_level)") {
+    // the reference's test prints the -ln(U)*mL histogram; assert it:
+    // with m=16, P(level >= 1) = 1/m, P(level >= 2) = 1/m^2
+    val idx = new HnswIndex(m = 16, efConstruction = 16)
+    val r = rng(99)
+    for (id <- 0L until 8000L) idx.insert(id * 2654435761L, randVec(r, 2))
+    val levels = idx.nodes.map(_._3).toSeq
+    val p1 = levels.count(_ >= 1).toDouble / levels.size
+    val p2 = levels.count(_ >= 2).toDouble / levels.size
+    assert(math.abs(p1 - 1.0 / 16) < 0.02, s"P(level>=1)=$p1, want ~${1.0 / 16}")
+    assert(p2 < 0.02, s"P(level>=2)=$p2, want ~${1.0 / 256}")
+    // and the same id always gets the same level (pure hash, no RNG)
+    val idx2 = new HnswIndex(m = 16, efConstruction = 16)
+    for (id <- 0L until 100L) idx2.insert(id * 2654435761L, randVec(rng(1), 2))
+    val l1 = idx.nodes.map(t => (t._1, t._3)).toMap
+    idx2.nodes.foreach { case (id, _, lvl) => assert(l1(id) == lvl) }
+  }
+
   test("load() restores a graph that answers identically to its builder") {
     val r = rng(13)
     val idx = new HnswIndex(m = 6, efConstruction = 48)

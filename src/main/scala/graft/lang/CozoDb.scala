@@ -726,7 +726,9 @@ class CozoDb(val spark: SparkSession) {
     * field's vector; a probe matches a row through its CLOSEST field. */
   private case class VecIdx(rel: String, fields: Seq[String], distance: String,
                             filter: Option[Expr] = None,
-                            dim: Option[Int] = None) extends IndexSpec
+                            dim: Option[Int] = None,
+                            m: Option[Int] = None,
+                            efConstruction: Option[Int] = None) extends IndexSpec
   private case class PlainIdx(rel: String, cols: Seq[String]) extends IndexSpec
 
   private val indexes = mutable.LinkedHashMap.empty[String, IndexSpec]
@@ -956,12 +958,53 @@ class CozoDb(val spark: SparkSession) {
             // wrong-width vectors at the type level)
             v.dim.filter(_ != qvec.length).foreach(d => throw CompileException(
               s"$target expects dim $d, query vector has ${qvec.length}"))
-            val qArr = array(qvec.map(lit): _*).cast("array<float>")
-            val scored = probeOpts(admitted.withColumn("__dist", distTo(qArr)))
-              .orderBy(col("__dist").asc, col(key).asc).limit(k)
-            scored.select(pairs.map { case (c, vr) => col(c).as(vr) } ++
-              bindVar("bind_distance").map(b => col("__dist").as(b)) ++
-              bindVar("bind_vector").map(b => matchedVec(qArr).as(b)): _*)
+            // `m:` on `::hnsw create` (parse/sys.rs:611) opts into the
+            // REAL partition-local graph walk (Ann.hnswTopK — the
+            // HnswSearchRA mechanism): cosine, single field, integral
+            // key, no per-probe filter/radius (those compose with the
+            // exact scan below, which remains the default and is a
+            // semantic superset of any walk)
+            val integralKey = admitted.schema(key).dataType match {
+              case org.apache.spark.sql.types.LongType |
+                   org.apache.spark.sql.types.IntegerType |
+                   org.apache.spark.sql.types.ShortType => true
+              case _ => false
+            }
+            val graphEligible = v.m.isDefined && v.fields.lengthIs == 1 &&
+              v.distance.equalsIgnoreCase("cosine") &&
+              opts.get("filter").isEmpty && optConst("radius").isEmpty &&
+              integralKey
+            if (graphEligible) {
+              import spark.implicits._
+              // query id outside any plausible key domain: hnswTopK
+              // excludes id == query_id and a probe must still be able
+              // to return its own stored row (the reference does)
+              val qDf = Seq((Long.MinValue, qvec.toArray))
+                .toDF("query_id", "vec")
+              val corpus = admitted.select(col(key).cast("long").as("id"),
+                col(v.fields.head).cast("array<float>").as("vec"))
+              // the reference accepts ef_construction < m; HnswIndex
+              // needs a beam at least m wide
+              val top = graft.similarity.Ann.hnswTopK(corpus, qDf, k,
+                m = math.max(v.m.get, 2),
+                efConstruction = math.max(
+                  v.efConstruction.getOrElse(v.m.get * 6), math.max(v.m.get, 2)),
+                efSearch = math.max(k * 4, 64))
+                .select(col("id").as("__hid"),
+                  (lit(1.0) - col("cosine")).as("__dist"))
+              top.join(admitted, top("__hid") === admitted(key).cast("long"))
+                .select(pairs.map { case (c, vr) => col(c).as(vr) } ++
+                  bindVar("bind_distance").map(b => col("__dist").as(b)) ++
+                  bindVar("bind_vector").map(b =>
+                    col(v.fields.head).cast("array<float>").as(b)): _*)
+            } else {
+              val qArr = array(qvec.map(lit): _*).cast("array<float>")
+              val scored = probeOpts(admitted.withColumn("__dist", distTo(qArr)))
+                .orderBy(col("__dist").asc, col(key).asc).limit(k)
+              scored.select(pairs.map { case (c, vr) => col(c).as(vr) } ++
+                bindVar("bind_distance").map(b => col("__dist").as(b)) ++
+                bindVar("bind_vector").map(b => matchedVec(qArr).as(b)): _*)
+            }
         }
       case _: PlainIdx =>
         throw CompileException(s"$target is a covering index — scan it with *$target{...}")
@@ -1129,7 +1172,9 @@ class CozoDb(val spark: SparkSession) {
         }
         indexes(target) = VecIdx(rel, fields,
           opts.get("distance").map(asStr).getOrElse("L2"), opts.get("filter"),
-          dim = numOpt("dim").map(_.toInt))
+          dim = numOpt("dim").map(_.toInt),
+          m = numOpt("m").map(_.toInt),
+          efConstruction = numOpt("ef_construction").map(_.toInt))
       case other => throw CompileException(s"unknown index kind ::$other")
     }
     Seq(("created", target)).toDF("status", "index")

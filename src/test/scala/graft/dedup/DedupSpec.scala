@@ -64,13 +64,40 @@ class DedupSpec extends AnyFunSuite {
     assert(rows.nonEmpty) // the corpus has planted near-dups
   }
 
-  test("embeddingNearDup LSH plan equals brute force on the sf0.001 embeddings") {
+  test("embeddingNearDup regime selection: degenerate LSH params route to the blocked exact scan") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val brute = pairs(Dedup.embeddingNearDup(emb, "vec_id", "embedding",
       threshold = 0.4, planes = 0))
-    val lsh = pairs(Dedup.embeddingNearDup(emb, "vec_id", "embedding",
-      threshold = 0.4, planes = 3, tables = 32))
-    assert(lsh == brute)
+    // planes=3/tables=32: 98.6% of RANDOM pairs collide somewhere, so
+    // the LSH shape would touch all pairs anyway — the exact regime
+    // must fire (identical output, no hyperplane machinery in the plan)
+    val low = Dedup.embeddingNearDup(emb, "vec_id", "embedding",
+      threshold = 0.4, planes = 3, tables = 32)
+    assert(pairs(low) == brute)
+    assert(!low.queryExecution.optimizedPlan.toString.contains("xxhash64"),
+      "low-threshold call still built hyperplane buckets")
+  }
+
+  test("embeddingNearDup discriminative-LSH regime equals brute force on planted twins") {
+    import spark.implicits._
+    val r = new scala.util.Random(5)
+    def vec(): Array[Float] = Array.fill(32)(r.nextGaussian().toFloat)
+    def tweak(v: Array[Float]): Array[Float] =
+      v.map(x => x + 0.05f * r.nextGaussian().toFloat)
+    val base = (0L until 80L).map(i => (i, vec()))
+    val twins = base.take(8).map { case (i, v) => (i + 1000L, tweak(v)) }
+    val emb = (base ++ twins).toDF("vec_id", "embedding")
+    // planes=8/tables=8: random-pair collision 3.1% -> LSH path stays
+    val lsh = Dedup.embeddingNearDup(emb, "vec_id", "embedding",
+      threshold = 0.9, planes = 8, tables = 8)
+    // the bucket table is checkpointed, so look for its columns (the
+    // hyperplane projections themselves hide behind the LogicalRDD)
+    assert(lsh.queryExecution.optimizedPlan.toString.contains("bucket"),
+      "discriminative params should keep the hyperplane-bucket path")
+    val brute = pairs(Dedup.embeddingNearDup(emb, "vec_id", "embedding",
+      threshold = 0.9, planes = 0))
+    assert(brute.nonEmpty, "twin construction produced no cosine>=0.9 pairs")
+    assert(pairs(lsh) == brute)
   }
 
   test("duplicatedCoverage finds exactly the planted shared span (Lee-et-al substring dedup)") {

@@ -152,6 +152,26 @@ class IndexesSpec extends AnyFunSuite {
     assert(hits2 == Set("a", "b"))
   }
 
+  test("::hnsw create with m: opts the probe into the real graph walk (agrees with exact scan)") {
+    val db = new CozoDb(spark)
+    // deterministic 4-dim vectors over a numeric key
+    val rows = (0 until 60).map { i =>
+      val v = Seq(math.sin(i * 0.7), math.cos(i * 1.3),
+        math.sin(i * 0.29 + 1), math.cos(i * 0.11)).map(x => f"$x%.4f")
+      s"[$i, vec([${v.mkString(", ")}])]"
+    }.mkString(", ")
+    db.run(s"?[k, v] <- [$rows] :create vecs {k => v}")
+    db.run("::hnsw create vecs:exact { fields: [v], distance: Cosine, dim: 4 }")
+    db.run("::hnsw create vecs:graph { fields: [v], distance: Cosine, dim: 4, m: 8, ef_construction: 64 }")
+    val probe = "query: vec([0.5, -0.5, 0.25, 0.9]), k: 5, bind_distance: d"
+    def hits(idx: String): Seq[(Long, Double)] =
+      db.run(s"?[k, d] := ~vecs:$idx{k | $probe}").collect()
+        .map(r => (r.getLong(0), BigDecimal(r.getDouble(1))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)).toSeq.sortBy(_._1)
+    // small corpus: the graph walk must reproduce the exact scan
+    assert(hits("graph") == hits("exact"))
+  }
+
   test("turkish FTS round-trip: harmony-stemmed index and query agree") {
     val db = new CozoDb(spark)
     db.run(

@@ -65,15 +65,19 @@ write(
     "documents",
 )
 
-# embeddings: K replicas with offset ids and a deterministic per-replica
-# rotation of the vector (first k components negated) so replicas are
-# NOT exact duplicates — keeps ANN weak-scaling honest (exact twins
-# would make every neighbor list degenerate at cosine 1.0)
+# embeddings: K replicas with offset ids and a per-replica CIRCULAR
+# SHIFT of the vector (by 3k+1 positions). Shifted copies of random
+# vectors are uncorrelated, so replicas are neither exact twins nor
+# near-dups — an earlier sign-flip variant left replicas at cosine
+# ~0.97 and turned the corpus into a pathological near-dup workload
+# (dedup_embed's true-pair set exploded ~90x)
 write(
     f"""
     SELECT vec_id + k.k * 100000000 AS vec_id,
-           list_transform(embedding, (v, i) ->
-             CASE WHEN i <= k.k THEN -v ELSE v END)::FLOAT[] AS embedding
+           CASE WHEN k.k = 0 THEN embedding ELSE
+             (embedding[(3 * k.k + 1) % len(embedding) + 1:] ||
+              embedding[:(3 * k.k + 1) % len(embedding)])
+           END::FLOAT[] AS embedding
     FROM read_parquet('{SRC}/embeddings.parquet'), range({K}) k(k)
     """,
     "embeddings",

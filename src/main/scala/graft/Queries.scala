@@ -1619,6 +1619,39 @@ object Queries {
       Some(truthTable("ivf_full_probe_equals_brute", "exactly_k_contiguous_ranks",
         "all_queries_answered"))),
 
+    // REAL media decode through the gate (JDK ImageIO / javax.sound —
+    // no external codecs needed): synthesize deterministic PNGs keyed
+    // by doc_id mod 30 (ids congruent mod 30 are byte-identical twins),
+    // then drive the real pipeline — decode back (dimensions + format
+    // must match construction), perceptual-phash near-dup (must find
+    // EXACTLY the planted twin pairs), and a real resize re-encode
+    // (must decode at the target size). Invariant truth table oracle.
+    Spec("mm_decode", (s, d) => {
+      val MM = graft.multimodal.Multimodal
+      val docs = T(s, d, "documents").filter(col("doc_id") < 60)
+        .select(col("doc_id").cast("long").as("id"))
+      val media = MM.synthesizeImages(docs, "id", groupMod = 30)
+      val meta = MM.decodeMeta(media)
+      val badMeta = meta.filter(!col("decoded") || col("format") =!= "png" ||
+        col("width") =!= 32 || col("height") =!= 24 || col("n_frames") =!= 1)
+      val pairs = MM.imageNearDup(media, maxHamming = 0)
+        .select("id_a", "id_b")
+      val expected = docs.select(col("id").as("id_a"))
+        .join(docs.select(col("id").as("id_b")),
+          col("id_b") === col("id_a") + 30)
+      val pairDiff = pairs.exceptAll(expected).unionAll(expected.exceptAll(pairs))
+      val resizedMeta = MM.decodeMeta(MM.resizeDecoded(media, 8, 6))
+      val badResize = resizedMeta.filter(!col("decoded") ||
+        col("width") =!= 8 || col("height") =!= 6)
+      invariants(
+        "all_pngs_decode_at_true_dims" -> noViolations(badMeta),
+        "phash_finds_exactly_planted_twins" -> noViolations(pairDiff),
+        "resize_reencodes_decodable_at_target" -> noViolations(badResize))
+    },
+      Some(truthTable("all_pngs_decode_at_true_dims",
+        "phash_finds_exactly_planted_twins",
+        "resize_reencodes_decodable_at_target"))),
+
     // ————— training-data pipeline: clustering / decontamination /
     // ————— sampling / redaction (beyond-reference north-star ops)
 

@@ -230,6 +230,16 @@ object FixedRules {
     graft.dedup.Dedup.embeddingNearDup(relAs(rels, 0, "EmbeddingDedup", "id", "vec"),
       "id", "vec", threshold = optDouble(o, "threshold", 0.9),
       planes = optInt(o, "planes", 8), tables = optInt(o, "tables", 8)))
+  // real JDK media decode (ImageIO / javax.sound) over binary columns
+  register("MediaDecode", (rels, _, _) =>
+    graft.multimodal.Multimodal.decodeMeta(
+      graft.multimodal.Multimodal.asMedia(
+        relAs(rels, 0, "MediaDecode", "id", "media"), "id", "media", "bin")))
+  register("ImageDedup", (rels, o, _) =>
+    graft.multimodal.Multimodal.imageNearDup(
+      graft.multimodal.Multimodal.asMedia(
+        relAs(rels, 0, "ImageDedup", "id", "media"), "id", "media", "bin"),
+      maxHamming = optInt(o, "max_hamming", 3)))
   register("DedupClusters", (rels, _, _) =>
     graft.dedup.Dedup.resolveClusters(
       relAs(rels, 0, "DedupClusters", "id"), "id",

@@ -103,6 +103,25 @@ class PipelineRulesSpec extends AnyFunSuite {
     assert(rows.forall(_.getInt(3) <= 3))
   }
 
+  test("MediaDecode / ImageDedup: real PNG decode and phash twins from script") {
+    import spark.implicits._
+    val db = new CozoDb(spark)
+    val media = graft.multimodal.Multimodal.synthesizeImages(
+      (0L until 10L).toDF("id"), "id", groupMod = 5)
+      .select("id", "media")
+    db.registerTable("media", media)
+    val meta = db.run(
+      """mr[id, fmt, w, h, nf, ok] <~ MediaDecode(*media[])
+        |?[id, fmt, w, h, ok] := mr[id, fmt, w, h, nf, ok]""".stripMargin)
+      .collect()
+    assert(meta.length == 10)
+    assert(meta.forall(r => r.getString(1) == "png" && r.getInt(2) == 32 &&
+      r.getInt(3) == 24 && r.getBoolean(4)))
+    val pairs = db.run("?[a, b, hm] <~ ImageDedup(*media[], max_hamming: 0)")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == (0L until 5L).map(i => (i, i + 5L)).toSet)
+  }
+
   test("AnnHnsw over registered embeddings from script") {
     val db = new CozoDb(spark)
     db.registerTable("emb",

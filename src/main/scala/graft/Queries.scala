@@ -1219,6 +1219,45 @@ object Queries {
              |SELECT id_a, id_b, round(dot / (sqrt(na) * sqrt(nb)), 4) AS cosine
              |FROM dots WHERE dot / (sqrt(na) * sqrt(nb)) >= 0.4""".stripMargin)),
 
+    // SemDeDup (Abbas et al. 2023): cluster-scoped semantic dedup — the
+    // candidate set is the k-means-cell self-join. The base corpus is
+    // near-random (no true pairs at 0.95), so twins are PLANTED
+    // in-query: each vec_id < 200 gains a deterministically perturbed
+    // copy at vec_id + 10000 (cosine ~0.999). Invariants: every emitted
+    // pair re-verifies exactly at >= 0.95 and lies in one cell; planted
+    // twins are recovered at >= 0.8 (a twin is missed only when the
+    // perturbation lands it across a cell boundary — the published
+    // approximation of the method); ids are ordered and distinct.
+    Spec("dedup_semantic", (s, d) => {
+      val emb = T(s, d, "embeddings")
+      val baseV = emb.filter(col("vec_id") < 200)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val twins = baseV.select((col("id") + 10000).as("id"),
+        transform(col("vec"), (v, i) =>
+          (v + lit(0.02f) * cos(col("id") * (i + 1))).cast("float")).as("vec"))
+      val corpus = baseV.unionByName(twins)
+      val pairs = Dedup.semanticDedup(corpus, "id", "vec",
+        threshold = 0.95, nClusters = 8)
+      val exact = pairs.select(col("id_a"), col("id_b"), col("cosine"))
+        .join(corpus.select(col("id").as("id_a"), col("vec").as("__va")), Seq("id_a"))
+        .join(corpus.select(col("id").as("id_b"), col("vec").as("__vb")), Seq("id_b"))
+        .withColumn("__true", graft.functions.VectorFunctions
+          .cosineSimilarity(col("__va"), col("__vb")))
+        .filter(abs(col("cosine") - col("__true")) > 1e-6 || col("__true") < 0.95)
+      val planted = baseV.select(col("id").as("id_a"), (col("id") + 10000).as("id_b"))
+      val recallOk = pairs.select("id_a", "id_b").intersect(planted)
+        .agg(count(lit(1)).as("__f"))
+        .crossJoin(planted.agg(count(lit(1)).as("__p")))
+        .select((col("__f") >= col("__p") * lit(0.8)).as("ok"))
+      invariants(
+        "pairs_exact_and_above_threshold" -> noViolations(exact),
+        "planted_twins_recovered_08" -> recallOk,
+        "ordered_distinct_ids" -> noViolations(
+          pairs.filter(col("id_a") >= col("id_b"))))
+    },
+      Some(truthTable("pairs_exact_and_above_threshold",
+        "planted_twins_recovered_08", "ordered_distinct_ids"))),
+
     // ————————————— similarity search (north-star; ref HNSW hnsw.rs) —————————————
 
     Spec("ann_knn", (s, d) => {

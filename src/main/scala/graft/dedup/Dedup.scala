@@ -381,6 +381,37 @@ object Dedup {
       .select("id_a", "id_b", "cosine")
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    * near-duplicate pairs scoped to k-means clusters — the third
+    * candidate-generation family next to banding (minhash / simhash /
+    * hyperplane signs) and the blocked exact scan. Vectors are
+    * assigned to `nClusters` spherical-k-means cells (the IVF Lloyd
+    * trainer, deterministic hash seeding); candidates are the
+    * cluster-keyed self-join (E[n²/k] pairs per cluster — k is the
+    * cost knob, discriminative BY CONSTRUCTION at any threshold);
+    * exact cosine verifies. The known approximation, as published:
+    * pairs straddling a cluster boundary are missed — acceptable for
+    * curation-style dedup where the paper applies it, NOT a total
+    * recall guarantee like [[embeddingNearDup]]'s regimes.
+    * Returns (id_a, id_b, cosine, cell).
+    */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+                    threshold: Double = 0.9, nClusters: Int = 16,
+                    iters: Int = 2, seed: Int = 0): DataFrame = {
+    import graft.plan._
+    val base = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val cents = graft.similarity.Ann.ivfCentroids(base, nClusters, iters, seed)
+    val assigned = graft.similarity.Ann.assignCells(base, cents)
+      .select(col("id"), col("vec"), col("cell")).ckpt()
+    assigned.select(col("id").as("id_a"), col("vec").as("vec_a"), col("cell"))
+      .join(assigned.select(col("id").as("id_b"), col("vec").as("vec_b"),
+        col("cell")), Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", VF.cosineSimilarity(col("vec_a"), col("vec_b")))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine", "cell")
+  }
+
   /** Cluster resolution: near-dup PAIRS (from any of the generators
     * above) are only half a dedup pipeline — transitive duplicates
     * (a~b, b~c) must collapse into one cluster with one canonical

@@ -750,6 +750,14 @@ class CozoDb(val spark: SparkSession) {
     * pure per-document state, so they persist across probes and absorb
     * mutations as deltas exactly like the FTS postings. */
   private val lshCache = mutable.HashMap.empty[String, (Long, DataFrame)]
+  /** Persisted partition-local HNSW graphs for `::hnsw create ... m:`
+    * indexes (Ann.hnswWriteIndex artifacts), keyed like the FTS/LSH
+    * caches: built once per mutation epoch, probes restore and walk
+    * the graphs instead of rebuilding them per probe (the reference
+    * builds its graph at create time and walks it per probe). Rebuild
+    * on epoch change is the same lazy trade the other index caches
+    * document. */
+  private val hnswGraphCache = mutable.HashMap.empty[String, (Long, String)]
 
   private def keyColOf(rel: String): String =
     relationKeys.getOrElse(rel, relation(rel).columns.toSeq).head
@@ -985,10 +993,19 @@ class CozoDb(val spark: SparkSession) {
                 col(v.fields.head).cast("array<float>").as("vec"))
               // the reference accepts ef_construction < m; HnswIndex
               // needs a beam at least m wide
-              val top = graft.similarity.Ann.hnswTopK(corpus, qDf, k,
-                m = math.max(v.m.get, 2),
-                efConstruction = math.max(
-                  v.efConstruction.getOrElse(v.m.get * 6), math.max(v.m.get, 2)),
+              val mEff = math.max(v.m.get, 2)
+              val efcEff = math.max(v.efConstruction.getOrElse(mEff * 6), mEff)
+              val dir = hnswGraphCache.get(target) match {
+                case Some((ep, d)) if ep == mutationEpoch => d
+                case _ =>
+                  val d = java.nio.file.Files
+                    .createTempDirectory("graft_hnsw").toString
+                  graft.similarity.Ann.hnswWriteIndex(d, corpus, mEff, efcEff)
+                  hnswGraphCache(target) = (mutationEpoch, d)
+                  indexFullBuilds += 1
+                  d
+              }
+              val top = graft.similarity.Ann.hnswProbeIndex(dir, qDf, k,
                 efSearch = math.max(k * 4, 64))
                 .select(col("id").as("__hid"),
                   (lit(1.0) - col("cosine")).as("__dist"))
@@ -1022,6 +1039,7 @@ class CozoDb(val spark: SparkSession) {
       ftsDeltaCount.remove(target)
       lshCache.remove(target)
       lshDeltaCount.remove(target)
+      hnswGraphCache.remove(target)
       return Seq(((if (existed) "dropped" else "absent"), target)).toDF("status", "index")
     }
     val rel = target.split(":")(0)

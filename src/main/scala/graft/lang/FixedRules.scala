@@ -230,6 +230,10 @@ object FixedRules {
     graft.dedup.Dedup.embeddingNearDup(relAs(rels, 0, "EmbeddingDedup", "id", "vec"),
       "id", "vec", threshold = optDouble(o, "threshold", 0.9),
       planes = optInt(o, "planes", 8), tables = optInt(o, "tables", 8)))
+  register("SemanticDedup", (rels, o, _) =>
+    graft.dedup.Dedup.semanticDedup(relAs(rels, 0, "SemanticDedup", "id", "vec"),
+      "id", "vec", threshold = optDouble(o, "threshold", 0.9),
+      nClusters = optInt(o, "n_clusters", 16)))
   // real JDK media decode (ImageIO / javax.sound) over binary columns
   register("MediaDecode", (rels, _, _) =>
     graft.multimodal.Multimodal.decodeMeta(

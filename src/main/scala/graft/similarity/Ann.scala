@@ -51,6 +51,13 @@ object Ann {
     * equi-join on (table, bucket), then exact cosine re-rank of the
     * candidate set only. Each table is seeded independently, so recall
     * compounds as 1-(1-p^planes)^tables.
+    *
+    * Scale note: unlike [[graft.dedup.Dedup.embeddingNearDup]]'s
+    * corpus SELF-join (where non-discriminative buckets degenerate to
+    * Θ(n²) — see its regime switch), the query side here is the
+    * bounded probe set, so even weak buckets cost at most
+    * O(probes · n) — the same order as one brute-force pass. Weak
+    * parameters waste the bucket machinery but cannot go quadratic.
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               planes: Int = 12, tables: Int = 4): DataFrame = {

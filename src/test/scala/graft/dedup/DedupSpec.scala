@@ -100,6 +100,34 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs(lsh) == brute)
   }
 
+  test("semanticDedup: cluster-scoped pairs find planted twins, all pairs verified exact") {
+    import spark.implicits._
+    val r = new scala.util.Random(11)
+    val base = (0L until 60L).map(i => (i, Array.fill(16)(r.nextGaussian().toFloat)))
+    val twins = base.take(10).map { case (i, v) =>
+      (i + 100L, v.map(x => x + 0.01f * r.nextGaussian().toFloat))
+    }
+    val emb = (base ++ twins).toDF("id", "vec")
+    val pairs = Dedup.semanticDedup(emb, "id", "vec",
+      threshold = 0.95, nClusters = 4).collect()
+    val found = pairs.map(p => (p.getLong(0), p.getLong(1))).toSet
+    val planted = (0L until 10L).map(i => (i, i + 100L)).toSet
+    // twins are near-identical: nearly all land in the same cell
+    assert((found intersect planted).size >= 8, s"found $found")
+    // no false positives beyond the threshold (random 16-dim pairs at
+    // 0.95 are essentially impossible)
+    assert(found.subsetOf(planted))
+    // cosines in the output are true cosines
+    val byId = (base ++ twins).toMap
+    for (p <- pairs) {
+      val (a, b) = (byId(p.getLong(0)), byId(p.getLong(1)))
+      val cosTrue = a.zip(b).map { case (x, y) => x.toDouble * y }.sum /
+        (math.sqrt(a.map(x => x.toDouble * x).sum) *
+          math.sqrt(b.map(x => x.toDouble * x).sum))
+      assert(math.abs(p.getDouble(2) - cosTrue) < 1e-6)
+    }
+  }
+
   test("duplicatedCoverage finds exactly the planted shared span (Lee-et-al substring dedup)") {
     import spark.implicits._
     // docs 1 and 2 share a 12-token run; doc 3 is unrelated filler long

@@ -170,6 +170,15 @@ class IndexesSpec extends AnyFunSuite {
           .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)).toSeq.sortBy(_._1)
     // small corpus: the graph walk must reproduce the exact scan
     assert(hits("graph") == hits("exact"))
+    // the persisted graph is cached per epoch: a second probe reuses
+    // it, a mutation forces one rebuild (same trade as the FTS cache)
+    val builds0 = db.indexFullBuilds
+    hits("graph")
+    assert(db.indexFullBuilds == builds0)
+    db.run("?[k, v] <- [[999, vec([1.0, 1.0, 1.0, 1.0])]] :put vecs {k => v}")
+    hits("graph")
+    assert(db.indexFullBuilds == builds0 + 1)
+    assert(hits("graph") == hits("exact")) // still agreeing post-mutation
   }
 
   test("turkish FTS round-trip: harmony-stemmed index and query agree") {

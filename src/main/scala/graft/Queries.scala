@@ -1741,6 +1741,48 @@ object Queries {
               |FROM tr JOIN ev ON tr.s = ev.s
               |GROUP BY 1 HAVING count(DISTINCT tr.s) >= 1""".stripMargin)),
 
+    // semantic decontamination: embedding-space overlap vs an eval set
+    // (catches the paraphrase contamination n-grams miss). Planted
+    // contamination: 10 eval vectors are rational-perturbed copies of
+    // train vectors (integer-exact perturbation so Spark and DuckDB
+    // compute bit-identical floats), 20 are clean; the full oracle
+    // recomputes max-cosine/hit-count ground truth in SQL.
+    Spec("decontam_embed", (s, d) => {
+      val emb = T(s, d, "embeddings")
+      val train = emb.filter(col("vec_id") >= 100)
+        .select(col("vec_id").as("train_id"), col("embedding").as("vec"))
+      val contaminated = emb.filter(col("vec_id") >= 100 && col("vec_id") < 110)
+        .select((col("vec_id") + 90000).as("eval_id"),
+          transform(col("embedding"), (v, i) =>
+            (v + lit(0.02) * (((col("vec_id") * (i + lit(1))) % 7) - lit(3)))
+              .cast("float")).as("vec"))
+      val cleanEval = emb.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("eval_id"), col("embedding").as("vec"))
+      graft.pipeline.Decontaminate.embedOverlap(
+          train, "train_id", "vec",
+          contaminated.unionByName(cleanEval), "eval_id", "vec",
+          threshold = 0.9)
+        .withColumn("max_cosine", round(col("max_cosine"), 4))
+    },
+      Some("""WITH train AS (SELECT vec_id AS train_id, embedding AS tv FROM embeddings WHERE vec_id >= 100),
+             |cont AS (SELECT vec_id + 90000 AS eval_id,
+             |    list_transform(embedding, (x, i) -> CAST(x + 0.02 * ((vec_id * i) % 7 - 3) AS FLOAT)) AS ev
+             |  FROM embeddings WHERE vec_id >= 100 AND vec_id < 110),
+             |cl AS (SELECT vec_id AS eval_id, embedding AS ev FROM embeddings WHERE vec_id < 20),
+             |evs AS (SELECT * FROM cont UNION ALL SELECT * FROM cl),
+             |un AS (SELECT train_id, eval_id, tv, ev, unnest(generate_series(1, len(tv))) AS i
+             |       FROM train, evs),
+             |dots AS (SELECT train_id, eval_id,
+             |    sum(CAST(tv[i] AS DOUBLE) * CAST(ev[i] AS DOUBLE)) AS dot,
+             |    sum(CAST(tv[i] AS DOUBLE) * CAST(tv[i] AS DOUBLE)) AS nt,
+             |    sum(CAST(ev[i] AS DOUBLE) * CAST(ev[i] AS DOUBLE)) AS ne
+             |  FROM un GROUP BY 1, 2),
+             |sc AS (SELECT train_id, eval_id, dot / (sqrt(nt) * sqrt(ne)) AS c
+             |       FROM dots WHERE dot / (sqrt(nt) * sqrt(ne)) >= 0.9)
+             |SELECT train_id, round(max(c), 4) AS max_cosine,
+             |  count(DISTINCT eval_id) AS eval_hits
+             |FROM sc GROUP BY 1""".stripMargin)),
+
     // contiguous token-budget shard packing (training-data export
     // shape): greedy by doc order, shard = floor(prefix_sum / budget).
     // The Spark side runs the two-level distributed prefix sum

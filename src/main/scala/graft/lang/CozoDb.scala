@@ -997,7 +997,14 @@ class CozoDb(val spark: SparkSession) {
               val efcEff = math.max(v.efConstruction.getOrElse(mEff * 6), mEff)
               val dir = hnswGraphCache.get(target) match {
                 case Some((ep, d)) if ep == mutationEpoch => d
-                case _ =>
+                case stale =>
+                  // reclaim the superseded epoch's artifacts before
+                  // rebuilding (long sessions with many mutations would
+                  // otherwise accumulate dead graph dirs)
+                  stale.foreach { case (_, old) =>
+                    scala.util.Try(org.apache.commons.io.FileUtils
+                      .deleteDirectory(new java.io.File(old)))
+                  }
                   val d = java.nio.file.Files
                     .createTempDirectory("graft_hnsw").toString
                   graft.similarity.Ann.hnswWriteIndex(d, corpus, mEff, efcEff)

@@ -230,6 +230,11 @@ object FixedRules {
     graft.dedup.Dedup.embeddingNearDup(relAs(rels, 0, "EmbeddingDedup", "id", "vec"),
       "id", "vec", threshold = optDouble(o, "threshold", 0.9),
       planes = optInt(o, "planes", 8), tables = optInt(o, "tables", 8)))
+  register("DecontaminateEmbed", (rels, o, _) =>
+    graft.pipeline.Decontaminate.embedOverlap(
+      relAs(rels, 0, "DecontaminateEmbed", "id", "vec"), "id", "vec",
+      relAs(rels, 1, "DecontaminateEmbed", "id", "vec"), "id", "vec",
+      threshold = optDouble(o, "threshold", 0.9)))
   register("SemanticDedup", (rels, o, _) =>
     graft.dedup.Dedup.semanticDedup(relAs(rels, 0, "SemanticDedup", "id", "vec"),
       "id", "vec", threshold = optDouble(o, "threshold", 0.9),

@@ -51,6 +51,29 @@ object Decontaminate {
       .filter(col("overlap_ngrams") >= minOverlap)
   }
 
+  /** Semantic (embedding-space) decontamination: flag training
+    * documents whose embedding is within cosine `threshold` of any
+    * eval embedding — catches the paraphrase/translation contamination
+    * the n-gram test misses. One broadcast of the (benchmark-sized)
+    * eval embeddings against the training scan, codegen'd cosine, max
+    * per training doc; 100 TB shape = one map-side pass, no corpus
+    * shuffle. Returns (train_id, max_cosine, eval_hits) for flagged
+    * training docs only — anti-join to clean.
+    */
+  def embedOverlap(train: DataFrame, trainId: String, trainVec: String,
+                   eval: DataFrame, evalId: String, evalVec: String,
+                   threshold: Double = 0.9): DataFrame = {
+    import graft.functions.{VectorFunctions => VF}
+    val t = train.select(col(trainId).as("train_id"), col(trainVec).as("__tv"))
+    val e = eval.select(col(evalId).as("eval_id"), col(evalVec).as("__ev"))
+    t.crossJoin(broadcast(e))
+      .withColumn("__cos", VF.cosineSimilarity(col("__tv"), col("__ev")))
+      .filter(col("__cos") >= threshold)
+      .groupBy("train_id")
+      .agg(max(col("__cos")).as("max_cosine"),
+        countDistinct(col("eval_id")).as("eval_hits"))
+  }
+
   /** The cleaned corpus: training rows with no flagged overlap. */
   def clean(train: DataFrame, trainId: String, trainText: String,
             eval: DataFrame, evalId: String, evalText: String,

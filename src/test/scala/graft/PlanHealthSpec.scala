@@ -32,6 +32,7 @@ class PlanHealthSpec extends AnyFunSuite {
     "dedup_embed" -> ("the low-threshold exact regime's blocked pair scan: at test SF " +
       "one side fits the broadcast threshold so Spark picks BNLJ over the cartesian"),
     "dedup_semantic" -> "Lloyd assignment: centroid table (k<=256) broadcast",
+    "decontam_embed" -> "benchmark-sized eval embedding set explicitly broadcast against the train scan",
     "mm_features_knn" -> "probe features (15 rows) broadcast against extracted features",
     "graph_louvain" -> "scalar 2m total-weight row broadcast into the modularity invariant",
     "op_range_join" -> ("degenerate-giant fallback side (intervals spanning > maxBuckets " +

@@ -103,6 +103,29 @@ class PipelineRulesSpec extends AnyFunSuite {
     assert(rows.forall(_.getInt(3) <= 3))
   }
 
+  test("SemanticDedup / DecontaminateEmbed from script: planted twins flagged") {
+    import spark.implicits._
+    val db = new CozoDb(spark)
+    val r = new scala.util.Random(3)
+    val base = (0L until 40L).map(i => (i, Array.fill(8)(r.nextGaussian().toFloat)))
+    val twins = base.take(5).map { case (i, v) =>
+      (i + 100L, v.map(x => x + 0.01f * r.nextGaussian().toFloat))
+    }
+    db.registerTable("emb", (base ++ twins).toDF("id", "vec"))
+    db.registerTable("evalset", twins.toDF("id", "vec"))
+    val pairs = db.run(
+      "?[a, b, c, cell] <~ SemanticDedup(*emb[], threshold: 0.95, n_clusters: 2)")
+      .collect().map(re => (re.getLong(0), re.getLong(1))).toSet
+    assert(pairs.nonEmpty && pairs.subsetOf(
+      (0L until 5L).map(i => (i, i + 100L)).toSet))
+    val flagged = db.run(
+      "?[t, c, n] <~ DecontaminateEmbed(*emb[], *evalset[], threshold: 0.99)")
+      .collect().map(_.getLong(0)).toSet
+    // every planted eval vector flags itself (cosine 1) and usually its
+    // base twin
+    assert((100L until 105L).toSet.subsetOf(flagged))
+  }
+
   test("MediaDecode / ImageDedup: real PNG decode and phash twins from script") {
     import spark.implicits._
     val db = new CozoDb(spark)

@@ -1514,6 +1514,98 @@ object Queries {
       Some(s"""SELECT doc_id, md5(array_to_string($toksSql, ' ')) AS fingerprint
               |FROM documents""".stripMargin)),
 
+    // HTML → text extraction (HtmlExtract.scala): each document is
+    // wrapped in a deterministic page shell (script/style payloads,
+    // comments, entities, nav links, short chrome lines) derived from
+    // driver columns only, then the extractor must recover the prose.
+    // The DuckDB oracle runs the same published spec chain — the spec
+    // is the contract, so both engines agree byte-for-byte.
+    Spec("text_strip_html", (s, d) => {
+      val docs = T(s, d, "documents")
+      val html = concat(
+        lit("<html><head><title>t</title><style>body { color: red; }</style>"),
+        lit("<script type=\"text/javascript\">var x = 1 < 2 && true;</script></head>"),
+        lit("<body><h1>"), col("lang"), lit("</h1><!-- nav\ncomment --><p>"),
+        regexp_replace(col("text"), "\\. ", ".</p><p>"),
+        lit("</p><a href=\"/about\">about</a>" +
+          "<div>Tom &amp; Jerry &lt;3 &quot;quoted&quot; &#39;q&#39;&nbsp;end</div>" +
+          "</body></html>"))
+      graft.text.HtmlExtract.extract(
+        docs.withColumn("__html", html), "doc_id", "__html", minLineChars = 10)
+    },
+      Some("""WITH h AS (SELECT doc_id,
+             |  '<html><head><title>t</title><style>body { color: red; }</style>' ||
+             |  '<script type="text/javascript">var x = 1 < 2 && true;</script></head>' ||
+             |  '<body><h1>' || lang || '</h1><!-- nav' || chr(10) || 'comment --><p>' ||
+             |  regexp_replace(text, '\. ', '.</p><p>', 'g') ||
+             |  '</p><a href="/about">about</a>' ||
+             |  '<div>Tom &amp; Jerry &lt;3 &quot;quoted&quot; &#39;q&#39;&nbsp;end</div>' ||
+             |  '</body></html>' AS html FROM documents),
+             |s1 AS (SELECT doc_id, regexp_replace(html, '<!--.*?-->', ' ', 'gs') AS x FROM h),
+             |s2 AS (SELECT doc_id, regexp_replace(x, '<script\b[^>]*>.*?</script>', ' ', 'gis') AS x FROM s1),
+             |s3 AS (SELECT doc_id, regexp_replace(x, '<style\b[^>]*>.*?</style>', ' ', 'gis') AS x FROM s2),
+             |s4 AS (SELECT doc_id, regexp_replace(x, '</?(?:p|div|br|li|ul|ol|h[1-6]|tr|table|section|article|header|footer|blockquote)\b[^>]*>', chr(10), 'gi') AS x FROM s3),
+             |s5 AS (SELECT doc_id, regexp_replace(x, '<[^>]*>', ' ', 'g') AS x FROM s4),
+             |s6 AS (SELECT doc_id, replace(replace(replace(replace(replace(replace(x,
+             |  '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&amp;', '&') AS x FROM s5),
+             |ln AS (SELECT doc_id, list_filter(list_transform(string_split(x, chr(10)),
+             |  l -> trim(regexp_replace(l, '\s+', ' ', 'g'))), l -> len(l) >= 10) AS ls FROM s6)
+             |SELECT doc_id, array_to_string(ls, chr(10)) AS content,
+             |  CASE WHEN len(ls) = 0 THEN 0 ELSE len(ls) END AS n_lines,
+             |  len(array_to_string(ls, chr(10))) AS n_chars
+             |FROM ln""".stripMargin)),
+
+    // URL canonicalization + per-domain caps (Urls.scala): the crawl
+    // URLs are derived from driver columns with transport noise mixed
+    // in (case, default port, tracking params, unsorted params,
+    // trailing slash, fragment); the DuckDB oracle derives the
+    // canonical form INDEPENDENTLY from the same columns — an
+    // algorithmically different ground truth, not a mirrored parse.
+    Spec("pipe_url_dedup", (s, d) => {
+      val docs = T(s, d, "documents")
+      val url = concat(
+        lit("HTTPS://WWW."), col("source"),
+        when(col("lang") === "en", lit(".co.uk")).otherwise(lit(".com")),
+        lit(":443/"), col("lang"), lit("/doc/"),
+        (col("doc_id") % 40).cast("string"),
+        lit("/?utm_source=feed&b="), (col("doc_id") % 5).cast("string"),
+        lit("&a="), (col("doc_id") % 4).cast("string"),
+        lit("&fbclid=x#s"), col("doc_id").cast("string"))
+      graft.pipeline.Urls.dedupAndCap(
+        docs.withColumn("__url", url), "doc_id", "__url", cap = 20)
+    },
+      Some("""WITH c AS (SELECT doc_id,
+             |  'https://www.' || source || CASE WHEN lang = 'en' THEN '.co.uk' ELSE '.com' END ||
+             |    '/' || lang || '/doc/' || CAST(doc_id % 40 AS VARCHAR) ||
+             |    '?a=' || CAST(doc_id % 4 AS VARCHAR) || '&b=' || CAST(doc_id % 5 AS VARCHAR) AS url,
+             |  source || CASE WHEN lang = 'en' THEN '.co.uk' ELSE '.com' END AS domain
+             |  FROM documents),
+             |per_url AS (SELECT url, any_value(domain) AS domain, min(doc_id) AS id FROM c GROUP BY 1),
+             |r AS (SELECT url, id, domain,
+             |  row_number() OVER (PARTITION BY domain ORDER BY id, url) AS rank FROM per_url)
+             |SELECT url, id, domain, rank, (rank <= 20) AS keep FROM r""".stripMargin)),
+
+    // Bloom-prefiltered decontamination: same exact output contract as
+    // decontam_ngram (no false negatives), so the oracle is the full
+    // exact-overlap SQL — agreement certifies the Bloom pre-filter
+    // dropped nothing it shouldn't have.
+    Spec("decontam_bloom", (s, d) => {
+      val docs = T(s, d, "documents")
+      graft.pipeline.Decontaminate.bloomOverlap(
+        docs.filter(col("doc_id") % 89 =!= 0), "doc_id", "text",
+        docs.filter(col("doc_id") % 89 === 0), "doc_id", "text",
+        n = 4, minOverlap = 2, fpp = 0.01)
+    },
+      Some(s"""WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
+              |idx AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 3)) AS i FROM d),
+              |sh AS (SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] AS s FROM idx),
+              |tr AS (SELECT doc_id AS train_id, s FROM sh WHERE doc_id % 89 <> 0),
+              |ev AS (SELECT doc_id AS eval_id, s FROM sh WHERE doc_id % 89 = 0)
+              |SELECT train_id, count(DISTINCT tr.s) AS overlap_ngrams,
+              |  count(DISTINCT eval_id) AS eval_docs
+              |FROM tr JOIN ev ON tr.s = ev.s
+              |GROUP BY 1 HAVING count(DISTINCT tr.s) >= 2""".stripMargin)),
+
     // corpus-trained bigram-LM perplexity (LanguageModel.scala), the
     // CCNet-style ranking signal for pre-training data; the oracle
     // retrains the identical Laplace-smoothed model in SQL, so the

@@ -271,6 +271,26 @@ object FixedRules {
       relAs(rels, 0, "Decontaminate", "id", "text"), "id", "text",
       relAs(rels, 1, "Decontaminate", "id", "text"), "id", "text",
       n = optInt(o, "n", 13), minOverlap = optInt(o, "min_overlap", 1)))
+  // same output contract as Decontaminate, Bloom-prefiltered corpus
+  // pass (pipeline/Decontaminate.bloomOverlap)
+  register("DecontaminateBloom", (rels, o, _) =>
+    graft.pipeline.Decontaminate.bloomOverlap(
+      relAs(rels, 0, "DecontaminateBloom", "id", "text"), "id", "text",
+      relAs(rels, 1, "DecontaminateBloom", "id", "text"), "id", "text",
+      n = optInt(o, "n", 13), minOverlap = optInt(o, "min_overlap", 1),
+      fpp = optDouble(o, "fpp", 0.01)))
+  // ?[id, content, n_lines, n_chars] <~ StripHtml(*docs[id, html],
+  //   min_line_chars: 10) — HTML → training text (text/HtmlExtract.scala)
+  register("StripHtml", (rels, o, _) =>
+    graft.text.HtmlExtract.extract(
+      relAs(rels, 0, "StripHtml", "id", "html"), "id", "html",
+      minLineChars = optInt(o, "min_line_chars", 10)))
+  // ?[url, id, domain, rank, keep] <~ UrlDedup(*crawl[id, url], cap: 100)
+  // — canonical-URL dedup + per-domain cap (pipeline/Urls.scala)
+  register("UrlDedup", (rels, o, _) =>
+    graft.pipeline.Urls.dedupAndCap(
+      relAs(rels, 0, "UrlDedup", "id", "url"), "id", "url",
+      cap = optInt(o, "cap", 100)))
   register("Sample", (rels, o, _) => {
     val d = rels.headOption.getOrElse(
       throw Compiler.CompileException("Sample needs a relation"))

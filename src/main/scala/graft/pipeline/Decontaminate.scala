@@ -84,4 +84,50 @@ object Decontaminate {
       .select(col("train_id").as(trainId))
     train.join(bad, Seq(trainId), "left_anti")
   }
+
+  /** Bloom-prefiltered exact overlap: same OUTPUT as [[ngramOverlap]]
+    * (a Bloom filter has no false negatives, so the exact verify join
+    * sees every true overlap — the driver oracle is the same exact SQL),
+    * but the 100 TB corpus pass probes an in-executor Bloom sketch of
+    * the eval shingle hashes instead of joining: only might-contain
+    * rows (true hits + the fpp tail) reach the broadcast verify join,
+    * so the join's probe side shrinks from every corpus shingle to
+    * ~|true overlaps| + fpp·|corpus shingles|. At fpp = 1e-2 that is a
+    * ~100× cut in join input for the non-contaminated bulk — the sketch
+    * is a few MB where the exploded eval relation is GBs, so it ships
+    * to executors at a fraction of the broadcast-join cost and probes
+    * at 2 hash ops/row.
+    *
+    * The Bloom build runs two small jobs on the EVAL side only (a count
+    * to size the filter, then the sketch aggregation — Spark merges
+    * per-partition sketches on the driver, the standard
+    * `stat.bloomFilter` shape; both scale with the benchmark suite, not
+    * the corpus). The probe is a 2-hash UDF: Spark's own
+    * BloomFilterMightContain expression is runtime-internal, and the
+    * UDF sits behind the scan's codegen'd shingle explode, costing two
+    * xxhash probes per shingle.
+    */
+  def bloomOverlap(train: DataFrame, trainId: String, trainText: String,
+                   eval: DataFrame, evalId: String, evalText: String,
+                   n: Int = 13, minOverlap: Int = 1,
+                   fpp: Double = 0.01): DataFrame = {
+    val spark = train.sparkSession
+    val tsh = train.select(col(trainId).as("train_id"),
+        explode(TF.wordShingles(col(trainText), n)).as("s"))
+      .select(col("train_id"), xxhash64(col("s")).as("h"))
+    val esh = eval.select(col(evalId).as("eval_id"),
+        explode(TF.wordShingles(col(evalText), n)).as("s"))
+      .select(col("eval_id"), xxhash64(col("s")).as("h"))
+    val evalHashes = esh.select("h").distinct()
+    val expected = math.max(evalHashes.count(), 1L)
+    val bloom = evalHashes.stat.bloomFilter("h", expected, fpp)
+    val bc = spark.sparkContext.broadcast(bloom)
+    val mightContain = udf((h: Long) => bc.value.mightContainLong(h))
+    tsh.filter(mightContain(col("h")))
+      .join(broadcast(esh), Seq("h"))
+      .groupBy("train_id")
+      .agg(countDistinct(col("h")).as("overlap_ngrams"),
+        countDistinct(col("eval_id")).as("eval_docs"))
+      .filter(col("overlap_ngrams") >= minOverlap)
+  }
 }

@@ -283,4 +283,43 @@ class PipelineRulesSpec extends AnyFunSuite {
     assert(rows(1L)._2 != rows(3L)._2)
     assert(rows.values.forall(_._2 > 0))
   }
+
+  test("StripHtml from script: markup drops, prose lines survive") {
+    val db = new CozoDb(spark)
+    db.run(
+      """?[id, html] <- [[1, '<p>Prose long enough to keep.</p><script>var x;</script><div>ok</div>']]
+        |:create pages {id => html}""".stripMargin)
+    val rows = db.run(
+      "?[id, content, n_lines, n_chars] <~ StripHtml(*pages[id, html], min_line_chars: 10)")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(rows.toSeq == Seq((1L, "Prose long enough to keep.", 1L)))
+  }
+
+  test("UrlDedup from script: canonical variants collapse, per-domain cap ranks") {
+    val db = new CozoDb(spark)
+    db.run(
+      """?[id, url] <- [
+        |  [1, 'https://A.com/x?utm_source=t'],
+        |  [2, 'https://a.com/x/'],
+        |  [3, 'https://a.com/y']
+        |] :create crawl {id => url}""".stripMargin)
+    val rows = db.run("?[url, id, domain, rank, keep] <~ UrlDedup(*crawl[id, url], cap: 1)")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3), r.getBoolean(4))).toSet
+    assert(rows == Set(
+      ("https://a.com/x", 1L, "a.com", 1L, true),
+      ("https://a.com/y", 3L, "a.com", 2L, false)))
+  }
+
+  test("DecontaminateBloom from script equals Decontaminate on the same inputs") {
+    val db = docsDb()
+    db.run(
+      """?[id, text] <- [[10, 'the quick brown fox jumps over the lazy dog']]
+        |:create eval {id => text}""".stripMargin)
+    def norm(q: String) = db.run(q).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val exact = norm("?[id, overlap, docs] <~ Decontaminate(*docs[id, text], *eval[id, text], n: 4)")
+    val bloom = norm("?[id, overlap, docs] <~ DecontaminateBloom(*docs[id, text], *eval[id, text], n: 4)")
+    assert(exact == bloom)
+    assert(exact.map(_._1) == Set(1L, 2L)) // the twin docs overlap the eval doc
+  }
 }

@@ -1606,6 +1606,34 @@ object Queries {
               |FROM tr JOIN ev ON tr.s = ev.s
               |GROUP BY 1 HAVING count(DISTINCT tr.s) >= 2""".stripMargin)),
 
+    // leakage-free split: the GROUP (here the source site) is the
+    // independence unit — correlated documents never straddle train
+    // and eval. portable=true hashes with md5Key, which the oracle
+    // recomputes bit-for-bit ('0x…'::BIGINT on the first 8 hex chars).
+    Spec("pipe_split_group", (s, d) =>
+      graft.pipeline.Sampling.splitByGroup(
+        T(s, d, "documents"), "source", trainPct = 60, valPct = 20, portable = true)
+        .select("doc_id", "source", "split"),
+      Some("""SELECT doc_id, source,
+             |  CASE WHEN b < 60 THEN 'train' WHEN b < 80 THEN 'val' ELSE 'test' END AS split
+             |FROM (SELECT doc_id, source,
+             |  CAST(('0x' || substr(md5(source), 1, 8)) AS BIGINT) % 100 AS b
+             |  FROM documents) t""".stripMargin)),
+
+    // deterministic global shuffle WITH explicit 0-based positions —
+    // the training order as a number (resume offsets, curriculum
+    // schedules). The scale shape is the two-level prefix sum (the
+    // only sequential window runs over numParts count rows); the
+    // oracle re-derives the same permutation as a plain row_number
+    // over the portable md5 key.
+    Spec("pipe_shuffle", (s, d) =>
+      graft.pipeline.Sampling.shuffledPositions(
+        T(s, d, "documents").select("doc_id"), "doc_id"),
+      Some("""SELECT doc_id, row_number() OVER (
+             |    ORDER BY CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT),
+             |    doc_id) - 1 AS position
+             |FROM documents""".stripMargin)),
+
     // corpus-trained bigram-LM perplexity (LanguageModel.scala), the
     // CCNet-style ranking signal for pre-training data; the oracle
     // retrains the identical Laplace-smoothed model in SQL, so the

@@ -303,6 +303,25 @@ object FixedRules {
     graft.pipeline.Sampling.split(d, d.columns.head,
       trainPct = optInt(o, "train_pct", 80), valPct = optInt(o, "val_pct", 10))
   })
+  // leakage-free split on the SECOND column (the group key); rows of
+  // one group never straddle splits (pipeline/Sampling.splitByGroup)
+  register("SplitByGroup", (rels, o, _) => {
+    val d = rels.headOption.getOrElse(
+      throw Compiler.CompileException("SplitByGroup needs a relation"))
+    if (d.columns.length < 2) throw Compiler.CompileException(
+      "SplitByGroup input needs (id, group, payload...)")
+    graft.pipeline.Sampling.splitByGroup(d, d.columns(1),
+      trainPct = optInt(o, "train_pct", 80), valPct = optInt(o, "val_pct", 10),
+      portable = o.get("portable").contains(true))
+  })
+  // deterministic global shuffle with explicit 0-based positions
+  // (pipeline/Sampling.shuffledPositions — two-level prefix sum)
+  register("GlobalShuffle", (rels, o, _) => {
+    val d = rels.headOption.getOrElse(
+      throw Compiler.CompileException("GlobalShuffle needs a relation"))
+    graft.pipeline.Sampling.shuffledPositions(d, d.columns.head,
+      numParts = optInt(o, "num_parts", 0))
+  })
   register("AnnKnn", (rels, o, _) =>
     graft.similarity.Ann.bruteForceTopK(
       relAs(rels, 0, "AnnKnn", "id", "vec"),

@@ -33,8 +33,18 @@ object Urls {
 
   private val trackingParam = "^(utm_[^=&]*|gclid|fbclid|ref)(=.*)?$"
 
-  /** The canonical form of a URL column per the object-level spec. */
+  /** The canonical form of a URL column per the object-level spec.
+    * Inputs without a `scheme://` prefix (mailto:, data:, relative
+    * paths, plain garbage — all present in real crawl frontiers) pass
+    * through VERBATIM: canonicalization must never conflate two
+    * distinct opaque strings, and filtering non-fetchable schemes is
+    * the caller's policy, not a hash-time surprise. */
   def canonicalizeUrl(url: Column): Column = {
+    when(url.rlike("^[A-Za-z][A-Za-z0-9+.-]*://"), canonicalizeHierarchical(url))
+      .otherwise(url)
+  }
+
+  private def canonicalizeHierarchical(url: Column): Column = {
     val scheme = lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     val afterScheme = regexp_replace(url, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
     val hostport = lower(regexp_extract(afterScheme, "^([^/?#]*)", 1))

@@ -47,7 +47,8 @@ class PlanHealthSpec extends AnyFunSuite {
     * Sharding.scala), not by the data. */
   private val globalWindowAllowed: Map[String, String] = Map(
     "pipe_pack_shards" -> "top-level offsets window over <=bucketCount rows (two-level prefix sum)",
-    "pipe_pack_sequences" -> "same two-level prefix sum over chunk buckets")
+    "pipe_pack_sequences" -> "same two-level prefix sum over chunk buckets",
+    "pipe_shuffle" -> "top-level offsets window over numParts per-partition count rows (two-level prefix sum)")
 
   /** Queries whose plan may legitimately contain a CartesianProduct:
     * problems whose WORK is Θ(n²) by statement, where the blocked

@@ -310,6 +310,20 @@ class PipelineRulesSpec extends AnyFunSuite {
       ("https://a.com/y", 3L, "a.com", 2L, false)))
   }
 
+  test("SplitByGroup and GlobalShuffle from script: group atomicity, full permutation") {
+    val db = new CozoDb(spark)
+    db.run(
+      """?[id, grp] <- [[1, 'a'], [2, 'a'], [3, 'b'], [4, 'b'], [5, 'c']]
+        |:create items {id => grp}""".stripMargin)
+    val splits = db.run("?[id, grp, split] <~ SplitByGroup(*items[id, grp], portable: true)")
+      .collect().map(r => (r.getString(1), r.getString(2)))
+    assert(splits.groupBy(_._1).forall(_._2.map(_._2).distinct.length == 1),
+      "every group lands in exactly one split")
+    val pos = db.run("?[id, pos] <~ GlobalShuffle(*items[id])")
+      .collect().map(_.getLong(1)).sorted.toSeq
+    assert(pos == (0L until 5L).toSeq, "positions are a permutation of 0..n-1")
+  }
+
   test("DecontaminateBloom from script equals Decontaminate on the same inputs") {
     val db = docsDb()
     db.run(

@@ -82,6 +82,50 @@ class UrlsHtmlSpec extends AnyFunSuite {
     assert(c2 === "one pass here: &lt; stays encoded")
   }
 
+  test("canonicalizeUrl: non-hierarchical and garbage inputs pass through verbatim") {
+    assert(canon("mailto:someone@example.com") === "mailto:someone@example.com")
+    assert(canon("data:text/plain;base64,SGk=") === "data:text/plain;base64,SGk=")
+    assert(canon("not a url at all") === "not a url at all")
+    assert(canon("/relative/path?x=1") === "/relative/path?x=1")
+    assert(canon("") === "")
+    // unknown scheme: canonicalized but its port is not a default, kept
+    assert(canon("FTP://Host.COM:21/file") === "ftp://host.com:21/file")
+  }
+
+  test("splitByGroup: whole groups share one split, portable hash matches spec") {
+    import graft.pipeline.Sampling
+    val out = Sampling.splitByGroup(docs, "source", trainPct = 60, valPct = 20, portable = true)
+      .select("source", "split").distinct().collect()
+      .map(r => r.getString(0) -> r.getString(1))
+    // one split per group — no group straddles
+    assert(out.map(_._1).distinct.length === out.length, s"a group got two splits: ${out.toSeq}")
+    // spot-check the md5 bucket arithmetic against a JVM recompute
+    out.foreach { case (src, split) =>
+      val hex = java.security.MessageDigest.getInstance("MD5").digest(src.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      val b = java.lang.Long.parseLong(hex, 16) % 100
+      val expect = if (b < 60) "train" else if (b < 80) "val" else "test"
+      assert(split === expect, s"$src bucket $b")
+    }
+  }
+
+  test("shuffledPositions: a permutation of 0..n-1, ordered by the portable hash") {
+    import graft.pipeline.Sampling
+    val out = Sampling.shuffledPositions(docs.select("doc_id"), "doc_id")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("position"))
+    val n = out.length
+    assert(out.map(_._2).sorted.toSeq === (0L until n).toSeq, "positions are exactly 0..n-1")
+    // order agrees with a driver-side sort by (md5-prefix, id)
+    def key(id: Long) = {
+      val hex = java.security.MessageDigest.getInstance("MD5").digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val expected = out.map(_._1).sortBy(id => (key(id), id)).zipWithIndex
+      .map { case (id, i) => id -> i.toLong }.toMap
+    out.foreach { case (id, pos) => assert(pos === expected(id), s"doc $id") }
+  }
+
   test("bloomOverlap equals the exact ngramOverlap (no false negatives by construction)") {
     val train = docs.filter(col("doc_id") % 11 =!= 0)
     val eval = docs.filter(col("doc_id") % 11 === 0)

@@ -26,8 +26,8 @@ import org.apache.spark.sql.functions._
   *   4. tracking params drop — name matches `utm_*`, `gclid`, `fbclid`,
   *      or `ref` — and surviving params sort bytewise (param ORDER is
   *      transport noise, not content identity);
-  *   5. a trailing `/` drops unless the path is exactly `/`; an empty
-  *      path becomes `/`.
+  *   5. trailing slashes drop; an empty or all-slash path becomes `/`
+  *      (stripping exactly one slash would not be idempotent).
   */
 object Urls {
 
@@ -56,9 +56,10 @@ object Urls {
     val rest = regexp_replace(afterScheme, "^[^/?#]*", "") // path?query#frag
     val noFrag = regexp_replace(rest, "#.*$", "")
     val rawPath = regexp_extract(noFrag, "^([^?]*)", 1)
-    val path0 = when(rawPath === "", lit("/")).otherwise(rawPath)
-    val pathFinal = when(length(path0) > 1 && substring_index(path0, "/", -1) === "",
-      path0.substr(lit(1), length(path0) - 1)).otherwise(path0)
+    // strip ALL trailing slashes (stripping just one is not idempotent
+    // on '/a//'); an all-slash or empty path normalizes to '/'
+    val strippedPath = regexp_replace(rawPath, "/+$", "")
+    val pathFinal = when(strippedPath === "", lit("/")).otherwise(strippedPath)
     val rawQuery = regexp_extract(noFrag, "\\?(.*)$", 1)
     val params = filter(split(rawQuery, "&"),
       p => p =!= "" && !p.rlike(trackingParam))

@@ -104,4 +104,43 @@ class PropertySpec extends AnyFunSuite {
       assert(out(i.toLong) == expect, s"int_range($a, $b, $s)")
     }
   }
+
+  test("canonicalizeUrl never throws and is idempotent on arbitrary input") {
+    import graft.pipeline.Urls
+    // adversarial URL-ish strings: random printable garbage, plus
+    // structured cases hitting every parser branch boundary
+    val structured = Seq(
+      "http://", "https://:443", "http://:80/", "://host", "https://h.com?",
+      "https://h.com?&&", "https://h.com/#", "https://h.com:/x",
+      "https://h.com:99999/x", "HTTP://H/?utm_=1", "a://b:80/c?d#e#f",
+      "https://h.com/a//b///", "https://h.com/?utm_source", "x")
+    val garbage = Gen.listOfN(150,
+      Gen.chooseNum(0, 30).flatMap(n =>
+        Gen.listOfN(n, Gen.oneOf(('!' to '~') :+ ' ')).map(_.mkString)))
+      .sample.get
+    val inputs = (structured ++ garbage).distinct
+    val once = inputs.toDF("u")
+      .select(col("u"), Urls.canonicalizeUrl(col("u")).as("c1"))
+      .withColumn("c2", Urls.canonicalizeUrl(col("c1")))
+      .collect() // never throws: any exception fails the test here
+    once.foreach { r =>
+      val (u, c1, c2) = (r.getString(0), r.getString(1), r.getString(2))
+      assert(c1 != null, s"null canonical for '$u'")
+      assert(c2 == c1, s"not idempotent for '$u': '$c1' -> '$c2'")
+    }
+  }
+
+  test("md5Key matches the JVM md5 and stays in [0, 2^32)") {
+    import graft.pipeline.Sampling
+    val strs = Gen.listOfN(100, Gen.alphaNumStr).sample.get.distinct
+    val out = strs.toDF("s")
+      .select(col("s"), Sampling.md5Key(col("s")).as("k"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    strs.foreach { s =>
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+      val expect = java.lang.Long.parseLong(hex, 16)
+      assert(out(s) == expect && expect >= 0 && expect < (1L << 32), s"'$s'")
+    }
+  }
 }

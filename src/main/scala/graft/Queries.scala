@@ -1606,6 +1606,59 @@ object Queries {
               |FROM tr JOIN ev ON tr.s = ev.s
               |GROUP BY 1 HAVING count(DISTINCT tr.s) >= 2""".stripMargin)),
 
+    // per-language quality-percentile cut: keep each language's top
+    // 40% by score. The threshold is an exact percentile AGGREGATE per
+    // group (hash aggregate + broadcast join — never a per-language
+    // window, which would funnel whole languages through single
+    // partitions). keep compares against the 4-decimal-rounded
+    // threshold on BOTH sides so cross-engine interpolation ulps
+    // cannot flip boundary rows.
+    Spec("pipe_quality_cut", (s, d) => {
+      val docs = T(s, d, "documents")
+        .select(col("doc_id"), col("lang"),
+          size(TF.tokens(col("text"))).cast("double").as("score"))
+      graft.pipeline.Sampling.percentileCut(docs, "lang", "score", 0.6)
+        .select(col("doc_id"), col("lang"), col("score"),
+          round(col("threshold"), 4).as("threshold"))
+        .withColumn("keep", col("score") >= col("threshold"))
+    },
+      Some(s"""WITH sc AS (SELECT doc_id, lang, CAST(len($toksSql) AS DOUBLE) AS score FROM documents),
+              |t AS (SELECT lang, round(quantile_cont(score, 0.6), 4) AS threshold FROM sc GROUP BY 1)
+              |SELECT sc.doc_id, sc.lang, sc.score, t.threshold,
+              |  (sc.score >= t.threshold) AS keep
+              |FROM sc JOIN t ON t.lang = sc.lang""".stripMargin)),
+
+    // DSIR importance weights (pipeline/Dsir.scala): every raw doc's
+    // hashed-ngram log-likelihood ratio vs a target set. The bucket
+    // hash is the portable md5 key, so the oracle retrains BOTH
+    // smoothed bucket models and rescores every document in SQL —
+    // the whole estimator is hash-checked at 4 decimals.
+    Spec("pipe_dsir", (s, d) => {
+      val docs = T(s, d, "documents")
+      graft.pipeline.Dsir.importanceWeights(
+        docs.filter(col("doc_id") % 97 =!= 0), "doc_id", "text",
+        docs.filter(col("doc_id") % 97 === 0), "doc_id", "text",
+        buckets = 10000)
+    },
+      Some(s"""WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
+              |g1 AS (SELECT doc_id, unnest(toks) AS g FROM d),
+              |gi AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i FROM d),
+              |g2 AS (SELECT doc_id, toks[i] || ' ' || toks[i+1] AS g FROM gi),
+              |g AS (SELECT * FROM g1 UNION ALL SELECT * FROM g2),
+              |b AS (SELECT doc_id, CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT) % 10000 AS b FROM g),
+              |raw AS (SELECT * FROM b WHERE doc_id % 97 <> 0),
+              |tgt AS (SELECT * FROM b WHERE doc_id % 97 = 0),
+              |rc AS (SELECT b, count(*) AS cr FROM raw GROUP BY 1),
+              |tc AS (SELECT b, count(*) AS ct FROM tgt GROUP BY 1),
+              |nr AS (SELECT count(*) AS n FROM raw),
+              |nt AS (SELECT count(*) AS n FROM tgt)
+              |SELECT r.doc_id, count(*) AS n_grams,
+              |  round(sum(ln(COALESCE(tc.ct, 0) + 1.0) - ln(nt.n + 10000.0)
+              |          - ln(rc.cr + 1.0) + ln(nr.n + 10000.0)), 4) AS logw
+              |FROM raw r JOIN rc ON r.b = rc.b LEFT JOIN tc ON r.b = tc.b
+              |CROSS JOIN nr CROSS JOIN nt
+              |GROUP BY 1""".stripMargin)),
+
     // leakage-free split: the GROUP (here the source site) is the
     // independence unit — correlated documents never straddle train
     // and eval. portable=true hashes with md5Key, which the oracle
@@ -1656,6 +1709,38 @@ object Queries {
               |SELECT f.doc_id, f.n_tokens,
               |  round(exp(-(f.lp1 + COALESCE(bs.lpb, 0)) / f.n_tokens), 4) AS perplexity
               |FROM f LEFT JOIN bs ON bs.doc_id = f.doc_id""".stripMargin)),
+
+    // BPE tokenizer (text/Bpe.scala): train 24 merge rules on the
+    // corpus, encode every document, and hold the result to the
+    // invariants no other engine can recompute but any reader can
+    // state: concatenating a doc's tokens restores its tokenized text
+    // exactly; every multi-char token is the product of a learned
+    // merge; token counts sit between word and character counts; the
+    // trainer produced exactly the requested rule count. (The trainer
+    // and a from-scratch sequential reference agree in BpeSpec.)
+    Spec("text_bpe", (s, d) => {
+      val docs = T(s, d, "documents")
+      val merges = graft.text.Bpe.train(docs, "text", numMerges = 24)
+      val enc = graft.text.Bpe.encode(docs, "doc_id", "text", merges).ckptLazy()
+      val toks = TF.tokens(col("text"))
+      val joined = enc.join(docs.select("doc_id", "text"), Seq("doc_id"))
+      val identity = joined.filter(
+        concat_ws("", col("tokens")) =!= concat_ws("", toks))
+      val products = merges.map(m => m.left + m.right).toSet
+      val closure = enc.select(explode(col("tokens")).as("t"))
+        .filter(length(col("t")) > 1).distinct()
+        .filter(!col("t").isInCollection(
+          if (products.isEmpty) Set("") else products))
+      val bounds = joined.filter(
+        col("n_tokens") < size(toks) || col("n_tokens") > length(concat_ws("", toks)))
+      invariants(
+        "bpe_decode_identity" -> noViolations(identity),
+        "bpe_vocab_closure" -> noViolations(closure),
+        "bpe_token_bounds" -> noViolations(bounds),
+        "bpe_merge_count" -> s.range(1).select((lit(merges.size) === 24).as("ok")))
+    },
+      Some(truthTable("bpe_decode_identity", "bpe_vocab_closure",
+        "bpe_token_bounds", "bpe_merge_count"))),
 
     // ——————————————————— FTS (SURVEY §2.1 op 11) ———————————————————
 
@@ -1841,6 +1926,41 @@ object Queries {
               |SELECT dd.doc_id AS id, COALESCE(c.cluster, dd.doc_id) AS cluster,
               |  (COALESCE(c.cluster, dd.doc_id) = dd.doc_id) AS keep
               |FROM documents dd LEFT JOIN comp c ON dd.doc_id = c.id""".stripMargin)),
+
+    // quality-aware keeper: each near-dup cluster keeps its
+    // highest-quality member (here: longest text; ties -> smallest id)
+    // instead of an arbitrary canonical id — the production dedup rule.
+    // Same exact-Jaccard clustering oracle, plus the argmax restated.
+    Spec("dedup_keep_best", (s, d) => {
+      val docs = T(s, d, "documents")
+      val pairs = Dedup.minhashDedup(docs, "doc_id", "text",
+        shingleN = 3, bands = 32, rowsPerBand = 2, threshold = 0.5)
+      Dedup.resolveClustersBest(
+        docs.withColumn("__len", length(col("text")).cast("double")),
+        "doc_id", "__len", pairs)
+    },
+      Some(s"""WITH RECURSIVE d AS (SELECT doc_id, $toksSql AS toks FROM documents),
+              |idx AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS i FROM d),
+              |sh AS (SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS s FROM idx),
+              |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+              |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+              |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+              |prs AS (SELECT id_a, id_b FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+              |        WHERE common * 1.0 / (sa.n + sb.n - common) >= 0.5),
+              |und AS (SELECT id_a AS a, id_b AS b FROM prs UNION ALL SELECT id_b, id_a FROM prs),
+              |reach(a, b) AS (
+              |  SELECT a, a FROM (SELECT DISTINCT a FROM und) t
+              |  UNION
+              |  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
+              |comp AS (SELECT a AS id, min(b) AS cluster FROM reach GROUP BY 1)
+              |, cl AS (SELECT dd.doc_id AS id, COALESCE(c.cluster, dd.doc_id) AS cluster,
+              |    CAST(len(dd.text) AS DOUBLE) AS quality
+              |  FROM documents dd LEFT JOIN comp c ON dd.doc_id = c.id),
+              |mq AS (SELECT cluster, max(quality) AS mq FROM cl GROUP BY 1),
+              |best AS (SELECT cl.cluster, min(cl.id) AS best FROM cl
+              |         JOIN mq ON mq.cluster = cl.cluster AND cl.quality = mq.mq GROUP BY 1)
+              |SELECT cl.id, cl.cluster, cl.quality, (cl.id = best.best) AS keep
+              |FROM cl JOIN best ON best.cluster = cl.cluster""".stripMargin)),
 
     // benchmark decontamination: training docs sharing any 5-gram with
     // the (stand-in) eval slice; the eval side broadcasts at scale

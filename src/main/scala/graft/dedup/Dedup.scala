@@ -429,6 +429,31 @@ object Dedup {
       .withColumn("keep", col("id") === col("cluster"))
   }
 
+  /** [[resolveClusters]] with a QUALITY-AWARE keeper: inside each
+    * duplicate cluster keep the highest-`qualityCol` member (ties break
+    * to the smallest id) instead of the smallest id — the production
+    * dedup rule (near-dup groups keep the cleanest capture, not an
+    * arbitrary one). Two deterministic aggregations over the cluster
+    * key (max quality, then min id among the maxima) — type-agnostic in
+    * the id, no nondeterministic max_by ties. Returns every document:
+    * (id, cluster, quality, keep).
+    */
+  def resolveClustersBest(docs: DataFrame, idCol: String, qualityCol: String,
+                          pairs: DataFrame): DataFrame = {
+    val labeled = resolveClusters(docs, idCol, pairs)
+      .select(col("id"), col("cluster"))
+      .join(docs.select(col(idCol).as("id"),
+        col(qualityCol).cast("double").as("quality")), Seq("id"))
+    val best = labeled
+      .groupBy("cluster").agg(max(col("quality")).as("__mq"))
+      .join(labeled, Seq("cluster"))
+      .filter(col("quality") === col("__mq"))
+      .groupBy("cluster").agg(min(col("id")).as("__best"))
+    labeled.join(best, Seq("cluster"))
+      .select(col("id"), col("cluster"), col("quality"),
+        (col("id") === col("__best")).as("keep"))
+  }
+
   /** Single-table hyperplane signature as a column-level helper (tests;
     * the scale path is [[hyperplaneBuckets]]). */
   private[graft] def hyperplaneSignature(vec: Column, planes: Int, seed: Int = 0): Column = {

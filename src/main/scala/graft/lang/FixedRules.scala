@@ -253,6 +253,12 @@ object FixedRules {
     graft.dedup.Dedup.resolveClusters(
       relAs(rels, 0, "DedupClusters", "id"), "id",
       relAs(rels, 1, "DedupClusters", "id_a", "id_b")))
+  // ?[id, cluster, quality, keep] <~ DedupKeepBest(*docs[id, quality],
+  //   *pairs[id_a, id_b]) — quality-aware keeper per cluster
+  register("DedupKeepBest", (rels, _, _) =>
+    graft.dedup.Dedup.resolveClustersBest(
+      relAs(rels, 0, "DedupKeepBest", "id", "quality"), "id", "quality",
+      relAs(rels, 1, "DedupKeepBest", "id_a", "id_b")))
   register("TextStats", (rels, _, _) =>
     graft.text.TextAnalysis.stats(relAs(rels, 0, "TextStats", "id", "text"), "id", "text"))
   register("TextQuality", (rels, _, _) =>
@@ -271,6 +277,29 @@ object FixedRules {
       relAs(rels, 0, "Decontaminate", "id", "text"), "id", "text",
       relAs(rels, 1, "Decontaminate", "id", "text"), "id", "text",
       n = optInt(o, "n", 13), minOverlap = optInt(o, "min_overlap", 1)))
+  // ?[rank, left, right] <~ BpeTrain(*docs[id, text], merges: 100,
+  //   batch: 1) — BPE merge rules trained on the corpus (text/Bpe.scala)
+  register("BpeTrain", (rels, o, s) =>
+    graft.text.Bpe.mergesDf(s, graft.text.Bpe.train(
+      relAs(rels, 0, "BpeTrain", "id", "text"), "text",
+      numMerges = optInt(o, "merges", 100), batch = optInt(o, "batch", 1))))
+  // ?[id, tokens, n_tokens] <~ BpeEncode(*docs[id, text],
+  //   *merges[rank, left, right]) — encode with trained rules
+  register("BpeEncode", (rels, _, _) =>
+    graft.text.Bpe.encode(
+      relAs(rels, 0, "BpeEncode", "id", "text"), "id", "text",
+      graft.text.Bpe.mergesFrom(
+        relAs(rels, 1, "BpeEncode", "rank", "left", "right")
+          .select(col("rank").cast("int").as("rank"), col("left"), col("right")))))
+  // ?[id, n_grams, logw] <~ Dsir(*raw[id, text], *target[id, text],
+  //   buckets: 10000) — DSIR importance weights (pipeline/Dsir.scala):
+  //   rank raw docs by hashed-ngram log-likelihood ratio vs the target
+  register("Dsir", (rels, o, _) =>
+    graft.pipeline.Dsir.importanceWeights(
+      relAs(rels, 0, "Dsir", "id", "text"), "id", "text",
+      relAs(rels, 1, "Dsir", "id", "text"), "id", "text",
+      buckets = optInt(o, "buckets", 10000),
+      round = optInt(o, "round", 4)))
   // same output contract as Decontaminate, Bloom-prefiltered corpus
   // pass (pipeline/Decontaminate.bloomOverlap)
   register("DecontaminateBloom", (rels, o, _) =>
@@ -291,6 +320,13 @@ object FixedRules {
     graft.pipeline.Urls.dedupAndCap(
       relAs(rels, 0, "UrlDedup", "id", "url"), "id", "url",
       cap = optInt(o, "cap", 100)))
+  // ?[id, grp, score, threshold, keep] <~ PercentileCut(
+  //   *scored[id, grp, score], quantile: 0.6) — per-group top-(1-q) cut
+  register("PercentileCut", (rels, o, _) =>
+    graft.pipeline.Sampling.percentileCut(
+      relAs(rels, 0, "PercentileCut", "id", "grp", "score"), "grp", "score",
+      optDouble(o, "quantile", 0.5))
+      .select("id", "grp", "score", "threshold", "keep"))
   register("Sample", (rels, o, _) => {
     val d = rels.headOption.getOrElse(
       throw Compiler.CompileException("Sample needs a relation"))

@@ -16,7 +16,7 @@ class InvariantQueriesSpec extends AnyFunSuite {
 
   for (q <- Seq("graph_louvain", "graph_walk", "dedup_simhash", "ann_lsh",
       "mm_features_knn", "graph_betweenness", "ann_pq", "ann_hnsw", "mm_decode",
-      "dedup_semantic"))
+      "dedup_semantic", "text_bpe"))
     test(s"$q invariants all hold at $dir") {
       val rows = Queries.queries(q)(spark, dir).collect()
       assert(rows.nonEmpty)

@@ -38,6 +38,7 @@ class PlanHealthSpec extends AnyFunSuite {
     "op_range_join" -> ("degenerate-giant fallback side (intervals spanning > maxBuckets " +
       "buckets, empty here) is explicitly broadcast; the main path is the bucketed equi-join"),
     "text_perplexity" -> "one-row N/V model-totals relation broadcast onto the scoring joins",
+    "pipe_dsir" -> "one-row model-totals relations broadcast into the <=buckets-row llr table build",
     "agg_sketch" -> "one-row approx-median relation broadcast for the exact-bracket referee")
 
   /** Queries whose logical plan legitimately contains an unpartitioned

@@ -336,4 +336,65 @@ class PipelineRulesSpec extends AnyFunSuite {
     assert(exact == bloom)
     assert(exact.map(_._1) == Set(1L, 2L)) // the twin docs overlap the eval doc
   }
+
+  test("DedupKeepBest keeps the highest-quality member of each cluster") {
+    val db = new CozoDb(spark)
+    db.run(
+      """?[id, q] <- [[1, 1.0], [2, 9.0], [3, 5.0], [4, 7.0]]
+        |:create items {id => q}""".stripMargin)
+    db.run(
+      """?[a, b] <- [[1, 2], [2, 3]]
+        |:create prs {a => b}""".stripMargin)
+    val rows = db.run(
+      "?[id, cluster, q, keep] <~ DedupKeepBest(*items[id, q], *prs[a, b])")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(3))).toSet
+    // cluster {1,2,3}: best quality is id 2; singleton 4 keeps itself
+    assert(rows == Set((1L, 1L, false), (2L, 1L, true), (3L, 1L, false),
+      (4L, 4L, true)))
+  }
+
+  test("Dsir from script ranks the target-like doc above the unrelated one") {
+    val db = new CozoDb(spark)
+    // raw docs must be distinct: DSIR's log p̂ − log q̂ penalizes
+    // raw-frequent grams, so an exact twin would (correctly) sink
+    db.run(
+      """?[id, text] <- [
+        |  [1, 'the quick brown fox jumps over the lazy dog'],
+        |  [3, 'completely different words appear in this unrelated document']
+        |] :create raw {id => text}""".stripMargin)
+    db.run(
+      """?[id, text] <- [[50, 'quick brown fox jumps high']]
+        |:create tgt {id => text}""".stripMargin)
+    val w = db.run("?[id, n, logw] <~ Dsir(*raw[id, text], *tgt[id, text])")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(w.keySet == Set(1L, 3L))
+    assert(w(1L) > w(3L), "the fox doc must outrank the unrelated doc")
+  }
+
+  test("PercentileCut keeps each group's top rows against its own threshold") {
+    val db = new CozoDb(spark)
+    db.run(
+      """?[id, grp, score] <- [
+        |  [1, 'a', 1.0], [2, 'a', 2.0], [3, 'a', 3.0], [4, 'a', 4.0],
+        |  [5, 'b', 10.0], [6, 'b', 20.0]
+        |] :create sc {id => grp, score}""".stripMargin)
+    val rows = db.run(
+      "?[id, grp, score, thr, keep] <~ PercentileCut(*sc[id, grp, score], quantile: 0.5)")
+      .collect().map(r => r.getLong(0) -> (r.getDouble(3), r.getBoolean(4))).toMap
+    // group a: median of 1..4 = 2.5 → keep {3,4}; group b: median 15 → keep {6}
+    assert(rows(1L) == ((2.5, false)) && rows(2L) == ((2.5, false)))
+    assert(rows(3L) == ((2.5, true)) && rows(4L) == ((2.5, true)))
+    assert(rows(5L) == ((15.0, false)) && rows(6L) == ((15.0, true)))
+  }
+
+  test("BpeTrain + BpeEncode from script: rules feed encoding, decode identity holds") {
+    val db = docsDb()
+    val enc = db.run(
+      """merges[rank, l, r] <~ BpeTrain(*docs[id, text], merges: 10)
+        |?[id, tokens, n] <~ BpeEncode(*docs[id, text], merges[])""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1))).toMap
+    assert(enc.keySet == Set(1L, 2L, 3L))
+    assert(enc(1L) == enc(2L), "identical docs encode identically")
+    assert(enc(1L).mkString("") == "thequickbrownfoxjumpsoverthelazydog")
+  }
 }

@@ -698,7 +698,33 @@ class CozoDb(val spark: SparkSession) {
         val magic: Map[String, DataFrame => DataFrame] =
           magicSeedFilter(scc, byName, params, evaluated)
             .map(f => scc.map(_ -> f).toMap).getOrElse(Map.empty)
-        evalRecursive(scc, byName, evaluated, params, magic)
+        // limit early-termination (eval.rs:33-61, db.rs:1529-1539): an
+        // unsorted `:limit n` query whose entry is a PASS-THROUGH of a
+        // rule in this component (`?[vars] := rec[same vars]`, a
+        // bijection — same distinct-row count) may stop the fixpoint
+        // once that rule's accumulated facts reach offset+limit:
+        // semi-naive only ever derives sound facts, so any n of them
+        // is a correct answer for limit-without-order (the row CHOICE
+        // is nondeterministic either way — the reference returns its
+        // storage-order prefix). Sorted queries, projecting/filtering
+        // entries, and meet-aggregated rules run to the full fixpoint.
+        // (The reference grammar also forbids `?` in rule bodies; its
+        // early return fires because the pass-through entry shares the
+        // recursion's stratum, counting rows as they accumulate.)
+        val earlyLimit: Option[(String, Long)] =
+          if (prog.options.sort.nonEmpty) None
+          else prog.options.limit.flatMap { l =>
+            byName.get("?").collect {
+              case Seq(HornClause(_, head, Seq(RelApply(n, args, false, _))))
+                if scc.contains(n) && head.forall(_.aggr.isEmpty) &&
+                  args.forall(_.isInstanceOf[V]) &&
+                  args.map { case V(v) => v }.distinct.length == args.length &&
+                  head.map(_.v).toSet == args.map { case V(v) => v }.toSet =>
+                n -> (l + prog.options.offset.getOrElse(0L))
+            }
+          }
+        evalRecursive(scc, byName, evaluated, params, magic,
+          earlyLimit = earlyLimit)
       }
     }
     val entry = byName.getOrElse("?", throw CompileException("no ? entry rule"))
@@ -1529,7 +1555,8 @@ class CozoDb(val spark: SparkSession) {
                             evaluated: mutable.HashMap[String, DataFrame],
                             params: Map[String, Any],
                             magic: Map[String, DataFrame => DataFrame],
-                            maxIter: Int = 200): Unit = {
+                            maxIter: Int = 200,
+                            earlyLimit: Option[(String, Long)] = None): Unit = {
     val inScc = scc.toSet
     // stratification checks (query/stratify.rs:225): negation and
     // non-meet aggregation must not cross a recursive component
@@ -1626,7 +1653,15 @@ class CozoDb(val spark: SparkSession) {
     }
     stats += round0.toMap
 
-    var changed = totals.nonEmpty
+    // limit early-termination bookkeeping: the running fact count of
+    // the watched rule comes free from the per-round delta counts (no
+    // extra jobs). Meet rules are excluded — a meet value can still
+    // IMPROVE in later rounds, so row count is not a stopping bound.
+    val limitActive = earlyLimit.filterNot { case (n, _) => meetRules(n) }
+    var entryCount = limitActive.map { case (n, _) => round0.getOrElse(n, 0L) }.getOrElse(0L)
+    var stoppedEarly = limitActive.exists { case (_, l) => entryCount >= l }
+
+    var changed = totals.nonEmpty && !stoppedEarly
     var iter = 0
     while (changed && iter < maxIter) {
       changed = false
@@ -1669,9 +1704,13 @@ class CozoDb(val spark: SparkSession) {
       // round — delta-variants over converged rules short-circuit
       deltas.clear(); deltas ++= newDeltas
       stats += roundStats.toMap
+      limitActive.foreach { case (n, l) =>
+        entryCount += roundStats.getOrElse(n, 0L)
+        if (entryCount >= l) { stoppedEarly = true; changed = false }
+      }
       iter += 1
     }
-    if (iter >= maxIter)
+    if (iter >= maxIter && !stoppedEarly)
       throw CompileException(s"recursion did not converge in $maxIter rounds: ${scc.mkString(",")}")
     lastFixpointStats = stats.toSeq
     scc.foreach(n => totals.get(n).foreach(evaluated(n) = _))

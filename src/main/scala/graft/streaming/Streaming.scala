@@ -51,6 +51,46 @@ object Streaming {
       }
       .start()
 
+  /** Streaming decontamination: flag streamed documents sharing word
+    * n-grams with a STATIC eval/benchmark set — the ingest-time face of
+    * Decontaminate.ngramOverlap. Exact, stateless, and map-side, which
+    * is what keeps it correct on an infinite stream: the per-row
+    * overlap is a higher-order `filter` over the doc's shingle array
+    * probing a broadcast SORTED ARRAY of the eval shingle hashes
+    * (binary search; exact membership, no Bloom fpp tail), so there is
+    * no per-doc streaming aggregation and therefore no unbounded state
+    * and no watermark requirement. The eval side builds once at plan
+    * time (benchmark-sized: 10M shingles ≈ 80 MB broadcast). The same
+    * plan runs identically over batch input — parity-tested.
+    * Appends (overlap_ngrams, contaminated) to every row.
+    */
+  def decontaminateStream(stream: DataFrame, textCol: String,
+                          eval: DataFrame, evalText: String,
+                          n: Int = 13, minOverlap: Int = 1): DataFrame = {
+    import graft.functions.{TextFunctions => TF}
+    val spark = stream.sparkSession
+    val hashes: Array[Long] = eval
+      .select(explode(TF.wordShingles(col(evalText), n)).as("s"))
+      .select(xxhash64(col("s")).as("h")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    val bc = spark.sparkContext.broadcast(hashes)
+    val hit = udf((h: Long) => java.util.Arrays.binarySearch(bc.value, h) >= 0)
+    val shingles = coalesce(TF.wordShingles(col(textCol), n),
+      array().cast("array<string>"))
+    stream
+      .withColumn("overlap_ngrams",
+        size(filter(array_distinct(shingles), s => hit(xxhash64(s)))).cast("long"))
+      .withColumn("contaminated", col("overlap_ngrams") >= minOverlap)
+  }
+
+  /** Streaming quality gate: stateless per-row quality score + keep
+    * flag (TextAnalysis.qualityScore is pure column arithmetic, so the
+    * same expression serves stream and batch). */
+  def qualityGate(stream: DataFrame, idCol: String, textCol: String,
+                  minQuality: Double): DataFrame =
+    graft.text.TextAnalysis.qualityScore(stream, idCol, textCol)
+      .withColumn("keep", col("quality") >= minQuality)
+
   final case class SessionState(count: Long, firstTs: Long, lastTs: Long)
   final case class SessionUpdate(key: Long, count: Long, durationSecs: Long, closed: Boolean)
 

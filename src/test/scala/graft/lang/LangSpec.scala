@@ -299,6 +299,39 @@ class LangSpec extends AnyFunSuite {
     assert(deltas.sum == res.length.toLong)
   }
 
+  test("limit early-termination: unsorted :limit stops the fixpoint before closure") {
+    val db = new CozoDb(spark)
+    val n = 30
+    db.registerTable("chain",
+      (1 until n).map(i => (i.toLong, i.toLong + 1)).toDF("fr", "to"), Seq("fr", "to"))
+    val prog =
+      """reach[a, c] := *chain[a, c]
+        |reach[a, c] := reach[a, b], *chain[b, c]
+        |?[a, c] := reach[a, c]""".stripMargin
+    // the entry is a PASS-THROUGH of the recursion: 29 base facts
+    // < 40 ≤ 29+28 → the loop must stop after ONE recursive round,
+    // not the 29 the full closure needs
+    val res = rows(db, prog + "\n:limit 40")
+    assert(res.length == 40)
+    assert(res.forall(r => r(0).asInstanceOf[Long] < r(1).asInstanceOf[Long]),
+      "every returned pair is a sound reachability fact")
+    assert(db.lastFixpointStats.length <= 3,
+      s"expected early stop, ran ${db.lastFixpointStats.length} rounds")
+    // a SORTED limit needs the true fixpoint: order is over ALL facts
+    val sorted = rows(db, prog + "\n:sort a, c\n:limit 5")
+    assert(db.lastFixpointStats.length >= n - 2,
+      s"sorted query must run to closure, ran ${db.lastFixpointStats.length} rounds")
+    assert(sorted == Seq(Seq(1L, 2L), Seq(1L, 3L), Seq(1L, 4L), Seq(1L, 5L), Seq(1L, 6L)))
+    // a PROJECTING entry (?[a] := reach[a, c]) must NOT early-stop:
+    // post-projection dedup can shrink below the limit
+    rows(db, """reach[a, c] := *chain[a, c]
+               |reach[a, c] := reach[a, b], *chain[b, c]
+               |?[a] := reach[a, _]
+               |:limit 40""".stripMargin)
+    assert(db.lastFixpointStats.length >= n - 2,
+      s"projecting entry must run to closure, ran ${db.lastFixpointStats.length} rounds")
+  }
+
   test("magic-set seeding restricts recursion to the caller's constant") {
     val db = new CozoDb(spark)
     val n = 10

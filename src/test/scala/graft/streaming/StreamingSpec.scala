@@ -108,6 +108,74 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("decontaminateStream flags streamed docs sharing n-grams with the static eval set") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val eval = Seq((100L, "the quick brown fox jumps")).toDF("id", "text")
+    val input = MemoryStream[(Long, String)]
+    val flagged = Streaming.decontaminateStream(
+      input.toDF().toDF("doc_id", "text"), "text", eval, "text", n = 5)
+    val q = flagged.writeStream.format("memory").queryName("decontam_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (1L, "here the quick brown fox jumps over everything"),
+        (2L, "a completely unrelated document"),
+        (3L, ""))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT doc_id, overlap_ngrams, contaminated FROM decontam_stream")
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+      assert(rows(1L) == ((1L, true)))
+      assert(rows(2L) == ((0L, false)))
+      assert(rows(3L) == ((0L, false))) // empty text: no shingles, no crash
+    } finally q.stop()
+  }
+
+  test("stream/batch parity: decontaminateStream equals the batch ngramOverlap report") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val eval = docs.filter(col("doc_id") % 11 === 0)
+    val train = docs.filter(col("doc_id") % 11 =!= 0)
+    val trainRows = train.collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val input = MemoryStream[(Long, String)]
+    val flagged = Streaming.decontaminateStream(
+      input.toDF().toDF("doc_id", "text"), "text", eval, "text", n = 5)
+    val q = flagged.writeStream.format("memory").queryName("decontam_parity")
+      .outputMode("append").start()
+    try {
+      trainRows.grouped(100).foreach { b => input.addData(b); q.processAllAvailable() }
+      val streamed = spark.sql(
+        "SELECT doc_id, overlap_ngrams FROM decontam_parity WHERE contaminated")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val batch = graft.pipeline.Decontaminate.ngramOverlap(
+          train, "doc_id", "text", eval, "doc_id", "text", n = 5)
+        .select(col("train_id"), col("overlap_ngrams"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
+  test("qualityGate scores and keeps per-row on a stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val gated = Streaming.qualityGate(input.toDF().toDF("doc_id", "text"),
+      "doc_id", "text", minQuality = 0.5)
+    val q = gated.writeStream.format("memory").queryName("quality_gate")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (1L, "this is a perfectly ordinary sentence with plenty of common words in it"),
+        (2L, "!!! ### $$$ %%%"))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT doc_id, keep FROM quality_gate")
+        .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      assert(rows(1L) && !rows(2L))
+    } finally q.stop()
+  }
+
   test("sessionize tracks per-key state across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -83,6 +83,70 @@ object Streaming {
       .withColumn("contaminated", col("overlap_ngrams") >= minOverlap)
   }
 
+  /** Streaming NEAR-duplicate suppression — the ingest-time face of
+    * MinHash-LSH dedup. Runs in `foreachBatch` (exact batch semantics)
+    * against an ACCUMULATED band table of accepted documents — the
+    * same delta-maintained artifact the `::lsh` incremental index
+    * keeps: per micro-batch, one signature pass over the batch, one
+    * equi-join against the accepted bands, and an O(|batch bands|)
+    * append; the table is lineage-truncated every batch so state cost
+    * is the parquet-sized band relation, never the corpus.
+    *
+    * Contract: a document is SUPPRESSED iff one of its LSH bands
+    * collides with a previously accepted document's band, or with a
+    * smaller-id document of the same batch. Versus the batch
+    * `resolveClusters` semantics this is the greedy arrival-order
+    * rule: identical on transitive chains through ascending ids
+    * (cluster keeps its minimum), slightly more permissive when a
+    * chain's middle element carries the largest id — the price of
+    * never revisiting accepted documents, which is what makes it a
+    * one-pass streaming operator. Tune bands/rowsPerBand on the usual
+    * LSH threshold curve. Accepted rows (original columns) flow to
+    * `sink` per batch; the caller starts/stops the returned query.
+    */
+  def nearDedupStream(stream: DataFrame, idCol: String, textCol: String,
+                      checkpointDir: String, sink: DataFrame => Unit,
+                      shingleN: Int = 3, bands: Int = 16,
+                      rowsPerBand: Int = 4): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.functions.{TextFunctions => TF}
+    import graft.plan._
+    val spark = stream.sparkSession
+    import spark.implicits._
+    // accepted-document band table, accumulated across batches (bands
+    // only — the join needs no ids, and distinct keeps it bounded by
+    // the band-key space actually occupied)
+    var acceptedBands: DataFrame = Seq.empty[Long].toDF("band")
+    stream.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val k = bands * rowsPerBand
+          val sigs = TF.minhashSignatures(batch, idCol,
+            TF.wordShingles(col(textCol), shingleN), k)
+          val banded = sigs
+            .withColumn("band", explode(TF.lshBandKeys(col("sig"), bands, rowsPerBand)))
+            .select(col("id"), col("band")).ckpt()
+          // collides with history, or with a smaller id in this batch
+          val historyHit = banded.join(acceptedBands, Seq("band"))
+            .select("id").distinct()
+          val batchHit = banded.select(col("id"), col("band"))
+            .join(banded.select(col("id").as("__oid"), col("band")), Seq("band"))
+            .filter(col("__oid") < col("id"))
+            .select("id").distinct()
+          val suppressed = historyHit.unionByName(batchHit).distinct()
+          // documents with no shingles at all have nothing to collide
+          // on — they pass through (anti-join keeps them)
+          sink(batch.join(suppressed.withColumnRenamed("id", idCol),
+            Seq(idCol), "left_anti"))
+          acceptedBands = acceptedBands.unionByName(
+            banded.join(suppressed, Seq("id"), "left_anti").select("band"))
+            .distinct().ckpt()
+        }
+      }
+      .start()
+  }
+
   /** Streaming quality gate: stateless per-row quality score + keep
     * flag (TextAnalysis.qualityScore is pure column arithmetic, so the
     * same expression serves stream and batch). */

@@ -157,6 +157,31 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("nearDedupStream suppresses near-dups against history and within a batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val dir = java.nio.file.Files.createTempDirectory("neardedup").toString
+    val q = Streaming.nearDedupStream(
+      input.toDF().toDF("doc_id", "text"), "doc_id", "text", dir,
+      sink = b => out.synchronized { out ++= b.select("doc_id").collect().map(_.getLong(0)) })
+    try {
+      input.addData(
+        (1L, "the quick brown fox jumps over the lazy dog again and again"),
+        (2L, "the quick brown fox jumps over the lazy dog again and again"), // in-batch twin
+        (3L, "completely different words appear in this unrelated document here"))
+      q.processAllAvailable()
+      assert(out.sorted == Seq(1L, 3L), s"in-batch twin suppressed, got $out")
+      input.addData(
+        (4L, "the quick brown fox jumps over the lazy dog again and again"), // history twin
+        (5L, "yet another entirely distinct piece of text nothing shares"),
+        (6L, "")) // shingle-less: passes through
+      q.processAllAvailable()
+      assert(out.sorted == Seq(1L, 3L, 5L, 6L), s"history twin suppressed, got $out")
+    } finally q.stop()
+  }
+
   test("qualityGate scores and keeps per-row on a stream") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -1,7 +1,6 @@
 package graft.pipeline
 
 import graft.functions.{TextFunctions => TF}
-import graft.plan._
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -65,8 +64,14 @@ object Dsir {
   def importanceWeights(raw: DataFrame, rawId: String, rawText: String,
                         target: DataFrame, targetId: String, targetText: String,
                         buckets: Int = 10000, round: Int = 4): DataFrame = {
-    // tokenised+bucketed once; feeds the raw model AND the score pass
-    val rawB = bucketed(raw, rawId, rawText, buckets).ckptLazy()
+    // The raw bucket relation feeds the model fit AND the score pass.
+    // Deliberately NOT checkpointed/cached: it is the corpus ×
+    // grams-per-doc exploded — materializing it would write something
+    // LARGER than the 100 TB input to executor storage. Re-running the
+    // scan+tokenize+hash projection twice (all codegen'd, behind
+    // column pruning) is the cheaper side of that trade at every scale
+    // past a laptop.
+    val rawB = bucketed(raw, rawId, rawText, buckets)
     val tgtB = bucketed(target, targetId, targetText, buckets)
 
     // per-bucket counts (≤ buckets rows each); totals derive from the

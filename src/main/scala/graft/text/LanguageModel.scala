@@ -37,9 +37,13 @@ object LanguageModel {
     */
   def bigramPerplexity(docs: DataFrame, idCol: String, textCol: String,
                        round: Int = 4): DataFrame = {
+    // Deliberately NOT checkpointed: the tokenized relation is
+    // corpus-sized, and localCheckpoint would copy the whole corpus
+    // into executor storage (and die with an executor). Re-running the
+    // pruned scan+tokenize per consumer is the cheaper, fault-tolerant
+    // side of the trade at scale.
     val d = docs.select(col(idCol).as("__id"), TF.tokens(col(textCol)).as("__toks"))
       .filter(size(col("__toks")) > 0)
-      .ckptLazy() // tokenised once; feeds 2 count aggregates + scoring
 
     val uni = d.select(explode(col("__toks")).as("__t"))
       .groupBy("__t").agg(count(lit(1)).as("__c"))

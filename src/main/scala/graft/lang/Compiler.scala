@@ -477,6 +477,19 @@ class Compiler(spark: SparkSession,
           else c.crossJoin(df)
       }
 
+    case Or(alts) if alts.forall(_.forall(_.isInstanceOf[Cond])) && cur.isDefined =>
+      // pure-condition disjunction over an existing frame: ONE filter
+      // with an or-ed predicate — no union, no dedup shuffle, and
+      // trivially set-correct (each frame row appears once). This is
+      // the common `(x < 3 or y == 'a')` shape; branches that bind
+      // relations fall through to the union form below.
+      val base = cur.get
+      frame = Some(base)
+      val pred = alts.map(conj =>
+          conj.map { case Cond(e) => compileExpr(e) }.reduce(_ && _))
+        .reduce(_ || _)
+      base.filter(pred)
+
     case Or(alts) =>
       // a branch whose rule derived nothing contributes no rows but must
       // not lose the other branches; all-empty = the whole atom is empty
@@ -488,7 +501,13 @@ class Compiler(spark: SparkSession,
       if (branches.isEmpty) throw Compiler.EmptyRelation("or")
       val common = branches.map(_.columns.toSet).reduce(_ intersect _).toSeq.sorted
       if (common.isEmpty) throw CompileException("or-branches bind no common variable")
+      // SET semantics across branches (the reference normalizes `or`
+      // into one rule per disjunct and the temp store dedups on
+      // insert): a binding satisfying several disjuncts must appear
+      // ONCE — without the dedup, an aggregation head double-counts it
+      // (caught by DifferentialFuzzSpec)
       branches.map(_.select(common.map(col): _*)).reduce(_ unionByName _)
+        .dropDuplicates()
   }
 
   private def resolveAtomRel(name: String, stored: Boolean): Option[DataFrame] =

@@ -101,6 +101,27 @@ class BpeSpec extends AnyFunSuite {
     assert(enc.getSeq[String](1) == Seq("a", "b", "c", "d"))
   }
 
+  test("property: trainer equals the sequential reference on random corpora") {
+    // adversarial shapes on purpose: tiny alphabet (forces count ties
+    // → the lexicographic tie-break), repeated chars (overlapping-pair
+    // left-to-right rule), multi-byte letters, 1-char words
+    val rnd = new scala.util.Random(42)
+    // chars must be \p{L}\p{N} lowercase so the corpus survives the
+    // tokenizer unchanged and the reference sees identical words
+    val alphabets = Seq("ab", "abc", "aäö", "xy1")
+    for (trial <- 0 until 8) {
+      val alpha = alphabets(trial % alphabets.length)
+      val words = (0 until 12).map { _ =>
+        val len = 1 + rnd.nextInt(6)
+        (0 until len).map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+      }
+      val freqs = words.groupBy(identity).map { case (w, v) => w -> (v.size * (1 + rnd.nextInt(3))).toLong }
+      val got = Bpe.train(corpusDf(freqs), "text", 6).map(m => (m.left, m.right))
+      val want = refTrain(freqs, 6)
+      assert(got == want, s"trial $trial alpha=$alpha corpus=$freqs: got $got want $want")
+    }
+  }
+
   test("merges round-trip through the DataFrame artifact") {
     val corpus = Map("aaab" -> 3L, "aab" -> 2L)
     val m = Bpe.train(corpusDf(corpus), "text", 3)

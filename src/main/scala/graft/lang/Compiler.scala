@@ -501,11 +501,17 @@ class Compiler(spark: SparkSession,
       if (branches.isEmpty) throw Compiler.EmptyRelation("or")
       val common = branches.map(_.columns.toSet).reduce(_ intersect _).toSeq.sorted
       if (common.isEmpty) throw CompileException("or-branches bind no common variable")
-      // SET semantics across branches (the reference normalizes `or`
-      // into one rule per disjunct and the temp store dedups on
-      // insert): a binding satisfying several disjuncts must appear
-      // ONCE — without the dedup, an aggregation head double-counts it
-      // (caught by DifferentialFuzzSpec)
+      // SET semantics across branches: a binding satisfying several
+      // disjuncts appears ONCE — without the dedup an aggregation head
+      // double-counts it (caught by DifferentialFuzzSpec). DELIBERATE
+      // DIVERGENCE from the reference for the aggregated case: cozo's
+      // DNF normalization (program.rs:635 into_normalized_program →
+      // one clause per disjunct) feeds every clause's stream into one
+      // shared aggregation with no cross-clause dedup
+      // (eval.rs:420-445), so there `x[sum(a)] := y[a], (c or c)`
+      // doubles the sum — `or` loses idempotence. For non-aggregated
+      // rules the reference's set store dedups and the two engines
+      // agree; we extend the set semantics to aggregation inputs.
       branches.map(_.select(common.map(col): _*)).reduce(_ unionByName _)
         .dropDuplicates()
   }

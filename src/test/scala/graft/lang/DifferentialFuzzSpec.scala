@@ -114,4 +114,63 @@ class DifferentialFuzzSpec extends AnyFunSuite {
     }
     assert(failures.isEmpty, s"${failures.length} diverging seeds:\n${failures.mkString("\n")}")
   }
+
+  test("random self-join/unification/sorted queries agree with independent SQL") {
+    val failures = scala.collection.mutable.ArrayBuffer.empty[String]
+    for (seed <- 0 until 80) {
+      val rnd = new scala.util.Random(seed * 7919 + 3)
+      val selfJoin = rnd.nextBoolean()
+      // base bindings: t[a, b, c] (+ second hop t[b, d, e])
+      val numericVars = Seq("a", "b") ++ (if (selfJoin) Seq("d") else Nil)
+
+      val unify = rnd.nextBoolean()
+      val unifyExpr = s"${numericVars(rnd.nextInt(numericVars.length))} * ${1 + rnd.nextInt(3)}" +
+        s" + ${numericVars(rnd.nextInt(numericVars.length))}"
+      val condVar = numericVars(rnd.nextInt(numericVars.length))
+      val condConst = rnd.nextInt(15)
+      val cond = s"$condVar < $condConst"
+
+      val body = new StringBuilder("*t[a, b, c]")
+      if (selfJoin) body ++= ", *t[b, d, e]"
+      if (unify) body ++= s", v = $unifyExpr"
+      body ++= s", $cond"
+
+      val projPool = numericVars ++ Seq("c") ++ (if (unify) Seq("v") else Nil)
+      val proj = rnd.shuffle(projPool).take(2).sorted
+      val sortKey = proj(rnd.nextInt(proj.length))
+      val desc = rnd.nextBoolean()
+      val limit = 3 + rnd.nextInt(8)
+
+      val script = s"?[${proj.mkString(", ")}] := ${body.toString}\n" +
+        s":sort ${if (desc) "-" else ""}$sortKey\n:limit $limit"
+
+      // column names are globally unique across the two table aliases
+      // (t: a,b,c; t2: a2,d,e), so everything stays unqualified
+      val selectCols = proj.map(p => if (p == "v") s"$unifyExpr AS v" else p)
+        .mkString(", ")
+      val sqlFrom = "FROM (SELECT * FROM fuzz_t) t" +
+        (if (selfJoin) " JOIN (SELECT a AS a2, b AS d, c AS e FROM fuzz_t) t2 ON t2.a2 = t.b" else "")
+      // the script runner adds every non-explicit projected column as an
+      // ascending tie-breaker, making the limited prefix deterministic —
+      // the SQL mirrors that exactly
+      val tieBreak = proj.filterNot(_ == sortKey)
+      val orderBy = (s"$sortKey ${if (desc) "DESC" else "ASC"}" +: tieBreak.map(c => s"$c ASC"))
+        .mkString(", ")
+      val sql =
+        s"""SELECT * FROM (SELECT DISTINCT $selectCols $sqlFrom WHERE $cond)
+           |ORDER BY $orderBy LIMIT $limit""".stripMargin
+      try {
+        val got = db.run(script).collect().toSeq.map(_.toSeq.map {
+          case n: java.lang.Number => n.doubleValue(); case o => o })
+        val want = spark.sql(sql).collect().toSeq.map(_.toSeq.map {
+          case n: java.lang.Number => n.doubleValue(); case o => o })
+        if (got != want) // ORDERED compare: sort+limit must agree row-for-row
+          failures += s"seed $seed:\n  script: ${script.replace("\n", " ")}\n  sql: ${sql.replace("\n", " ")}\n  got: ${got.take(4)}\n  want: ${want.take(4)}"
+      } catch {
+        case e: Throwable =>
+          failures += s"seed $seed THREW ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}\n  script: ${script.replace("\n", " ")}\n  sql: ${sql.replace("\n", " ")}"
+      }
+    }
+    assert(failures.isEmpty, s"${failures.length} diverging seeds:\n${failures.mkString("\n")}")
+  }
 }

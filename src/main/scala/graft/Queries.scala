@@ -1617,7 +1617,8 @@ object Queries {
       val docs = T(s, d, "documents")
         .select(col("doc_id"), col("lang"),
           size(TF.tokens(col("text"))).cast("double").as("score"))
-      graft.pipeline.Sampling.percentileCut(docs, "lang", "score", 0.6)
+      graft.pipeline.Sampling.percentileCut(docs, "lang", "score", 0.6,
+          exact = true) // the oracle needs the interpolated exact value
         .select(col("doc_id"), col("lang"), col("score"),
           round(col("threshold"), 4).as("threshold"))
         .withColumn("keep", col("score") >= col("threshold"))
@@ -1709,6 +1710,24 @@ object Queries {
               |SELECT f.doc_id, f.n_tokens,
               |  round(exp(-(f.lp1 + COALESCE(bs.lpb, 0)) / f.n_tokens), 4) AS perplexity
               |FROM f LEFT JOIN bs ON bs.doc_id = f.doc_id""".stripMargin)),
+
+    // within-corpus n-gram novelty (TextAnalysis.novelty): fraction of
+    // a doc's distinct 6-gram shingles appearing in no other document —
+    // the inverse of the duplicated-substring signal. Full SQL oracle.
+    Spec("text_novelty", (s, d) =>
+      TextAnalysis.novelty(T(s, d, "documents"), "doc_id", "text", n = 6)
+        .withColumnRenamed("id", "doc_id"),
+      Some(s"""WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
+              |idx AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 5)) AS i FROM d),
+              |sh AS (SELECT DISTINCT doc_id,
+              |    toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4] || ' ' || toks[i+5] AS s
+              |  FROM idx),
+              |f AS (SELECT s, count(*) AS df FROM sh GROUP BY 1)
+              |SELECT sh.doc_id, count(*) AS n_shingles,
+              |  CAST(sum(CASE WHEN f.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS novel_shingles,
+              |  round(sum(CASE WHEN f.df = 1 THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS novelty
+              |FROM sh JOIN f ON f.s = sh.s
+              |GROUP BY 1""".stripMargin)),
 
     // BPE tokenizer (text/Bpe.scala): train 24 merge rules on the
     // corpus, encode every document, and hold the result to the

@@ -268,6 +268,11 @@ object FixedRules {
   register("TextRepetition", (rels, _, _) =>
     graft.text.TextAnalysis.repetitionSignals(
       relAs(rels, 0, "TextRepetition", "id", "text"), "id", "text"))
+  // ?[id, n_shingles, novel, novelty] <~ TextNovelty(*docs[id, text], n: 6)
+  register("TextNovelty", (rels, o, _) =>
+    graft.text.TextAnalysis.novelty(
+      relAs(rels, 0, "TextNovelty", "id", "text"), "id", "text",
+      n = optInt(o, "n", 6)))
   register("LanguageId", (rels, _, _) => {
     val d = relAs(rels, 0, "LanguageId", "id", "text")
     d.select(col("id"), graft.text.TextAnalysis.langId(col("text")).as("lang"))
@@ -325,7 +330,9 @@ object FixedRules {
   register("PercentileCut", (rels, o, _) =>
     graft.pipeline.Sampling.percentileCut(
       relAs(rels, 0, "PercentileCut", "id", "grp", "score"), "grp", "score",
-      optDouble(o, "quantile", 0.5))
+      optDouble(o, "quantile", 0.5),
+      exact = o.get("exact").contains(true),
+      accuracy = optInt(o, "accuracy", 10000))
       .select("id", "grp", "score", "threshold", "keep"))
   register("Sample", (rels, o, _) => {
     val d = rels.headOption.getOrElse(

@@ -121,6 +121,30 @@ object TextAnalysis {
   def fingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol), TF.rollingFingerprint(TF.tokens(col(textCol))).as("fingerprint"))
 
+  /** Within-corpus n-gram novelty: the fraction of a document's
+    * distinct word n-grams that appear in NO other document — the
+    * inverse of the duplicated-substring signal (a doc of all-novel
+    * shingles is original content; near-zero novelty means the doc is
+    * assembled from text the corpus already has). Two linear shuffles:
+    * shingle document frequencies (hash aggregate), then one equi-join
+    * back + a per-doc aggregate — the shingle relation is corpus-scale
+    * so nothing here broadcasts, and both joins are AQE-skew-
+    * splittable. Returns (id, n_shingles, novel_shingles, novelty) for
+    * documents with ≥ 1 shingle.
+    */
+  def novelty(df: DataFrame, idCol: String, textCol: String,
+              n: Int = 6): DataFrame = {
+    val sh = df.select(col(idCol).as("id"),
+      explode(TF.wordShingles(col(textCol), n)).as("s")) // shingles are distinct per doc
+    val freq = sh.groupBy("s").agg(count(lit(1)).as("__df"))
+    sh.join(freq, Seq("s"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("__df") === 1, 1L).otherwise(0L)).as("novel_shingles"))
+      .withColumn("novelty",
+        round(col("novel_shingles").cast("double") / col("n_shingles"), 6))
+  }
+
   /** PII redaction for training corpora: emails, IPv4 addresses, then
     * long digit runs (ids/phones/accounts) are replaced with typed
     * placeholder tokens, in that order (an email would otherwise lose

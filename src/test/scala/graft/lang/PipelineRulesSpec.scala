@@ -379,12 +379,19 @@ class PipelineRulesSpec extends AnyFunSuite {
         |  [5, 'b', 10.0], [6, 'b', 20.0]
         |] :create sc {id => grp, score}""".stripMargin)
     val rows = db.run(
-      "?[id, grp, score, thr, keep] <~ PercentileCut(*sc[id, grp, score], quantile: 0.5)")
+      "?[id, grp, score, thr, keep] <~ PercentileCut(*sc[id, grp, score], quantile: 0.5, exact: true)")
       .collect().map(r => r.getLong(0) -> (r.getDouble(3), r.getBoolean(4))).toMap
     // group a: median of 1..4 = 2.5 → keep {3,4}; group b: median 15 → keep {6}
     assert(rows(1L) == ((2.5, false)) && rows(2L) == ((2.5, false)))
     assert(rows(3L) == ((2.5, true)) && rows(4L) == ((2.5, true)))
     assert(rows(5L) == ((15.0, false)) && rows(6L) == ((15.0, true)))
+    // the scale default (approx sketch) picks an ACTUAL group member as
+    // the threshold and still keeps ~the top half
+    val approx = db.run(
+      "?[id, grp, score, thr, keep] <~ PercentileCut(*sc[id, grp, score], quantile: 0.5)")
+      .collect().map(r => r.getLong(0) -> (r.getDouble(3), r.getBoolean(4))).toMap
+    assert(Set(2.0, 3.0).contains(approx(1L)._1), "approx median is a member value")
+    assert(approx(4L)._2 && !approx(1L)._2)
   }
 
   test("BpeTrain + BpeEncode from script: rules feed encoding, decode identity holds") {

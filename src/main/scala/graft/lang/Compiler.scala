@@ -607,6 +607,26 @@ class Compiler(spark: SparkSession,
         .dropDuplicates().toDF(plain: _*)
     } else {
       frame = Some(body)
+      // bounded-memory rewrite for the common top-n shape: a SINGLE
+      // capped collect(v, n) pre-filters each group to its n smallest
+      // rows by v (partitioned window — hash-distributed) so the
+      // collect buffers n values, not the whole group. The value
+      // multiset is identical: ties beyond the cut contribute equal
+      // values either way. Skipped when other aggregations share the
+      // head (the pre-filter would corrupt their inputs) or n < 1
+      // (groups must still surface with an empty list).
+      val body1 = head.collect {
+        case HeadArg(Some("collect"), v, Seq(Lit(n: Long))) => (v, n)
+      } match {
+        case Seq((v, n)) if head.count(_.aggr.isDefined) == 1 && n >= 1
+            && head.exists(h => h.aggr.isEmpty) =>
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(head.collect { case HeadArg(None, pv, _) => col(pv) }: _*)
+            .orderBy(col(v))
+          body.withColumn("__cap_rn", row_number().over(w))
+            .filter(col("__cap_rn") <= n).drop("__cap_rn")
+        case _ => body
+      }
       val aggs = head.collect { case HeadArg(Some(a), v, extra) =>
         val c = Builtins.aggrTyped(a, col(v), extra.map(compileExpr),
           body.schema(v).dataType)
@@ -618,8 +638,8 @@ class Compiler(spark: SparkSession,
         capped.as(v)
       }
       val grouped =
-        if (plain.nonEmpty) body.groupBy(plain.map(col): _*).agg(aggs.head, aggs.tail: _*)
-        else body.agg(aggs.head, aggs.tail: _*)
+        if (plain.nonEmpty) body1.groupBy(plain.map(col): _*).agg(aggs.head, aggs.tail: _*)
+        else body1.agg(aggs.head, aggs.tail: _*)
       grouped.select(head.map(h => col(h.v)): _*)
     }
   }

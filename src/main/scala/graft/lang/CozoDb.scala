@@ -1352,9 +1352,23 @@ class CozoDb(val spark: SparkSession) {
       }
       capped.as(s"_h$i")
     }
+    // bounded-memory top-n: a single capped collect pre-filters each
+    // group to its n smallest rows (same value multiset — see the twin
+    // rewrite in Compiler.applyHead) so the collect buffers n values,
+    // not the whole group
+    val all1 = h0.zipWithIndex.collect {
+      case (HeadArg(Some("collect"), _, Seq(Lit(n: Long))), i) => (i, n)
+    } match {
+      case Seq((i, n)) if h0.count(_.aggr.isDefined) == 1 && n >= 1 && plainIdx.nonEmpty =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(plainIdx.map(j => col(s"_h$j")): _*).orderBy(col(s"_h$i"))
+        all.withColumn("__cap_rn", row_number().over(w))
+          .filter(col("__cap_rn") <= n).drop("__cap_rn")
+      case _ => all
+    }
     val grouped =
-      if (plainIdx.nonEmpty) all.groupBy(plainIdx.map(i => col(s"_h$i")): _*).agg(aggs.head, aggs.tail: _*)
-      else all.agg(aggs.head, aggs.tail: _*)
+      if (plainIdx.nonEmpty) all1.groupBy(plainIdx.map(i => col(s"_h$i")): _*).agg(aggs.head, aggs.tail: _*)
+      else all1.agg(aggs.head, aggs.tail: _*)
     // output names: head var names; an aggregated var colliding with a
     // plain var surfaces as aggr(var), mirroring cozo's display headers
     val plainNames = h0.filter(_.aggr.isEmpty).map(_.v).toSet

@@ -95,10 +95,15 @@ class DifferentialFuzzSpec extends AnyFunSuite {
           val g = allVars(rnd.nextInt(allVars.length))
           val vChoices = numericVars.filterNot(_ == g)
           val v = if (vChoices.isEmpty) numericVars.head else vChoices(rnd.nextInt(vChoices.length))
-          val aggs = Seq("sum", "min", "max", "count")
+          val aggs = Seq("sum", "min", "max", "count", "mean", "count_unique")
           val a = aggs(rnd.nextInt(aggs.length))
+          val sqlAgg = a match {
+            case "mean" => s"avg($v)"
+            case "count_unique" => s"count(DISTINCT $v)"
+            case other => s"$other($v)"
+          }
           (s"?[$g, $a($v)] := ${bodyScript.toString}",
-            s"SELECT $g, $a($v) AS $v FROM ($sqlBindings) GROUP BY $g")
+            s"SELECT $g, $sqlAgg AS $v FROM ($sqlBindings) GROUP BY $g")
         }
 
       try {

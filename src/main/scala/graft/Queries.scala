@@ -1729,6 +1729,70 @@ object Queries {
               |FROM sh JOIN f ON f.s = sh.s
               |GROUP BY 1""".stripMargin)),
 
+    // the full Gopher quality rule set (Rae et al. 2021 Table A1) as
+    // auditable per-rule columns + the conjunctive keep flag
+    // (TextAnalysis.gopherRules). minReqStopwords lowered to 1 so the
+    // synthetic corpus (req-stopword counts 0/1) exercises both keep
+    // outcomes; every ratio recomputed independently by the oracle.
+    Spec("text_gopher", (s, d) =>
+      TextAnalysis.gopherRules(T(s, d, "documents"), "doc_id", "text",
+        minReqStopwords = 1),
+      Some("""WITH w AS (SELECT doc_id, text,
+              |    list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS words,
+              |    string_split(text, chr(10)) AS lines
+              |  FROM documents),
+              |m AS (SELECT doc_id,
+              |  CAST(len(words) AS BIGINT) AS word_count,
+              |  CASE WHEN len(words) > 0 THEN round(list_sum(list_transform(words, x -> len(x))) * 1.0 / len(words), 6) ELSE 0.0 END AS mean_word_len,
+              |  CASE WHEN len(words) > 0 THEN round((
+              |      (len(text) - len(replace(text, '#', '')))
+              |      + (len(text) - len(replace(text, '...', ''))) // 3
+              |      + (len(text) - len(replace(text, '…', '')))) * 1.0 / len(words), 6) ELSE 0.0 END AS symbol_ratio,
+              |  CASE WHEN len(lines) > 0 THEN round(len(list_filter(lines, l -> left(ltrim(l), 1) IN ('•', '‣', '-', '*'))) * 1.0 / len(lines), 6) ELSE 0.0 END AS bullet_frac,
+              |  CASE WHEN len(lines) > 0 THEN round(len(list_filter(lines, l -> right(rtrim(l), 3) = '...' OR right(rtrim(l), 1) = '…')) * 1.0 / len(lines), 6) ELSE 0.0 END AS ellipsis_frac,
+              |  CASE WHEN len(words) > 0 THEN round(len(list_filter(words, x -> regexp_matches(x, '\p{L}'))) * 1.0 / len(words), 6) ELSE 0.0 END AS alpha_word_frac,
+              |  len(list_filter(['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with'],
+              |    s -> list_contains(list_transform(words, x -> lower(x)), s))) AS req_stopwords
+              |  FROM w)
+              |SELECT doc_id, word_count, mean_word_len, symbol_ratio,
+              |  bullet_frac, ellipsis_frac, alpha_word_frac, req_stopwords,
+              |  (word_count BETWEEN 50 AND 100000
+              |   AND mean_word_len BETWEEN 3.0 AND 10.0
+              |   AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9
+              |   AND ellipsis_frac <= 0.3 AND alpha_word_frac >= 0.8
+              |   AND req_stopwords >= 1) AS keep
+              |FROM m""".stripMargin)),
+
+    // corpus-level exact line dedup (C4/RefinedWeb curation:
+    // Dedup.dedupLines) — every duplicated non-blank line keeps only
+    // its first (doc_id, pos) occurrence. The single-line synthetic
+    // docs are first chunked into 5-token lines (identically on both
+    // engines) so corpus-wide duplicate lines actually exist; the
+    // oracle resolves first-occurrence with a window instead of the
+    // operator's hash-keyed min-struct aggregate, which also certifies
+    // the xxhash64 line keys collision-free.
+    Spec("dedup_lines", (s, d) => {
+      val toksC = TF.tokens(col("text"))
+      val lined = T(s, d, "documents").select(col("doc_id"),
+        when(size(toksC) > 0, concat_ws("\n",
+          transform(
+            sequence(lit(0), ceil(size(toksC).cast("double") / 5.0).cast("int") - 1),
+            i => concat_ws(" ", slice(toksC, i * 5 + 1, lit(5))))))
+          .otherwise(lit("")).as("text"))
+      graft.dedup.Dedup.dedupLines(lined, "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+    },
+      Some(s"""WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
+              |c AS (SELECT doc_id, i - 1 AS pos, array_to_string(toks[(i-1)*5+1:i*5], ' ') AS line
+              |      FROM (SELECT doc_id, toks, unnest(generate_series(1, CAST(ceil(len(toks)/5.0) AS INT))) AS i FROM d)
+              |      WHERE len(toks) > 0),
+              |k AS (SELECT doc_id, pos, line,
+              |      row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn FROM c)
+              |SELECT doc_id, count(*) AS n_lines,
+              |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+              |  coalesce(string_agg(CASE WHEN rn = 1 THEN line END, chr(10) ORDER BY pos), '') AS text
+              |FROM k GROUP BY 1""".stripMargin)),
+
     // BPE tokenizer (text/Bpe.scala): train 24 merge rules on the
     // corpus, encode every document, and hold the result to the
     // invariants no other engine can recompute but any reader can

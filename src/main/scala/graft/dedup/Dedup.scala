@@ -466,4 +466,53 @@ object Dedup {
     }
     signs.reduce((a, b) => a.bitwiseOR(b))
   }
+
+  /** Corpus-level exact LINE deduplication (the C4 / RefinedWeb
+    * curation step): every non-blank line that appears anywhere else in
+    * the corpus is removed except its FIRST occurrence, ordered by
+    * (document id, line position) — deterministic regardless of
+    * partitioning. Blank (whitespace-only) lines never participate and
+    * are always kept. Returns one row per input document:
+    * (id, n_lines, n_kept, text) with `text` the surviving lines joined
+    * by newline in original order (empty string when every line was a
+    * duplicate).
+    *
+    * Plan shape at 100 TB: lines explode in-partition (no shuffle);
+    * first-occurrence resolution is ONE hash aggregation keyed by the
+    * 8-byte xxhash64 of the trimmed line — `min(struct(id, pos))` has a
+    * map-side partial, so shuffled bytes ≤ distinct lines per
+    * partition, never total occurrences; the keep decision is the
+    * equi-join of the occurrence stream back on that key (reuses the
+    * exchange); reassembly is one aggregation keyed by document id
+    * whose buffer is the output row itself (a document's own lines —
+    * bounded by definition). Hash stance as elsewhere in this module:
+    * counting xxhash64 keys equals counting strings up to 2⁻⁶⁵-scale
+    * collisions, and the driver's string-keyed DuckDB oracle certifies
+    * collision-freedom on every verify run.
+    */
+  def dedupLines(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val lines = df
+      .select(col(idCol).as("id"), posexplode(split(col(textCol), "\n", -1)))
+      .toDF("id", "pos", "line")
+      .withColumn("t", trim(col("line")))
+    val content = lines.filter(col("t") =!= "")
+      .withColumn("h", xxhash64(col("t")))
+    val first = content.groupBy("h")
+      .agg(min(struct(col("id"), col("pos"))).as("first"))
+    val kept = content.join(first, Seq("h"))
+      .filter(col("first.id") === col("id") && col("first.pos") === col("pos"))
+      .select("id", "pos", "line")
+      .unionByName(lines.filter(col("t") === "").select("id", "pos", "line"))
+    val rebuilt = kept.groupBy("id").agg(
+      count(lit(1)).as("n_kept"),
+      concat_ws("\n",
+        transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+          s => s.getField("line"))).as("text"))
+    df.select(col(idCol).as("id"),
+        size(split(col(textCol), "\n", -1)).cast("long").as("n_lines"))
+      .join(rebuilt, Seq("id"), "left")
+      .select(col("id"), col("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("text"), lit("")).as("text"))
+  }
 }

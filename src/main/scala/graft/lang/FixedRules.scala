@@ -273,6 +273,24 @@ object FixedRules {
     graft.text.TextAnalysis.novelty(
       relAs(rels, 0, "TextNovelty", "id", "text"), "id", "text",
       n = optInt(o, "n", 6)))
+  // ?[id, word_count, …, keep] <~ GopherRules(*docs[id, text],
+  //   min_words: 50, min_req_stopwords: 2)
+  register("GopherRules", (rels, o, _) =>
+    graft.text.TextAnalysis.gopherRules(
+      relAs(rels, 0, "GopherRules", "id", "text"), "id", "text",
+      minWords = optInt(o, "min_words", 50),
+      maxWords = optInt(o, "max_words", 100000),
+      minMeanLen = optDouble(o, "min_mean_len", 3.0),
+      maxMeanLen = optDouble(o, "max_mean_len", 10.0),
+      maxSymbolRatio = optDouble(o, "max_symbol_ratio", 0.1),
+      maxBulletFrac = optDouble(o, "max_bullet_frac", 0.9),
+      maxEllipsisFrac = optDouble(o, "max_ellipsis_frac", 0.3),
+      minAlphaFrac = optDouble(o, "min_alpha_frac", 0.8),
+      minReqStopwords = optInt(o, "min_req_stopwords", 2)))
+  // ?[id, n_lines, n_kept, text] <~ DedupLines(*docs[id, text])
+  register("DedupLines", (rels, _, _) =>
+    graft.dedup.Dedup.dedupLines(
+      relAs(rels, 0, "DedupLines", "id", "text"), "id", "text"))
   register("LanguageId", (rels, _, _) => {
     val d = relAs(rels, 0, "LanguageId", "id", "text")
     d.select(col("id"), graft.text.TextAnalysis.langId(col("text")).as("lang"))

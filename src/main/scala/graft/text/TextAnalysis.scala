@@ -49,6 +49,77 @@ object TextAnalysis {
         when(col("stopword_ratio") >= 0.05, lit(0.3)).otherwise(col("stopword_ratio") * 6), 4))
   }
 
+  /** The full published Gopher document-quality rule set (Rae et al.
+    * 2021, Table A1 — public), each rule as its own column plus the
+    * conjunctive `keep` flag, so a pipeline can audit WHICH rule
+    * rejected a document (the paper's ablation requirement):
+    *   - word count within [minWords, maxWords] (words = whitespace
+    *     tokens, the paper's definition — not the letter/digit tokens
+    *     the dedup operators use);
+    *   - mean word length within [minMeanLen, maxMeanLen] characters;
+    *   - symbol-to-word ratio (`#` and `...`/`…` occurrences per word)
+    *     ≤ maxSymbolRatio;
+    *   - fraction of lines starting with a bullet (•, ‣, -, *)
+    *     ≤ maxBulletFrac;
+    *   - fraction of lines ending with an ellipsis ≤ maxEllipsisFrac;
+    *   - fraction of words containing at least one alphabetic character
+    *     ≥ minAlphaFrac;
+    *   - at least minReqStopwords distinct members of the paper's
+    *     required-stopword list {the, be, to, of, and, that, have,
+    *     with} present.
+    * Pure column expressions over the scan — zero shuffles, column
+    * pruning intact; ratios are exact integer quotients rounded to 6
+    * decimals so the SQL oracle is bit-identical.
+    */
+  def gopherRules(df: DataFrame, idCol: String, textCol: String,
+                  minWords: Int = 50, maxWords: Int = 100000,
+                  minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+                  maxSymbolRatio: Double = 0.1, maxBulletFrac: Double = 0.9,
+                  maxEllipsisFrac: Double = 0.3, minAlphaFrac: Double = 0.8,
+                  minReqStopwords: Int = 2): DataFrame = {
+    val text = col(textCol)
+    val words = filter(split(text, "\\s+"), w => length(w) > 0)
+    val lines = split(text, "\n", -1)
+    val nWords = size(words)
+    val nLines = size(lines)
+    def occurrences(needle: String): Column =
+      ((length(text) - length(replace(text, lit(needle), lit("")))) / needle.length).cast("long")
+    val reqStops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val lowerWords = transform(words, w => lower(w))
+    val out = df.select(
+      col(idCol),
+      nWords.cast("long").as("word_count"),
+      when(nWords > 0, round(
+        aggregate(words, lit(0L), (acc, w) => acc + length(w)).cast("double") / nWords, 6))
+        .otherwise(lit(0.0)).as("mean_word_len"),
+      when(nWords > 0, round(
+        (occurrences("#") + occurrences("...") + occurrences("…")).cast("double") / nWords, 6))
+        .otherwise(lit(0.0)).as("symbol_ratio"),
+      when(nLines > 0, round(
+        size(filter(lines, l => {
+          val t = ltrim(l)
+          t.startsWith("•") || t.startsWith("‣") || t.startsWith("-") || t.startsWith("*")
+        })).cast("double") / nLines, 6)).otherwise(lit(0.0)).as("bullet_frac"),
+      when(nLines > 0, round(
+        size(filter(lines, l => {
+          val t = rtrim(l)
+          t.endsWith("...") || t.endsWith("…")
+        })).cast("double") / nLines, 6)).otherwise(lit(0.0)).as("ellipsis_frac"),
+      when(nWords > 0, round(
+        size(filter(words, w => w.rlike("\\p{L}"))).cast("double") / nWords, 6))
+        .otherwise(lit(0.0)).as("alpha_word_frac"),
+      size(filter(array(reqStops.map(lit): _*),
+        s => array_contains(lowerWords, s))).cast("long").as("req_stopwords"))
+    out.withColumn("keep",
+      col("word_count").between(minWords, maxWords) &&
+      col("mean_word_len").between(minMeanLen, maxMeanLen) &&
+      col("symbol_ratio") <= maxSymbolRatio &&
+      col("bullet_frac") <= maxBulletFrac &&
+      col("ellipsis_frac") <= maxEllipsisFrac &&
+      col("alpha_word_frac") >= minAlphaFrac &&
+      col("req_stopwords") >= minReqStopwords)
+  }
+
   /** Within-document repetition signals (the Gopher/MassiveText
     * repetition filters, Rae et al. 2021 Table A1 — public): documents
     * dominated by a few repeated n-grams are boilerplate/spam.

@@ -199,4 +199,20 @@ class DedupSpec extends AnyFunSuite {
     val m2x = sig(Seq("4", "3", "2", "1", "5", "6", "17", "18", "19"))
     assert(estJaccard(m1x, m2x) < 1.0)
   }
+
+  test("dedupLines: first occurrence wins, trim-keyed, blanks always kept") {
+    import spark.implicits._
+    val docsIn = Seq(
+      (1L, "alpha beta\ncommon line\n\ngamma"),
+      (2L, "  common line\ndelta"), // leading spaces: still the same key
+      (3L, "common line")).toDF("doc_id", "text")
+    val r = Dedup.dedupLines(docsIn, "doc_id", "text")
+      .collect().map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getString(3)))).toMap
+    // doc 1 owns the first occurrence of "common line" and keeps everything
+    assert(r(1L) == ((4L, 4L, "alpha beta\ncommon line\n\ngamma")))
+    // doc 2's trimmed duplicate is removed; its unique line survives
+    assert(r(2L) == ((2L, 1L, "delta")))
+    // doc 3 loses its only line entirely
+    assert(r(3L) == ((1L, 0L, "")))
+  }
 }

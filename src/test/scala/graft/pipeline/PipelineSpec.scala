@@ -24,6 +24,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(small.subsetOf(a), "nested samples (bucket < t is monotone in t)")
   }
 
+  test("gopherRules: every rule column hand-computed; keep is their conjunction") {
+    import spark.implicits._
+    // "ab cd\n- x\ny...": words [ab cd - x y...]; line 2 bulleted,
+    // line 3 ellipsis-terminated; '-' carries no letter
+    val good = (Seq.fill(6)("the quick brown fox jumps over that lazy dog with")).mkString(" ")
+    val tiny = Seq((1L, "ab cd\n- x\ny..."), (2L, good)).toDF("doc_id", "text")
+    val r = TextAnalysis.gopherRules(tiny, "doc_id", "text")
+      .collect().map(x => x.getLong(0) -> x).toMap
+    val a = r(1L)
+    assert(a.getLong(1) == 5L)                       // word_count
+    assert(a.getDouble(2) == 2.0)                    // mean_word_len (2+2+1+1+4)/5
+    assert(a.getDouble(3) == 0.2)                    // symbol_ratio: one '...' / 5 words
+    assert(math.abs(a.getDouble(4) - 0.333333) < 1e-9) // bullet_frac 1/3
+    assert(math.abs(a.getDouble(5) - 0.333333) < 1e-9) // ellipsis_frac 1/3
+    assert(a.getDouble(6) == 0.8)                    // alpha_word_frac 4/5
+    assert(a.getLong(7) == 0L)                       // req_stopwords
+    assert(!a.getBoolean(8))                         // keep: fails several rules
+    val b = r(2L)
+    assert(b.getLong(1) == 60L && b.getDouble(2) == 4.0 && b.getLong(7) == 3L)
+    assert(b.getBoolean(8), "60 in-band words, 3 required stopwords -> keep")
+  }
+
   test("repetitionSignals: hand-computed fractions and explode-groupBy agreement") {
     import spark.implicits._
     // "a b a b a": bigrams [ab, ba, ab, ba] → top 2/4; trigrams

@@ -205,8 +205,13 @@ object TextAnalysis {
     */
   def novelty(df: DataFrame, idCol: String, textCol: String,
               n: Int = 6): DataFrame = {
+    // 8-byte xxhash64 shingle keys, not the shingle strings — the two
+    // corpus-scale shuffles (df count, join back) carry ~5× fewer bytes
+    // (same stance as Decontaminate/Dedup; the driver's string-keyed
+    // SQL oracle certifies collision-freedom on every run)
     val sh = df.select(col(idCol).as("id"),
-      explode(TF.wordShingles(col(textCol), n)).as("s")) // shingles are distinct per doc
+      explode(transform(TF.wordShingles(col(textCol), n), s => xxhash64(s)))
+        .as("s")) // shingles are distinct per doc
     val freq = sh.groupBy("s").agg(count(lit(1)).as("__df"))
     sh.join(freq, Seq("s"))
       .groupBy("id")

@@ -82,8 +82,13 @@ object Dedup {
                    shingleN: Int = 3, bands: Int = 32, rowsPerBand: Int = 2,
                    threshold: Double = 0.5): DataFrame = {
     val k = bands * rowsPerBand
+    // shingles ride as 8-byte xxhash64 identities from the explode on
+    // (distinct + verify joins shuffle ~5× fewer bytes); the k seeded
+    // minhash draws hash the 8-byte identity instead of the string —
+    // an equally uniform family over shingle identities
     val sh = df.select(col(idCol).as("id"),
-        explode(TF.wordShingles(col(textCol), shingleN)).as("s"))
+        explode(transform(TF.wordShingles(col(textCol), shingleN),
+          x => xxhash64(x))).as("s"))
       .distinct().ckpt()
     val aggs = (0 until k).map(i => min(xxhash64(col("s"), lit(i))).as(s"__h$i"))
     val banded = sh.groupBy("id").agg(aggs.head, aggs.tail: _*)
@@ -128,8 +133,15 @@ object Dedup {
                    maxDocFreq: Option[Long] = None,
                    collisionFactor: Long = 32L): DataFrame = {
     val cutoff = maxDocFreq.getOrElse(math.max(100L, df.count() / 1000L))
+    // shingle identity collapses to its xxhash64 BEFORE the distinct, so
+    // every corpus-scale shuffle below (distinct, df count, prefix rank,
+    // shared-shingle joins, verify joins) carries 8-byte keys instead of
+    // ~(8·n)-byte strings; the prefix filter only needs SOME fixed total
+    // order, and (df asc, hash) is one. Collision stance as elsewhere:
+    // the driver's string-keyed oracle certifies it on every run.
     val sh = df.select(col(idCol).as("id"),
-        explode(TF.wordShingles(col(textCol), shingleN)).as("s"))
+        explode(transform(TF.wordShingles(col(textCol), shingleN),
+          x => xxhash64(x))).as("s"))
       .distinct()
     val freq = sh.groupBy("s").agg(count(lit(1)).as("df"))
     val shf = sh.join(freq.filter(col("df") <= cutoff), Seq("s")).ckpt()

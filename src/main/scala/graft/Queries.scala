@@ -1793,6 +1793,35 @@ object Queries {
               |  coalesce(string_agg(CASE WHEN rn = 1 THEN line END, chr(10) ORDER BY pos), '') AS text
               |FROM k GROUP BY 1""".stripMargin)),
 
+    // PII-density audit signals (TextAnalysis.piiSignals): counts of
+    // the same portable email/IPv4/digit-run patterns pipe_redact
+    // rewrites. The raw corpus is PII-free, so every third document
+    // gets PII planted IDENTICALLY on both engines (doc_id-derived
+    // email, IP and long ref number) — the oracle recounts with RE2's
+    // regexp_extract_all vs Spark's codegen'd regexp_count.
+    Spec("text_pii", (s, d) => {
+      val planted = T(s, d, "documents").select(col("doc_id"),
+        when(col("doc_id") % 3 === 0, concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com or 10.0."), (col("doc_id") % 200).cast("string"),
+          lit(".1 ref 99887766"), (col("doc_id") % 100).cast("string")))
+          .otherwise(col("text")).as("text"))
+      TextAnalysis.piiSignals(planted, "doc_id", "text")
+    },
+      Some("""WITH p AS (SELECT doc_id,
+              |  CASE WHEN doc_id % 3 = 0 THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+              |    || '@example.com or 10.0.' || CAST(doc_id % 200 AS VARCHAR)
+              |    || '.1 ref 99887766' || CAST(doc_id % 100 AS VARCHAR)
+              |  ELSE text END AS text FROM documents),
+              |m AS (SELECT doc_id,
+              |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+              |  CAST(len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+              |  CAST(len(regexp_extract_all(text, '\d{6,}')) AS BIGINT) AS n_long_numbers
+              |  FROM p)
+              |SELECT doc_id, n_emails, n_ips, n_long_numbers,
+              |  (n_emails + n_ips + n_long_numbers) > 0 AS has_pii
+              |FROM m""".stripMargin)),
+
     // BPE tokenizer (text/Bpe.scala): train 24 merge rules on the
     // corpus, encode every document, and hold the result to the
     // invariants no other engine can recompute but any reader can

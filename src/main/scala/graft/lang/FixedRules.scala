@@ -291,6 +291,11 @@ object FixedRules {
   register("DedupLines", (rels, _, _) =>
     graft.dedup.Dedup.dedupLines(
       relAs(rels, 0, "DedupLines", "id", "text"), "id", "text"))
+  // ?[id, n_emails, n_ips, n_long_numbers, has_pii] <~
+  //   PiiSignals(*docs[id, text])
+  register("PiiSignals", (rels, _, _) =>
+    graft.text.TextAnalysis.piiSignals(
+      relAs(rels, 0, "PiiSignals", "id", "text"), "id", "text"))
   register("LanguageId", (rels, _, _) => {
     val d = relAs(rels, 0, "LanguageId", "id", "text")
     d.select(col("id"), graft.text.TextAnalysis.langId(col("text")).as("lang"))

@@ -221,6 +221,28 @@ object TextAnalysis {
         round(col("novel_shingles").cast("double") / col("n_shingles"), 6))
   }
 
+  /** Per-document PII COUNT signals — the audit face of [[redact]]
+    * (curation pipelines report and threshold on PII density before
+    * deciding to redact or drop): non-overlapping match counts of the
+    * same three portable patterns redact rewrites (emails, IPv4
+    * addresses, ≥6-digit runs) plus the aggregate has_pii flag. Pure
+    * codegen'd regexp_count columns over the scan — zero shuffles; the
+    * patterns avoid lookarounds so Java regex and RE2 count
+    * identically.
+    */
+  def piiSignals(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val text = col(textCol)
+    df.select(
+      col(idCol),
+      regexp_count(text, lit("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"))
+        .cast("long").as("n_emails"),
+      regexp_count(text, lit("\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"))
+        .cast("long").as("n_ips"),
+      regexp_count(text, lit("\\d{6,}")).cast("long").as("n_long_numbers"))
+      .withColumn("has_pii",
+        col("n_emails") + col("n_ips") + col("n_long_numbers") > 0)
+  }
+
   /** PII redaction for training corpora: emails, IPv4 addresses, then
     * long digit runs (ids/phones/accounts) are replaced with typed
     * placeholder tokens, in that order (an email would otherwise lose

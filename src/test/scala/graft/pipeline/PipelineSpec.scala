@@ -24,6 +24,21 @@ class PipelineSpec extends AnyFunSuite {
     assert(small.subsetOf(a), "nested samples (bucket < t is monotone in t)")
   }
 
+  test("piiSignals counts each pattern non-overlapping; has_pii is their union") {
+    import spark.implicits._
+    val tiny = Seq(
+      (1L, "mail a@b.co and c.d+e@f-g.org, host 10.0.0.1 ref 123456789"),
+      (2L, "no pii here, short num 12345"),
+      (3L, "999.999.999.999 still matches the IPv4 shape; 1.2.3.4.5 overlaps once")).toDF("doc_id", "text")
+    val r = TextAnalysis.piiSignals(tiny, "doc_id", "text")
+      .collect().map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getLong(3), x.getBoolean(4)))).toMap
+    assert(r(1L) == ((2L, 1L, 1L, true)))
+    assert(r(2L) == ((0L, 0L, 0L, false)))
+    // the 1-3-octet pattern matches 999.999.999.999 (shape, not range),
+    // and 1.2.3.4.5 yields ONE non-overlapping match
+    assert(r(3L) == ((0L, 2L, 0L, true)))
+  }
+
   test("gopherRules: every rule column hand-computed; keep is their conjunction") {
     import spark.implicits._
     // "ab cd\n- x\ny...": words [ab cd - x y...]; line 2 bulleted,

@@ -1787,11 +1787,17 @@ object Queries {
               |      FROM (SELECT doc_id, toks, unnest(generate_series(1, CAST(ceil(len(toks)/5.0) AS INT))) AS i FROM d)
               |      WHERE len(toks) > 0),
               |k AS (SELECT doc_id, pos, line,
-              |      row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn FROM c)
-              |SELECT doc_id, count(*) AS n_lines,
+              |      row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn FROM c),
+              |r AS (SELECT doc_id, count(*) AS n_lines,
               |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
               |  coalesce(string_agg(CASE WHEN rn = 1 THEN line END, chr(10) ORDER BY pos), '') AS text
-              |FROM k GROUP BY 1""".stripMargin)),
+              |FROM k GROUP BY 1)
+              |-- zero-token docs never enter c; the operator sees their text as ''
+              |-- (one blank line, always kept) => emit (1, 1, '') for them
+              |SELECT d.doc_id, CAST(coalesce(r.n_lines, 1) AS BIGINT) AS n_lines,
+              |  CAST(coalesce(r.n_kept, 1) AS BIGINT) AS n_kept,
+              |  coalesce(r.text, '') AS text
+              |FROM d LEFT JOIN r ON d.doc_id = r.doc_id""".stripMargin)),
 
     // PII-density audit signals (TextAnalysis.piiSignals): counts of
     // the same portable email/IPv4/digit-run patterns pipe_redact

@@ -452,14 +452,18 @@ object Dedup {
     */
   def resolveClustersBest(docs: DataFrame, idCol: String, qualityCol: String,
                           pairs: DataFrame): DataFrame = {
+    // NULL quality ranks below every real score (as -Infinity) so an
+    // all-NULL cluster still elects its min-id keeper instead of
+    // silently dropping the whole cluster out of the inner join below.
     val labeled = resolveClusters(docs, idCol, pairs)
       .select(col("id"), col("cluster"))
       .join(docs.select(col(idCol).as("id"),
         col(qualityCol).cast("double").as("quality")), Seq("id"))
+      .withColumn("__qn", coalesce(col("quality"), lit(Double.NegativeInfinity)))
     val best = labeled
-      .groupBy("cluster").agg(max(col("quality")).as("__mq"))
+      .groupBy("cluster").agg(max(col("__qn")).as("__mq"))
       .join(labeled, Seq("cluster"))
-      .filter(col("quality") === col("__mq"))
+      .filter(col("__qn") === col("__mq"))
       .groupBy("cluster").agg(min(col("id")).as("__best"))
     labeled.join(best, Seq("cluster"))
       .select(col("id"), col("cluster"), col("quality"),
@@ -497,10 +501,17 @@ object Dedup {
     * equi-join of the occurrence stream back on that key (reuses the
     * exchange); reassembly is one aggregation keyed by document id
     * whose buffer is the output row itself (a document's own lines —
-    * bounded by definition). Hash stance as elsewhere in this module:
-    * counting xxhash64 keys equals counting strings up to 2⁻⁶⁵-scale
-    * collisions, and the driver's string-keyed DuckDB oracle certifies
-    * collision-freedom on every verify run.
+    * bounded by definition).
+    *
+    * Hash-collision stance: at 100 TB (~10¹²-10¹³ distinct lines) the
+    * BIRTHDAY aggregate over 64-bit keys expects n²/2⁶⁵ ≈ thousands of
+    * colliding pairs — far from the per-pair 2⁻⁶⁴ intuition. A drop is
+    * therefore verified on the trimmed line STRING against the elected
+    * first occurrence (carried through the aggregate) before deletion:
+    * a collision can only cause a kept duplicate (if two distinct lines
+    * share a key, occurrences of the non-elected string are all kept),
+    * never a silently deleted non-duplicate. The driver's string-keyed
+    * DuckDB oracle certifies the verify corpora end-to-end.
     */
   def dedupLines(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val lines = df
@@ -509,10 +520,13 @@ object Dedup {
       .withColumn("t", trim(col("line")))
     val content = lines.filter(col("t") =!= "")
       .withColumn("h", xxhash64(col("t")))
+    // min(struct(id, pos, t)): (id, pos) is unique, so t rides along as
+    // the elected first occurrence's actual string for drop verification
     val first = content.groupBy("h")
-      .agg(min(struct(col("id"), col("pos"))).as("first"))
+      .agg(min(struct(col("id"), col("pos"), col("t"))).as("first"))
     val kept = content.join(first, Seq("h"))
-      .filter(col("first.id") === col("id") && col("first.pos") === col("pos"))
+      .filter((col("first.id") === col("id") && col("first.pos") === col("pos"))
+        || col("first.t") =!= col("t"))
       .select("id", "pos", "line")
       .unionByName(lines.filter(col("t") === "").select("id", "pos", "line"))
     val rebuilt = kept.groupBy("id").agg(

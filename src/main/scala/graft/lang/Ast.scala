@@ -57,11 +57,13 @@ object Ast {
                         defaults: Map[String, Expr] = Map.empty,
                         validity: Option[String] = None) // `col: Validity` annotation
 
-  /** :limit / :offset / :sort / :assert / relation ops. */
+  /** :limit / :offset / :sort / :assert / :timeout / :sleep / relation ops. */
   case class Options(limit: Option[Long] = None, offset: Option[Long] = None,
                      sort: Seq[(String, Boolean)] = Nil, // (var, descending)
                      assertNone: Boolean = false, assertSome: Boolean = false,
-                     relationOp: Option[(String, String, SchemaSpec)] = None) // (op, relName, schema)
+                     relationOp: Option[(String, String, SchemaSpec)] = None, // (op, relName, schema)
+                     timeout: Option[Double] = None, // seconds; <=0 disables (parse/query.rs:260-273)
+                     sleep: Option[Double] = None)   // seconds, after eval (db.rs:903-911)
 
   case class Program(rules: Seq[RuleDef], options: Options, sysOp: Option[String] = None)
 }

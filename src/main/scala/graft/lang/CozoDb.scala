@@ -453,20 +453,66 @@ class CozoDb(val spark: SparkSession) {
       case Some(op) => return sysOp(op.trim, params)
       case None => ()
     }
-    val result = prog.options.relationOp match {
-      // schema-only `:create rel {cols}` with no query: an empty
-      // relation (reference :create with a bare schema, tests.rs:580/
-      // 671). Column TYPES come from the first data-bearing mutation
-      // (relationMutation adopts the delta's schema) — declared types
-      // are parsed but Spark schemas come from data.
-      case Some(("create", rel, spec)) if prog.rules.isEmpty && spec.all.nonEmpty =>
-        bareCreates += rel
-        spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
-          StructType(spec.all.map(c => StructField(c, StringType, nullable = true))))
-      case _ => evalProgram(prog, params, preBound)
+    val out = withTimeout(prog.options.timeout) {
+      val result = prog.options.relationOp match {
+        // schema-only `:create rel {cols}` with no query: an empty
+        // relation (reference :create with a bare schema, tests.rs:580/
+        // 671). Column TYPES come from the first data-bearing mutation
+        // (relationMutation adopts the delta's schema) — declared types
+        // are parsed but Spark schemas come from data.
+        case Some(("create", rel, spec)) if prog.rules.isEmpty && spec.all.nonEmpty =>
+          bareCreates += rel
+          spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+            StructType(spec.all.map(c => StructField(c, StringType, nullable = true))))
+        case _ => evalProgram(prog, params, preBound)
+      }
+      applyOptions(prog.options, result)
     }
-    applyOptions(prog.options, result)
+    // :sleep runs AFTER evaluation, before returning (db.rs:903-911)
+    prog.options.sleep.foreach { secs =>
+      val micros = (secs * 1e6).toLong.max(0L)
+      Thread.sleep(micros / 1000, ((micros % 1000) * 1000).toInt)
+    }
+    out
   }
+
+  /** `:timeout N` — the reference arms a Poison that a timer thread trips
+    * after N seconds, and every eval step checks it (db.rs:1506-1955,
+    * parse/query.rs:260-273). Spark analogue: arm a daemon timer that
+    * cancels THIS query's job group (the same mechanism as `::kill`), and
+    * eagerly materialize the result inside the window so the timeout
+    * governs evaluation rather than whenever the caller collects. A body
+    * that dies after the timer fired surfaces the reference's
+    * "Running query is killed before completion" error. */
+  private def withTimeout(timeout: Option[Double])(body: => DataFrame): DataFrame =
+    timeout match {
+      case None => body
+      case Some(secs) =>
+        val group = Option(spark.sparkContext.getLocalProperty("spark.jobGroup.id"))
+        val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+        val timer = new java.util.Timer("graft-timeout", true)
+        // repeat after expiry: cancelJobGroup only hits ACTIVE jobs, and a
+        // multi-job evaluation (fixpoint rounds) may be between jobs at the
+        // instant of expiry — re-cancelling every 100 ms poisons whichever
+        // job starts next, like the reference's per-step poison.check()
+        timer.scheduleAtFixedRate(new java.util.TimerTask {
+          override def run(): Unit = {
+            fired.set(true)
+            group.foreach(spark.sparkContext.cancelJobGroup)
+          }
+        }, (secs * 1000).toLong.max(1L), 100L)
+        def killed(cause: Throwable): Nothing =
+          throw new IllegalStateException(
+            "Running query is killed before completion", cause)
+        val out = try {
+          val df = body
+          df.localCheckpoint(true) // eager: evaluation inside the window
+        } catch {
+          case e: Throwable if fired.get() => killed(e)
+        } finally timer.cancel()
+        if (fired.get()) killed(null) // poison fired at the finish line
+        out
+    }
 
   /** Relations created schema-only (no rows yet): their placeholder
     * StringType schema is replaced wholesale by the first data-bearing

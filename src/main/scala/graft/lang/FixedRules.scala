@@ -59,6 +59,8 @@ object FixedRules {
   register("ConnectedComponents", (rels, _, _) => Graphs.connectedComponents(edges(rels)))
   register("StronglyConnectedComponent", (rels, _, _) => Graphs.stronglyConnectedComponents(edges(rels)))
   register("StronglyConnectedComponents", (rels, _, _) => Graphs.stronglyConnectedComponents(edges(rels)))
+  // reference registers the short alias too (fixed_rule/mod.rs:795)
+  register("SCC", (rels, _, _) => Graphs.stronglyConnectedComponents(edges(rels)))
   register("CommunityDetectionLouvain", (rels, o, _) =>
     Graphs.louvain(edges(rels), maxOuter = optInt(o, "max_iter", 5)))
   register("LabelPropagation", (rels, o, _) =>
@@ -111,6 +113,9 @@ object FixedRules {
         throw Compiler.CompileException("DFS needs a starting-nodes relation"))
       Graphs.dfs(edges(rels), st, maxDepth = optInt(o, "limit", 10))
     })
+  // long-form aliases (fixed_rule/mod.rs:730, 740)
+  register("BreadthFirstSearch", registry("BFS"))
+  register("DepthFirstSearch", registry("DFS"))
   register("ShortestPathBFS", (rels, _, _) => {
     val st = starts(rels, 1).getOrElse(
       throw Compiler.CompileException("ShortestPathBFS needs starting nodes"))

@@ -186,8 +186,14 @@ object Parser {
           val rel = ident()
           val spec = if (at("{")) tableSchemaKeys() else SchemaSpec()
           o.copy(relationOp = Some((op, rel, spec)))
-        case "timeout" | "sleep" | "disable_magic_rewrite" =>
-          constExprSkip(); o // accepted, no-op on Spark
+        case "timeout" =>
+          // reference: timeout <= 0 means no timeout (parse/query.rs:268-272)
+          val secs = constDouble()
+          o.copy(timeout = if (secs > 0) Some(secs) else None)
+        case "sleep" =>
+          o.copy(sleep = Some(constDouble()))
+        case "disable_magic_rewrite" =>
+          constExprSkip(); o // accepted, no-op on Spark (Catalyst plans both shapes)
         case "returning" => o
         case other => throw ParseException(s"unknown option :$other", cur.pos)
       }
@@ -256,6 +262,13 @@ object Parser {
       case Lit(v: Long) => v
       case Un("-", Lit(v: Long)) => -v
       case e => throw ParseException(s"expected integer literal, got $e", cur.pos)
+    }
+    private def constDouble(): Double = expr() match {
+      case Lit(v: Long) => v.toDouble
+      case Lit(v: Double) => v
+      case Un("-", Lit(v: Long)) => -v.toDouble
+      case Un("-", Lit(v: Double)) => -v
+      case e => throw ParseException(s"expected numeric literal, got $e", cur.pos)
     }
     private def constExprSkip(): Unit = { expr(); () }
 

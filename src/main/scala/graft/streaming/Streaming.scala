@@ -103,6 +103,21 @@ object Streaming {
     * one-pass streaming operator. Tune bands/rowsPerBand on the usual
     * LSH threshold curve. Accepted rows (original columns) flow to
     * `sink` per batch; the caller starts/stops the returned query.
+    *
+    * Durability: the accepted-band table is persisted as parquet under
+    * `checkpointDir/graft_accepted_bands/batch=<id>` — one
+    * idempotently-overwritten delta per micro-batch — and each batch
+    * rebuilds its history view from the deltas of STRICTLY EARLIER
+    * batch ids. Restart therefore resumes with full history, and a
+    * foreachBatch RETRY of batch N sees exactly the pre-N state (its
+    * own failed attempt's delta is excluded and then overwritten), so
+    * suppression decisions are deterministic under replay. The `sink`
+    * call itself keeps foreachBatch's at-least-once contract — a crash
+    * between sink success and the band write re-emits that one batch's
+    * accepted rows on retry (with identical content); make the sink
+    * idempotent on `idCol` for end-to-end exactly-once. Per-batch state
+    * I/O is O(|occupied band keys|) parquet read — the same artifact
+    * size the `::lsh` incremental index maintains.
     */
   def nearDedupStream(stream: DataFrame, idCol: String, textCol: String,
                       checkpointDir: String, sink: DataFrame => Unit,
@@ -112,14 +127,17 @@ object Streaming {
     import graft.plan._
     val spark = stream.sparkSession
     import spark.implicits._
-    // accepted-document band table, accumulated across batches (bands
-    // only — the join needs no ids, and distinct keeps it bounded by
-    // the band-key space actually occupied)
-    var acceptedBands: DataFrame = Seq.empty[Long].toDF("band")
+    val bandsRoot = s"${checkpointDir.stripSuffix("/")}/graft_accepted_bands"
+    def acceptedBefore(batchId: Long): DataFrame =
+      try spark.read.option("basePath", bandsRoot).parquet(bandsRoot)
+        .filter(col("batch") < batchId).select("band")
+      catch { // first batch ever: no state dir yet
+        case _: org.apache.spark.sql.AnalysisException => Seq.empty[Long].toDF("band")
+      }
     stream.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           val k = bands * rowsPerBand
           val sigs = TF.minhashSignatures(batch, idCol,
@@ -127,8 +145,8 @@ object Streaming {
           val banded = sigs
             .withColumn("band", explode(TF.lshBandKeys(col("sig"), bands, rowsPerBand)))
             .select(col("id"), col("band")).ckpt()
-          // collides with history, or with a smaller id in this batch
-          val historyHit = banded.join(acceptedBands, Seq("band"))
+          // collides with durable history, or with a smaller id in this batch
+          val historyHit = banded.join(acceptedBefore(batchId), Seq("band"))
             .select("id").distinct()
           val batchHit = banded.select(col("id"), col("band"))
             .join(banded.select(col("id").as("__oid"), col("band")), Seq("band"))
@@ -139,9 +157,9 @@ object Streaming {
           // on — they pass through (anti-join keeps them)
           sink(batch.join(suppressed.withColumnRenamed("id", idCol),
             Seq(idCol), "left_anti"))
-          acceptedBands = acceptedBands.unionByName(
-            banded.join(suppressed, Seq("id"), "left_anti").select("band"))
-            .distinct().ckpt()
+          banded.join(suppressed, Seq("id"), "left_anti")
+            .select("band").distinct()
+            .write.mode("overwrite").parquet(s"$bandsRoot/batch=$batchId")
         }
       }
       .start()

@@ -156,7 +156,10 @@ object Bpe {
     val spark = docs.sparkSession
     val ranks = merges.map(m => (m.left, m.right) -> m.rank).toMap
     val bc = spark.sparkContext.broadcast(ranks)
-    val toked = docs.select(col(idCol), TF.tokens(col(textCol)).as("__toks"))
+    // NULL text encodes to an empty token list (TF.tokens propagates
+    // null, which would NPE the getSeq in the mapPartitions below)
+    val toked = docs.select(col(idCol),
+      coalesce(TF.tokens(col(textCol)), array()).as("__toks"))
     val outSchema = StructType(toked.schema.fields.dropRight(1) ++ Seq(
       StructField("tokens", ArrayType(StringType, containsNull = false)),
       StructField("n_tokens", LongType, nullable = false)))

@@ -215,4 +215,19 @@ class DedupSpec extends AnyFunSuite {
     // doc 3 loses its only line entirely
     assert(r(3L) == ((1L, 0L, "")))
   }
+
+  test("resolveClustersBest keeps all-NULL-quality clusters: min-id keeper, no dropped docs (ADVICE r6)") {
+    import spark.implicits._
+    val d = Seq((1L, Some(0.9)), (2L, Some(0.5)), (3L, None: Option[Double]),
+      (4L, None: Option[Double]), (5L, Some(0.2)))
+      .toDF("id", "quality")
+    // cluster {1,2}: real scores; cluster {3,4}: all NULL; 5: singleton
+    val pairs = Seq((1L, 2L), (3L, 4L)).toDF("id_a", "id_b")
+    val r = Dedup.resolveClustersBest(d, "id", "quality", pairs)
+      .collect().map(x => x.getLong(0) -> x.getBoolean(3)).toMap
+    assert(r.keySet == Set(1L, 2L, 3L, 4L, 5L), s"every document returned, got ${r.keySet}")
+    assert(r(1L) && !r(2L))  // quality argmax
+    assert(r(3L) && !r(4L))  // all-NULL cluster: min-id fallback
+    assert(r(5L))            // singleton keeps itself
+  }
 }

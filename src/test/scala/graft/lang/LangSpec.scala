@@ -517,4 +517,54 @@ class LangSpec extends AnyFunSuite {
     val r = rows(db, "?[x] <- [[1], [1.0], ['1'], [1]]")
     assert(r.size == 3, s"got $r")
   }
+
+  test(":timeout kills a slow recursive query with the reference's error (query.rs:260, db.rs:1931)") {
+    val db = new CozoDb(spark)
+    // a 400-link chain: semi-naive reach needs ~400 fixpoint rounds,
+    // each a Spark job — far past the 1-second window
+    db.registerTable("chain",
+      (0L until 400L).map(i => (i, i + 1)).toDF("fr", "to"), Seq("fr", "to"))
+    val e = intercept[IllegalStateException](db.run(
+      """reach[a, b] := *chain[a, b]
+        |reach[a, c] := reach[a, b], *chain[b, c]
+        |?[a, b] := reach[a, b]
+        |:timeout 1""".stripMargin).collect())
+    assert(e.getMessage.contains("killed before completion"), e.getMessage)
+    // the killed query is no longer listed by ::running
+    val running = db.run("::running").collect()
+    assert(running.length == 1 && running.head.getString(1).startsWith("::running"),
+      running.mkString(","))
+  }
+
+  test(":timeout large enough (and :timeout 0 = disabled) leave results intact") {
+    val db = freshDb()
+    assert(rows(db, "?[n] := *person[id, n, age], age > 28 :timeout 300")
+      .map(_.head).toSet == Set("alice", "carol"))
+    // reference: timeout <= 0 disarms (parse/query.rs:268-272)
+    assert(rows(db, "?[n] := *person[id, n, age], age > 28 :timeout 0")
+      .map(_.head).toSet == Set("alice", "carol"))
+  }
+
+  test(":sleep pauses after evaluation (db.rs:903-911)") {
+    val db = freshDb()
+    val t0 = System.nanoTime()
+    val r = rows(db, "?[a] <- [[1]] :sleep 0.4")
+    val elapsedMs = (System.nanoTime() - t0) / 1000000
+    assert(r == Seq(Seq(1L)))
+    assert(elapsedMs >= 400, s"only $elapsedMs ms")
+  }
+
+  test("fixed-rule aliases SCC / BreadthFirstSearch / DepthFirstSearch (fixed_rule/mod.rs:730-795)") {
+    val db = freshDb()
+    val long = db.run("?[node, comp] <~ StronglyConnectedComponents(*edge[])")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val short = db.run("?[node, comp] <~ SCC(*edge[])")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(short == long)
+    db.registerTable("snode", Seq(Tuple1(1L)).toDF("id"), Seq("id"))
+    val bfs = db.run("?[start, node, depth] <~ BreadthFirstSearch(*edge[], *snode[])").collect()
+    assert(bfs.nonEmpty)
+    val dfs = db.run("?[start, node, ord] <~ DepthFirstSearch(*edge[], *snode[])").collect()
+    assert(dfs.nonEmpty)
+  }
 }

@@ -182,6 +182,34 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("nearDedupStream recovers accepted-band history across a query restart (ADVICE r6)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val dir = java.nio.file.Files.createTempDirectory("neardedup_restart").toString
+    def sink(b: org.apache.spark.sql.DataFrame): Unit =
+      out.synchronized { out ++= b.select("doc_id").collect().map(_.getLong(0)) }
+    val q1 = Streaming.nearDedupStream(
+      input.toDF().toDF("doc_id", "text"), "doc_id", "text", dir, sink)
+    try {
+      input.addData((1L, "the quick brown fox jumps over the lazy dog again and again"))
+      q1.processAllAvailable()
+      assert(out.sorted == Seq(1L))
+    } finally q1.stop()
+    // restart from the SAME checkpoint: the accepted-band state must
+    // come back from the durable parquet deltas, not a driver-side var
+    val q2 = Streaming.nearDedupStream(
+      input.toDF().toDF("doc_id", "text"), "doc_id", "text", dir, sink)
+    try {
+      input.addData(
+        (2L, "the quick brown fox jumps over the lazy dog again and again"), // pre-restart twin
+        (3L, "completely different words appear in this unrelated document here"))
+      q2.processAllAvailable()
+      assert(out.sorted == Seq(1L, 3L), s"pre-restart twin must stay suppressed, got $out")
+    } finally q2.stop()
+  }
+
   test("qualityGate scores and keeps per-row on a stream") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

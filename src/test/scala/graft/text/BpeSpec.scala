@@ -80,6 +80,17 @@ class BpeSpec extends AnyFunSuite {
     assert(enc(3L) == ((Seq(), 0L)))
   }
 
+  test("encode: NULL text yields an empty token list, no NPE (ADVICE r6)") {
+    val corpus = Map("low" -> 5L, "newest" -> 6L)
+    val merges = Bpe.train(corpusDf(corpus), "text", 2)
+    import spark.implicits._
+    val probe = Seq((1L, Some("low")), (2L, None: Option[String])).toDF("doc_id", "text")
+    val enc = Bpe.encode(probe, "doc_id", "text", merges)
+      .collect().map(r => r.getLong(0) -> (r.getSeq[String](1), r.getLong(2))).toMap
+    assert(enc(1L)._2 > 0)
+    assert(enc(2L) == ((Seq(), 0L)))
+  }
+
   test("batched training stays valid (symbol-disjoint rounds) and encodes losslessly") {
     val sample = docs.filter(col("doc_id") < 80)
     val merges = Bpe.train(sample, "text", 20, batch = 5)

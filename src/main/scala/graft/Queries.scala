@@ -1428,6 +1428,61 @@ object Queries {
       Some(truthTable("recall_at_5_ge_09", "walk_scores_exact",
         "no_self_matches", "at_most_k_ranked_by_cosine"))),
 
+    // STREAM-DRIVEN script-path HNSW (VERDICT r6 #1): 100 distinct
+    // probe vectors arrive through the LEFT STREAM of a `~vecs:g{...}`
+    // probe (a stored `probes` relation driving `query: q`), and the
+    // routed plan walks the persisted partition-local graphs — the
+    // broadcast-probe/walk/merge plan, never a corpus-wide crossJoin
+    // (PlanHealthSpec asserts the plan). Semantics: the script path is
+    // a superset of Ann.hnswTopK — a probe CAN return its own stored
+    // row (checked), so recall compares after dropping self.
+    Spec("ann_hnsw_stream", (s, d) => {
+      val emb = T(s, d, "embeddings")
+      val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val queries = emb.filter(col("vec_id") < 100)
+        .select(col("vec_id").as("query_id"), col("embedding").as("vec"))
+      val db = new graft.lang.CozoDb(s)
+      db.registerTable("vecs", corpus.select(col("id"), col("vec").as("v")), Seq("id"))
+      db.registerTable("probes",
+        queries.select(col("query_id").as("p"), col("vec").as("q")), Seq("p"))
+      db.run("::hnsw create vecs:g { fields: [v], distance: Cosine, dim: 64, m: 12, ef_construction: 80 }")
+      val res = db.run(
+        "?[p, id, dist] := *probes[p, q], ~vecs:g{id | query: q, k: 6, bind_distance: dist}")
+        .toDF("p", "id", "dist")
+      // each probe vector IS a stored row: it must come back at ~0
+      val selfMissing = queries.select(col("query_id").as("p"))
+        .join(res.filter(col("id") === col("p") && col("dist") <= 1e-6),
+          Seq("p"), "left_anti")
+      // top-5 per probe after dropping self, vs in-query brute force
+      val noSelf = res.filter(col("id") =!= col("p"))
+      val top5 = graft.operators.TopK.perGroup(noSelf, Seq("p"),
+        Seq(col("dist").asc, col("id").asc), 5)
+      val exact = Ann.bruteForceTopK(corpus, queries, k = 5)
+      val recallOk = top5.select(col("p").as("query_id"), col("id"))
+        .intersect(exact.select("query_id", "id"))
+        .agg(count(lit(1)).as("__nh"))
+        .crossJoin(exact.agg(count(lit(1)).as("__ne")))
+        .select((col("__nh") >= col("__ne") * lit(0.9)).as("ok"))
+      // walked distances are exact cosine distances (float-normalized
+      // walker vs double brute force: 1e-5)
+      val drift = noSelf
+        .join(Ann.bruteForceTopK(corpus, queries, k = Int.MaxValue)
+          .select(col("query_id").as("p"), col("id"), col("cosine").as("__e")),
+          Seq("p", "id"))
+        .filter(abs((lit(1.0) - col("dist")) - col("__e")) > 1e-5)
+      invariants(
+        "recall_at_5_ge_09" -> recallOk,
+        "self_returned_at_zero" -> noViolations(selfMissing),
+        "walk_scores_exact" -> noViolations(drift),
+        "hundred_probes_k6" -> noViolations(
+          res.groupBy("p").agg(count(lit(1)).as("__n"))
+            .filter(col("__n") =!= 6)
+            .unionByName(res.agg((count(lit(1)) =!= lit(600L)).as("__ok"))
+              .filter(col("__ok")).select(lit(0L).as("p"), lit(0L).as("__n")))))
+    },
+      Some(truthTable("recall_at_5_ge_09", "self_returned_at_zero",
+        "walk_scores_exact", "hundred_probes_k6"))),
+
     // ——————————————————— text analysis (north-star) ———————————————————
 
     Spec("text_stats", (s, d) =>

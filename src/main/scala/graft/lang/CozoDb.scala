@@ -1009,6 +1009,49 @@ class CozoDb(val spark: SparkSession) {
           optConst("radius").collect { case d: Double => d; case l: Long => l.toDouble }
             .fold(filtered)(r => filtered.filter(col("__dist") <= r))
         }
+        // `m:` on `::hnsw create` (parse/sys.rs:611) opts into the REAL
+        // partition-local graph walk (Ann.hnswProbeIndex — the
+        // HnswSearchRA mechanism): cosine, single field, integral key,
+        // no per-probe filter/radius (those compose with the exact
+        // scan, which remains the default and is a semantic superset of
+        // any walk). Applies to constant-vector probes AND left-stream-
+        // driven bound-variable probes (ra.rs:1068-1122) — a probe
+        // stream must never crossJoin the corpus.
+        val integralKey = admitted.schema(key).dataType match {
+          case org.apache.spark.sql.types.LongType |
+               org.apache.spark.sql.types.IntegerType |
+               org.apache.spark.sql.types.ShortType => true
+          case _ => false
+        }
+        val graphEligible = v.m.isDefined && v.fields.lengthIs == 1 &&
+          v.distance.equalsIgnoreCase("cosine") &&
+          opts.get("filter").isEmpty && optConst("radius").isEmpty &&
+          integralKey
+        /** Persisted partition-local graphs over the admitted corpus,
+          * built once per mutation epoch and cached. */
+        def graphDir(): String = hnswGraphCache.get(target) match {
+          case Some((ep, d)) if ep == mutationEpoch => d
+          case stale =>
+            // reclaim the superseded epoch's artifacts before
+            // rebuilding (long sessions with many mutations would
+            // otherwise accumulate dead graph dirs)
+            stale.foreach { case (_, old) =>
+              scala.util.Try(org.apache.commons.io.FileUtils
+                .deleteDirectory(new java.io.File(old)))
+            }
+            val corpus = admitted.select(col(key).cast("long").as("id"),
+              col(v.fields.head).cast("array<float>").as("vec"))
+            // the reference accepts ef_construction < m; HnswIndex
+            // needs a beam at least m wide
+            val mEff = math.max(v.m.get, 2)
+            val efcEff = math.max(v.efConstruction.getOrElse(mEff * 6), mEff)
+            val d = java.nio.file.Files
+              .createTempDirectory("graft_hnsw").toString
+            graft.similarity.Ann.hnswWriteIndex(d, corpus, mEff, efcEff)
+            hnswGraphCache(target) = (mutationEpoch, d)
+            indexFullBuilds += 1
+            d
+        }
         opts.get("query") match {
           // left-stream-driven probe: one top-k per distinct bound
           // query vector (HnswSearchRA, ra.rs:1068-1122)
@@ -1016,14 +1059,42 @@ class CozoDb(val spark: SparkSession) {
             // fresh name: the query var may share its name with a base
             // column (commonly the vector field itself)
             val queries = frame.get.select(col(n).as("__qvec")).distinct()
-            val scored = probeOpts(queries.crossJoin(admitted)
-              .withColumn("__dist", distTo(col("__qvec").cast("array<float>"))))
-            val top = graft.operators.TopK.perGroup(scored, Seq("__qvec"),
-              Seq(col("__dist").asc, col(key).asc), k)
-            top.select((col("__qvec").as(n) +: (pairs.map { case (c, vr) => col(c).as(vr) } ++
-              bindVar("bind_distance").map(b => col("__dist").as(b)) ++
-              bindVar("bind_vector").map(b =>
-                matchedVec(col("__qvec").cast("array<float>")).as(b)))): _*)
+            if (graphEligible) {
+              // broadcast the distinct query batch, walk each
+              // partition-local graph, merge a global top-k per query —
+              // the corpus never shuffles and never crossJoins the
+              // probe stream. Synthetic query ids start at
+              // Long.MinValue, far outside any plausible key domain, so
+              // the walker's self-exclusion (id != query_id) never
+              // suppresses a legitimate match and a probe can still
+              // return its own stored row (the reference does).
+              import graft.plan._
+              val qids = queries
+                .withColumn("__qid",
+                  monotonically_increasing_id() + lit(Long.MinValue))
+                .ckpt()
+              val top = graft.similarity.Ann.hnswProbeIndex(graphDir(),
+                  qids.select(col("__qid").as("query_id"),
+                    col("__qvec").cast("array<float>").as("vec")),
+                  k, efSearch = math.max(k * 4, 64))
+                .select(col("query_id").as("__qid"), col("id").as("__hid"),
+                  (lit(1.0) - col("cosine")).as("__dist"))
+              top.join(qids, Seq("__qid"))
+                .join(admitted, col("__hid") === admitted(key).cast("long"))
+                .select((col("__qvec").as(n) +: (pairs.map { case (c, vr) => col(c).as(vr) } ++
+                  bindVar("bind_distance").map(b => col("__dist").as(b)) ++
+                  bindVar("bind_vector").map(b =>
+                    col(v.fields.head).cast("array<float>").as(b)))): _*)
+            } else {
+              val scored = probeOpts(queries.crossJoin(admitted)
+                .withColumn("__dist", distTo(col("__qvec").cast("array<float>"))))
+              val top = graft.operators.TopK.perGroup(scored, Seq("__qvec"),
+                Seq(col("__dist").asc, col(key).asc), k)
+              top.select((col("__qvec").as(n) +: (pairs.map { case (c, vr) => col(c).as(vr) } ++
+                bindVar("bind_distance").map(b => col("__dist").as(b)) ++
+                bindVar("bind_vector").map(b =>
+                  matchedVec(col("__qvec").cast("array<float>")).as(b)))): _*)
+            }
           case _ =>
             val qvec = optConst("query") match {
               case Some(s: Seq[_]) => s.map {
@@ -1038,53 +1109,12 @@ class CozoDb(val spark: SparkSession) {
             // wrong-width vectors at the type level)
             v.dim.filter(_ != qvec.length).foreach(d => throw CompileException(
               s"$target expects dim $d, query vector has ${qvec.length}"))
-            // `m:` on `::hnsw create` (parse/sys.rs:611) opts into the
-            // REAL partition-local graph walk (Ann.hnswTopK — the
-            // HnswSearchRA mechanism): cosine, single field, integral
-            // key, no per-probe filter/radius (those compose with the
-            // exact scan below, which remains the default and is a
-            // semantic superset of any walk)
-            val integralKey = admitted.schema(key).dataType match {
-              case org.apache.spark.sql.types.LongType |
-                   org.apache.spark.sql.types.IntegerType |
-                   org.apache.spark.sql.types.ShortType => true
-              case _ => false
-            }
-            val graphEligible = v.m.isDefined && v.fields.lengthIs == 1 &&
-              v.distance.equalsIgnoreCase("cosine") &&
-              opts.get("filter").isEmpty && optConst("radius").isEmpty &&
-              integralKey
             if (graphEligible) {
               import spark.implicits._
-              // query id outside any plausible key domain: hnswTopK
-              // excludes id == query_id and a probe must still be able
-              // to return its own stored row (the reference does)
+              // query id outside any plausible key domain (see above)
               val qDf = Seq((Long.MinValue, qvec.toArray))
                 .toDF("query_id", "vec")
-              val corpus = admitted.select(col(key).cast("long").as("id"),
-                col(v.fields.head).cast("array<float>").as("vec"))
-              // the reference accepts ef_construction < m; HnswIndex
-              // needs a beam at least m wide
-              val mEff = math.max(v.m.get, 2)
-              val efcEff = math.max(v.efConstruction.getOrElse(mEff * 6), mEff)
-              val dir = hnswGraphCache.get(target) match {
-                case Some((ep, d)) if ep == mutationEpoch => d
-                case stale =>
-                  // reclaim the superseded epoch's artifacts before
-                  // rebuilding (long sessions with many mutations would
-                  // otherwise accumulate dead graph dirs)
-                  stale.foreach { case (_, old) =>
-                    scala.util.Try(org.apache.commons.io.FileUtils
-                      .deleteDirectory(new java.io.File(old)))
-                  }
-                  val d = java.nio.file.Files
-                    .createTempDirectory("graft_hnsw").toString
-                  graft.similarity.Ann.hnswWriteIndex(d, corpus, mEff, efcEff)
-                  hnswGraphCache(target) = (mutationEpoch, d)
-                  indexFullBuilds += 1
-                  d
-              }
-              val top = graft.similarity.Ann.hnswProbeIndex(dir, qDf, k,
+              val top = graft.similarity.Ann.hnswProbeIndex(graphDir(), qDf, k,
                 efSearch = math.max(k * 4, 64))
                 .select(col("id").as("__hid"),
                   (lit(1.0) - col("cosine")).as("__dist"))

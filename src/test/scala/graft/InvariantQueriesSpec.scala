@@ -15,8 +15,8 @@ class InvariantQueriesSpec extends AnyFunSuite {
   private val dir = sys.env.getOrElse("GRAFT_SF_DIR", "/root/testdata/sf0.001")
 
   for (q <- Seq("graph_louvain", "graph_walk", "dedup_simhash", "ann_lsh",
-      "mm_features_knn", "graph_betweenness", "ann_pq", "ann_hnsw", "mm_decode",
-      "dedup_semantic", "text_bpe"))
+      "mm_features_knn", "graph_betweenness", "ann_pq", "ann_hnsw",
+      "ann_hnsw_stream", "mm_decode", "dedup_semantic", "text_bpe"))
     test(s"$q invariants all hold at $dir") {
       val rows = Queries.queries(q)(spark, dir).collect()
       assert(rows.nonEmpty)

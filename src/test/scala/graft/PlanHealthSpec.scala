@@ -28,6 +28,9 @@ class PlanHealthSpec extends AnyFunSuite {
     "ann_pq" -> "PQ codebooks (k*m<=4096 rows) broadcast for ADC scan + recall referee",
     "ann_lsh" -> "recall referee inside the query joins the brute-force top-k (bounded probes)",
     "ann_hnsw" -> "recall/score referee: brute-force scan with the broadcast 20-probe set",
+    "ann_hnsw_stream" -> ("recall/score referee only: brute-force scan with the broadcast " +
+      "100-probe set; the PROBE path walks persisted partition-local graphs " +
+      "(IndexesSpec asserts that plan is crossJoin/BNLJ-free)"),
     "dedup_simhash" -> "sample-vs-banded referee: 1K-doc sample broadcast for exact hamming",
     "dedup_embed" -> ("the low-threshold exact regime's blocked pair scan: at test SF " +
       "one side fits the broadcast threshold so Spark picks BNLJ over the cartesian"),

@@ -181,6 +181,43 @@ class IndexesSpec extends AnyFunSuite {
     assert(hits("graph") == hits("exact")) // still agreeing post-mutation
   }
 
+  test("bound-variable probe STREAM routes through the graph walk and agrees with exact scan (VERDICT r6 #1)") {
+    val db = new CozoDb(spark)
+    val rows = (0 until 60).map { i =>
+      val v = Seq(math.sin(i * 0.7), math.cos(i * 1.3),
+        math.sin(i * 0.29 + 1), math.cos(i * 0.11)).map(x => f"$x%.4f")
+      s"[$i, vec([${v.mkString(", ")}])]"
+    }.mkString(", ")
+    db.run(s"?[k, v] <- [$rows] :create vecs {k => v}")
+    db.run("::hnsw create vecs:exact { fields: [v], distance: Cosine, dim: 4 }")
+    db.run("::hnsw create vecs:graph { fields: [v], distance: Cosine, dim: 4, m: 8, ef_construction: 64 }")
+    // 60 distinct query vectors driven through the left stream — the
+    // shape that used to crossJoin-brute-force per probe
+    // 4-decimal rounding: the walker normalizes in Float, the exact
+    // scan scores in Double — they can differ in the last ulp
+    def hits(idx: String): Set[(Long, Long, Double)] =
+      db.run(s"?[p, k, d] := *vecs[p, q], ~vecs:$idx{k | query: q, k: 3, bind_distance: d}")
+        .collect().map(r => (r.getLong(0), r.getLong(1), BigDecimal(r.getDouble(2))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)).toSet
+    val g = hits("graph")
+    assert(g == hits("exact"), "graph-walked stream probes reproduce the exact scan")
+    // the routed plan never crossJoins the corpus with the probe
+    // stream: broadcast probe batch -> partition-local walks -> top-k
+    val plan = db.run(
+      "?[p, k, d] := *vecs[p, q], ~vecs:graph{k | query: q, k: 3, bind_distance: d}")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"stream probe plan must be crossJoin-free:\n$plan")
+    // every probe finds itself at distance 0 (no self-exclusion for
+    // synthetic query ids)
+    assert((0 until 60).forall(i => g.exists(t => t._1 == i && t._2 == i && t._3 == 0.0)))
+    // the persisted graph is reused across stream probes (no per-probe
+    // or per-query rebuilds)
+    val builds0 = db.indexFullBuilds
+    hits("graph")
+    assert(db.indexFullBuilds == builds0)
+  }
+
   test("turkish FTS round-trip: harmony-stemmed index and query agree") {
     val db = new CozoDb(spark)
     db.run(

@@ -60,7 +60,15 @@ object Bench {
     val qs = results.collect { case (k, Right(v)) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
     val errs = results.collect { case (k, Left(e)) => s"${jstr(k)}:${jstr(e)}" }.mkString("{", ",", "}")
     val total = results.collect { case (_, Right(v)) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    println(line)
+    // also land the full line in a file: console capture has truncated
+    // the (long) JSON before, clipping the committed artifact (r6
+    // verdict). SPARK_GRAFT_BENCH_OUT overrides the default path.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_last.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Throwable => System.err.println(s"bench file write failed: $e") }
     spark.stop()
   }
 }

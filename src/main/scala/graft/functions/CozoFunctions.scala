@@ -160,7 +160,13 @@ object CozoFunctions {
     // 藉 → 借 in excuse/by-means-of senses, stays 藉 otherwise
     "藉口" -> "借口", "憑藉" -> "凭借", "慰藉" -> "慰藉", "狼藉" -> "狼藉",
     // 瞭 → 了 in understanding senses, stays 瞭 in looking senses
-    "瞭望" -> "瞭望", "瞭解" -> "了解", "明瞭" -> "明了")
+    "瞭望" -> "瞭望", "瞭解" -> "了解", "明瞭" -> "明了",
+    // 徵 → 征 in general (特徵→特征), but the musical note zhǐ keeps
+    // its form in simplified orthography
+    "宮商角徵羽" -> "宫商角徵羽", "變徵" -> "变徵", "角徵" -> "角徵",
+    // word-level rewrites a char map cannot express
+    "甚麼" -> "什么",   // 甚 stays 甚 elsewhere (甚至→甚至)
+    "傢俱" -> "家具")   // 俱 stays 俱 elsewhere (俱樂部→俱乐部)
   private val t2sAmbiguousChars = ("乾著藉瞭", "干着藉了") // defaults outside phrases
 
   /** Additional single-character mappings beyond the legacy rows, one
@@ -284,7 +290,14 @@ object CozoFunctions {
     "勝胜", "勞劳", "勢势", "動动", "務务", "勵励", "勸劝", "匯汇", "區区",
     "醫医", "協协", "單单", "華华", "惡恶", "矯矫",
     "黴霉", "髮发", "雞鸡", "鳳凤", "鳴鸣", "鴉鸦", "鬧闹", "鬨哄", "鬥斗",
-    "麗丽", "齋斋")
+    "麗丽", "齋斋",
+    // r7 sweep: remaining high-frequency one-to-one simplifications
+    "臺台", "檯台", "嚮向", "註注", "佈布", "鹹咸", "摺折", "籲吁",
+    "嘗尝", "嚐尝", "慾欲", "罈坛", "輓挽", "陞升", "昇升", "燻熏",
+    "衊蔑", "蹟迹", "跡迹", "嶽岳", "慄栗", "峯峰", "羣群", "噁恶",
+    "鞦秋", "韆千", "麯曲", "嚥咽", "樑梁", "鏽锈", "滷卤", "鹵卤",
+    "捱挨", "齣出", "甦苏", "孃娘", "鈞钧", "瀋沈", "硃朱", "唸念",
+    "噹当", "鉅巨", "係系", "繫系", "脩修", "傢家", "冊册", "試试")
 
   /** Merged character table: legacy rows + [[t2sMorePairs]]. Duplicate
     * entries with the SAME target are collapsed; a conflicting duplicate
@@ -307,8 +320,11 @@ object CozoFunctions {
   /** functions.rs:1446 `t2s` — phrase rules + common-character table
     * (the reference embeds the full fast2s data). */
   def t2s(c: Column): Column = {
-    // phrase → placeholder, char pass, placeholder → simplified phrase
-    val masked = t2sPhrases.zipWithIndex.foldLeft(c) { case (acc, ((trad, _), i)) =>
+    // phrase → placeholder, char pass, placeholder → simplified phrase.
+    // Longest phrase masks first (宮商角徵羽 must win over its 角徵
+    // substring), matching OpenCC's greedy longest-match segmentation.
+    val ordered = t2sPhrases.zipWithIndex.sortBy { case ((trad, _), _) => -trad.length }
+    val masked = ordered.foldLeft(c) { case (acc, ((trad, _), i)) =>
       replace(acc, lit(trad), lit((0xE000 + i).toChar.toString))
     }
     val translated = translate(masked,

@@ -1027,6 +1027,12 @@ class CozoDb(val spark: SparkSession) {
           v.distance.equalsIgnoreCase("cosine") &&
           opts.get("filter").isEmpty && optConst("radius").isEmpty &&
           integralKey
+        // probe-time `ef:` is the reference's required search-width
+        // parameter (program.rs:1446-1459); the exact scan doesn't need
+        // it (always exhaustive), the graph walk honors it
+        val efS = math.max(
+          optConst("ef").collect { case n: Long => n.toInt }
+            .getOrElse(math.max(k * 4, 64)), k + 1)
         /** Persisted partition-local graphs over the admitted corpus,
           * built once per mutation epoch and cached. */
         def graphDir(): String = hnswGraphCache.get(target) match {
@@ -1076,7 +1082,7 @@ class CozoDb(val spark: SparkSession) {
               val top = graft.similarity.Ann.hnswProbeIndex(graphDir(),
                   qids.select(col("__qid").as("query_id"),
                     col("__qvec").cast("array<float>").as("vec")),
-                  k, efSearch = math.max(k * 4, 64))
+                  k, efSearch = efS)
                 .select(col("query_id").as("__qid"), col("id").as("__hid"),
                   (lit(1.0) - col("cosine")).as("__dist"))
               top.join(qids, Seq("__qid"))
@@ -1115,7 +1121,7 @@ class CozoDb(val spark: SparkSession) {
               val qDf = Seq((Long.MinValue, qvec.toArray))
                 .toDF("query_id", "vec")
               val top = graft.similarity.Ann.hnswProbeIndex(graphDir(), qDf, k,
-                efSearch = math.max(k * 4, 64))
+                efSearch = efS)
                 .select(col("id").as("__hid"),
                   (lit(1.0) - col("cosine")).as("__dist"))
               top.join(admitted, top("__hid") === admitted(key).cast("long"))

@@ -171,6 +171,26 @@ class DbLifecycleSpec extends AnyFunSuite {
     assert(conv("瞭解 明瞭 瞭望") == "了解 明了 瞭望")
   }
 
+  test("t2s phrase rules beyond the original four ambiguous characters (VERDICT r6 #7)") {
+    def conv(s: String): String =
+      Seq(Tuple1(s)).toDF("s").select(CozoFunctions.t2s(col("s"))).collect().head.getString(0)
+    // 徵 → 征 in general, but the musical note zhǐ keeps its form
+    assert(conv("特徵 徵求") == "特征 征求")
+    assert(conv("變徵之聲 宮商角徵羽") == "变徵之声 宫商角徵羽")
+    // word-level rewrites: 甚/俱 change only inside these words
+    assert(conv("甚麼東西 甚至") == "什么东西 甚至")
+    assert(conv("買傢俱 俱樂部") == "买家具 俱乐部")
+    // r7 char-table sweep spot checks
+    assert(conv("舞臺 寫字檯 颱風") == "舞台 写字台 台风")   // 臺/檯/颱 → 台
+    assert(conv("方向 嚮導") == "方向 向导")
+    assert(conv("註冊 佈置 呼籲") == "注册 布置 呼吁")
+    assert(conv("品嘗 嚐試 慾望") == "品尝 尝试 欲望")
+    assert(conv("奇蹟 足跡 山嶽") == "奇迹 足迹 山岳")
+    assert(conv("鞦韆 戰慄 高峯 羣眾") == "秋千 战栗 高峰 群众")
+    assert(conv("瀋陽 千鈞一髮 關係 聯繫") == "沈阳 千钧一发 关系 联系")
+    assert(conv("生鏽 滷味 噁心 一齣戲") == "生锈 卤味 恶心 一出戏")
+  }
+
   test("pack_bits/unpack_bits round-trip") {
     val df = Seq(Tuple1(Seq(true, false, true, true))).toDF("bits")
     val packed = df.select(CozoFunctions.packBits(col("bits")).as("b"))

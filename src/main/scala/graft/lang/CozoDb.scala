@@ -1259,8 +1259,8 @@ class CozoDb(val spark: SparkSession) {
         }
         val minG = intArg(0, 1)
         // Cangjie('default'|'all'|'search'|'unicode', use_hmm) — kind
-        // string first, hmm flag accepted-and-ignored (fts/mod.rs:109;
-        // the HMM unknown-word tables are data we cannot ship)
+        // string first, boolean hmm flag second (fts/mod.rs:109-139);
+        // hmm drives the BMES Viterbi over unknown single-char runs
         val cangjieKind = tokArgs.headOption.collect {
           case Lit(s: String) => s
           case V(s) => s
@@ -1268,11 +1268,21 @@ class CozoDb(val spark: SparkSession) {
         if (tokName == "Cangjie" &&
             !Seq("default", "all", "search", "unicode").contains(cangjieKind))
           throw CompileException(s"Unknown Cangjie kind: $cangjieKind")
+        val cangjieHmm = tokArgs.lift(1) match {
+          case Some(Lit(b: Boolean)) => b
+          case None => false
+          case Some(other) =>
+            if (tokName == "Cangjie")
+              throw CompileException(
+                "Second argument `use_hmm` to Cangjie must be a boolean")
+            else false
+        }
         val pipe = graft.search.Fts.Pipeline(
           tokenizer = tokName,
           minGram = minG, maxGram = intArg(1, minG),
           prefixOnly = tokArgs.lift(2).contains(Lit(true)),
           cangjieKind = cangjieKind,
+          cangjieHmm = cangjieHmm,
           lowercase = hasFilter("Lowercase") || hasFilter("LowerCase") || filters.isEmpty,
           asciiFolding = hasFilter("AsciiFolding"),
           removeLong = filterArg("RemoveLong").collect { case Lit(n: Long) => n.toInt },

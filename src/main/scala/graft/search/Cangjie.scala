@@ -10,9 +10,16 @@ package graft.search
   * dictionary words starting at each position (trie prefix walk), then
   * dynamic-programming the max-sum-of-log-frequency path; characters
   * not covered by the dictionary fall back to single-codepoint tokens.
-  * The HMM unknown-word model is NOT ported (`use_hmm` is accepted and
-  * ignored) — it needs jieba's trained emission tables, which are data
-  * this environment cannot ship.
+  * With `use_hmm`, runs of leftover single characters go through
+  * jieba's BMES character-tagging Viterbi (finalseg): the published
+  * start/transition log-probabilities are constants of the public
+  * design and ship here; the trained per-character EMISSION table is
+  * data this environment cannot ship, so emissions are estimated from
+  * the loaded dictionary's own positional statistics (first char of a
+  * multi-char word → B, last → E, middles → M, single-char words → S,
+  * frequency-weighted) — [[setHmmEmissions]] swaps in jieba's exact
+  * prob_emit data where available, the same deployment hook as the
+  * dictionary itself.
   *
   * The built-in dictionary is a small seed (~200 high-frequency words)
   * so segmentation and the FTS round-trip are real and testable;
@@ -38,6 +45,7 @@ object Cangjie {
     dict = m
     trie = Trie.build(m.keys)
     logTotal = math.log(m.values.map(_ max 1L).sum.toDouble)
+    if (!emissionsPinned) hmmEmit = emissionsFromDict(m)
   }
 
   /** Parse jieba dict.txt lines: `word freq [pos-tag]`. */
@@ -60,8 +68,10 @@ object Cangjie {
       (c >= 0xF900 && c <= 0xFAFF) || (c >= 0x3040 && c <= 0x30FF)
 
   /** Tokenize mixed text: CJK runs go through the dictionary cut of the
-    * requested kind; other letter/number runs are single tokens. */
-  def cut(text: String, kind: String = "default"): Seq[String] = {
+    * requested kind; other letter/number runs are single tokens.
+    * `hmm` enables the unknown-word Viterbi for the default/search
+    * kinds (fts/mod.rs:109-139: All and Unicode take no hmm flag). */
+  def cut(text: String, kind: String = "default", hmm: Boolean = false): Seq[String] = {
     if (text == null) return null
     val out = Vector.newBuilder[String]
     var i = 0
@@ -71,7 +81,7 @@ object Cangjie {
       if (isCjk(c)) {
         var j = i
         while (j < n && isCjk(text.charAt(j))) j += 1
-        out ++= cutCjk(text.substring(i, j), kind)
+        out ++= cutCjk(text.substring(i, j), kind, hmm)
         i = j
       } else if (c.isLetterOrDigit) {
         var j = i
@@ -83,7 +93,7 @@ object Cangjie {
     out.result()
   }
 
-  private def cutCjk(s: String, kind: String): Seq[String] = kind match {
+  private def cutCjk(s: String, kind: String, hmm: Boolean): Seq[String] = kind match {
     case "unicode" => s.map(_.toString)
     case "all" =>
       // every dictionary word occurrence, plus uncovered single chars
@@ -97,7 +107,7 @@ object Cangjie {
       found.result() ++ singles
     case "search" =>
       // default cut, plus dictionary sub-words of each long token
-      cutDp(s).flatMap { w =>
+      cutDefault(s, hmm).flatMap { w =>
         if (w.length <= 2) Seq(w)
         else {
           val subs = for {
@@ -108,8 +118,31 @@ object Cangjie {
           subs.distinct :+ w
         }
       }
-    case _ => cutDp(s)
+    case _ => cutDefault(s, hmm)
   }
+
+  /** The default cut: DP route; with hmm, leftover single-char runs go
+    * through the Viterbi (jieba __cut_DAG vs __cut_DAG_NO_HMM). */
+  private def cutDefault(s: String, hmm: Boolean): Seq[String] =
+    if (!hmm) cutDp(s)
+    else {
+      val d = dict
+      val out = Vector.newBuilder[String]
+      val buf = new StringBuilder
+      def flush(): Unit = if (buf.nonEmpty) {
+        val b = buf.toString
+        if (b.length == 1) out += b
+        else if (!d.contains(b)) out ++= viterbiCut(b)
+        else out ++= b.map(_.toString) // known word the route split: chars
+        buf.clear()
+      }
+      for (w <- cutDp(s)) {
+        if (w.length == 1) buf += w(0)
+        else { flush(); out += w }
+      }
+      flush()
+      out.result()
+    }
 
   /** jieba's max-probability route: DAG of dict words per position,
     * right-to-left DP on log(freq/total); unknown chars score below
@@ -138,6 +171,126 @@ object Cangjie {
     val out = Vector.newBuilder[String]
     var k = 0
     while (k < n) { out += s.substring(k, nxt(k)); k = nxt(k) }
+    out.result()
+  }
+
+  // ————————————— HMM unknown-word model (jieba finalseg) —————————————
+  // BMES character-tagging Viterbi. States: B=0 M=1 E=2 S=3. The start
+  // and transition log-probabilities are the published constants of the
+  // public jieba design (finalseg prob_start/prob_trans); the emission
+  // table is trained DATA — estimated from the loaded dictionary by
+  // default, exact jieba prob_emit swappable via [[setHmmEmissions]].
+
+  private val MinLog = -3.14e100 // jieba's MIN_FLOAT for absent emissions
+  private val hmmStart = Array(-0.26268660809250016, MinLog, MinLog, -1.4652633398537678)
+  private val hmmTrans: Array[Array[Double]] = {
+    val t = Array.fill(4)(Array.fill(4)(MinLog))
+    t(0)(1) = -0.916290731874155     // B -> M
+    t(0)(2) = -0.510825623765990     // B -> E
+    t(1)(1) = -1.2603623820268226    // M -> M
+    t(1)(2) = -0.33344856811948514   // M -> E
+    t(2)(0) = -0.5897149736854513    // E -> B
+    t(2)(3) = -0.8085250474669937    // E -> S
+    t(3)(0) = -0.7211965654669841    // S -> B
+    t(3)(3) = -0.6658631448798212    // S -> S
+    t
+  }
+  // legal predecessors per state (jieba PrevStatus)
+  private val hmmPrev: Array[Array[Int]] = Array(
+    Array(2, 3), // B <- E, S
+    Array(1, 0), // M <- M, B
+    Array(0, 1), // E <- B, M
+    Array(3, 2)) // S <- S, E
+
+  @volatile private var hmmEmit: Map[Char, Array[Double]] = emissionsFromDict(seedDict)
+  @volatile private var emissionsPinned: Boolean = false
+
+  /** Swap in an exact emission table (char → log-prob per B/M/E/S, e.g.
+    * parsed from jieba's prob_emit). Pinned: later dictionary swaps no
+    * longer re-derive emissions. */
+  def setHmmEmissions(e: Map[Char, Array[Double]]): Unit = synchronized {
+    require(e.nonEmpty && e.values.forall(_.length == 4), "emissions: char -> 4 log-probs")
+    hmmEmit = e
+    emissionsPinned = true
+  }
+
+  /** Back to dictionary-derived emissions (and re-derive on dict swaps). */
+  def resetHmmEmissions(): Unit = synchronized {
+    emissionsPinned = false
+    hmmEmit = emissionsFromDict(dict)
+  }
+
+  /** Frequency-weighted positional statistics of the dictionary: first
+    * char of a multi-char word emits from B, last from E, middles from
+    * M, single-char words from S. */
+  private def emissionsFromDict(d: Map[String, Long]): Map[Char, Array[Double]] = {
+    val counts = scala.collection.mutable.HashMap.empty[Char, Array[Long]]
+    def add(c: Char, st: Int, f: Long): Unit =
+      counts.getOrElseUpdate(c, new Array[Long](4))(st) += f
+    for ((w, f0) <- d if w.nonEmpty) {
+      val f = f0 max 1L
+      if (w.length == 1) add(w(0), 3, f)
+      else {
+        add(w(0), 0, f)
+        add(w(w.length - 1), 2, f)
+        var i = 1
+        while (i < w.length - 1) { add(w(i), 1, f); i += 1 }
+      }
+    }
+    val totals = new Array[Double](4)
+    counts.values.foreach(a => { var s = 0; while (s < 4) { totals(s) += a(s); s += 1 } })
+    counts.iterator.map { case (c, a) =>
+      c -> Array.tabulate(4)(s =>
+        if (a(s) > 0 && totals(s) > 0) math.log(a(s) / totals(s)) else MinLog)
+    }.toMap
+  }
+
+  private def emitLog(c: Char, st: Int): Double =
+    hmmEmit.get(c) match { case Some(a) => a(st); case None => MinLog }
+
+  /** Viterbi over BMES, then emit B..E words and S singles (jieba
+    * finalseg.__cut). The path always starts in B/S and is forced to
+    * end in E/S, so the tag sequence segments cleanly. */
+  private[search] def viterbiCut(s: String): Seq[String] = {
+    val n = s.length
+    if (n == 0) return Nil
+    if (n == 1) return Seq(s)
+    val v = Array.ofDim[Double](n, 4)
+    val bp = Array.ofDim[Int](n, 4)
+    var st = 0
+    while (st < 4) { v(0)(st) = hmmStart(st) + emitLog(s(0), st); st += 1 }
+    var i = 1
+    while (i < n) {
+      st = 0
+      while (st < 4) {
+        var best = Double.NegativeInfinity
+        var bprev = hmmPrev(st)(0)
+        for (p <- hmmPrev(st)) {
+          val sc = v(i - 1)(p) + hmmTrans(p)(st)
+          if (sc > best) { best = sc; bprev = p }
+        }
+        v(i)(st) = best + emitLog(s(i), st)
+        bp(i)(st) = bprev
+        st += 1
+      }
+      i += 1
+    }
+    val tags = new Array[Int](n)
+    tags(n - 1) = if (v(n - 1)(2) >= v(n - 1)(3)) 2 else 3 // end in E or S
+    i = n - 1
+    while (i > 0) { tags(i - 1) = bp(i)(tags(i)); i -= 1 }
+    val out = Vector.newBuilder[String]
+    var beg = 0
+    var j = 0
+    while (j < n) {
+      tags(j) match {
+        case 0 => beg = j
+        case 2 => out += s.substring(beg, j + 1)
+        case 3 => out += s.substring(j, j + 1)
+        case _ => ()
+      }
+      j += 1
+    }
     out.result()
   }
 

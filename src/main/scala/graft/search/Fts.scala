@@ -69,6 +69,7 @@ object Fts {
                             stopwords: Boolean = false, stem: Boolean = false,
                             snowball: Boolean = false,
                             cangjieKind: String = "default",
+                            cangjieHmm: Boolean = false,
                             alphaNumOnly: Boolean = false,
                             compoundWords: Seq[String] = Nil,
                             stemLang: String = "english",
@@ -172,7 +173,8 @@ object Fts {
         // the trie DP isn't a Column expression, so this tokenizer is a
         // per-document UDF like the reference's per-document tantivy call
         val kind = p.cangjieKind
-        udf((s: String) => Cangjie.cut(s, kind)).apply(lowered)
+        val hmm = p.cangjieHmm
+        udf((s: String) => Cangjie.cut(s, kind, hmm)).apply(lowered)
       case _ => // Simple: split on non-alphanumeric
         filter(split(lowered, "[^\\p{L}\\p{N}]+"), t => length(t) > 0)
     }
@@ -244,7 +246,7 @@ object Fts {
           else if (p.prefixOnly) Seq(t.substring(0, n))
           else t.sliding(n).toSeq
         }
-      case "Cangjie" => Cangjie.cut(t, p.cangjieKind)
+      case "Cangjie" => Cangjie.cut(t, p.cangjieKind, p.cangjieHmm)
       case _ => Seq(t)
     }
     val alnum =

@@ -79,6 +79,62 @@ class CangjieSpec extends AnyFunSuite {
     assert(probe("人工智能") == Set("a"))
   }
 
+  test("hmm: BMES Viterbi joins unknown single-char runs (jieba finalseg shape)") {
+    // without hmm, unknown chars stay single codepoints
+    val noHmm = Cangjie.cut("我们齉龘", hmm = false)
+    assert(noHmm == Seq("我们", "齉", "龘"))
+    // with hmm, structural invariants hold regardless of the emission
+    // table: concatenation is lossless and known words are untouched
+    val withHmm = Cangjie.cut("我们齉龘", hmm = true)
+    assert(withHmm.head == "我们")
+    assert(withHmm.mkString == "我们齉龘")
+    // pinned emissions make a specific cut certain: 王 strongly B,
+    // 晓 strongly M, 明 strongly E — the unknown run becomes one word
+    val mk = (b: Double, m: Double, e: Double, s: Double) => Array(b, m, e, s)
+    try {
+      Cangjie.setHmmEmissions(Map(
+        '王' -> mk(-1.0, -20.0, -20.0, -10.0),
+        '晓' -> mk(-20.0, -1.0, -20.0, -10.0),
+        '明' -> mk(-20.0, -20.0, -1.0, -10.0)))
+      assert(Cangjie.viterbiCut("王晓明") == Seq("王晓明"))
+      // and one where S-S-S wins: every char strongly single
+      Cangjie.setHmmEmissions(Map(
+        '王' -> mk(-20.0, -20.0, -20.0, -1.0),
+        '晓' -> mk(-20.0, -20.0, -20.0, -1.0),
+        '明' -> mk(-20.0, -20.0, -20.0, -1.0)))
+      assert(Cangjie.viterbiCut("王晓明") == Seq("王", "晓", "明"))
+      // full pipeline: the unknown run inside a sentence takes the cut
+      Cangjie.setHmmEmissions(Map(
+        '王' -> mk(-1.0, -20.0, -20.0, -10.0),
+        '晓' -> mk(-20.0, -1.0, -20.0, -10.0),
+        '明' -> mk(-20.0, -20.0, -1.0, -10.0)))
+      assert(Cangjie.cut("我们王晓明朋友", hmm = true) == Seq("我们", "王晓明", "朋友"))
+      assert(Cangjie.cut("我们王晓明朋友", hmm = false) == Seq("我们", "王", "晓", "明", "朋友"))
+    } finally Cangjie.resetHmmEmissions()
+    // default dictionary-derived emissions: deterministic, lossless,
+    // and only over the leftover runs (words from the DP cut unchanged)
+    val sent = Cangjie.cut("机器学习改变了出版业", hmm = true)
+    assert(sent.mkString == "机器学习改变了出版业")
+    assert(sent.contains("机器学习"))
+  }
+
+  test("::fts create Cangjie('default', true) wires use_hmm; non-boolean errors") {
+    val spark = SparkFixture.spark
+    val db = new CozoDb(spark)
+    db.run("?[k, v] <- [['a', '我们喜欢机器学习']] :create zh2 {k}")
+    db.run(
+      """::fts create zh2:fts {
+        |  extractor: v, tokenizer: Cangjie('default', true), filters: []
+        |}""".stripMargin)
+    assert(db.run("?[k] := ~zh2:fts{k | query: '机器学习', k: 3}")
+      .collect().map(_.getString(0)).toSet == Set("a"))
+    val e = intercept[Exception](db.run(
+      """::fts create zh2:bad {
+        |  extractor: v, tokenizer: Cangjie('default', 'yes'), filters: []
+        |}""".stripMargin))
+    assert(e.getMessage.contains("use_hmm"), e.getMessage)
+  }
+
   test("dictionary swap-in extends segmentation (loadDictLines shape)") {
     val before = Cangjie.cut("量子计算")
     assert(before != Seq("量子计算")) // not in the seed dict as one word

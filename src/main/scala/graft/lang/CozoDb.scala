@@ -1023,10 +1023,23 @@ class CozoDb(val spark: SparkSession) {
                org.apache.spark.sql.types.ShortType => true
           case _ => false
         }
+        // all three reference metrics walk (hnsw.rs:66-108): cosine and
+        // ip as dot-product scores, l2 as negative squared distance
+        val walkMetric: Option[String] = v.distance.toLowerCase match {
+          case "cosine" => Some("cosine")
+          case "l2" => Some("l2")
+          case "ip" | "innerproduct" => Some("ip")
+          case _ => None
+        }
         val graphEligible = v.m.isDefined && v.fields.lengthIs == 1 &&
-          v.distance.equalsIgnoreCase("cosine") &&
+          walkMetric.isDefined &&
           opts.get("filter").isEmpty && optConst("radius").isEmpty &&
           integralKey
+        /** walker score (higher = closer) → this index's distance:
+          * cosine/ip = 1 - score, l2 = -score (squared L2, the same
+          * convention as the exact scan's l2_dist kernel). */
+        def walkDist(score: org.apache.spark.sql.Column) =
+          if (walkMetric.contains("l2")) -score else lit(1.0) - score
         // probe-time `ef:` is the reference's required search-width
         // parameter (program.rs:1446-1459); the exact scan doesn't need
         // it (always exhaustive), the graph walk honors it
@@ -1053,7 +1066,8 @@ class CozoDb(val spark: SparkSession) {
             val efcEff = math.max(v.efConstruction.getOrElse(mEff * 6), mEff)
             val d = java.nio.file.Files
               .createTempDirectory("graft_hnsw").toString
-            graft.similarity.Ann.hnswWriteIndex(d, corpus, mEff, efcEff)
+            graft.similarity.Ann.hnswWriteIndex(d, corpus, mEff, efcEff,
+              metric = walkMetric.get)
             hnswGraphCache(target) = (mutationEpoch, d)
             indexFullBuilds += 1
             d
@@ -1084,7 +1098,7 @@ class CozoDb(val spark: SparkSession) {
                     col("__qvec").cast("array<float>").as("vec")),
                   k, efSearch = efS)
                 .select(col("query_id").as("__qid"), col("id").as("__hid"),
-                  (lit(1.0) - col("cosine")).as("__dist"))
+                  walkDist(col("score")).as("__dist"))
               top.join(qids, Seq("__qid"))
                 .join(admitted, col("__hid") === admitted(key).cast("long"))
                 .select((col("__qvec").as(n) +: (pairs.map { case (c, vr) => col(c).as(vr) } ++
@@ -1123,7 +1137,7 @@ class CozoDb(val spark: SparkSession) {
               val top = graft.similarity.Ann.hnswProbeIndex(graphDir(), qDf, k,
                 efSearch = efS)
                 .select(col("id").as("__hid"),
-                  (lit(1.0) - col("cosine")).as("__dist"))
+                  walkDist(col("score")).as("__dist"))
               top.join(admitted, top("__hid") === admitted(key).cast("long"))
                 .select(pairs.map { case (c, vr) => col(c).as(vr) } ++
                   bindVar("bind_distance").map(b => col("__dist").as(b)) ++

@@ -450,7 +450,8 @@ object Ann {
     * and probe it. numParts bounds per-partition graph memory — size it
     * so one partition's vectors fit an executor core. */
   def hnswWriteIndex(dir: String, corpus: DataFrame, m: Int = 16,
-                     efConstruction: Int = 100, numParts: Int = 32): Unit = {
+                     efConstruction: Int = 100, numParts: Int = 32,
+                     metric: String = "cosine"): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val parts = corpus.select(col("id").cast("long"), col("vec"))
@@ -458,7 +459,7 @@ object Ann {
       .as[(Long, Array[Float])]
       .mapPartitions { it =>
         val pid = org.apache.spark.TaskContext.getPartitionId()
-        val idx = new HnswIndex(m, efConstruction)
+        val idx = new HnswIndex(m, efConstruction, metric)
         it.foreach { case (id, v) => idx.insert(id, v) }
         val nodes = idx.nodes.map { case (id, v, lvl) =>
           (pid, id, v, lvl, null.asInstanceOf[Array[Long]], -1)
@@ -470,7 +471,8 @@ object Ann {
       }
       .toDF("part", "id", "vec", "level", "nbrs", "edge_level")
     parts.write.mode("overwrite").partitionBy("part").parquet(s"$dir/graph")
-    spark.createDataset(Seq((m, efConstruction))).toDF("m", "ef_construction")
+    spark.createDataset(Seq((m, efConstruction, metric)))
+      .toDF("m", "ef_construction", "metric")
       .write.mode("overwrite").parquet(s"$dir/meta")
   }
 
@@ -481,8 +483,14 @@ object Ann {
                      efSearch: Int = 64): DataFrame = {
     val spark = queries.sparkSession
     import spark.implicits._
-    val meta = spark.read.parquet(s"$dir/meta").head()
+    val metaDf = spark.read.parquet(s"$dir/meta")
+    val meta = metaDf.head()
     val (m, efC) = (meta.getInt(0), meta.getInt(1))
+    // pre-metric indexes carry no metric column: they were cosine
+    val metric =
+      if (metaDf.columns.contains("metric"))
+        meta.getString(metaDf.columns.indexOf("metric"))
+      else "cosine"
     val qs = queries.select(col("query_id").cast("long"), col("vec"))
       .as[(Long, Array[Float])].collect()
     val qB = spark.sparkContext.broadcast(qs)
@@ -497,15 +505,15 @@ object Ann {
         case (_, id, v, lvl, null, _) => nodes += ((id, v, lvl))
         case (_, id, _, _, ns, l) => adj += ((id, l, ns))
       }
-      val idx = HnswIndex.load(nodes.toSeq, adj.toSeq, m, efC)
+      val idx = HnswIndex.load(nodes.toSeq, adj.toSeq, m, efC, metric)
       qB.value.iterator.flatMap { case (qid, qv) =>
         idx.search(qv, k + 1, efSearch).iterator
           .filter { case (id, _) => id != qid }
           .take(k)
           .map { case (id, s) => (qid, id, s) }
       }
-    }.toDF("query_id", "id", "cosine")
+    }.toDF("query_id", "id", "score") // score: cosine / -squared-L2 / dot
     TopK.perGroup(perPart, Seq("query_id"),
-      Seq(col("cosine").desc, col("id").asc), k, rankCol = Some("rank"))
+      Seq(col("score").desc, col("id").asc), k, rankCol = Some("rank"))
   }
 }

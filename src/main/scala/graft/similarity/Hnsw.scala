@@ -18,11 +18,21 @@ import scala.collection.mutable
   * ties break by insertion index — a rebuilt partition yields the
   * identical graph.
   *
-  * Metric: cosine, via dot product over vectors normalized at insert.
+  * Metrics (the reference's three, hnsw.rs:66-108): `cosine` (dot
+  * product over vectors normalized at insert), `l2` (similarity =
+  * negative squared Euclidean distance — same ordering, max-heap
+  * machinery unchanged), `ip` (raw dot product; not a metric, but the
+  * standard HNSW-for-MIPS practice and what the reference computes).
+  * `search` returns a SCORE where higher = closer; callers convert to
+  * their distance convention.
   */
-final class HnswIndex(m: Int = 16, efConstruction: Int = 100) {
+final class HnswIndex(m: Int = 16, efConstruction: Int = 100,
+                      metric: String = "cosine") {
   require(m >= 2, s"HNSW m must be >= 2, got $m")
   require(efConstruction >= m, s"efConstruction must be >= m")
+  require(Seq("cosine", "l2", "ip").contains(metric), s"unknown metric $metric")
+  private val metricL2 = metric == "l2"
+  private val metricCos = metric == "cosine"
 
   private val mMax0 = 2 * m // level-0 degree cap, per the paper
   private val mL = 1.0 / math.log(m.toDouble)
@@ -51,16 +61,27 @@ final class HnswIndex(m: Int = 16, efConstruction: Int = 100) {
     }
   }
 
-  /** Cosine similarity of the stored (normalized) node vs a normalized
-    * query — plain dot product. */
+  /** Similarity (higher = closer) of a stored node vs a prepared query:
+    * cosine/ip → dot product (cosine over insert-normalized vectors),
+    * l2 → negative squared Euclidean distance. */
   private def sim(node: Int, q: Array[Float]): Double = {
     val v = vecs(node)
-    var s = 0.0
-    var i = 0
     val n = math.min(v.length, q.length)
-    while (i < n) { s += v(i).toDouble * q(i); i += 1 }
-    s
+    var i = 0
+    if (metricL2) {
+      var s = 0.0
+      while (i < n) { val d = v(i).toDouble - q(i); s += d * d; i += 1 }
+      -s
+    } else {
+      var s = 0.0
+      while (i < n) { s += v(i).toDouble * q(i); i += 1 }
+      s
+    }
   }
+
+  /** Query/insert-side vector preparation: normalize for cosine only. */
+  private def prep(v: Array[Float]): Array[Float] =
+    if (metricCos) normalize(v) else v.clone()
 
   /** Deterministic geometric level from the id hash (the paper's
     * floor(-ln(U) * mL) with U from a splitmix-style avalanche). */
@@ -159,7 +180,7 @@ final class HnswIndex(m: Int = 16, efConstruction: Int = 100) {
   }
 
   def insert(id: Long, vec: Array[Float]): Unit = {
-    val v = normalize(vec)
+    val v = prep(vec)
     val node = ids.length
     val lvl = levelFor(id)
     ids += id
@@ -208,11 +229,12 @@ final class HnswIndex(m: Int = 16, efConstruction: Int = 100) {
     if (lvl > maxLevel) { maxLevel = lvl; entry = node }
   }
 
-  /** Top-k by cosine: greedy descent to level 1, ef-beam at level 0.
-    * Returns (id, cosine) best-first; ties broken by id. */
+  /** Top-k by the metric's score (higher = closer): greedy descent to
+    * level 1, ef-beam at level 0. Returns (id, score) best-first; ties
+    * broken by id. Score is cosine similarity / −squared-L2 / dot. */
   def search(query: Array[Float], k: Int, efSearch: Int): Seq[(Long, Double)] = {
     if (entry < 0) return Seq.empty
-    val q = normalize(query)
+    val q = prep(query)
     var ep = entry
     var l = maxLevel
     while (l > 0) {
@@ -255,19 +277,20 @@ final class HnswIndex(m: Int = 16, efConstruction: Int = 100) {
       }
     }
 
-  /** Stored normalized vectors: (id, vec, topLevel). */
+  /** Stored (metric-prepared) vectors: (id, vec, topLevel). */
   def nodes: Iterator[(Long, Array[Float], Int)] =
     ids.indices.iterator.map(n => (ids(n), vecs(n), levels(n)))
 }
 
 object HnswIndex {
   /** Rebuild a previously persisted graph without re-running inserts:
-    * adjacency is restored verbatim. `nodes` = (id, normalizedVec,
-    * topLevel), `adj` = (id, level, neighborIds). */
+    * adjacency is restored verbatim. `nodes` = (id, preparedVec,
+    * topLevel), `adj` = (id, level, neighborIds). `metric` must match
+    * the metric the graph was built with. */
   def load(nodes: Seq[(Long, Array[Float], Int)],
            adj: Seq[(Long, Int, Array[Long])],
-           m: Int, efConstruction: Int): HnswIndex = {
-    val idx = new HnswIndex(m, efConstruction)
+           m: Int, efConstruction: Int, metric: String = "cosine"): HnswIndex = {
+    val idx = new HnswIndex(m, efConstruction, metric)
     val pos = mutable.HashMap.empty[Long, Int]
     for (((id, v, lvl), n) <- nodes.zipWithIndex) {
       pos(id) = n

@@ -181,6 +181,32 @@ class IndexesSpec extends AnyFunSuite {
     assert(hits("graph") == hits("exact")) // still agreeing post-mutation
   }
 
+  test("L2 and IP ::hnsw with m: also walk the graph and agree with exact scan") {
+    val db = new CozoDb(spark)
+    val rows = (0 until 60).map { i =>
+      val v = Seq(math.sin(i * 0.7) * 2, math.cos(i * 1.3),
+        math.sin(i * 0.29 + 1), math.cos(i * 0.11) * 3).map(x => f"$x%.4f")
+      s"[$i, vec([${v.mkString(", ")}])]"
+    }.mkString(", ")
+    db.run(s"?[k, v] <- [$rows] :create mvecs {k => v}")
+    for (dist <- Seq("L2", "IP")) {
+      db.run(s"::hnsw create mvecs:ex_$dist { fields: [v], distance: $dist, dim: 4 }")
+      db.run(s"::hnsw create mvecs:gr_$dist { fields: [v], distance: $dist, dim: 4, m: 8, ef_construction: 64 }")
+      val probe = "query: vec([0.5, -0.5, 0.25, 0.9]), k: 5, bind_distance: d"
+      def hits(idx: String): Seq[(Long, Double)] =
+        db.run(s"?[k, d] := ~mvecs:$idx{k | $probe}").collect()
+          .map(r => (r.getLong(0), BigDecimal(r.getDouble(1))
+            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)).toSeq.sortBy(_._1)
+      assert(hits(s"gr_$dist") == hits(s"ex_$dist"), s"distance $dist")
+      // stream probes too: every stored vector probes the index
+      def streamHits(idx: String): Set[(Long, Long, Double)] =
+        db.run(s"?[p, k, d] := *mvecs[p, q], ~mvecs:$idx{k | query: q, k: 3, bind_distance: d}")
+          .collect().map(r => (r.getLong(0), r.getLong(1), BigDecimal(r.getDouble(2))
+            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)).toSet
+      assert(streamHits(s"gr_$dist") == streamHits(s"ex_$dist"), s"stream $dist")
+    }
+  }
+
   test("bound-variable probe STREAM routes through the graph walk and agrees with exact scan (VERDICT r6 #1)") {
     val db = new CozoDb(spark)
     val rows = (0 until 60).map { i =>

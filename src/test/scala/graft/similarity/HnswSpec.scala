@@ -92,6 +92,34 @@ class HnswSpec extends AnyFunSuite {
     }
   }
 
+  test("in-memory graph: L2 and IP metrics reach the exact top-k (hnsw.rs:66-108 metric set)") {
+    val r = rng(11)
+    val vecs = (0L until 400L).map(i => i -> randVec(r, 12)).toMap
+    def exact(q: Array[Float], score: (Array[Float], Array[Float]) => Double): Seq[Long] =
+      vecs.toSeq.map { case (id, v) => (id, score(v, q)) }
+        .sortBy { case (id, s) => (-s, id) }.take(10).map(_._1)
+    val l2 = (a: Array[Float], b: Array[Float]) =>
+      -a.zip(b).map { case (x, y) => (x.toDouble - y) * (x.toDouble - y) }.sum
+    val ip = (a: Array[Float], b: Array[Float]) =>
+      a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+    for ((metric, score) <- Seq("l2" -> l2, "ip" -> ip)) {
+      val idx = new HnswIndex(m = 8, efConstruction = 64, metric = metric)
+      vecs.toSeq.sortBy(_._1).foreach { case (id, v) => idx.insert(id, v) }
+      val queries = (0 until 15).map(_ => randVec(r, 12))
+      val recalls = queries.map { q =>
+        val got = idx.search(q, 10, efSearch = 80).map(_._1).toSet
+        val want = exact(q, score).toSet
+        (got intersect want).size.toDouble / want.size
+      }
+      val mean = recalls.sum / recalls.size
+      assert(mean >= 0.9, s"$metric mean recall@10 too low: $mean")
+      // reported score is the true metric score for the top hit
+      val q0 = queries.head
+      val (topId, topScore) = idx.search(q0, 1, 80).head
+      assert(math.abs(topScore - score(vecs(topId), q0)) < 1e-6)
+    }
+  }
+
   test("hnswTopK: partition-merged recall vs brute force on sf0.001 embeddings") {
     val emb = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))

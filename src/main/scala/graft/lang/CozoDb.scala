@@ -831,6 +831,33 @@ class CozoDb(val spark: SparkSession) {
     * document. */
   private val hnswGraphCache = mutable.HashMap.empty[String, (Long, String)]
 
+  /** Distance names the partition-local graph walk supports
+    * (hnsw.rs:66-108 metric set), mapped to HnswIndex metric ids. */
+  private def hnswWalkMetric(distance: String): Option[String] =
+    distance.toLowerCase match {
+      case "cosine" => Some("cosine")
+      case "l2" => Some("l2")
+      case "ip" | "innerproduct" => Some("ip")
+      case _ => None
+    }
+
+  /** Index-level walk eligibility of a vector index (probe-level parts
+    * — per-probe filter/radius — are checked at the probe). */
+  private def hnswIndexEligible(v: VecIdx): Boolean =
+    v.m.isDefined && v.fields.lengthIs == 1 &&
+      hnswWalkMetric(v.distance).isDefined &&
+      relation(v.rel).columns.contains(v.fields.head) && {
+        keyTypeIntegral(v.rel)
+      }
+
+  private def keyTypeIntegral(rel: String): Boolean =
+    relation(rel).schema(keyColOf(rel)).dataType match {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType => true
+      case _ => false
+    }
+
   private def keyColOf(rel: String): String =
     relationKeys.getOrElse(rel, relation(rel).columns.toSeq).head
 
@@ -1017,24 +1044,11 @@ class CozoDb(val spark: SparkSession) {
         // any walk). Applies to constant-vector probes AND left-stream-
         // driven bound-variable probes (ra.rs:1068-1122) — a probe
         // stream must never crossJoin the corpus.
-        val integralKey = admitted.schema(key).dataType match {
-          case org.apache.spark.sql.types.LongType |
-               org.apache.spark.sql.types.IntegerType |
-               org.apache.spark.sql.types.ShortType => true
-          case _ => false
-        }
         // all three reference metrics walk (hnsw.rs:66-108): cosine and
         // ip as dot-product scores, l2 as negative squared distance
-        val walkMetric: Option[String] = v.distance.toLowerCase match {
-          case "cosine" => Some("cosine")
-          case "l2" => Some("l2")
-          case "ip" | "innerproduct" => Some("ip")
-          case _ => None
-        }
-        val graphEligible = v.m.isDefined && v.fields.lengthIs == 1 &&
-          walkMetric.isDefined &&
-          opts.get("filter").isEmpty && optConst("radius").isEmpty &&
-          integralKey
+        val walkMetric: Option[String] = hnswWalkMetric(v.distance)
+        val graphEligible = hnswIndexEligible(v) &&
+          opts.get("filter").isEmpty && optConst("radius").isEmpty
         /** walker score (higher = closer) → this index's distance:
           * cosine/ip = 1 - score, l2 = -score (squared L2, the same
           * convention as the exact scan's l2_dist kernel). */
@@ -1168,7 +1182,7 @@ class CozoDb(val spark: SparkSession) {
       ftsDeltaCount.remove(target)
       lshCache.remove(target)
       lshDeltaCount.remove(target)
-      hnswGraphCache.remove(target)
+      dropHnswGraph(target)
       return Seq(((if (existed) "dropped" else "absent"), target)).toDF("status", "index")
     }
     val rel = target.split(":")(0)
@@ -2008,15 +2022,18 @@ class CozoDb(val spark: SparkSession) {
   private val lshDeltaCount = mutable.HashMap.empty[String, Int]
   private[lang] val ftsMaxDeltas = 32
   private[lang] var indexFullBuilds = 0 // observability for tests
+  private[lang] var indexPatches = 0    // HNSW partition patches, for tests
   private def maintainFtsIndexes(rel: String, delta: DataFrame,
                                  epochOfThisMutation: Long): Unit = {
     val targets = indexes.collect { case (t, f: FtsIdx) if f.rel == rel => (t, f) }.toSeq
     val lshTargets = indexes.collect { case (t, l: LshIdx) if l.rel == rel => (t, l) }.toSeq
-    if (targets.isEmpty && lshTargets.isEmpty) return
+    val vecTargets = indexes.collect { case (t, v: VecIdx) if v.rel == rel => (t, v) }.toSeq
+    if (targets.isEmpty && lshTargets.isEmpty && vecTargets.isEmpty) return
     val key = keyColOf(rel)
     if (!delta.columns.contains(key)) {
       targets.foreach { case (t, _) => ftsCache.remove(t); ftsDeltaCount.remove(t) }
       lshTargets.foreach { case (t, _) => lshCache.remove(t); lshDeltaCount.remove(t) }
+      vecTargets.foreach { case (t, _) => dropHnswGraph(t) }
       return
     }
     val changedIds = delta.select(col(key)).dropDuplicates().ckptLazy()
@@ -2063,7 +2080,38 @@ class CozoDb(val spark: SparkSession) {
         }
       case None => ()
     }
+    // persisted HNSW graphs: rows hash to their partition by key, so a
+    // mutation rebuilds ONLY the affected hash buckets' graphs — and a
+    // patched artifact equals a full rebuild exactly (per-partition
+    // insertion order is pinned), so no delta chain and no compaction
+    // bound apply
+    for ((target, vi) <- vecTargets) hnswGraphCache.get(target) match {
+      case Some((cachedEpoch, _)) if cachedEpoch >= epochOfThisMutation => ()
+      case Some((cachedEpoch, dir)) =>
+        if (!deltaApplicable(cachedEpoch) || !hnswIndexEligible(vi)) dropHnswGraph(target)
+        else {
+          val c = compiler(_ => None, Map.empty)
+          val admitted = vi.filter.fold(relation(rel))(e => relation(rel).filter(c.compileExpr(e)))
+          val corpus = admitted.select(col(key).cast("long").as("id"),
+            col(vi.fields.head).cast("array<float>").as("vec"))
+          val mEff = math.max(vi.m.get, 2)
+          val efcEff = math.max(vi.efConstruction.getOrElse(mEff * 6), mEff)
+          graft.similarity.Ann.hnswPatchIndex(dir, corpus,
+            changedIds.select(col(key).cast("long").as("id")),
+            mEff, efcEff, metric = hnswWalkMetric(vi.distance).get)
+          hnswGraphCache(target) = (epochOfThisMutation, dir)
+          indexPatches += 1
+        }
+      case None => ()
+    }
   }
+
+  /** Drop a cached persisted HNSW graph and reclaim its directory. */
+  private def dropHnswGraph(target: String): Unit =
+    hnswGraphCache.remove(target).foreach { case (_, dir) =>
+      scala.util.Try(org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(dir)))
+    }
 
   // ———————————————————————— helpers ————————————————————————
 

@@ -456,6 +456,9 @@ object Ann {
     import spark.implicits._
     val parts = corpus.select(col("id").cast("long"), col("vec"))
       .repartition(numParts, col("id"))
+      // pin per-partition insertion order so an incremental partition
+      // rebuild (hnswPatchIndex) reproduces the full build exactly
+      .sortWithinPartitions("id")
       .as[(Long, Array[Float])]
       .mapPartitions { it =>
         val pid = org.apache.spark.TaskContext.getPartitionId()
@@ -474,6 +477,48 @@ object Ann {
     spark.createDataset(Seq((m, efConstruction, metric)))
       .toDF("m", "ef_construction", "metric")
       .write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  /** Incrementally maintain a persisted [[hnswWriteIndex]] index after
+    * a mutation: graphs are partition-local and rows hash to their
+    * partition by id, so only the hash buckets CONTAINING changed keys
+    * need their graph rebuilt — a k-row delta re-inserts ~k/|corpus|
+    * of the data instead of all of it, and the patched artifact is
+    * byte-equivalent to a full rebuild (per-partition insertion order
+    * is pinned by the in-partition id sort). `corpus` must be the
+    * POST-mutation admitted rows. Returns the number of partitions
+    * rebuilt. */
+  def hnswPatchIndex(dir: String, corpus: DataFrame, changedIds: DataFrame,
+                     m: Int = 16, efConstruction: Int = 100,
+                     numParts: Int = 32, metric: String = "cosine"): Int = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    // functions.hash is Murmur3(seed 42), the same expression
+    // HashPartitioning uses, so this reproduces repartition's routing
+    def bucket(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      pmod(hash(c.cast("long")), lit(numParts))
+    val affected = changedIds.select(bucket(col("id")).cast("int").as("p"))
+      .distinct().as[Int].collect().sorted
+    for (pid <- affected) {
+      val rows = corpus.select(col("id").cast("long"), col("vec"))
+        .filter(bucket(col("id")) === pid)
+        .repartition(1).sortWithinPartitions("id")
+        .as[(Long, Array[Float])]
+        .mapPartitions { it =>
+          val idx = new HnswIndex(m, efConstruction, metric)
+          it.foreach { case (id, v) => idx.insert(id, v) }
+          val nodes = idx.nodes.map { case (id, v, lvl) =>
+            (id, v, lvl, null.asInstanceOf[Array[Long]], -1)
+          }
+          val adj = idx.edges.map { case (id, l, ns) =>
+            (id, null.asInstanceOf[Array[Float]], -1, ns, l)
+          }
+          nodes ++ adj
+        }
+        .toDF("id", "vec", "level", "nbrs", "edge_level")
+      rows.write.mode("overwrite").parquet(s"$dir/graph/part=$pid")
+    }
+    affected.length
   }
 
   /** Probe a persisted [[hnswWriteIndex]] index: one pass over the

@@ -171,14 +171,23 @@ class IndexesSpec extends AnyFunSuite {
     // small corpus: the graph walk must reproduce the exact scan
     assert(hits("graph") == hits("exact"))
     // the persisted graph is cached per epoch: a second probe reuses
-    // it, a mutation forces one rebuild (same trade as the FTS cache)
+    // it, and a mutation PATCHES only the affected hash partitions
+    // (no full rebuild — the FTS/LSH incremental-maintenance trade)
     val builds0 = db.indexFullBuilds
+    val patches0 = db.indexPatches
     hits("graph")
     assert(db.indexFullBuilds == builds0)
     db.run("?[k, v] <- [[999, vec([1.0, 1.0, 1.0, 1.0])]] :put vecs {k => v}")
     hits("graph")
-    assert(db.indexFullBuilds == builds0 + 1)
+    assert(db.indexFullBuilds == builds0, "a put must not force a full rebuild")
+    assert(db.indexPatches == patches0 + 1, "the put patches the affected partition")
     assert(hits("graph") == hits("exact")) // still agreeing post-mutation
+    // a removal patches too, and the removed key stops matching
+    db.run("?[k] <- [[999]] :rm vecs {k}")
+    assert(hits("graph") == hits("exact"))
+    assert(db.indexFullBuilds == builds0)
+    assert(db.indexPatches == patches0 + 2)
+    assert(!hits("graph").exists(_._1 == 999L))
   }
 
   test("L2 and IP ::hnsw with m: also walk the graph and agree with exact scan") {

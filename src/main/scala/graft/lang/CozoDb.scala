@@ -842,13 +842,38 @@ class CozoDb(val spark: SparkSession) {
     }
 
   /** Index-level walk eligibility of a vector index (probe-level parts
-    * — per-probe filter/radius — are checked at the probe). */
+    * — per-probe filter/radius — are checked at the probe). Multi-field
+    * indexes walk too: one graph node per (key, field), best-field
+    * collapse at the merge (the reference's graph likewise holds one
+    * entry per indexed vector, hnsw.rs). */
   private def hnswIndexEligible(v: VecIdx): Boolean =
-    v.m.isDefined && v.fields.lengthIs == 1 &&
+    v.m.isDefined && v.fields.nonEmpty &&
       hnswWalkMetric(v.distance).isDefined &&
-      relation(v.rel).columns.contains(v.fields.head) && {
-        keyTypeIntegral(v.rel)
-      }
+      v.fields.forall(relation(v.rel).columns.contains) &&
+      keyTypeIntegral(v.rel)
+
+  /** The walkable corpus of a vector index: every indexed field's
+    * vector as its own graph node under the composite node id
+    * `key*nFields + fieldIdx` (a graph node id must be UNIQUE — the
+    * persisted adjacency is id-keyed — so multi-field rows can't reuse
+    * the raw key). [[graft.similarity.Ann.hnswProbeIndex]] decodes the
+    * payload key back out with floorDiv. Overflows only for
+    * |key| > 2^63/nFields — beyond any practical key domain. */
+  private def hnswCorpus(v: VecIdx, admitted: DataFrame, key: String): DataFrame = {
+    val n = v.fields.length
+    v.fields.zipWithIndex.map { case (f, i) =>
+      admitted.select((col(key).cast("long") * n + lit(i.toLong)).as("id"),
+        col(f).cast("array<float>").as("vec"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** The graph node ids a set of changed KEYS touches: one per field. */
+  private def hnswChangedGids(v: VecIdx, changedIds: DataFrame, key: String): DataFrame = {
+    val n = v.fields.length
+    v.fields.indices.map(i => changedIds
+      .select((col(key).cast("long") * n + lit(i.toLong)).as("id")))
+      .reduce(_ unionByName _)
+  }
 
   private def keyTypeIntegral(rel: String): Boolean =
     relation(rel).schema(keyColOf(rel)).dataType match {
@@ -1072,8 +1097,7 @@ class CozoDb(val spark: SparkSession) {
               scala.util.Try(org.apache.commons.io.FileUtils
                 .deleteDirectory(new java.io.File(old)))
             }
-            val corpus = admitted.select(col(key).cast("long").as("id"),
-              col(v.fields.head).cast("array<float>").as("vec"))
+            val corpus = hnswCorpus(v, admitted, key)
             // the reference accepts ef_construction < m; HnswIndex
             // needs a beam at least m wide
             val mEff = math.max(v.m.get, 2)
@@ -1110,7 +1134,7 @@ class CozoDb(val spark: SparkSession) {
               val top = graft.similarity.Ann.hnswProbeIndex(graphDir(),
                   qids.select(col("__qid").as("query_id"),
                     col("__qvec").cast("array<float>").as("vec")),
-                  k, efSearch = efS)
+                  k, efSearch = efS, fieldsPerId = v.fields.length)
                 .select(col("query_id").as("__qid"), col("id").as("__hid"),
                   walkDist(col("score")).as("__dist"))
               top.join(qids, Seq("__qid"))
@@ -1118,7 +1142,7 @@ class CozoDb(val spark: SparkSession) {
                 .select((col("__qvec").as(n) +: (pairs.map { case (c, vr) => col(c).as(vr) } ++
                   bindVar("bind_distance").map(b => col("__dist").as(b)) ++
                   bindVar("bind_vector").map(b =>
-                    col(v.fields.head).cast("array<float>").as(b)))): _*)
+                    matchedVec(col("__qvec").cast("array<float>")).as(b)))): _*)
             } else {
               val scored = probeOpts(queries.crossJoin(admitted)
                 .withColumn("__dist", distTo(col("__qvec").cast("array<float>"))))
@@ -1148,15 +1172,15 @@ class CozoDb(val spark: SparkSession) {
               // query id outside any plausible key domain (see above)
               val qDf = Seq((Long.MinValue, qvec.toArray))
                 .toDF("query_id", "vec")
+              val qArr = array(qvec.map(lit): _*).cast("array<float>")
               val top = graft.similarity.Ann.hnswProbeIndex(graphDir(), qDf, k,
-                efSearch = efS)
+                efSearch = efS, fieldsPerId = v.fields.length)
                 .select(col("id").as("__hid"),
                   walkDist(col("score")).as("__dist"))
               top.join(admitted, top("__hid") === admitted(key).cast("long"))
                 .select(pairs.map { case (c, vr) => col(c).as(vr) } ++
                   bindVar("bind_distance").map(b => col("__dist").as(b)) ++
-                  bindVar("bind_vector").map(b =>
-                    col(v.fields.head).cast("array<float>").as(b)): _*)
+                  bindVar("bind_vector").map(b => matchedVec(qArr).as(b)): _*)
             } else {
               val qArr = array(qvec.map(lit): _*).cast("array<float>")
               val scored = probeOpts(admitted.withColumn("__dist", distTo(qArr)))
@@ -2092,12 +2116,11 @@ class CozoDb(val spark: SparkSession) {
         else {
           val c = compiler(_ => None, Map.empty)
           val admitted = vi.filter.fold(relation(rel))(e => relation(rel).filter(c.compileExpr(e)))
-          val corpus = admitted.select(col(key).cast("long").as("id"),
-            col(vi.fields.head).cast("array<float>").as("vec"))
+          val corpus = hnswCorpus(vi, admitted, key)
           val mEff = math.max(vi.m.get, 2)
           val efcEff = math.max(vi.efConstruction.getOrElse(mEff * 6), mEff)
           graft.similarity.Ann.hnswPatchIndex(dir, corpus,
-            changedIds.select(col(key).cast("long").as("id")),
+            hnswChangedGids(vi, changedIds, key),
             mEff, efcEff, metric = hnswWalkMetric(vi.distance).get)
           hnswGraphCache(target) = (epochOfThisMutation, dir)
           indexPatches += 1

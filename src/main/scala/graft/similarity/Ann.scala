@@ -525,9 +525,12 @@ object Ann {
     * graph files grouped by partition, each group restored via
     * [[HnswIndex.load]] and walked for every broadcast query. */
   def hnswProbeIndex(dir: String, queries: DataFrame, k: Int,
-                     efSearch: Int = 64): DataFrame = {
+                     efSearch: Int = 64, fieldsPerId: Int = 1): DataFrame = {
     val spark = queries.sparkSession
     import spark.implicits._
+    // enough beam results that k DISTINCT ids survive per-field
+    // duplicate collapse (fieldsPerId nodes may share one id)
+    val fetchWidth = fieldsPerId * k + 1
     val metaDf = spark.read.parquet(s"$dir/meta")
     val meta = metaDf.head()
     val (m, efC) = (meta.getInt(0), meta.getInt(1))
@@ -552,13 +555,19 @@ object Ann {
       }
       val idx = HnswIndex.load(nodes.toSeq, adj.toSeq, m, efC, metric)
       qB.value.iterator.flatMap { case (qid, qv) =>
-        idx.search(qv, k + 1, efSearch).iterator
+        idx.search(qv, fetchWidth, efSearch).iterator
+          // a multi-field graph stores node id = key*fieldsPerId+fieldIdx
+          // (node ids must be unique); decode back to the payload key
+          .map { case (gid, s) => (Math.floorDiv(gid, fieldsPerId.toLong), s) }
           .filter { case (id, _) => id != qid }
-          .take(k)
+          .take(fetchWidth - 1)
           .map { case (id, s) => (qid, id, s) }
       }
     }.toDF("query_id", "id", "score") // score: cosine / -squared-L2 / dot
-    TopK.perGroup(perPart, Seq("query_id"),
+    // a multi-field index holds one graph NODE per (key, field): keep
+    // each key's best score before ranking (no-op for single-field)
+    val perId = perPart.groupBy("query_id", "id").agg(max("score").as("score"))
+    TopK.perGroup(perId, Seq("query_id"),
       Seq(col("score").desc, col("id").asc), k, rankCol = Some("rank"))
   }
 }

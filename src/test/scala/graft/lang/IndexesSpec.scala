@@ -216,6 +216,35 @@ class IndexesSpec extends AnyFunSuite {
     }
   }
 
+  test("multi-field ::hnsw with m: walks one graph node per (key, field) and agrees with exact scan") {
+    import spark.implicits._
+    val db = new CozoDb(spark)
+    val data = (0 until 50).map { i =>
+      val v1 = Array(math.sin(i * 0.7), math.cos(i * 1.3), math.sin(i * 0.29 + 1), math.cos(i * 0.11)).map(_.toFloat)
+      (i.toLong, v1, v1.map(x => -x * 0.5f)) // v2: different direction AND norm
+    }
+    db.registerTable("mfv", data.toDF("k", "v1", "v2"), Seq("k"))
+    db.run("::hnsw create mfv:ex { fields: [v1, v2], distance: Cosine, dim: 4 }")
+    db.run("::hnsw create mfv:gr { fields: [v1, v2], distance: Cosine, dim: 4, m: 8, ef_construction: 64 }")
+    def hits(idx: String): Seq[(Long, Double)] =
+      db.run(s"?[k, d] := ~mfv:$idx{k | query: vec([0.5, -0.5, 0.25, 0.9]), k: 5, bind_distance: d}")
+        .collect().map(r => (r.getLong(0), BigDecimal(r.getDouble(1))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)).toSeq.sortBy(_._1)
+    assert(hits("gr") == hits("ex"))
+    // stream probes against the multi-field graph
+    def streamHits(idx: String): Set[(Long, Long, Double)] =
+      db.run(s"?[p, k, d] := *mfv[p, q, w], ~mfv:$idx{k | query: q, k: 3, bind_distance: d}")
+        .collect().map(r => (r.getLong(0), r.getLong(1), BigDecimal(r.getDouble(2))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)).toSet
+    assert(streamHits("gr") == streamHits("ex"))
+    // a mutation patches the multi-field graph (both fields' nodes)
+    val patches0 = db.indexPatches
+    db.run("?[k, v1, v2] <- [[999, vec([0.5, -0.5, 0.25, 0.9]), vec([0.0, 0.0, 0.0, 1.0])]] :put mfv {k}")
+    assert(hits("gr") == hits("ex"))
+    assert(db.indexPatches == patches0 + 1)
+    assert(hits("gr").exists(_._1 == 999L)) // the new row's v1 IS the probe
+  }
+
   test("bound-variable probe STREAM routes through the graph walk and agrees with exact scan (VERDICT r6 #1)") {
     val db = new CozoDb(spark)
     val rows = (0 until 60).map { i =>

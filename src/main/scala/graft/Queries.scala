@@ -1541,6 +1541,75 @@ object Queries {
              |SELECT id, round(dist, 4) AS dist FROM scored
              |ORDER BY dist, id LIMIT 10""".stripMargin)),
 
+    // LIST-of-vectors field through the driver gate (hnsw.rs:694-705):
+    // each element indexes under its sub-index. lv = [v, −v], so the
+    // matched ELEMENT is exactly derivable: element 0 iff the raw
+    // cosine is ≥ 0, and dist = 1 − |cos|. Full DuckDB oracle.
+    Spec("ann_list_vec", (s, d) => {
+      val emb = T(s, d, "embeddings")
+      val db = new graft.lang.CozoDb(s)
+      db.registerTable("lvv", emb.select(col("vec_id").as("id"),
+        array(col("embedding"), transform(col("embedding"), x => -x)).as("lv")), Seq("id"))
+      db.run("::hnsw create lvv:ix { fields: [lv], distance: Cosine, dim: 64 }")
+      val ones = Seq.fill(64)("1.0").mkString(", ")
+      db.run(s"?[id, f, fi, dist] := ~lvv:ix{id | query: vec([$ones]), k: 20, " +
+        "bind_field: f, bind_field_idx: fi, bind_distance: dist}")
+        .toDF("id", "f", "fi", "dist")
+        .select(col("id"), col("f"), col("fi"), round(col("dist"), 4).as("dist"))
+    },
+      Some("""WITH c AS (SELECT vec_id AS id,
+             |    list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS sv,
+             |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nv
+             |  FROM embeddings),
+             |scored AS (SELECT id, 'lv' AS f,
+             |    CAST(CASE WHEN sv >= 0 THEN 0 ELSE 1 END AS BIGINT) AS fi,
+             |    1.0 - abs(sv / (sqrt(64.0) * nv)) AS dist FROM c)
+             |SELECT id, f, fi, round(dist, 4) AS dist FROM scored
+             |ORDER BY dist, id LIMIT 20""".stripMargin)),
+
+    // The scannable HNSW surface (relation.rs:1063-1131): the index IS
+    // its proximity graph — layer ≤ 0 (0 = bottom), one self-loop per
+    // node per occupied layer at dist 0, fr/to + __field (base column
+    // position) + __sub_idx (−1 for plain fields), link dist = the
+    // index metric. Invariant-checked: graph shape is seed-dependent,
+    // but these properties are exact.
+    Spec("ann_hnsw_graph", (s, d) => {
+      val m = 12
+      val emb = T(s, d, "embeddings")
+      val db = new graft.lang.CozoDb(s)
+      db.registerTable("gv", emb.select(col("vec_id").as("id"), col("embedding").as("v")), Seq("id"))
+      db.run(s"::hnsw create gv:g { fields: [v], distance: Cosine, dim: 64, m: $m, ef_construction: 80 }")
+      val g = db.run("?[layer, fk, ff, fs, tk, tf, ts, dist] := *gv:g{layer, " +
+        "fr_id: fk, fr__field: ff, fr__sub_idx: fs, to_id: tk, to__field: tf, to__sub_idx: ts, dist}")
+        .toDF("layer", "fk", "ff", "fs", "tk", "tf", "ts", "dist")
+      val selfRows = g.filter(col("fk") === col("tk"))
+      val links = g.filter(col("fk") =!= col("tk"))
+      val ids = emb.select(col("vec_id").cast("long").as("fk"))
+      invariants(
+        // exactly one bottom-layer self-loop per corpus row, none extra
+        "self_loops_cover_corpus" -> noViolationsAll(
+          ids.join(selfRows.filter(col("layer") === 0), Seq("fk"), "left_anti"),
+          selfRows.filter(col("layer") === 0).join(ids, Seq("fk"), "left_anti"),
+          selfRows.groupBy("layer", "fk").agg(count(lit(1)).as("__n")).filter(col("__n") > 1)),
+        "self_dist_zero_layers_nonpositive" -> noViolations(
+          g.filter(col("layer") > 0).unionByName(selfRows.filter(col("dist") =!= 0.0))),
+        "field_is_column_position_subidx_minus1" -> noViolations(
+          g.filter(col("ff") =!= 1 || col("fs") =!= -1 || col("tf") =!= 1 || col("ts") =!= -1)),
+        "degree_caps" -> noViolationsAll(
+          links.filter(col("layer") === 0).groupBy("fk")
+            .agg(count(lit(1)).as("__n")).filter(col("__n") > 2 * m),
+          links.filter(col("layer") < 0).groupBy("layer", "fk")
+            .agg(count(lit(1)).as("__n")).filter(col("__n") > m)),
+        "link_dist_is_exact_cosine" -> noViolations(
+          links.join(emb.select(col("vec_id").as("fk"), col("embedding").as("__a")), Seq("fk"))
+            .join(emb.select(col("vec_id").as("tk"), col("embedding").as("__b")), Seq("tk"))
+            .filter(abs(col("dist") - graft.functions.VectorFunctions
+              .cosineDistance(col("__a"), col("__b"))) > 1e-5)))
+    },
+      Some(truthTable("self_loops_cover_corpus", "self_dist_zero_layers_nonpositive",
+        "field_is_column_position_subidx_minus1", "degree_caps",
+        "link_dist_is_exact_cosine"))),
+
     // ——————————————————— text analysis (north-star) ———————————————————
 
     Spec("text_stats", (s, d) =>

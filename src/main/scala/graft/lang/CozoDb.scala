@@ -849,8 +849,20 @@ class CozoDb(val spark: SparkSession) {
   private def hnswIndexEligible(v: VecIdx): Boolean =
     v.m.isDefined && v.fields.nonEmpty &&
       hnswWalkMetric(v.distance).isDefined &&
-      v.fields.forall(relation(v.rel).columns.contains) &&
+      v.fields.forall(f => relation(v.rel).columns.contains(f) &&
+        !isListVecField(v.rel, f)) &&
       keyTypeIntegral(v.rel)
+
+  /** A `fields:` entry holding a LIST of vectors (array<array<float>>;
+    * hnsw.rs:699-705 indexes each element under its sub-index). List
+    * fields probe through the exact scan — the element count is
+    * data-dependent, so they don't fit the fixed gid encoding of the
+    * persisted graphs. */
+  private def isListVecField(rel: String, f: String): Boolean =
+    relation(rel).schema(f).dataType match {
+      case ArrayType(ArrayType(_, _), _) => true
+      case _ => false
+    }
 
   /** The walkable corpus of a vector index: every indexed field's
     * vector as its own graph node under the composite node id
@@ -867,6 +879,38 @@ class CozoDb(val spark: SparkSession) {
     }.reduce(_ unionByName _)
   }
 
+  /** Persisted partition-local HNSW graphs over the admitted corpus of
+    * a walk-eligible vector index, built once per mutation epoch and
+    * cached; shared by probes and the index-internals graph scan. The
+    * create-time admission filter is param-free by construction. */
+  private def hnswGraphDir(target: String, v: VecIdx): String =
+    hnswGraphCache.get(target) match {
+      case Some((ep, d)) if ep == mutationEpoch => d
+      case stale =>
+        // reclaim the superseded epoch's artifacts before rebuilding
+        // (long sessions with many mutations would otherwise
+        // accumulate dead graph dirs)
+        stale.foreach { case (_, old) =>
+          scala.util.Try(org.apache.commons.io.FileUtils
+            .deleteDirectory(new java.io.File(old)))
+        }
+        val key = keyColOf(v.rel)
+        val admitted = v.filter.fold(relation(v.rel))(e =>
+          relation(v.rel).filter(compiler(_ => None, Map.empty).compileExpr(e)))
+        val corpus = hnswCorpus(v, admitted, key)
+        // the reference accepts ef_construction < m; HnswIndex needs a
+        // beam at least m wide
+        val mEff = math.max(v.m.get, 2)
+        val efcEff = math.max(v.efConstruction.getOrElse(mEff * 6), mEff)
+        val d = java.nio.file.Files
+          .createTempDirectory("graft_hnsw").toString
+        graft.similarity.Ann.hnswWriteIndex(d, corpus, mEff, efcEff,
+          metric = hnswWalkMetric(v.distance).get)
+        hnswGraphCache(target) = (mutationEpoch, d)
+        indexFullBuilds += 1
+        d
+    }
+
   /** The graph node ids a set of changed KEYS touches: one per field. */
   private def hnswChangedGids(v: VecIdx, changedIds: DataFrame, key: String): DataFrame = {
     val n = v.fields.length
@@ -875,13 +919,19 @@ class CozoDb(val spark: SparkSession) {
       .reduce(_ unionByName _)
   }
 
+  /** Graph node ids derive from THE key column, so the walk needs a
+    * relation keyed by exactly one integral column — a composite key's
+    * first column is not unique and two rows would share a node id
+    * (same corruption class as duplicate multi-field ids). Composite
+    * keys fall back to the exact scan. */
   private def keyTypeIntegral(rel: String): Boolean =
-    relation(rel).schema(keyColOf(rel)).dataType match {
-      case org.apache.spark.sql.types.LongType |
-           org.apache.spark.sql.types.IntegerType |
-           org.apache.spark.sql.types.ShortType => true
-      case _ => false
-    }
+    relationKeys.getOrElse(rel, relation(rel).columns.toSeq).lengthIs == 1 &&
+      (relation(rel).schema(keyColOf(rel)).dataType match {
+        case org.apache.spark.sql.types.LongType |
+             org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.ShortType => true
+        case _ => false
+      })
 
   private def keyColOf(rel: String): String =
     relationKeys.getOrElse(rel, relation(rel).columns.toSeq).head
@@ -939,10 +989,69 @@ class CozoDb(val spark: SparkSession) {
       relation(l.rel).select(col(key).as(s"src_$key"),
         explode(TF.lshBandKeys(TF.minhashSignature(sh, l.bands * l.rowsPerBand),
           l.bands, l.rowsPerBand)).as("band"))
+    case v: VecIdx if hnswIndexEligible(v) =>
+      // the reference's scannable HNSW surface (runtime/relation.rs:
+      // 1063-1131): the proximity graph itself — layer (0 = bottom,
+      // NEGATIVE going up), fr_<key>/to_<key> + __field/__sub_idx,
+      // dist, hash, ignore_link; one self-loop row (fr = to, dist 0)
+      // per node per occupied layer (hnsw.rs:763-781 scans them per
+      // layer on removal). Our persisted partition-local graphs
+      // (Ann.hnswWriteIndex) provide the rows: node id decodes to
+      // (key, field) and __sub_idx is always 0 (list-of-vector fields
+      // are not walk-eligible). hash is the reference's
+      // conflict-detection vector hash — internal, emitted as NULL.
+      import org.apache.spark.sql.functions.{explode, sequence}
+      val nF = v.fields.length
+      val key = keyColOf(v.rel)
+      val rows = spark.read.schema(graft.similarity.Ann.graphSchema)
+        .parquet(s"${hnswGraphDir(target, v)}/graph")
+      // gid = key*nF + f: (gid - pmod) is an exact multiple of nF, so
+      // integral `div` recovers the key bit-exactly for any sign
+      def decodeKey(c: String) = expr(s"($c - pmod($c, $nF)) div $nF")
+      // __field is the field's base-relation COLUMN position
+      // (relation.rs fr__field stores the tuple index, not the index
+      // into the manifest's field list)
+      val fieldPos = v.fields.map(f => relation(v.rel).columns.indexOf(f).toLong)
+      def decodeField(c: String) =
+        element_at(array(fieldPos.map(lit): _*), (pmod(col(c), lit(nF.toLong)) + 1).cast("int"))
+      val nodes = rows.filter(col("nbrs").isNull)
+        .select(col("id"), col("vec"), col("level"))
+      val selfRows = nodes
+        .select(explode(sequence(lit(0L), -col("level").cast("long"), lit(-1L))).as("layer"),
+          col("id").as("__fr"), col("id").as("__to"), lit(0.0).as("dist"))
+      /** same-convention distance as the probe kernels, computed on the
+        * stored metric-prepared vectors (cosine vectors are normalized
+        * at insert, so the dot IS the cosine; l2/ip store raw). */
+      def linkDist(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) = {
+        import graft.functions.{VectorFunctions => VF}
+        v.distance.toLowerCase match {
+          case "cosine" => VF.cosineDistance(a, b)
+          case "ip" | "innerproduct" => VF.ipDist(a, b)
+          case _ => VF.l2Dist(a, b)
+        }
+      }
+      val linkRows = rows.filter(col("nbrs").isNotNull)
+        .select((-col("edge_level")).cast("long").as("layer"),
+          col("id").as("__fr"), explode(col("nbrs")).as("__to"))
+        .join(nodes.select(col("id").as("__fr"), col("vec").as("__fv")), Seq("__fr"))
+        .join(nodes.select(col("id").as("__to"), col("vec").as("__tv")), Seq("__to"))
+        .select(col("layer"), col("__fr"), col("__to"),
+          linkDist(col("__fv"), col("__tv")).cast("double").as("dist"))
+      // plain vector fields carry sub_idx -1 (hnsw.rs:698 — list
+      // elements would carry their position, but list fields are not
+      // walk-eligible so no graph rows exist for them)
+      selfRows.unionByName(linkRows)
+        .select(col("layer"),
+          decodeKey("__fr").as(s"fr_$key"),
+          decodeField("__fr").as("fr__field"), lit(-1L).as("fr__sub_idx"),
+          decodeKey("__to").as(s"to_$key"),
+          decodeField("__to").as("to__field"), lit(-1L).as("to__sub_idx"),
+          col("dist"), lit(null).cast("binary").as("hash"),
+          lit(false).as("ignore_link"))
     case v: VecIdx =>
-      // flat internals (key, vector) — the reference exposes its HNSW
-      // graph rows here (layer/fr_k/to_k); we deliberately do not ship
-      // a pointer graph, so the scannable surface is the admitted set
+      // non-walkable vector index (no m:, non-integral key, …): no
+      // graph exists, so the scannable surface is the flat admitted
+      // set (key, vectors) — a semantic subset of the reference's
       val admitted = v.filter.fold(relation(v.rel))(e =>
         relation(v.rel).filter(compiler(_ => None, Map.empty).compileExpr(e)))
       admitted.select(col(keyColOf(v.rel)) +: v.fields.map(col): _*)
@@ -1032,26 +1141,49 @@ class CozoDb(val spark: SparkSession) {
           .orderBy(col("__sim").desc, col(key).asc).limit(k)
         select(scored, bindVar("bind_similarity").map(_ -> col("__sim")))
       case v: VecIdx =>
-        // several indexed fields → a row matches through its closest one
-        def fieldDist(f: String, q: org.apache.spark.sql.Column) = {
-          val fvec = col(f).cast("array<float>")
+        // several indexed fields → a row matches through its closest
+        // one; a LIST-of-vectors field indexes each ELEMENT under its
+        // sub-index (hnsw.rs:694-705 extracted_vectors; plain fields
+        // carry sub_idx −1)
+        def elemDist(x: Column, q: Column) =
           v.distance.toLowerCase match {
-            case "cosine" => VF.cosineDistance(fvec, q)
-            case "ip" | "innerproduct" => VF.ipDist(fvec, q)
-            case _ => VF.l2Dist(fvec, q)
+            case "cosine" => VF.cosineDistance(x, q)
+            case "ip" | "innerproduct" => VF.ipDist(x, q)
+            case _ => VF.l2Dist(x, q)
           }
+        /** Per-row best match across fields and list elements:
+          * struct(d, fi = position among the index's fields, s =
+          * sub-index, name, v). Ties break by field declaration order
+          * then sub-index (the reference's extraction order). NULL when
+          * the row holds no vector at all — such rows are not indexed
+          * (hnsw.rs:707-709) and drop out of exact scans too. */
+        def bestTo(q: Column): Column = {
+          val parts = v.fields.zipWithIndex.map { case (f, fi) =>
+            if (!isListVecField(v.rel, f)) {
+              val x = col(f).cast("array<float>")
+              when(x.isNotNull, struct(elemDist(x, q).as("d"), lit(fi).as("fi"),
+                lit(-1L).as("s"), lit(f).as("name"), x.as("v")))
+            } else {
+              val elems = transform(col(f).cast("array<array<float>>"),
+                (x, i) => struct(elemDist(x, q).as("d"), lit(fi).as("fi"),
+                  i.cast("long").as("s"), lit(f).as("name"), x.as("v")))
+              try_element_at(array_sort(elems), lit(1)) // null for empty/null lists
+            }
+          }
+          if (parts.length == 1) parts.head else least(parts: _*)
         }
-        def distTo(q: org.apache.spark.sql.Column) = {
-          val ds = v.fields.map(fieldDist(_, q))
-          if (ds.length == 1) ds.head else least(ds: _*)
-        }
-        /** the MATCHED field's vector (hnsw.rs bind_vector): min-by-dist
-          * via lexicographic struct least */
-        def matchedVec(q: org.apache.spark.sql.Column) =
-          if (v.fields.length == 1) col(v.fields.head).cast("array<float>")
-          else least(v.fields.map(f =>
-            struct(fieldDist(f, q).as("d"), col(f).cast("array<float>").as("v"))): _*)
-            .getField("v")
+        def distTo(q: Column) = bestTo(q).getField("d")
+        /** hnsw.rs:958-996 output order: the matched field's name
+          * (bind_field), its sub-index or null for a plain field
+          * (bind_field_idx), the distance (bind_distance), the matched
+          * VECTOR (bind_vector — for a list field, the element). */
+        def extraBinds(best: Column, dist: Column): Seq[Column] =
+          bindVar("bind_field").map(b => best.getField("name").as(b)).toSeq ++
+            bindVar("bind_field_idx").map(b =>
+              when(best.getField("s") < 0, lit(null).cast("long"))
+                .otherwise(best.getField("s")).as(b)) ++
+            bindVar("bind_distance").map(b => dist.as(b)) ++
+            bindVar("bind_vector").map(b => best.getField("v").as(b))
         val exprC = compiler(_ => None, params)
         // index-admission filter (::hnsw create ... filter:) then
         // per-probe filter: (parse/sys.rs:77-91; ra.rs hnsw opts)
@@ -1087,29 +1219,7 @@ class CozoDb(val spark: SparkSession) {
             .getOrElse(math.max(k * 4, 64)), k + 1)
         /** Persisted partition-local graphs over the admitted corpus,
           * built once per mutation epoch and cached. */
-        def graphDir(): String = hnswGraphCache.get(target) match {
-          case Some((ep, d)) if ep == mutationEpoch => d
-          case stale =>
-            // reclaim the superseded epoch's artifacts before
-            // rebuilding (long sessions with many mutations would
-            // otherwise accumulate dead graph dirs)
-            stale.foreach { case (_, old) =>
-              scala.util.Try(org.apache.commons.io.FileUtils
-                .deleteDirectory(new java.io.File(old)))
-            }
-            val corpus = hnswCorpus(v, admitted, key)
-            // the reference accepts ef_construction < m; HnswIndex
-            // needs a beam at least m wide
-            val mEff = math.max(v.m.get, 2)
-            val efcEff = math.max(v.efConstruction.getOrElse(mEff * 6), mEff)
-            val d = java.nio.file.Files
-              .createTempDirectory("graft_hnsw").toString
-            graft.similarity.Ann.hnswWriteIndex(d, corpus, mEff, efcEff,
-              metric = walkMetric.get)
-            hnswGraphCache(target) = (mutationEpoch, d)
-            indexFullBuilds += 1
-            d
-        }
+        def graphDir(): String = hnswGraphDir(target, v)
         opts.get("query") match {
           // left-stream-driven probe: one top-k per distinct bound
           // query vector (HnswSearchRA, ra.rs:1068-1122)
@@ -1139,19 +1249,18 @@ class CozoDb(val spark: SparkSession) {
                   walkDist(col("score")).as("__dist"))
               top.join(qids, Seq("__qid"))
                 .join(admitted, col("__hid") === admitted(key).cast("long"))
+                .withColumn("__best", bestTo(col("__qvec").cast("array<float>")))
                 .select((col("__qvec").as(n) +: (pairs.map { case (c, vr) => col(c).as(vr) } ++
-                  bindVar("bind_distance").map(b => col("__dist").as(b)) ++
-                  bindVar("bind_vector").map(b =>
-                    matchedVec(col("__qvec").cast("array<float>")).as(b)))): _*)
+                  extraBinds(col("__best"), col("__dist")))): _*)
             } else {
               val scored = probeOpts(queries.crossJoin(admitted)
-                .withColumn("__dist", distTo(col("__qvec").cast("array<float>"))))
+                .withColumn("__best", bestTo(col("__qvec").cast("array<float>")))
+                .filter(col("__best").isNotNull)
+                .withColumn("__dist", col("__best").getField("d")))
               val top = graft.operators.TopK.perGroup(scored, Seq("__qvec"),
                 Seq(col("__dist").asc, col(key).asc), k)
               top.select((col("__qvec").as(n) +: (pairs.map { case (c, vr) => col(c).as(vr) } ++
-                bindVar("bind_distance").map(b => col("__dist").as(b)) ++
-                bindVar("bind_vector").map(b =>
-                  matchedVec(col("__qvec").cast("array<float>")).as(b)))): _*)
+                extraBinds(col("__best"), col("__dist")))): _*)
             }
           case _ =>
             val qvec = optConst("query") match {
@@ -1178,16 +1287,18 @@ class CozoDb(val spark: SparkSession) {
                 .select(col("id").as("__hid"),
                   walkDist(col("score")).as("__dist"))
               top.join(admitted, top("__hid") === admitted(key).cast("long"))
+                .withColumn("__best", bestTo(qArr))
                 .select(pairs.map { case (c, vr) => col(c).as(vr) } ++
-                  bindVar("bind_distance").map(b => col("__dist").as(b)) ++
-                  bindVar("bind_vector").map(b => matchedVec(qArr).as(b)): _*)
+                  extraBinds(col("__best"), col("__dist")): _*)
             } else {
               val qArr = array(qvec.map(lit): _*).cast("array<float>")
-              val scored = probeOpts(admitted.withColumn("__dist", distTo(qArr)))
+              val scored = probeOpts(admitted
+                .withColumn("__best", bestTo(qArr))
+                .filter(col("__best").isNotNull)
+                .withColumn("__dist", col("__best").getField("d")))
                 .orderBy(col("__dist").asc, col(key).asc).limit(k)
               scored.select(pairs.map { case (c, vr) => col(c).as(vr) } ++
-                bindVar("bind_distance").map(b => col("__dist").as(b)) ++
-                bindVar("bind_vector").map(b => matchedVec(qArr).as(b)): _*)
+                extraBinds(col("__best"), col("__dist")): _*)
             }
         }
       case _: PlainIdx =>
@@ -1364,6 +1475,20 @@ class CozoDb(val spark: SparkSession) {
           case Some(ListE(items)) if items.nonEmpty => items.map(asStr)
           case Some(e) => Seq(asStr(e))
           case None => throw CompileException("::hnsw create — missing fields: [col]")
+        }
+        // the reference validates fields at create (relation.rs:
+        // 1036-1060): they must exist and hold a vector — or a LIST of
+        // vectors, indexed per element (hnsw.rs:699-705). Bare-created
+        // relations carry a placeholder schema until their first
+        // data-bearing put, so only data-backed schemas can validate.
+        if (relations.contains(rel) && !bareCreates.contains(rel)) fields.foreach { f =>
+          if (!relation(rel).columns.contains(f)) throw CompileException(
+            s"Cannot create HNSW index with non-existent field $f")
+          relation(rel).schema(f).dataType match {
+            case ArrayType(_, _) => ()
+            case _ => throw CompileException(
+              s"Cannot create HNSW index with non-vector field $f")
+          }
         }
         indexes(target) = VecIdx(rel, fields,
           opts.get("distance").map(asStr).getOrElse("L2"), opts.get("filter"),

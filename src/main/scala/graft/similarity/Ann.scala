@@ -521,6 +521,13 @@ object Ann {
     affected.length
   }
 
+  /** Schema of the persisted graph rows ([[hnswWriteIndex]] layout);
+    * readers must pass it explicitly — an empty corpus writes no data
+    * files, and inference would fail. */
+  val graphSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType.fromDDL(
+      "part INT, id BIGINT, vec ARRAY<FLOAT>, level INT, nbrs ARRAY<BIGINT>, edge_level INT")
+
   /** Probe a persisted [[hnswWriteIndex]] index: one pass over the
     * graph files grouped by partition, each group restored via
     * [[HnswIndex.load]] and walked for every broadcast query. */
@@ -542,7 +549,9 @@ object Ann {
     val qs = queries.select(col("query_id").cast("long"), col("vec"))
       .as[(Long, Array[Float])].collect()
     val qB = spark.sparkContext.broadcast(qs)
-    val rows = spark.read.parquet(s"$dir/graph")
+    // explicit schema: an EMPTY corpus writes no data files, which
+    // would otherwise fail parquet schema inference
+    val rows = spark.read.schema(graphSchema).parquet(s"$dir/graph")
       .select(col("part").cast("int"), col("id").cast("long"), col("vec"),
         col("level").cast("int"), col("nbrs"), col("edge_level").cast("int"))
       .as[(Int, Long, Array[Float], Int, Array[Long], Int)]

@@ -245,6 +245,108 @@ class IndexesSpec extends AnyFunSuite {
     assert(hits("gr").exists(_._1 == 999L)) // the new row's v1 IS the probe
   }
 
+  test("list-of-vectors fields index per element; bind_field/bind_field_idx/bind_vector (hnsw.rs:694-705, 958-996)") {
+    import spark.implicits._
+    val db = new CozoDb(spark)
+    val rows = Seq(
+      (1L, Array(1f, 0f), Seq(Array(0f, 1f), Array(0.6f, 0.8f))),
+      (2L, Array(0f, -1f), Seq.empty[Array[Float]]),
+      (3L, null.asInstanceOf[Array[Float]], Seq(Array(-1f, 0f))),
+      (4L, null.asInstanceOf[Array[Float]], Seq.empty[Array[Float]])) // no vectors: not indexed
+    db.registerTable("lv", rows.toDF("k", "pv", "lv"), Seq("k"))
+    db.run("::hnsw create lv:ix { fields: [pv, lv], distance: Cosine, dim: 2 }")
+    val res = db.run("?[k, f, fi, d, mv] := ~lv:ix{k | query: vec([0.0, 1.0]), k: 10, " +
+      "bind_field: f, bind_field_idx: fi, bind_distance: d, bind_vector: mv}")
+      .collect().sortBy(_.getLong(0))
+    assert(res.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L)) // row 4 is vectorless
+    val r1 = res(0) // best match: lv element 0 = [0,1], dist 0
+    assert(r1.getString(1) == "lv" && r1.getLong(2) == 0L && r1.getDouble(3) < 1e-6)
+    assert(r1.getSeq[Float](4) == Seq(0f, 1f))
+    val r2 = res(1) // empty list: matches through the plain field, idx NULL
+    assert(r2.getString(1) == "pv" && r2.isNullAt(2) && math.abs(r2.getDouble(3) - 2.0) < 1e-6)
+    assert(r2.getSeq[Float](4) == Seq(0f, -1f))
+    val r3 = res(2) // null plain vector: matches through the list, dist 1
+    assert(r3.getString(1) == "lv" && r3.getLong(2) == 0L && math.abs(r3.getDouble(3) - 1.0) < 1e-6)
+    // radius composes: only the exact hit survives
+    val tight = db.run("?[k] := ~lv:ix{k | query: vec([0.0, 1.0]), k: 10, radius: 0.5}").collect()
+    assert(tight.map(_.getLong(0)).toSeq == Seq(1L))
+    // m: on a list-field index is accepted but walks nothing — the
+    // exact scan serves it with identical rows
+    db.run("::hnsw create lv:g { fields: [pv, lv], distance: Cosine, dim: 2, m: 8 }")
+    val viaG = db.run("?[k, f, fi, d] := ~lv:g{k | query: vec([0.0, 1.0]), k: 10, " +
+      "bind_field: f, bind_field_idx: fi, bind_distance: d}").collect().sortBy(_.getLong(0))
+    assert(viaG.map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      res.map(r => (r.getLong(0), r.getString(1))).toSeq)
+    // create-time validation mirrors the reference (relation.rs:1036-1060)
+    val e1 = intercept[Exception](db.run("::hnsw create lv:bad { fields: [nope], dim: 2 }"))
+    assert(e1.getMessage.contains("non-existent field"))
+    val e2 = intercept[Exception](db.run("::hnsw create lv:bad2 { fields: [k], dim: 2 }"))
+    assert(e2.getMessage.contains("non-vector field"))
+  }
+
+  test("composite-key ::hnsw with m: serves probes through the exact scan (graph node ids need a unique single key)") {
+    import spark.implicits._
+    val db = new CozoDb(spark)
+    // two rows SHARING the first key component: a first-key-only graph
+    // id would collide and collapse them
+    val df = Seq((1L, 10L, Array(1f, 0f)), (1L, 20L, Array(0f, 1f)),
+      (2L, 10L, Array(-1f, 0f))).toDF("a", "b", "v")
+    db.registerTable("ck", df, Seq("a", "b"))
+    db.run("::hnsw create ck:g { fields: [v], distance: Cosine, dim: 2, m: 8 }")
+    val res = db.run("?[a, b, d] := ~ck:g{a, b | query: vec([0.0, 1.0]), k: 3, bind_distance: d}")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(res == Set((1L, 10L), (1L, 20L), (2L, 10L))) // nothing collapsed
+  }
+
+  test("walk-eligible ::hnsw scans as the reference's proximity-graph relation (relation.rs:1063-1131)") {
+    import spark.implicits._
+    val db = new CozoDb(spark)
+    val m = 4
+    val data = (0 until 80).map { i =>
+      (i.toLong, Array(math.sin(i * 0.7), math.cos(i * 1.3),
+        math.sin(i * 0.29 + 1), math.cos(i * 0.11)).map(_.toFloat))
+    }
+    db.registerTable("pg", data.toDF("k", "v"), Seq("k"))
+    db.run(s"::hnsw create pg:g { fields: [v], distance: Cosine, dim: 4, m: $m, ef_construction: 32 }")
+    val g = db.run("?[layer, fr_k, ff, fs, to_k, tf, ts, dist, h, il] := " +
+      "*pg:g{layer, fr_k, fr__field: ff, fr__sub_idx: fs, to_k, to__field: tf, to__sub_idx: ts, dist, hash: h, ignore_link: il}")
+      .collect()
+    // every row carries __field = v's base-column position (1 in
+    // (k, v)), __sub_idx -1 (plain vector field), ignore_link false
+    assert(g.forall(r => r.getLong(2) == 1 && r.getLong(3) == -1
+      && r.getLong(5) == 1 && r.getLong(6) == -1 && !r.getBoolean(9)))
+    val selfRows = g.filter(r => r.getLong(1) == r.getLong(4))
+    val links = g.filter(r => r.getLong(1) != r.getLong(4))
+    // one self-loop per node per occupied layer, dist 0, all at layer <= 0
+    assert(selfRows.map(r => r.getLong(1)).distinct.length == 80)
+    assert(selfRows.forall(r => r.getDouble(7) == 0.0 && r.getLong(0) <= 0))
+    assert(selfRows.count(_.getLong(0) == 0L) == 80) // every node occupies the bottom
+    // degree caps: <= 2m at the bottom layer, <= m above (paper mMax0/mMax)
+    val deg0 = links.filter(_.getLong(0) == 0L).groupBy(_.getLong(1)).map(_._2.length)
+    assert(deg0.nonEmpty && deg0.max <= 2 * m)
+    val degUp = links.filter(_.getLong(0) < 0L).groupBy(r => (r.getLong(0), r.getLong(1))).map(_._2.length)
+    degUp.foreach(d => assert(d <= m))
+    // link dist IS the index metric between the endpoints' stored vectors
+    val vecs = data.toMap
+    def cosDist(a: Array[Float], b: Array[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x).sum)
+      1.0 - dot / (na * nb)
+    }
+    links.foreach { r =>
+      assert(math.abs(r.getDouble(7) - cosDist(vecs(r.getLong(1)), vecs(r.getLong(4)))) < 1e-5)
+    }
+    // links stay within the corpus (graphs are partition-local, so a
+    // singleton partition's node legitimately has no links)
+    assert(links.nonEmpty && links.forall(r =>
+      vecs.contains(r.getLong(1)) && vecs.contains(r.getLong(4))))
+    // composability: Datalog aggregation over the scan
+    val maxDeg = db.run("?[fr_k, count(to_k)] := *pg:g{layer: 0, fr_k, to_k}, fr_k != to_k")
+      .collect().map(_.getLong(1)).max
+    assert(maxDeg <= 2 * m)
+  }
+
   test("bound-variable probe STREAM routes through the graph walk and agrees with exact scan (VERDICT r6 #1)") {
     val db = new CozoDb(spark)
     val rows = (0 until 60).map { i =>

@@ -176,11 +176,15 @@ class RuntimePortsSpec extends AnyFunSuite {
     assert(rows(d, "?[k, v] := *a{k, v}").head(1)
       .asInstanceOf[scala.collection.Seq[Any]].length == 64)
     d.run("::hnsw create a:i { fields: [v], dim: 64, ef: 16, filter: k % 3 == 0, m: 32 }")
-    // only multiples of 3 are admitted to the index
-    assert(rows(d, "?[count(k)] := *a:i[k, v]") == Seq(Seq(0L))) // k=1 not admitted
+    // the index scans as its proximity graph (the reference's own
+    // scan here is ?[count(fr_k)] := *a:i{fr_k}, tests.rs:1054); one
+    // layer-0 self-loop per admitted row
+    def admitted(): Seq[Seq[Any]] =
+      rows(d, "?[count(fr_k)] := *a:i{layer: 0, fr_k, to_k}, fr_k == to_k")
+    assert(admitted() == Seq(Seq(0L))) // k=1 not admitted
     d.run("?[k] <- [[1]] :put a {k}") // upsert regenerates the default
     d.run("?[k] := k in int_range(300) :put a {k}")
-    assert(rows(d, "?[count(k)] := *a:i[k, v]") == Seq(Seq(100L))) // 0,3,...,297
+    assert(admitted() == Seq(Seq(100L))) // 0,3,...,297
     val res = rows(d,
       """?[dist, k] := ~a:i{k | query: v, bind_distance: dist, k: 10, ef: 50,
         |                     filter: k % 2 == 0, radius: 245}, *a{k: 96, v}""".stripMargin)

@@ -978,17 +978,36 @@ class CozoDb(val spark: SparkSession) {
     * exposes index internals as scannable relations). */
   private def indexInternals(target: String, spec: IndexSpec): DataFrame = spec match {
     case f: FtsIdx =>
+      // the reference's scannable FTS surface (relation.rs
+      // create_fts_index): keys (word, src_<key>), values
+      // (offset_from, offset_to, position, total_length). Character
+      // offsets are stored by the reference for result highlighting;
+      // our pipeline is offset-free column tokenization, so the two
+      // offset lists scan as NULL (documented divergence) — position
+      // lists and per-document token totals are exact. `tf` is an
+      // extra column beyond the reference (BM25's term frequency).
       val key = keyColOf(f.rel)
-      ftsIndex(target, f).postings
+      val ix = ftsIndex(target, f)
+      ix.postings.join(ix.lens, Seq("id"))
         .select(col("term").as("word"), col("id").as(s"src_$key"),
-          col("tf"), col("positions"))
+          lit(null).cast("array<bigint>").as("offset_from"),
+          lit(null).cast("array<bigint>").as("offset_to"),
+          col("positions").as("position"),
+          col("dl").cast("long").as("total_length"),
+          col("tf"))
     case l: LshIdx =>
+      // the reference's scannable LSH surface (relation.rs:761-776):
+      // (hash: Bytes, src_<key>) — one row per band bucket per source
+      // row. Our band keys are 8-byte xxhash64 values, surfaced as
+      // their big-endian bytes.
       import graft.functions.{TextFunctions => TF}
       val key = keyColOf(l.rel)
       val sh = TF.charNgrams(col(l.extractor), l.nGram)
       relation(l.rel).select(col(key).as(s"src_$key"),
         explode(TF.lshBandKeys(TF.minhashSignature(sh, l.bands * l.rowsPerBand),
-          l.bands, l.rowsPerBand)).as("band"))
+          l.bands, l.rowsPerBand)).as("__band"))
+        .select(unhex(lpad(hex(col("__band")), 16, "0")).as("hash"),
+          col(s"src_$key"))
     case v: VecIdx if hnswIndexEligible(v) =>
       // the reference's scannable HNSW surface (runtime/relation.rs:
       // 1063-1131): the proximity graph itself — layer (0 = bottom,

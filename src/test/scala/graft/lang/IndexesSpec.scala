@@ -28,10 +28,19 @@ class IndexesSpec extends AnyFunSuite {
         |  ['c', 'see you at the end of the world!'],
         |  ['d', 'the world is the world and makes the world go around']
         |] :put a {k}""".stripMargin)
-    // index internals are scannable
+    // index internals are scannable with the reference's schema
+    // (relation.rs create_fts_index): word, src_<key>, offset lists,
+    // position, total_length
     val words = rows(db, "?[word, src_k] := *a:fts{word, src_k}")
     assert(words.nonEmpty && words.forall(_.length == 2))
     assert(words.map(_.head).contains("world"))
+    val full = db.run("?[word, src_k, p, tl] := *a:fts{word, src_k, position: p, total_length: tl}")
+      .collect()
+    // doc d: 'world' at stemmed-token positions with tf 3; totals are
+    // the post-pipeline token counts (stopwords removed)
+    val d = full.filter(r => r.getString(0) == "world" && r.getString(1) == "d").head
+    assert(d.getSeq[Long](2).length == 3 && d.getLong(3) >= 3)
+    assert(full.forall(r => r.getSeq[Long](2).nonEmpty && r.getLong(3) > 0))
     // the probe returns top-k by BM25 with the score bound
     val res = db.run("?[k, v, s] := ~a:fts{k, v | query: 'world', k: 2, bind_score: s}")
       .collect()
@@ -55,6 +64,11 @@ class IndexesSpec extends AnyFunSuite {
       "?[k, s] := ~a:lsh5{k | query: 'completely different text', k: 1, bind_similarity: s}")
       .collect()
     assert(sim.isEmpty || sim.head.getDouble(1) < 0.5)
+    // internals scan as the reference's (hash: Bytes, src_<key>)
+    // surface — one row per band bucket (relation.rs:761-776)
+    val bands = db.run("?[h, src_k] := *a:lsh5{hash: h, src_k}").collect()
+    assert(bands.nonEmpty && bands.forall(r =>
+      r.get(0).asInstanceOf[Array[Byte]].length == 8 && r.getString(1) == "a"))
   }
 
   test("::hnsw create + probe binds distances in metric order (tests.rs:742)") {

@@ -830,6 +830,26 @@ class CozoDb(val spark: SparkSession) {
     * on epoch change is the same lazy trade the other index caches
     * document. */
   private val hnswGraphCache = mutable.HashMap.empty[String, (Long, String)]
+  /** RESTORED graphs ([[graft.similarity.Ann.hnswLoadIndex]]) per
+    * index, epoch-keyed like the artifact cache: the index-sized
+    * restore shuffle is paid once per epoch, after which every probe
+    * walks executor-cached graphs with zero further shuffle or I/O. */
+  private val hnswLoadedCache =
+    mutable.HashMap.empty[String, (Long, org.apache.spark.rdd.RDD[graft.similarity.HnswIndex])]
+
+  /** The cached restored graphs of a walk-eligible index at the
+    * CURRENT epoch (building artifact + restore caches as needed). */
+  private def hnswLoadedGraphs(target: String, v: VecIdx)
+      : org.apache.spark.rdd.RDD[graft.similarity.HnswIndex] =
+    hnswLoadedCache.get(target) match {
+      case Some((ep, rdd)) if ep == mutationEpoch => rdd
+      case stale =>
+        stale.foreach { case (_, old) => old.unpersist(blocking = false) }
+        val rdd = graft.similarity.Ann.hnswLoadIndex(spark, hnswGraphDir(target, v))
+        hnswLoadedCache(target) = (mutationEpoch, rdd)
+        indexGraphLoads += 1
+        rdd
+    }
 
   /** Distance names the partition-local graph walk supports
     * (hnsw.rs:66-108 metric set), mapped to HnswIndex metric ids. */
@@ -1236,9 +1256,6 @@ class CozoDb(val spark: SparkSession) {
         val efS = math.max(
           optConst("ef").collect { case n: Long => n.toInt }
             .getOrElse(math.max(k * 4, 64)), k + 1)
-        /** Persisted partition-local graphs over the admitted corpus,
-          * built once per mutation epoch and cached. */
-        def graphDir(): String = hnswGraphDir(target, v)
         opts.get("query") match {
           // left-stream-driven probe: one top-k per distinct bound
           // query vector (HnswSearchRA, ra.rs:1068-1122)
@@ -1260,7 +1277,8 @@ class CozoDb(val spark: SparkSession) {
                 .withColumn("__qid",
                   monotonically_increasing_id() + lit(Long.MinValue))
                 .ckpt()
-              val top = graft.similarity.Ann.hnswProbeIndex(graphDir(),
+              val top = graft.similarity.Ann.hnswProbeLoaded(
+                  hnswLoadedGraphs(target, v),
                   qids.select(col("__qid").as("query_id"),
                     col("__qvec").cast("array<float>").as("vec")),
                   k, efSearch = efS, fieldsPerId = v.fields.length)
@@ -1301,7 +1319,8 @@ class CozoDb(val spark: SparkSession) {
               val qDf = Seq((Long.MinValue, qvec.toArray))
                 .toDF("query_id", "vec")
               val qArr = array(qvec.map(lit): _*).cast("array<float>")
-              val top = graft.similarity.Ann.hnswProbeIndex(graphDir(), qDf, k,
+              val top = graft.similarity.Ann.hnswProbeLoaded(
+                hnswLoadedGraphs(target, v), qDf, k,
                 efSearch = efS, fieldsPerId = v.fields.length)
                 .select(col("id").as("__hid"),
                   walkDist(col("score")).as("__dist"))
@@ -2191,6 +2210,7 @@ class CozoDb(val spark: SparkSession) {
   private[lang] val ftsMaxDeltas = 32
   private[lang] var indexFullBuilds = 0 // observability for tests
   private[lang] var indexPatches = 0    // HNSW partition patches, for tests
+  private[lang] var indexGraphLoads = 0 // HNSW restore shuffles, for tests
   private def maintainFtsIndexes(rel: String, delta: DataFrame,
                                  epochOfThisMutation: Long): Unit = {
     val targets = indexes.collect { case (t, f: FtsIdx) if f.rel == rel => (t, f) }.toSeq
@@ -2274,11 +2294,15 @@ class CozoDb(val spark: SparkSession) {
   }
 
   /** Drop a cached persisted HNSW graph and reclaim its directory. */
-  private def dropHnswGraph(target: String): Unit =
+  private def dropHnswGraph(target: String): Unit = {
+    hnswLoadedCache.remove(target).foreach { case (_, rdd) =>
+      rdd.unpersist(blocking = false)
+    }
     hnswGraphCache.remove(target).foreach { case (_, dir) =>
       scala.util.Try(org.apache.commons.io.FileUtils
         .deleteDirectory(new java.io.File(dir)))
     }
+  }
 
   // ———————————————————————— helpers ————————————————————————
 

@@ -528,9 +528,71 @@ object Ann {
     org.apache.spark.sql.types.StructType.fromDDL(
       "part INT, id BIGINT, vec ARRAY<FLOAT>, level INT, nbrs ARRAY<BIGINT>, edge_level INT")
 
+  /** Restore the persisted graphs as a MEMORY_ONLY-cached RDD of
+    * ready-to-walk [[HnswIndex]] objects: the index-sized groupBy
+    * shuffle and the adjacency-map rebuild are paid ONCE, after which
+    * every probe against the returned handle walks the cached
+    * deserialized graphs with no further shuffle or parquet I/O —
+    * the shape a probe STREAM against a static epoch wants at scale.
+    * MEMORY_ONLY stores built objects (HnswIndex is deliberately not
+    * serializable); a lost partition recomputes from the parquet
+    * lineage. Callers own the lifetime: unpersist on epoch change. */
+  def hnswLoadIndex(spark: org.apache.spark.sql.SparkSession,
+                    dir: String): org.apache.spark.rdd.RDD[HnswIndex] = {
+    import spark.implicits._
+    val metaDf = spark.read.parquet(s"$dir/meta")
+    val meta = metaDf.head()
+    val (m, efC) = (meta.getInt(0), meta.getInt(1))
+    val metric =
+      if (metaDf.columns.contains("metric"))
+        meta.getString(metaDf.columns.indexOf("metric"))
+      else "cosine"
+    val rows = spark.read.schema(graphSchema).parquet(s"$dir/graph")
+      .select(col("part").cast("int"), col("id").cast("long"), col("vec"),
+        col("level").cast("int"), col("nbrs"), col("edge_level").cast("int"))
+      .as[(Int, Long, Array[Float], Int, Array[Long], Int)]
+    rows.rdd.groupBy(_._1).map { case (_, it) =>
+      val nodes = mutable.ArrayBuffer.empty[(Long, Array[Float], Int)]
+      val adj = mutable.ArrayBuffer.empty[(Long, Int, Array[Long])]
+      it.foreach {
+        case (_, id, v, lvl, null, _) => nodes += ((id, v, lvl))
+        case (_, id, _, _, ns, l) => adj += ((id, l, ns))
+      }
+      HnswIndex.load(nodes.toSeq, adj.toSeq, m, efC, metric)
+    }.persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+  }
+
+  /** Probe graphs restored by [[hnswLoadIndex]]: broadcast the query
+    * batch, walk every cached graph, merge the global top-k. Narrow
+    * over the cached RDD — zero shuffle on the corpus side. */
+  def hnswProbeLoaded(graphs: org.apache.spark.rdd.RDD[HnswIndex],
+                      queries: DataFrame, k: Int,
+                      efSearch: Int = 64, fieldsPerId: Int = 1): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val fetchWidth = fieldsPerId * k + 1
+    val qs = queries.select(col("query_id").cast("long"), col("vec"))
+      .as[(Long, Array[Float])].collect()
+    val qB = spark.sparkContext.broadcast(qs)
+    val perPart = graphs.flatMap { idx =>
+      qB.value.iterator.flatMap { case (qid, qv) =>
+        idx.search(qv, fetchWidth, efSearch).iterator
+          .map { case (gid, s) => (Math.floorDiv(gid, fieldsPerId.toLong), s) }
+          .filter { case (id, _) => id != qid }
+          .take(fetchWidth - 1)
+          .map { case (id, s) => (qid, id, s) }
+      }
+    }.toDF("query_id", "id", "score")
+    val perId = perPart.groupBy("query_id", "id").agg(max("score").as("score"))
+    TopK.perGroup(perId, Seq("query_id"),
+      Seq(col("score").desc, col("id").asc), k, rankCol = Some("rank"))
+  }
+
   /** Probe a persisted [[hnswWriteIndex]] index: one pass over the
     * graph files grouped by partition, each group restored via
-    * [[HnswIndex.load]] and walked for every broadcast query. */
+    * [[HnswIndex.load]] and walked for every broadcast query. One-shot
+    * (restore is not cached) — repeated probes against a static index
+    * should go through [[hnswLoadIndex]]/[[hnswProbeLoaded]]. */
   def hnswProbeIndex(dir: String, queries: DataFrame, k: Int,
                      efSearch: Int = 64, fieldsPerId: Int = 1): DataFrame = {
     val spark = queries.sparkSession

@@ -298,6 +298,55 @@ class IndexesSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("non-vector field"))
   }
 
+  test("negative keys round-trip the multi-field gid encoding (floorDiv/pmod decode)") {
+    import spark.implicits._
+    val db = new CozoDb(spark)
+    val data = (-25 until 25).map { i =>
+      val v = Array(math.sin(i * 0.8), math.cos(i * 0.5),
+        math.sin(i * 0.23), math.cos(i * 0.41)).map(_.toFloat)
+      (i.toLong, v, v.map(x => -x * 0.7f))
+    }
+    db.registerTable("nk", data.toDF("k", "v1", "v2"), Seq("k"))
+    db.run("::hnsw create nk:ex { fields: [v1, v2], distance: Cosine, dim: 4 }")
+    db.run("::hnsw create nk:gr { fields: [v1, v2], distance: Cosine, dim: 4, m: 8, ef_construction: 64 }")
+    def hits(idx: String): Seq[(Long, Double)] =
+      db.run(s"?[k, d] := ~nk:$idx{k | query: vec([0.4, -0.6, 0.2, 0.8]), k: 7, bind_distance: d}")
+        .collect().map(r => (r.getLong(0), BigDecimal(r.getDouble(1))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)).toSeq.sortBy(_._1)
+    val g = hits("gr")
+    assert(g == hits("ex"))
+    assert(g.exists(_._1 < 0), "negative keys must appear (and decode correctly)")
+    // the scannable graph surface decodes negative keys too
+    val keys = db.run("?[fk] := *nk:gr{layer: 0, fr_k: fk, to_k: tk}, fk == tk")
+      .collect().map(_.getLong(0)).toSet
+    assert(keys == data.map(_._1).toSet)
+  }
+
+  test("repeated graph probes reuse executor-cached restored graphs: one restore shuffle per epoch") {
+    import spark.implicits._
+    val db = new CozoDb(spark)
+    val data = (0 until 60).map { i =>
+      (i.toLong, Array(math.sin(i * 0.9), math.cos(i * 0.4),
+        math.sin(i * 0.17 + 2), math.cos(i * 0.31)).map(_.toFloat))
+    }
+    db.registerTable("cg", data.toDF("k", "v"), Seq("k"))
+    db.run("::hnsw create cg:ex { fields: [v], distance: Cosine, dim: 4 }")
+    db.run("::hnsw create cg:g { fields: [v], distance: Cosine, dim: 4, m: 8, ef_construction: 48 }")
+    val loads0 = db.indexGraphLoads
+    def probe(idx: String, q: String): Seq[(Long, Double)] =
+      db.run(s"?[k, d] := ~cg:$idx{k | query: vec([$q]), k: 5, bind_distance: d}")
+        .collect().map(r => (r.getLong(0), BigDecimal(r.getDouble(1))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)).toSeq.sortBy(_._1)
+    for (q <- Seq("1.0, 0.0, 0.0, 0.0", "0.0, 1.0, 0.0, 0.0", "0.3, -0.4, 0.5, 0.1"))
+      assert(probe("g", q) == probe("ex", q), s"query $q")
+    // three probes, ONE restore (the walk reuses the cached graphs)
+    assert(db.indexGraphLoads == loads0 + 1)
+    // a mutation patches the artifact and triggers exactly one reload
+    db.run("?[k, v] <- [[999, vec([1.0, 0.0, 0.0, 0.0])]] :put cg {k}")
+    assert(probe("g", "1.0, 0.0, 0.0, 0.0") == probe("ex", "1.0, 0.0, 0.0, 0.0"))
+    assert(db.indexGraphLoads == loads0 + 2)
+  }
+
   test("composite-key ::hnsw with m: serves probes through the exact scan (graph node ids need a unique single key)") {
     import spark.implicits._
     val db = new CozoDb(spark)

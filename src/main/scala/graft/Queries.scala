@@ -2116,6 +2116,46 @@ object Queries {
               |WHERE tf.doc_id IN (SELECT doc_id FROM matched)
               |GROUP BY 1""".stripMargin)),
 
+    // LEFT-STREAM-DRIVEN FTS probe (FtsSearchRA resolves query: per
+    // left tuple, ra.rs:628-700): four bound query strings through
+    // the script path — flat term/AND queries share ONE batched
+    // relational plan (Fts.searchMany). Full-match output (no top-k)
+    // so the DuckDB oracle recomputes every (query, doc, score)
+    // exactly: juxtaposed terms are an AND (all terms must match),
+    // score sums BM25 over the query's terms.
+    Spec("fts_stream", (s, d) => {
+      val db = new graft.lang.CozoDb(s)
+      db.registerTable("fdocs", T(s, d, "documents")
+        .select(col("doc_id").as("k"), col("text").as("v")), Seq("k"))
+      db.run("::fts create fdocs:fts {extractor: v, tokenizer: Simple, filters: [Lowercase]}")
+      import s.implicits._
+      db.registerTable("fq",
+        Seq("spark", "hash join", "merge sort", "shuffle partition").toDF("q"), Seq("q"))
+      db.run("?[q, k, sc] := *fq[q], ~fdocs:fts{k | query: q, k: 1000000, bind_score: sc}")
+        .toDF("q", "id", "score")
+        .select(col("q"), col("id"), round(col("score"), 4).as("score"))
+    },
+      Some(s"""WITH queries(q) AS (VALUES ('spark'), ('hash join'), ('merge sort'), ('shuffle partition')),
+              |qterms AS (SELECT DISTINCT q, unnest(string_split(q, ' ')) AS term FROM queries),
+              |nt AS (SELECT q, CAST(count(*) AS BIGINT) AS nt FROM qterms GROUP BY 1),
+              |toks AS (SELECT doc_id, unnest($toksSql) AS term FROM documents),
+              |dl AS (SELECT doc_id, CAST(len($toksSql) AS DOUBLE) AS dl FROM documents),
+              |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+              |avgdl AS (SELECT avg(dl) AS avgdl FROM dl),
+              |tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf FROM toks
+              |       WHERE term IN (SELECT term FROM qterms) GROUP BY 1, 2),
+              |df AS (SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df FROM toks
+              |       WHERE term IN (SELECT term FROM qterms) GROUP BY 1),
+              |scored AS (SELECT qt.q, tf.doc_id,
+              |    sum(ln(1.0 + (n.n - df.df + 0.5) / (df.df + 0.5)) *
+              |      (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / avgdl.avgdl))) AS score,
+              |    CAST(count(*) AS BIGINT) AS m
+              |  FROM qterms qt JOIN tf ON tf.term = qt.term
+              |    JOIN df ON df.term = qt.term JOIN dl ON dl.doc_id = tf.doc_id, n, avgdl
+              |  GROUP BY 1, 2)
+              |SELECT s.q, s.doc_id AS id, round(s.score, 4) AS score
+              |FROM scored s JOIN nt ON s.q = nt.q WHERE s.m = nt.nt""".stripMargin)),
+
     // ——————————— multimodal binary columns (training-data pipeline) ———————————
 
     // binary media wrapping + metadata + byte-level digest; the decode

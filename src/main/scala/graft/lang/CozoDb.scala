@@ -1157,28 +1157,74 @@ class CozoDb(val spark: SparkSession) {
     spec match {
       case f: FtsIdx =>
         val ix = ftsIndex(target, f)
-        val scored = graft.search.Fts.search(ix, graft.search.Fts.parseQuery(queryString))
-          .orderBy(col("score").desc, col("id").asc).limit(k)
-          .withColumnRenamed("id", key)
-        select(base.join(scored, Seq(key)), bindVar("bind_score").map(_ -> col("score")))
+        opts.get("query") match {
+          // left-stream-driven probe (FtsSearchRA resolves query: per
+          // left tuple, ra.rs:628-700): one BM25 top-k per DISTINCT
+          // bound query string — flat term queries share one
+          // relational plan (Fts.searchMany)
+          case Some(V(n)) if frame.exists(_.columns.contains(n)) =>
+            import spark.implicits._
+            val raw = frame.get.select(col(n).as("__q0")).distinct()
+            // the reference accepts a List query: parts joined by
+            // spaces (ra.rs FtsSearchRA query coercion)
+            val isArr = raw.schema.head.dataType.isInstanceOf[ArrayType]
+            val qdf = raw.withColumn("__q",
+              if (isArr) concat_ws(" ", col("__q0")) else col("__q0").cast("string"))
+            val qs = qdf.select("__q").as[String].collect().toSeq
+            val res = graft.search.Fts.searchMany(ix, qs, k)
+              .select(col("query").as("__q"), col("id").as(key), col("score"))
+            qdf.join(res, Seq("__q")).join(base, Seq(key))
+              .select((col("__q0").as(n) +: (pairs.map { case (c, vr) => col(c).as(vr) } ++
+                bindVar("bind_score").map(b => col("score").as(b)))): _*)
+          case _ =>
+            val hits = graft.search.Fts.parseQueryOpt(queryString) match {
+              case None => ix.lens.limit(0).select(col("id"), lit(0.0).as("score"))
+              case Some(ast) => graft.search.Fts.search(ix, ast)
+            }
+            val scored = hits.orderBy(col("score").desc, col("id").asc).limit(k)
+              .withColumnRenamed("id", key)
+            select(base.join(scored, Seq(key)), bindVar("bind_score").map(_ -> col("score")))
+        }
       case l: LshIdx =>
         val nPerm = l.bands * l.rowsPerBand
-        val qRow = spark.range(1).select(lit(queryString).as(l.extractor))
-        val qBands = qRow.select(explode(TF.lshBandKeys(
-          TF.minhashSignature(TF.charNgrams(col(l.extractor), l.nGram), nPerm),
-          l.bands, l.rowsPerBand)).as("band"))
-        val candidates = lshBandTable(target, l).join(broadcast(qBands), Seq("band"))
-          .select(key).distinct()
-        // exact-similarity verify on the candidate set only (linear)
-        val qShingles = queryString.toLowerCase.sliding(l.nGram).toSeq.distinct match {
-          case Seq() => Seq(queryString.toLowerCase)
-          case s => s
+        opts.get("query") match {
+          // left-stream-driven probe (LshSearchRA, same stream
+          // semantics): bands for EVERY distinct bound query computed
+          // column-side, candidates via one band equi-join, exact
+          // Jaccard verify per (query, candidate) — fully relational,
+          // no per-query plans at all
+          case Some(V(n)) if frame.exists(_.columns.contains(n)) =>
+            val qdf = frame.get.select(col(n).as("__q")).distinct()
+            val qBands = qdf.select(col("__q"), explode(TF.lshBandKeys(
+              TF.minhashSignature(TF.charNgrams(col("__q"), l.nGram), nPerm),
+              l.bands, l.rowsPerBand)).as("band"))
+            val candidates = lshBandTable(target, l).join(qBands, Seq("band"))
+              .select(col("__q"), col(key)).distinct()
+            val scored = base.join(candidates, Seq(key))
+              .withColumn("__sim", TF.jaccard(TF.charNgrams(col(l.extractor), l.nGram),
+                TF.charNgrams(col("__q"), l.nGram)))
+            val top = graft.operators.TopK.perGroup(scored, Seq("__q"),
+              Seq(col("__sim").desc, col(key).asc), k)
+            top.select((col("__q").as(n) +: (pairs.map { case (c, vr) => col(c).as(vr) } ++
+              bindVar("bind_similarity").map(b => col("__sim").as(b)))): _*)
+          case _ =>
+            val qRow = spark.range(1).select(lit(queryString).as(l.extractor))
+            val qBands = qRow.select(explode(TF.lshBandKeys(
+              TF.minhashSignature(TF.charNgrams(col(l.extractor), l.nGram), nPerm),
+              l.bands, l.rowsPerBand)).as("band"))
+            val candidates = lshBandTable(target, l).join(broadcast(qBands), Seq("band"))
+              .select(key).distinct()
+            // exact-similarity verify on the candidate set only (linear)
+            val qShingles = queryString.toLowerCase.sliding(l.nGram).toSeq.distinct match {
+              case Seq() => Seq(queryString.toLowerCase)
+              case s => s
+            }
+            val scored = base.join(candidates, Seq(key))
+              .withColumn("__sim", TF.jaccard(TF.charNgrams(col(l.extractor), l.nGram),
+                array(qShingles.map(lit): _*)))
+              .orderBy(col("__sim").desc, col(key).asc).limit(k)
+            select(scored, bindVar("bind_similarity").map(_ -> col("__sim")))
         }
-        val scored = base.join(candidates, Seq(key))
-          .withColumn("__sim", TF.jaccard(TF.charNgrams(col(l.extractor), l.nGram),
-            array(qShingles.map(lit): _*)))
-          .orderBy(col("__sim").desc, col(key).asc).limit(k)
-        select(scored, bindVar("bind_similarity").map(_ -> col("__sim")))
       case v: VecIdx =>
         // several indexed fields → a row matches through its closest
         // one; a LIST-of-vectors field indexes each ELEMENT under its

@@ -407,9 +407,81 @@ object Fts {
       .groupBy("id").agg(sum(col("score_t")).as("score"))
   }
 
+  /** Left-stream-driven batch search (the reference's FtsSearchRA
+    * resolves `query:` per left tuple, ra.rs:628-700): one BM25 top-k
+    * per distinct query string, in as few plans as possible.
+    * Operator-free queries — bare term bags and their And/Or flats
+    * after normalization, the overwhelmingly common probe shape —
+    * share ONE relational plan: a broadcast (query, term) relation
+    * joins the postings once, AND-match semantics ride a per-query
+    * conjunct count, and a single per-query top-k ranks everything.
+    * Queries needing NOT/NEAR/nested semantics evaluate per distinct
+    * value (the reference pays that per TUPLE; we pay it per distinct
+    * string). Queries that normalize away (all stopwords) return no
+    * rows, like the constant path. Returns (query, id, score). */
+  def searchMany(ix: Index, queries: Seq[String], k: Int,
+                 k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val spark = ix.postings.sparkSession
+    import spark.implicits._
+    /** flat = And/Or of bare terms: (terms, isAnd) */
+    def flat(q: Q): Option[(Seq[String], Boolean)] = q match {
+      case Term(t) => Some((Seq(t), true))
+      case And(qs) if qs.forall(_.isInstanceOf[Term]) =>
+        Some((qs.collect { case Term(t) => t }, true))
+      case Or(qs) if qs.forall(_.isInstanceOf[Term]) =>
+        Some((qs.collect { case Term(t) => t }, false))
+      case _ => None
+    }
+    val parsed = queries.distinct.filter(_.trim.nonEmpty)
+      .map(q => (q, normalizeQ(ix, parseQuery(q))))
+    val flats = parsed.collect { case (q, Some(ast)) => (q, flat(ast)) }
+      .collect { case (q, Some(f)) => (q, f) }
+    val others = parsed.collect { case (q, Some(ast)) if flat(ast).isEmpty => (q, ast) }
+    val batched: Seq[DataFrame] = if (flats.isEmpty) Seq.empty else {
+      val qterms = flats.flatMap { case (q, (ts, isAnd)) =>
+        val d = ts.distinct
+        d.map(t => (q, t, d.length, isAnd))
+      }.toDF("__q", "term", "__nt", "__and")
+      val termPost = ix.postings
+        .join(broadcast(qterms.select("term").distinct()), Seq("term"))
+      // df is a per-term property of the INDEX — identical to the
+      // single-query path's per-query computation
+      val termDf = termPost.groupBy("term").agg(count_distinct(col("id")).as("df"))
+      Seq(termPost
+        .join(broadcast(termDf), Seq("term"))
+        .join(broadcast(qterms), Seq("term"))
+        .join(ix.lens, Seq("id"))
+        .withColumn("idf", log(lit(1.0) + (lit(ix.n) - col("df") + 0.5) / (col("df") + 0.5)))
+        .withColumn("score_t",
+          col("idf") * (col("tf") * (k1 + 1)) /
+            (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / lit(ix.avgdl))))
+        .groupBy("__q", "id")
+        .agg(sum(col("score_t")).as("score"), count(lit(1)).as("__m"),
+          first(col("__nt")).as("__nt"), first(col("__and")).as("__and"))
+        .filter(!col("__and") || col("__m") === col("__nt"))
+        .select(col("__q").as("query"), col("id"), col("score")))
+    }
+    val looped = others.map { case (q, ast) =>
+      scoreNormalized(ix, ast, k1, b).select(lit(q).as("query"), col("id"), col("score"))
+    }
+    (batched ++ looped) match {
+      case Seq() =>
+        ix.lens.limit(0).select(lit("").as("query"), col("id"), lit(0.0).as("score"))
+      case dfs =>
+        graft.operators.TopK.perGroup(dfs.reduce(_ unionByName _), Seq("query"),
+          Seq(col("score").desc, col("id").asc), k)
+    }
+  }
+
   /** Mini query-string parser: terms, AND/OR/NOT (left-assoc, AND binds
     * tighter), parentheses, NEAR(t1 t2 ..., k). */
   def parseQuery(s: String): Q = new QP(s).parse()
+
+  /** [[parseQuery]], treating an empty/whitespace-only query as
+    * matching nothing — the reference's fts_doc grammar accepts zero
+    * terms and yields an empty conjunction (parse/fts.rs:19-31). */
+  def parseQueryOpt(s: String): Option[Q] =
+    if (s == null || s.trim.isEmpty) None else Some(parseQuery(s))
 
   private final class QP(s: String) {
     private var i = 0

@@ -298,6 +298,51 @@ class IndexesSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("non-vector field"))
   }
 
+  test("bound-variable FTS probe: one top-k BM25 per stream query, constant-probe-identical (FtsSearchRA, ra.rs:628)") {
+    val db = new CozoDb(spark)
+    db.run("?[k, v] <- [['a', 'hello world'], ['b', 'the world is round'], " +
+      "['c', 'round and round it goes'], ['d', 'hello hello hello']] :create docs {k}")
+    db.run("::fts create docs:fts {extractor: v, tokenizer: Simple, filters: [Lowercase]}")
+    // flat term/AND/OR queries (batched plan) + a NOT query (per-query path)
+    val queries = Seq("hello", "round", "hello world", "hello OR round", "hello NOT world")
+    db.registerTable("probes",
+      { import spark.implicits._; queries.toDF("q") }, Seq("q"))
+    val streamed = db.run("?[q, k, s] := *probes[q], ~docs:fts{k | query: q, k: 10, bind_score: s}")
+      .collect().map(r => (r.getString(0), r.getString(1),
+        BigDecimal(r.getDouble(2)).setScale(6, BigDecimal.RoundingMode.HALF_UP)))
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).toSet).toMap
+    for (q <- queries) {
+      val const = db.run(s"?[k, s] := ~docs:fts{k | query: '$q', k: 10, bind_score: s}")
+        .collect().map(r => (r.getString(0),
+          BigDecimal(r.getDouble(1)).setScale(6, BigDecimal.RoundingMode.HALF_UP))).toSet
+      assert(streamed.getOrElse(q, Set.empty) == const, s"query '$q'")
+    }
+    // a query that normalizes away yields no rows for that probe only
+    db.run("?[q] <- [['']] :put probes {q}")
+    val withEmpty = db.run("?[q, k] := *probes[q], ~docs:fts{k | query: q, k: 10}")
+      .collect().map(_.getString(0)).toSet
+    assert(withEmpty == queries.toSet) // '' matched nothing, others unchanged
+  }
+
+  test("bound-variable LSH probe: per-stream-query candidates + exact verify, constant-probe-identical") {
+    val db = new CozoDb(spark)
+    db.run("?[k, v] <- [['a', 'ewiygfspeoighjsfcfxzdfncalsdf'], " +
+      "['b', 'helloworldhelloworldhello'], ['c', 'zzzzyyyyxxxxwwwwvvvv']] :create t {k}")
+    db.run("::lsh create t:l {extractor: v, tokenizer: NGram, n_gram: 3, target_threshold: 0.3}")
+    val queries = Seq("ewiygfspeoighjsfcfxzdfncalsdf", "helloworldhelloworldhelxo", "qqqq")
+    db.registerTable("lp", { import spark.implicits._; queries.toDF("q") }, Seq("q"))
+    val streamed = db.run("?[q, k, s] := *lp[q], ~t:l{k | query: q, k: 5, bind_similarity: s}")
+      .collect().map(r => (r.getString(0), r.getString(1),
+        BigDecimal(r.getDouble(2)).setScale(6, BigDecimal.RoundingMode.HALF_UP)))
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).toSet).toMap
+    for (q <- queries) {
+      val const = db.run(s"?[k, s] := ~t:l{k | query: '$q', k: 5, bind_similarity: s}")
+        .collect().map(r => (r.getString(0),
+          BigDecimal(r.getDouble(1)).setScale(6, BigDecimal.RoundingMode.HALF_UP))).toSet
+      assert(streamed.getOrElse(q, Set.empty) == const, s"query '$q'")
+    }
+  }
+
   test("negative keys round-trip the multi-field gid encoding (floorDiv/pmod decode)") {
     import spark.implicits._
     val db = new CozoDb(spark)

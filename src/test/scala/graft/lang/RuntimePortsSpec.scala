@@ -120,7 +120,7 @@ class RuntimePortsSpec extends AnyFunSuite {
         |    ['e', 'the world is the world and makes the world not go around']
         |] :put a {k => v}""".stripMargin)
     assert(d.run("::columns a:lsh").count() >= 2)
-    assert(d.run("?[src_k, band] := *a:lsh{src_k, band}").count() > 0)
+    assert(d.run("?[src_k, h] := *a:lsh{src_k, hash: h}").count() > 0)
     val hits = rows(d, "?[k, v] := ~a:lsh{k, v | query: 'see him at the end of the world'}")
     assert(hits.map(_.head).contains("c"))
     assert(d.run("::indices a").collect().map(_.getString(0)).contains("a:lsh"))

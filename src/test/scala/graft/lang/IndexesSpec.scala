@@ -298,6 +298,44 @@ class IndexesSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("non-vector field"))
   }
 
+  test("randomized put/rm/probe interleave keeps graph ≡ exact across epochs (cache-invalidation stress)") {
+    import spark.implicits._
+    val db = new CozoDb(spark)
+    val rng = new scala.util.Random(7)
+    def v4(seed: Int): Array[Float] = Array(math.sin(seed * 0.7), math.cos(seed * 1.1),
+      math.sin(seed * 0.37 + 1), math.cos(seed * 0.19)).map(_.toFloat)
+    var live = (0 until 30).map(_.toLong).toSet
+    db.registerTable("mx", live.toSeq.sorted.map(i => (i, v4(i.toInt))).toDF("k", "v"), Seq("k"))
+    db.run("::hnsw create mx:ex { fields: [v], distance: Cosine, dim: 4 }")
+    db.run("::hnsw create mx:gr { fields: [v], distance: Cosine, dim: 4, m: 8, ef_construction: 48 }")
+    def probe(idx: String, s: Int): Seq[(Long, Double)] = {
+      val q = v4(s).map(x => f"$x%.4f").mkString(", ")
+      db.run(s"?[k, d] := ~mx:$idx{k | query: vec([$q]), k: 6, bind_distance: d}")
+        .collect().map(r => (r.getLong(0), BigDecimal(r.getDouble(1))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)).toSeq.sortBy(_._1)
+    }
+    assert(probe("gr", 1) == probe("ex", 1)) // first probe pays the ONE lazy build
+    val builds0 = db.indexFullBuilds
+    var next = 100L
+    for (step <- 0 until 15) {
+      rng.nextInt(3) match {
+        case 0 => // put a fresh row
+          val vs = v4(next.toInt).map(x => f"$x%.4f").mkString(", ")
+          db.run(s"?[k, v] <- [[$next, vec([$vs])]] :put mx {k}")
+          live += next; next += 1
+        case 1 if live.size > 5 => // rm a random live row
+          val victim = live.toSeq.sorted.apply(rng.nextInt(live.size))
+          db.run(s"?[k] <- [[$victim]] :rm mx {k}")
+          live -= victim
+        case _ => ()
+      }
+      val s = rng.nextInt(1000)
+      assert(probe("gr", s) == probe("ex", s), s"step $step")
+    }
+    // the whole interleave never forced a full graph rebuild
+    assert(db.indexFullBuilds == builds0, "mutations must patch, not rebuild")
+  }
+
   test("bound-variable FTS probe: one top-k BM25 per stream query, constant-probe-identical (FtsSearchRA, ra.rs:628)") {
     val db = new CozoDb(spark)
     db.run("?[k, v] <- [['a', 'hello world'], ['b', 'the world is round'], " +

@@ -1154,6 +1154,14 @@ class CozoDb(val spark: SparkSession) {
       case Some(s: String) => s
       case other => throw CompileException(s"$target probe needs a string query:, got $other")
     }
+    // per-probe `filter:` on FTS/LSH probes (FtsSearchRA/LshSearchRA
+    // compile a candidate filter over the bound columns,
+    // ra.rs fill_binding_indices_and_compile; applied per candidate
+    // BEFORE k results accumulate) — evaluated over the base columns
+    // after the join, before the top-k cut
+    def probeFilter(df: DataFrame): DataFrame =
+      opts.get("filter").fold(df)(e =>
+        df.filter(compiler(_ => None, params).compileExpr(e)))
     spec match {
       case f: FtsIdx =>
         val ix = ftsIndex(target, f)
@@ -1171,19 +1179,24 @@ class CozoDb(val spark: SparkSession) {
             val qdf = raw.withColumn("__q",
               if (isArr) concat_ws(" ", col("__q0")) else col("__q0").cast("string"))
             val qs = qdf.select("__q").as[String].collect().toSeq
-            val res = graft.search.Fts.searchMany(ix, qs, k)
+            // a filter cuts candidates BEFORE k results accumulate, so
+            // the per-query cut must happen after it
+            val kEff = if (opts.contains("filter")) Int.MaxValue else k
+            val res = graft.search.Fts.searchMany(ix, qs, kEff)
               .select(col("query").as("__q"), col("id").as(key), col("score"))
-            qdf.join(res, Seq("__q")).join(base, Seq(key))
-              .select((col("__q0").as(n) +: (pairs.map { case (c, vr) => col(c).as(vr) } ++
-                bindVar("bind_score").map(b => col("score").as(b)))): _*)
+            val top = graft.operators.TopK.perGroup(
+              probeFilter(qdf.join(res, Seq("__q")).join(base, Seq(key))),
+              Seq("__q"), Seq(col("score").desc, col(key).asc), k)
+            top.select((col("__q0").as(n) +: (pairs.map { case (c, vr) => col(c).as(vr) } ++
+              bindVar("bind_score").map(b => col("score").as(b)))): _*)
           case _ =>
             val hits = graft.search.Fts.parseQueryOpt(queryString) match {
               case None => ix.lens.limit(0).select(col("id"), lit(0.0).as("score"))
               case Some(ast) => graft.search.Fts.search(ix, ast)
             }
-            val scored = hits.orderBy(col("score").desc, col("id").asc).limit(k)
-              .withColumnRenamed("id", key)
-            select(base.join(scored, Seq(key)), bindVar("bind_score").map(_ -> col("score")))
+            val scored = probeFilter(base.join(hits.withColumnRenamed("id", key), Seq(key)))
+              .orderBy(col("score").desc, col(key).asc).limit(k)
+            select(scored, bindVar("bind_score").map(_ -> col("score")))
         }
       case l: LshIdx =>
         val nPerm = l.bands * l.rowsPerBand
@@ -1203,7 +1216,7 @@ class CozoDb(val spark: SparkSession) {
             val scored = base.join(candidates, Seq(key))
               .withColumn("__sim", TF.jaccard(TF.charNgrams(col(l.extractor), l.nGram),
                 TF.charNgrams(col("__q"), l.nGram)))
-            val top = graft.operators.TopK.perGroup(scored, Seq("__q"),
+            val top = graft.operators.TopK.perGroup(probeFilter(scored), Seq("__q"),
               Seq(col("__sim").desc, col(key).asc), k)
             top.select((col("__q").as(n) +: (pairs.map { case (c, vr) => col(c).as(vr) } ++
               bindVar("bind_similarity").map(b => col("__sim").as(b)))): _*)
@@ -1219,9 +1232,9 @@ class CozoDb(val spark: SparkSession) {
               case Seq() => Seq(queryString.toLowerCase)
               case s => s
             }
-            val scored = base.join(candidates, Seq(key))
+            val scored = probeFilter(base.join(candidates, Seq(key))
               .withColumn("__sim", TF.jaccard(TF.charNgrams(col(l.extractor), l.nGram),
-                array(qShingles.map(lit): _*)))
+                array(qShingles.map(lit): _*))))
               .orderBy(col("__sim").desc, col(key).asc).limit(k)
             select(scored, bindVar("bind_similarity").map(_ -> col("__sim")))
         }

@@ -298,6 +298,27 @@ class IndexesSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("non-vector field"))
   }
 
+  test("per-probe filter: on FTS and LSH probes cuts candidates before k accumulates (ra.rs filter_bytecode)") {
+    val db = new CozoDb(spark)
+    db.run("?[k, v, grp] <- [['a', 'world one', 1], ['b', 'world two', 2], " +
+      "['c', 'world three', 1], ['d', 'world four', 2]] :create fd {k => v, grp}")
+    db.run("::fts create fd:fts {extractor: v, tokenizer: Simple, filters: [Lowercase]}")
+    // constant probe: k=2 AFTER the filter — both grp=1 docs survive
+    val c = db.run("?[k] := ~fd:fts{k | query: 'world', k: 2, filter: grp == 1}")
+      .collect().map(_.getString(0)).toSet
+    assert(c == Set("a", "c"))
+    // stream probe: same cut per bound query
+    db.run("?[q] <- [['world'], ['two']] :create fq2 {q}")
+    val s = db.run("?[q, k] := *fq2[q], ~fd:fts{k | query: q, k: 10, filter: grp == 2}")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(s == Set(("world", "b"), ("world", "d"), ("two", "b")))
+    // LSH: filter composes with the similarity cut
+    db.run("::lsh create fd:l {extractor: v, tokenizer: NGram, n_gram: 3, target_threshold: 0.1}")
+    val l = db.run("?[k] := ~fd:l{k | query: 'world one', k: 4, filter: grp == 2}")
+      .collect().map(_.getString(0)).toSet
+    assert(l.subsetOf(Set("b", "d")) && l.nonEmpty)
+  }
+
   test("randomized put/rm/probe interleave keeps graph ≡ exact across epochs (cache-invalidation stress)") {
     import spark.implicits._
     val db = new CozoDb(spark)

@@ -2093,7 +2093,7 @@ object Queries {
     // positional NEAR: 'hash' and 'join' within 5 tokens
     Spec("fts_near", (s, d) => {
       val ix = Fts.Index.build(T(s, d, "documents"), "doc_id", "text")
-      Fts.search(ix, Fts.Near(Seq("hash", "join"), dist = 5))
+      Fts.search(ix, Fts.Near(Seq(Fts.Term("hash"), Fts.Term("join")), dist = 5))
         .select(col("id"), round(col("score"), 4).as("score"))
     },
       Some(s"""WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
@@ -2122,7 +2122,9 @@ object Queries {
     // relational plan (Fts.searchMany). Full-match output (no top-k)
     // so the DuckDB oracle recomputes every (query, doc, score)
     // exactly: juxtaposed terms are an AND (all terms must match),
-    // score sums BM25 over the query's terms.
+    // and the score is the reference's tf·idf sum over the query's
+    // terms (fts/indexing.rs:231-247 — the script path's default
+    // score_kind).
     Spec("fts_stream", (s, d) => {
       val db = new graft.lang.CozoDb(s)
       db.registerTable("fdocs", T(s, d, "documents")
@@ -2139,19 +2141,16 @@ object Queries {
               |qterms AS (SELECT DISTINCT q, unnest(string_split(q, ' ')) AS term FROM queries),
               |nt AS (SELECT q, CAST(count(*) AS BIGINT) AS nt FROM qterms GROUP BY 1),
               |toks AS (SELECT doc_id, unnest($toksSql) AS term FROM documents),
-              |dl AS (SELECT doc_id, CAST(len($toksSql) AS DOUBLE) AS dl FROM documents),
               |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
-              |avgdl AS (SELECT avg(dl) AS avgdl FROM dl),
               |tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf FROM toks
               |       WHERE term IN (SELECT term FROM qterms) GROUP BY 1, 2),
               |df AS (SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df FROM toks
               |       WHERE term IN (SELECT term FROM qterms) GROUP BY 1),
               |scored AS (SELECT qt.q, tf.doc_id,
-              |    sum(ln(1.0 + (n.n - df.df + 0.5) / (df.df + 0.5)) *
-              |      (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / avgdl.avgdl))) AS score,
+              |    sum(tf.tf * ln(1.0 + (n.n - df.df + 0.5) / (df.df + 0.5))) AS score,
               |    CAST(count(*) AS BIGINT) AS m
               |  FROM qterms qt JOIN tf ON tf.term = qt.term
-              |    JOIN df ON df.term = qt.term JOIN dl ON dl.doc_id = tf.doc_id, n, avgdl
+              |    JOIN df ON df.term = qt.term, n
               |  GROUP BY 1, 2)
               |SELECT s.q, s.doc_id AS id, round(s.score, 4) AS score
               |FROM scored s JOIN nt ON s.q = nt.q WHERE s.m = nt.nt""".stripMargin)),

@@ -1165,6 +1165,13 @@ class CozoDb(val spark: SparkSession) {
     spec match {
       case f: FtsIdx =>
         val ix = ftsIndex(target, f)
+        // `score_kind:` (program.rs:1283-1297): 'tf_idf' (default) and
+        // 'tf' are the reference's scorers (fts/indexing.rs:231-247 —
+        // its BM25 was never implemented, k1/b are commented out);
+        // 'bm25' reaches our beyond-reference BM25 engine
+        val scoreKind = optConst("score_kind").map(_.toString).getOrElse("tf_idf")
+        if (!Seq("tf_idf", "tf", "bm25").contains(scoreKind))
+          throw CompileException(s"unknown FTS score_kind: $scoreKind")
         opts.get("query") match {
           // left-stream-driven probe (FtsSearchRA resolves query: per
           // left tuple, ra.rs:628-700): one BM25 top-k per DISTINCT
@@ -1182,7 +1189,7 @@ class CozoDb(val spark: SparkSession) {
             // a filter cuts candidates BEFORE k results accumulate, so
             // the per-query cut must happen after it
             val kEff = if (opts.contains("filter")) Int.MaxValue else k
-            val res = graft.search.Fts.searchMany(ix, qs, kEff)
+            val res = graft.search.Fts.searchMany(ix, qs, kEff, scoreKind = scoreKind)
               .select(col("query").as("__q"), col("id").as(key), col("score"))
             val top = graft.operators.TopK.perGroup(
               probeFilter(qdf.join(res, Seq("__q")).join(base, Seq(key))),
@@ -1192,7 +1199,8 @@ class CozoDb(val spark: SparkSession) {
           case _ =>
             val hits = graft.search.Fts.parseQueryOpt(queryString) match {
               case None => ix.lens.limit(0).select(col("id"), lit(0.0).as("score"))
-              case Some(ast) => graft.search.Fts.search(ix, ast)
+              case Some(ast) if scoreKind == "bm25" => graft.search.Fts.search(ix, ast)
+              case Some(ast) => graft.search.Fts.searchRef(ix, ast, scoreKind)
             }
             val scored = probeFilter(base.join(hits.withColumnRenamed("id", key), Seq(key)))
               .orderBy(col("score").desc, col(key).asc).limit(k)

@@ -24,31 +24,38 @@ object Fts {
   // ———————————————————————— query AST (fts/ast.rs) ————————————————————————
 
   sealed trait Q
-  final case class Term(t: String) extends Q
+  /** A literal: one term after tokenization, with the reference's
+    * per-literal attributes (fts/ast.rs FtsLiteral) — `prefix` =
+    * `word*` (matched by term RANGE, never tokenized), `boost` =
+    * `^2.5` (multiplies the literal's score in the reference scorer;
+    * the BM25 scorer ignores it). */
+  final case class Term(t: String, prefix: Boolean = false,
+                        boost: Double = 1.0) extends Q
   final case class And(qs: Seq[Q]) extends Q
   final case class Or(qs: Seq[Q]) extends Q
   final case class Not(pos: Q, neg: Q) extends Q
-  /** All terms occur within a token window of `dist`. */
-  final case class Near(ts: Seq[String], dist: Int = 10) extends Q
+  /** All literals occur within a token window of `dist` (chained
+    * pairwise in the reference scorer, anchor-style in BM25). */
+  final case class Near(ts: Seq[Term], dist: Int = 10) extends Q
 
   /** Positive terms of a query: those whose presence should score
     * (everything not strictly under the negated side of a NOT). */
   def positiveTerms(q: Q): Seq[String] = q match {
-    case Term(t) => Seq(t)
+    case Term(t, _, _) => Seq(t)
     case And(qs) => qs.flatMap(positiveTerms)
     case Or(qs) => qs.flatMap(positiveTerms)
     case Not(pos, _) => positiveTerms(pos)
-    case Near(ts, _) => ts
+    case Near(ts, _) => ts.map(_.t)
   }
 
   /** Every term the evaluation touches, negated sides included (a
     * NOT's exclusion set still reads its postings). */
   def allTerms(q: Q): Seq[String] = q match {
-    case Term(t) => Seq(t)
+    case Term(t, _, _) => Seq(t)
     case And(qs) => qs.flatMap(allTerms)
     case Or(qs) => qs.flatMap(allTerms)
     case Not(pos, neg) => allTerms(pos) ++ allTerms(neg)
-    case Near(ts, _) => ts
+    case Near(ts, _) => ts.map(_.t)
   }
 
   // ———————————————————— tokenizer pipeline (fts/mod.rs:77-238) ————————————————————
@@ -247,7 +254,12 @@ object Fts {
           else t.sliding(n).toSeq
         }
       case "Cangjie" => Cangjie.cut(t, p.cangjieKind, p.cangjieHmm)
-      case _ => Seq(t)
+      case "Raw" => Seq(t)
+      case "Whitespace" => t.split("\\s+").toSeq.filter(_.nonEmpty)
+      // Simple — splits like the index side (tokenizeWith); a
+      // multi-word phrase GROUP reaches here whole since the parser
+      // keeps the reference's fts_phrase_group as one literal
+      case _ => t.split("[^\\p{L}\\p{N}]+").toSeq.filter(_.nonEmpty)
     }
     val alnum =
       if (p.alphaNumOnly) toks.filter(_.matches("^[\\p{L}\\p{N}]+$")) else toks
@@ -342,10 +354,14 @@ object Fts {
   private def normalizeQ(ix: Index, q: Q): Option[Q] = normalizeQ(ix.pipe, q)
 
   private def normalizeQ(pipe: Pipeline, q: Q): Option[Q] = q match {
-    case Term(t) => tokenizeTermStr(t, pipe) match {
+    // prefix literals are NEVER tokenized — the reference range-scans
+    // the raw value (fts/ast.rs FtsLiteral::tokenize is_prefix branch)
+    case t @ Term(_, true, _) => Some(t)
+    case Term(t, _, b) => tokenizeTermStr(t, pipe) match {
       case Seq() => None
-      case Seq(one) => Some(Term(one))
-      case many => Some(And(many.map(Term)))
+      case Seq(one) => Some(Term(one, boost = b))
+      // each token of a multi-token literal keeps the literal's boost
+      case many => Some(And(many.map(Term(_, boost = b))))
     }
     case And(qs) =>
       val ns = qs.flatMap(normalizeQ(pipe, _)); if (ns.isEmpty) None else Some(And(ns))
@@ -354,22 +370,32 @@ object Fts {
     case Not(pos, neg) =>
       normalizeQ(pipe, pos).map(p => normalizeQ(pipe, neg).fold(p)(Not(p, _)))
     case Near(ts, d) =>
-      val ns = ts.flatMap(tokenizeTermStr(_, pipe))
+      val ns = ts.flatMap { l =>
+        if (l.prefix) Seq(l)
+        else tokenizeTermStr(l.t, pipe).map(Term(_, boost = l.boost))
+      }
       if (ns.isEmpty) None
-      else if (ns.length == 1) Some(Term(ns.head))
+      else if (ns.length == 1) Some(ns.head)
       else Some(Near(ns, d))
   }
 
+  /** Postings rows of one literal: term equality, or a term-prefix
+    * range for `word*` literals (fts/indexing.rs:62-84 range scan). */
+  private def literalPostings(ix: Index, l: Term): DataFrame =
+    if (l.prefix) ix.postings.filter(col("term").startsWith(l.t))
+    else ix.postings.filter(col("term") === l.t)
+
   /** Doc ids matching the query node (terms already normalized). */
   private def matchSet(ix: Index, q: Q): DataFrame = q match {
-    case Term(t) => ix.postings.filter(col("term") === t).select("id")
+    case t: Term => literalPostings(ix, t).select("id").distinct()
     case And(qs) => qs.map(matchSet(ix, _)).reduce((a, b) => a.join(b, Seq("id"), "left_semi"))
     case Or(qs) => qs.map(matchSet(ix, _)).reduce(_ union _).distinct()
     case Not(pos, neg) => matchSet(ix, pos).join(matchSet(ix, neg), Seq("id"), "left_anti")
     case Near(ts, dist) =>
       val sets = ts.zipWithIndex.map { case (t, i) =>
-        ix.postings.filter(col("term") === t)
-          .select(col("id"), col("positions").as(s"__p$i"))
+        literalPostings(ix, t)
+          .groupBy("id")
+          .agg(array_sort(flatten(collect_list(col("positions")))).as(s"__p$i"))
       }
       val joined = sets.reduce((a, b) => a.join(b, Seq("id")))
       // anchor on term 0's occurrences: every other term has an
@@ -381,13 +407,92 @@ object Fts {
   }
 
   /** BM25 scores of docs matching the boolean query; score sums over
-    * the query's positive terms. Returns (id, score). */
+    * the query's positive terms. This is OUR beyond-reference scorer
+    * (the reference parses k1/b but never implemented BM25 —
+    * program.rs:1000-1001 commented out); the script path defaults to
+    * the reference-exact [[searchRef]] and reaches this via
+    * `score_kind: 'bm25'`. Returns (id, score). */
   def search(ix: Index, q0: Q, k1: Double = 1.2, b: Double = 0.75): DataFrame =
     normalizeQ(ix.pipe, q0) match {
       // the query was entirely stopwords: nothing to score
       case None => ix.lens.limit(0).select(col("id"), lit(0.0).as("score"))
       case Some(q) => scoreNormalized(ix, q, k1, b)
     }
+
+  /** The reference's ACTUAL scorer (fts/indexing.rs:110-247): a
+    * literal scores tf·idf·boost where idf = ln(1 + (N − df + 0.5) /
+    * (df + 0.5)) over the literal's FOUND-ENTRY count and N = corpus
+    * rows (`score_kind: 'tf'` drops the idf); And intersects and
+    * SUMS, Or unions and takes the MAX, Not removes, Near chains
+    * pairwise position windows with the literals' boosters SUMMED and
+    * a node-level df. Returns ALL matching (id, score) — the caller
+    * cuts k after its filter, exactly like fts_search
+    * (indexing.rs:271-276). */
+  def searchRef(ix: Index, q0: Q, scoreKind: String = "tf_idf"): DataFrame =
+    normalizeQ(ix.pipe, q0) match {
+      case None => ix.lens.limit(0).select(col("id"), lit(0.0).as("score"))
+      case Some(q) => searchRefNormalized(ix, q, scoreKind)
+    }
+
+  private def searchRefNormalized(ix: Index, q: Q, kind: String): DataFrame = {
+    require(Seq("tf_idf", "tf").contains(kind), s"unknown FTS score_kind: $kind")
+    def idfScore(tf: Column, df: Column, boost: Double): Column =
+      if (kind == "tf") tf * lit(boost)
+      else tf * log(lit(1.0) + (lit(ix.n) - df + 0.5) / (df + 0.5)) * lit(boost)
+    def eval(node: Q): DataFrame = node match {
+      case t: Term =>
+        val posts = literalPostings(ix, t)
+        // per-literal stats iterate entries in (term, doc) order and
+        // the LAST insert wins per doc (indexing.rs:119-130
+        // FxHashMap::insert) — for a prefix literal matching several
+        // of a doc's terms, that is the largest term; df counts
+        // ENTRIES, not docs (found_docs_len)
+        val perDoc = posts.groupBy("id")
+          .agg(max(struct(col("term"), col("tf"))).getField("tf").cast("double").as("__tf"))
+        val dfS = posts.agg(count(lit(1)).cast("double").as("__df"))
+        perDoc.crossJoin(broadcast(dfS))
+          .select(col("id"), idfScore(col("__tf"), col("__df"), t.boost).as("score"))
+      case And(qs) =>
+        qs.map(eval).reduce((a, b) =>
+          a.withColumnRenamed("score", "__sa")
+            .join(b.withColumnRenamed("score", "__sb"), Seq("id"))
+            .select(col("id"), (col("__sa") + col("__sb")).as("score")))
+      case Or(qs) =>
+        qs.map(eval).reduce(_ unionByName _)
+          .groupBy("id").agg(max(col("score")).as("score"))
+      case Not(pos, neg) =>
+        eval(pos).join(eval(neg).select("id"), Seq("id"), "left_anti")
+      case Near(ts, dist) =>
+        // chained pairwise windows (indexing.rs:163-219): a running
+        // position p survives when the next literal occurs at c > p
+        // within dist (keep p) or at c <= p within dist (keep c); tf
+        // = surviving positions, df = surviving DOCS, booster = sum
+        // of the literals' boosters. A prefix literal's per-doc entry
+        // is its FIRST (smallest) term — the chaining pairs each doc
+        // once and drops later entries (coll.remove).
+        val frames = ts.zipWithIndex.map { case (t, i) =>
+          literalPostings(ix, t)
+            .groupBy("id").agg(min(struct(col("term"), col("positions")))
+              .getField("positions").as(s"__p$i"))
+        }
+        val d = lit(dist)
+        var cur = frames.head.withColumnRenamed("__p0", "__run")
+        for (i <- 1 until ts.length) {
+          cur = cur.join(frames(i), Seq("id"))
+            .withColumn("__run", array_distinct(concat(
+              filter(col("__run"), p => exists(col(s"__p$i"), c => c > p && c - p <= d)),
+              filter(col(s"__p$i"), c => exists(col("__run"), p => c <= p && p - c <= d)))))
+            .filter(size(col("__run")) > 0)
+            .drop(s"__p$i")
+        }
+        val matched = cur.select(col("id"), size(col("__run")).cast("double").as("__tf"))
+        val dfS = matched.agg(count(lit(1)).cast("double").as("__df"))
+        matched.crossJoin(broadcast(dfS))
+          .select(col("id"),
+            idfScore(col("__tf"), col("__df"), ts.map(_.boost).sum).as("score"))
+    }
+    eval(q)
+  }
 
   /** BM25 scoring past normalization — `q`'s terms are already through
     * the index pipeline. */
@@ -420,16 +525,19 @@ object Fts {
     * string). Queries that normalize away (all stopwords) return no
     * rows, like the constant path. Returns (query, id, score). */
   def searchMany(ix: Index, queries: Seq[String], k: Int,
-                 k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+                 k1: Double = 1.2, b: Double = 0.75,
+                 scoreKind: String = "tf_idf"): DataFrame = {
+    require(Seq("tf_idf", "tf", "bm25").contains(scoreKind),
+      s"unknown FTS score_kind: $scoreKind")
     val spark = ix.postings.sparkSession
     import spark.implicits._
-    /** flat = And/Or of bare terms: (terms, isAnd) */
-    def flat(q: Q): Option[(Seq[String], Boolean)] = q match {
-      case Term(t) => Some((Seq(t), true))
-      case And(qs) if qs.forall(_.isInstanceOf[Term]) =>
-        Some((qs.collect { case Term(t) => t }, true))
-      case Or(qs) if qs.forall(_.isInstanceOf[Term]) =>
-        Some((qs.collect { case Term(t) => t }, false))
+    /** flat = And/Or of bare non-prefix terms: (terms, isAnd) */
+    def flat(q: Q): Option[(Seq[Term], Boolean)] = q match {
+      case t: Term if !t.prefix => Some((Seq(t), true))
+      case And(qs) if qs.forall { case t: Term => !t.prefix; case _ => false } =>
+        Some((qs.collect { case t: Term => t }, true))
+      case Or(qs) if qs.forall { case t: Term => !t.prefix; case _ => false } =>
+        Some((qs.collect { case t: Term => t }, false))
       case _ => None
     }
     val parsed = queries.distinct.filter(_.trim.nonEmpty)
@@ -439,30 +547,48 @@ object Fts {
     val others = parsed.collect { case (q, Some(ast)) if flat(ast).isEmpty => (q, ast) }
     val batched: Seq[DataFrame] = if (flats.isEmpty) Seq.empty else {
       val qterms = flats.flatMap { case (q, (ts, isAnd)) =>
-        val d = ts.distinct
-        d.map(t => (q, t, d.length, isAnd))
-      }.toDF("__q", "term", "__nt", "__and")
+        // bm25 keeps its legacy distinct-term sum; the reference
+        // kinds keep DUPLICATE literals (an And of the same literal
+        // twice sums it twice, indexing.rs:133-147) and their boosts
+        val d = if (scoreKind == "bm25") ts.map(t => (t.t, 1.0)).distinct
+                else ts.map(t => (t.t, t.boost))
+        d.map { case (t, bo) => (q, t, d.length, isAnd, bo) }
+      }.toDF("__q", "term", "__nt", "__and", "__boost")
       val termPost = ix.postings
         .join(broadcast(qterms.select("term").distinct()), Seq("term"))
       // df is a per-term property of the INDEX — identical to the
       // single-query path's per-query computation
       val termDf = termPost.groupBy("term").agg(count_distinct(col("id")).as("df"))
-      Seq(termPost
+      val scored0 = termPost
         .join(broadcast(termDf), Seq("term"))
         .join(broadcast(qterms), Seq("term"))
-        .join(ix.lens, Seq("id"))
-        .withColumn("idf", log(lit(1.0) + (lit(ix.n) - col("df") + 0.5) / (col("df") + 0.5)))
-        .withColumn("score_t",
-          col("idf") * (col("tf") * (k1 + 1)) /
-            (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / lit(ix.avgdl))))
+      val withScore = scoreKind match {
+        case "bm25" => scored0.join(ix.lens, Seq("id"))
+          .withColumn("idf", log(lit(1.0) + (lit(ix.n) - col("df") + 0.5) / (col("df") + 0.5)))
+          .withColumn("score_t",
+            col("idf") * (col("tf") * (k1 + 1)) /
+              (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / lit(ix.avgdl))))
+        case "tf" => scored0.withColumn("score_t", col("tf") * col("__boost"))
+        case _ => scored0
+          .withColumn("idf", log(lit(1.0) + (lit(ix.n) - col("df") + 0.5) / (col("df") + 0.5)))
+          .withColumn("score_t", col("tf") * col("idf") * col("__boost"))
+      }
+      val agged = withScore
         .groupBy("__q", "id")
-        .agg(sum(col("score_t")).as("score"), count(lit(1)).as("__m"),
+        .agg(sum(col("score_t")).as("__sum"), max(col("score_t")).as("__max"),
+          count(lit(1)).as("__m"),
           first(col("__nt")).as("__nt"), first(col("__and")).as("__and"))
         .filter(!col("__and") || col("__m") === col("__nt"))
-        .select(col("__q").as("query"), col("id"), col("score")))
+      // combine: And sums; the reference's Or takes the MAX
+      // (indexing.rs:149-162); bm25 keeps the legacy sum for both
+      val score = if (scoreKind == "bm25") col("__sum")
+        else when(col("__and"), col("__sum")).otherwise(col("__max"))
+      Seq(agged.select(col("__q").as("query"), col("id"), score.as("score")))
     }
     val looped = others.map { case (q, ast) =>
-      scoreNormalized(ix, ast, k1, b).select(lit(q).as("query"), col("id"), col("score"))
+      val scored = if (scoreKind == "bm25") scoreNormalized(ix, ast, k1, b)
+                   else searchRefNormalized(ix, ast, scoreKind)
+      scored.select(lit(q).as("query"), col("id"), col("score"))
     }
     (batched ++ looped) match {
       case Seq() =>
@@ -484,104 +610,178 @@ object Fts {
     if (s == null || s.trim.isEmpty) None else Some(parseQuery(s))
 
   private final class QP(s: String) {
+    // the reference's fts grammar (cozoscript.pest:260-273 + the
+    // PRATT precedence in parse/fts.rs:131-139): doc = expr+ (an And
+    // when several); expr = term (op term)* with NOT binding LOOSEST,
+    // then AND, then OR (spelled OR `,` `;`) binding TIGHTEST, all
+    // left-associative; term = phrase | NEAR[/k](phrase+) | (expr+);
+    // phrase = run-of-bare-words | quoted, then optional `*` prefix
+    // marker and `^boost`. Legacy NEAR(a b, 5) comma-distance stays
+    // accepted.
     private var i = 0
     private def ws(): Unit = { while (i < s.length && s.charAt(i).isWhitespace) i += 1 }
     private def peekWord(): String = {
       ws(); val j = i
       var k = j
-      while (k < s.length && !s.charAt(k).isWhitespace && !"()".contains(s.charAt(k)) && s.charAt(k) != ',') k += 1
+      while (k < s.length && !s.charAt(k).isWhitespace
+        && !"()^*,;/".contains(s.charAt(k))) k += 1
       s.substring(j, k)
     }
     private def word(): String = { val w = peekWord(); i += w.length; w }
-    /** A term: bare word or quoted phrase, with an optional `^boost`
-      * suffix (parsed and discarded — BM25 boosts are not modeled;
-      * parse/fts.rs accepts them on any term). */
-    private def termText(): String = {
+    private val keywords = Set("AND", "OR", "NOT", "NEAR")
+    private def atEnd: Boolean = { ws(); i >= s.length }
+    private def peekIs(c: Char): Boolean = { ws(); i < s.length && s.charAt(i) == c }
+
+    def parse(): Q = {
+      val es = exprSeq()
+      require(atEnd, s"trailing input at $i")
+      require(es.nonEmpty, s"empty term at $i")
+      if (es.length == 1) es.head else And(es)
+    }
+
+    /** expr+ — juxtaposed exprs And together (fts_doc / fts_grouped) */
+    private def exprSeq(): Seq[Q] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[Q]
+      while (!atEnd && !peekIs(')')) out += expr(0)
+      out.toSeq
+    }
+
+    /** precedence climbing over the reference's ladder:
+      * NOT(0) < AND(1) < OR(2), left-assoc */
+    private def prec(op: String): Int = op match {
+      case "NOT" => 0
+      case "AND" => 1
+      case _ => 2 // OR , ;
+    }
+    private def peekOp(): Option[String] = {
       ws()
-      if (i < s.length && (s.charAt(i) == '\'' || s.charAt(i) == '"')) {
-        val q = s.charAt(i); i += 1
-        val j = i
-        while (i < s.length && s.charAt(i) != q) i += 1
-        require(i < s.length, "unterminated quote")
-        val t = s.substring(j, i); i += 1
-        skipBoost(); t
-      } else {
-        val w = word()
-        val c = w.indexOf('^')
-        if (c >= 0) w.substring(0, c) else w
+      if (i < s.length && (s.charAt(i) == ',' || s.charAt(i) == ';')) Some("OR-sym")
+      else {
+        val w = peekWord()
+        if (w.equalsIgnoreCase("AND")) Some("AND")
+        else if (w.equalsIgnoreCase("OR")) Some("OR")
+        else if (w.equalsIgnoreCase("NOT")) Some("NOT")
+        else None
       }
     }
-    private def skipBoost(): Unit =
-      if (i < s.length && s.charAt(i) == '^') {
-        i += 1
-        while (i < s.length && (s.charAt(i).isDigit || s.charAt(i) == '.')) i += 1
-      }
-    def parse(): Q = { val q = orExpr(); ws(); require(i >= s.length, s"trailing input at $i"); q }
-    private def orExpr(): Q = {
-      var l = notChain()
+    private def eatOp(op: String): Unit =
+      if (op == "OR-sym") { ws(); i += 1 } else { word(); () }
+    private def expr(minPrec: Int): Q = {
+      var lhs = termNode()
       var go = true
-      while (go) { ws()
-        if (peekWord().equalsIgnoreCase("OR")) { word(); l = Or(Seq(l, notChain())) } else go = false
-      }
-      l
-    }
-    /** grp (NOT grp)* — each NOT negates the following juxtaposed
-      * group, left-associating (parse/fts.rs:155 shape). */
-    private def notChain(): Q = {
-      var l = group()
-      var go = true
-      while (go) { ws()
-        if (peekWord().equalsIgnoreCase("NOT")) { word(); l = Not(l, group()) } else go = false
-      }
-      l
-    }
-    /** Juxtaposed atoms combine as AND; an explicit AND keyword is the
-      * same thing spelled out. */
-    private def group(): Q = {
-      var l = atom()
-      var go = true
-      while (go) { ws()
-        if (i >= s.length || s.charAt(i) == ')') go = false
-        else {
-          val w = peekWord()
-          if (w.equalsIgnoreCase("OR") || w.equalsIgnoreCase("NOT")) go = false
-          else if (w.equalsIgnoreCase("AND")) { word(); l = And(Seq(l, atom())) }
-          else l = And(Seq(l, atom()))
+      while (go) {
+        peekOp() match {
+          case Some(op0) =>
+            val op = if (op0 == "OR-sym") "OR" else op0
+            if (prec(op) < minPrec) go = false
+            else {
+              eatOp(op0)
+              val rhs = expr(prec(op) + 1)
+              lhs = op match {
+                case "AND" => And(Seq(lhs, rhs))
+                case "OR" => Or(Seq(lhs, rhs))
+                case _ => Not(lhs, rhs)
+              }
+            }
+          case None => go = false
         }
       }
-      l
+      lhs
     }
-    private def atom(): Q = {
+
+    private def termNode(): Q = {
       ws()
-      if (i < s.length && s.charAt(i) == '(') {
-        i += 1; val q = orExpr(); ws()
-        require(i < s.length && s.charAt(i) == ')', "expected )"); i += 1
-        q
+      if (peekIs('(')) {
+        i += 1
+        val es = exprSeq()
+        require(peekIs(')'), "expected )"); i += 1
+        require(es.nonEmpty, "empty group")
+        if (es.length == 1) es.head else And(es)
       } else if (peekWord().equalsIgnoreCase("NEAR")) {
         word()
-        ws(); require(i < s.length && s.charAt(i) == '(', "NEAR needs (...)"); i += 1
-        val ts = scala.collection.mutable.ArrayBuffer.empty[String]
+        // reference form NEAR/3(...); distance defaults to 10
         var dist = 10
+        ws()
+        if (i < s.length && s.charAt(i) == '/') {
+          i += 1
+          val d = word()
+          require(d.nonEmpty && d.forall(_.isDigit),
+            s"NEAR distance must be a non-negative integer, got '$d'")
+          dist = d.toInt
+        }
+        ws(); require(i < s.length && s.charAt(i) == '(', "NEAR needs (...)"); i += 1
+        val ts = scala.collection.mutable.ArrayBuffer.empty[Term]
         var done = false
         while (!done) {
           ws()
           require(i < s.length, "unterminated NEAR(...) — expected )")
           if (s.charAt(i) == ')') { i += 1; done = true }
-          else if (s.charAt(i) == ',') {
+          else if (s.charAt(i) == ',') { // legacy NEAR(a b, 5)
             i += 1; ws()
             val d = word()
             require(d.nonEmpty && d.forall(_.isDigit),
               s"NEAR distance must be a non-negative integer, got '$d'")
             dist = d.toInt
           }
-          else ts += termText()
+          else ts ++= nearPhrase()
         }
+        require(ts.nonEmpty, "empty NEAR(...)")
         Near(ts.toSeq, dist)
-      } else {
-        val w = termText()
-        require(w.nonEmpty, s"empty term at $i")
-        Term(w)
+      } else phrase()
+    }
+
+    /** One phrase inside NEAR: single bare word or quoted string (the
+      * reference's fts_phrase; each keeps its own boost/prefix). A
+      * bare-word GROUP would swallow the other NEAR operands, so NEAR
+      * operands are single words/quotes. */
+    private def nearPhrase(): Seq[Term] = {
+      val t = phraseOne(groupWords = false)
+      Seq(t)
+    }
+
+    /** A phrase term: maximal run of bare words as ONE literal (the
+      * reference's fts_phrase_group — normalization tokenizes it), or
+      * a quoted string; then `*` and `^boost`. */
+    private def phrase(): Q = phraseOne(groupWords = true)
+
+    private def phraseOne(groupWords: Boolean): Term = {
+      ws()
+      val text: String =
+        if (i < s.length && (s.charAt(i) == '\'' || s.charAt(i) == '"')) {
+          val q = s.charAt(i); i += 1
+          val j = i
+          while (i < s.length && s.charAt(i) != q) i += 1
+          require(i < s.length, "unterminated quote")
+          val t = s.substring(j, i); i += 1
+          t
+        } else {
+          val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+          var go = true
+          while (go) {
+            val w = peekWord()
+            if (w.isEmpty || keywords.contains(w.toUpperCase)) go = false
+            else {
+              parts += word()
+              // a prefix/boost marker binds the group and ends it
+              if (!groupWords || peekIs('*') || peekIs('^')) go = false
+              else { ws(); if (i >= s.length || "();,".contains(s.charAt(i))) go = false }
+            }
+          }
+          require(parts.nonEmpty, s"empty term at $i")
+          parts.mkString(" ")
+        }
+      var prefix = false
+      if (peekIs('*')) { i += 1; prefix = true }
+      var boost = 1.0
+      ws()
+      if (i < s.length && s.charAt(i) == '^') {
+        i += 1
+        val j = i
+        while (i < s.length && (s.charAt(i).isDigit || s.charAt(i) == '.')) i += 1
+        require(i > j, "boost needs a number")
+        boost = s.substring(j, i).toDouble
       }
+      Term(text, prefix, boost)
     }
   }
 
@@ -660,6 +860,6 @@ object Fts {
   def searchBm25(docs: DataFrame, idCol: String, textCol: String,
                  queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val ix = Index.build(docs, idCol, textCol)
-    search(ix, Or(queryTerms.map(Term)), k1, b)
+    search(ix, Or(queryTerms.map(Term(_))), k1, b)
   }
 }

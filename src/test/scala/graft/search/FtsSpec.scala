@@ -21,10 +21,12 @@ class FtsSpec extends AnyFunSuite {
     Fts.search(ix, q).collect().map(_.getLong(0)).toSet
 
   test("parseQuery builds the expected AST") {
+    // reference precedence (parse/fts.rs PRATT): OR binds TIGHTER
+    // than AND, NOT loosest
     assert(Fts.parseQuery("a AND b OR c") ==
-      Fts.Or(Seq(Fts.And(Seq(Fts.Term("a"), Fts.Term("b"))), Fts.Term("c"))))
+      Fts.And(Seq(Fts.Term("a"), Fts.Or(Seq(Fts.Term("b"), Fts.Term("c"))))))
     assert(Fts.parseQuery("a NOT b") == Fts.Not(Fts.Term("a"), Fts.Term("b")))
-    assert(Fts.parseQuery("NEAR(x y, 3)") == Fts.Near(Seq("x", "y"), 3))
+    assert(Fts.parseQuery("NEAR(x y, 3)") == Fts.Near(Seq(Fts.Term("x"), Fts.Term("y")), 3))
   }
 
   test("malformed probes raise clean parse errors, not raw JVM exceptions") {
@@ -40,9 +42,9 @@ class FtsSpec extends AnyFunSuite {
   }
 
   test("near requires proximity") {
-    assert(ids(Fts.Near(Seq("hash", "join"), 1)) == Set(2L, 4L))
+    assert(ids(Fts.Near(Seq(Fts.Term("hash"), Fts.Term("join")), 1)) == Set(2L, 4L))
     // doc 2: 'hash'(3) 'join'(4); widen to catch doc 1? no 'join' there
-    assert(ids(Fts.Near(Seq("spark", "hash"), 2)) == Set(1L))
+    assert(ids(Fts.Near(Seq(Fts.Term("spark"), Fts.Term("hash")), 2)) == Set(1L))
   }
 
   test("bm25 prefers rarer terms and shorter docs") {
@@ -102,7 +104,7 @@ class FtsSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSet
     assert(and == Set(5L))
     // NEAR with an upper-cased, inflected term still matches by position
-    assert(Fts.search(ix2, Fts.Near(Seq("HASH", "joins"), 2))
+    assert(Fts.search(ix2, Fts.Near(Seq(Fts.Term("HASH"), Fts.Term("joins")), 2))
       .collect().map(_.getLong(0)).toSet.contains(2L))
   }
 

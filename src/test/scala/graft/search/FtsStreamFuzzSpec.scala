@@ -30,16 +30,23 @@ class FtsStreamFuzzSpec extends AnyFunSuite {
         if (rng.nextInt(10) == 0) "zzz_unknown" else pool(rng.nextInt(pool.length)))
       if (rng.nextBoolean()) ts.mkString(" ") else ts.mkString(" OR ")
     } :+ "zzz_unknown" :+ "spark spark"
-    val batch = Fts.searchMany(ix, queries, k = 10000)
-      .select(col("query"), col("id"), round(col("score"), 9).as("score"))
-      .collect()
-      .groupBy(_.getString(0))
-      .view.mapValues(_.map(r => (r.getLong(1), r.getDouble(2))).toSet).toMap
-    for (q <- queries.distinct) {
-      val loop = Fts.search(ix, Fts.parseQuery(q))
-        .select(col("id"), round(col("score"), 9).as("score"))
-        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
-      assert(batch.getOrElse(q, Set.empty) == loop, s"query '$q'")
+    // both scorers: the reference tf·idf (batch vs searchRef) and the
+    // beyond-reference BM25 (batch vs the legacy per-query path)
+    for (kind <- Seq("tf_idf", "bm25")) {
+      val batch = Fts.searchMany(ix, queries, k = 10000, scoreKind = kind)
+        .select(col("query"), col("id"), round(col("score"), 9).as("score"))
+        .collect()
+        .groupBy(_.getString(0))
+        .view.mapValues(_.map(r => (r.getLong(1), r.getDouble(2))).toSet).toMap
+      for (q <- queries.distinct) {
+        val ref =
+          if (kind == "bm25") Fts.search(ix, Fts.parseQuery(q))
+          else Fts.searchRef(ix, Fts.parseQuery(q))
+        val loop = ref
+          .select(col("id"), round(col("score"), 9).as("score"))
+          .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+        assert(batch.getOrElse(q, Set.empty) == loop, s"kind $kind query '$q'")
+      }
     }
   }
 }

@@ -104,7 +104,7 @@ class FtsTokenizerPortsSpec extends AnyFunSuite {
     assert(Fts.parseQuery(" hello world AND bye bye world").isInstanceOf[Fts.And])
     assert(Fts.parseQuery(" hello world NOT bye bye NOT 'ok, mates'").isInstanceOf[Fts.Not])
     Fts.parseQuery(""" NEAR(abc def "ghi"^22.8) """) match {
-      case Fts.Near(ts, dist) => assert(dist == 10 && ts.contains("abc"))
+      case Fts.Near(ts, dist) => assert(dist == 10 && ts.map(_.t).contains("abc"))
       case other => fail(s"expected Near, got $other")
     }
   }

@@ -1146,7 +1146,15 @@ class CozoDb(val spark: SparkSession) {
     val key = keyColOf(spec.rel)
     def optConst(k: String): Option[Any] = opts.get(k).map(evalConst(_, params))
     def bindVar(name: String): Option[String] = opts.get(name).collect { case V(n) => n }
-    val k = optConst("k").collect { case n: Long => n.toInt }.getOrElse(10)
+    // `k` is REQUIRED for FTS/HNSW probes (program.rs:1269-1281,
+    // 1432-1444 — both raise the same HNSW-flavored message) and
+    // OPTIONAL for LSH (program.rs:1135-1150: no k = no cut)
+    val kOpt: Option[Int] = optConst("k").map {
+      case n: Long if n > 0 => n.toInt
+      case _ => throw CompileException("Expected positive integer for `k`")
+    }
+    def k: Int = kOpt.getOrElse(
+      throw CompileException("Field `k` is required for HNSW search"))
     def select(df: DataFrame, extra: Option[(String, org.apache.spark.sql.Column)]): DataFrame =
       df.select(pairs.map { case (c, v) => col(c).as(v) } ++
         extra.map { case (v, c) => c.as(v) }: _*)
@@ -1215,36 +1223,60 @@ class CozoDb(val spark: SparkSession) {
           // Jaccard verify per (query, candidate) — fully relational,
           // no per-query plans at all
           case Some(V(n)) if frame.exists(_.columns.contains(n)) =>
+            // the bound value may be a STRING (tokenized to n-grams),
+            // a LIST (its elements ARE the shingles), or NULL (no
+            // results for that tuple) — minhash_lsh.rs:147-158
             val qdf = frame.get.select(col(n).as("__q")).distinct()
+              .filter(col("__q").isNotNull)
+            val isArr = qdf.schema.head.dataType.isInstanceOf[ArrayType]
+            def qSh = if (isArr) col("__q").cast("array<string>")
+                      else TF.charNgrams(col("__q"), l.nGram)
             val qBands = qdf.select(col("__q"), explode(TF.lshBandKeys(
-              TF.minhashSignature(TF.charNgrams(col("__q"), l.nGram), nPerm),
+              TF.minhashSignature(qSh, nPerm),
               l.bands, l.rowsPerBand)).as("band"))
             val candidates = lshBandTable(target, l).join(qBands, Seq("band"))
               .select(col("__q"), col(key)).distinct()
             val scored = base.join(candidates, Seq(key))
-              .withColumn("__sim", TF.jaccard(TF.charNgrams(col(l.extractor), l.nGram),
-                TF.charNgrams(col("__q"), l.nGram)))
+              .withColumn("__sim", TF.jaccard(TF.charNgrams(col(l.extractor), l.nGram), qSh))
             val top = graft.operators.TopK.perGroup(probeFilter(scored), Seq("__q"),
-              Seq(col("__sim").desc, col(key).asc), k)
+              Seq(col("__sim").desc, col(key).asc), kOpt.getOrElse(Int.MaxValue))
             top.select((col("__q").as(n) +: (pairs.map { case (c, vr) => col(c).as(vr) } ++
               bindVar("bind_similarity").map(b => col("__sim").as(b)))): _*)
           case _ =>
-            val qRow = spark.range(1).select(lit(queryString).as(l.extractor))
-            val qBands = qRow.select(explode(TF.lshBandKeys(
-              TF.minhashSignature(TF.charNgrams(col(l.extractor), l.nGram), nPerm),
-              l.bands, l.rowsPerBand)).as("band"))
-            val candidates = lshBandTable(target, l).join(broadcast(qBands), Seq("band"))
-              .select(key).distinct()
-            // exact-similarity verify on the candidate set only (linear)
-            val qShingles = queryString.toLowerCase.sliding(l.nGram).toSeq.distinct match {
-              case Seq() => Seq(queryString.toLowerCase)
-              case s => s
+            // string query → n-gram shingles (whole string when too
+            // short, like charNgrams); list query → the elements ARE
+            // the shingles; null → empty (minhash_lsh.rs:147-158)
+            val qShingles: Seq[String] = optConst("query") match {
+              case Some(s: String) =>
+                s.toLowerCase.sliding(l.nGram).toSeq.distinct match {
+                  case Seq() => Seq(s.toLowerCase)
+                  case sh => sh
+                }
+              case Some(items: Seq[_]) => items.map(String.valueOf)
+              case None | Some(null) => Seq.empty
+              case Some(other) => throw CompileException(
+                s"Cannot search for value $other in a LSH index")
             }
-            val scored = probeFilter(base.join(candidates, Seq(key))
-              .withColumn("__sim", TF.jaccard(TF.charNgrams(col(l.extractor), l.nGram),
-                array(qShingles.map(lit): _*))))
-              .orderBy(col("__sim").desc, col(key).asc).limit(k)
-            select(scored, bindVar("bind_similarity").map(_ -> col("__sim")))
+            if (qShingles.isEmpty)
+              select(base.limit(0).withColumn("__sim", lit(0.0)),
+                bindVar("bind_similarity").map(_ -> col("__sim")))
+            else {
+              val qArr = array(qShingles.map(lit): _*)
+              val qBands = spark.range(1).select(explode(TF.lshBandKeys(
+                TF.minhashSignature(qArr, nPerm),
+                l.bands, l.rowsPerBand)).as("band"))
+              val candidates = lshBandTable(target, l).join(broadcast(qBands), Seq("band"))
+                .select(key).distinct()
+              // exact-similarity verify on the candidate set only
+              // (linear) — our deterministic refinement of the
+              // reference's storage-order early-stop
+              val ordered = probeFilter(base.join(candidates, Seq(key))
+                .withColumn("__sim", TF.jaccard(TF.charNgrams(col(l.extractor), l.nGram), qArr)))
+                .orderBy(col("__sim").desc, col(key).asc)
+              // k is OPTIONAL for LSH probes: absent = no cut
+              val scored = kOpt.fold(ordered)(ordered.limit)
+              select(scored, bindVar("bind_similarity").map(_ -> col("__sim")))
+            }
         }
       case v: VecIdx =>
         // several indexed fields → a row matches through its closest

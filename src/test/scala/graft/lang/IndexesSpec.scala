@@ -69,6 +69,20 @@ class IndexesSpec extends AnyFunSuite {
     val bands = db.run("?[h, src_k] := *a:lsh5{hash: h, src_k}").collect()
     assert(bands.nonEmpty && bands.forall(r =>
       r.get(0).asInstanceOf[Array[Byte]].length == 8 && r.getString(1) == "a"))
+    // k is OPTIONAL for LSH probes (program.rs:1135-1150: no cut);
+    // a LIST query's elements ARE the shingles; null matches nothing
+    // (minhash_lsh.rs:147-158)
+    assert(db.run("?[k] := ~a:lsh1{k | query: 'ewiygfspeoighjsfcfxzdfncalsdf'}")
+      .collect().map(_.getString(0)).toSeq == Seq("a"))
+    val listQ = "['ewi', 'wiy', 'iyg', 'ygf', 'gfs', 'fsp', 'spe', 'peo', 'eoi', 'oig']"
+    assert(db.run(s"?[k] := ~a:lsh1{k | query: $listQ, k: 1}")
+      .collect().map(_.getString(0)).toSeq == Seq("a"))
+    assert(db.run("?[k] := ~a:lsh1{k | query: null, k: 1}").collect().isEmpty)
+    // FTS and HNSW probes REQUIRE k (program.rs:1269-1281)
+    db.run("?[k, v2] <- [['a', 'hello world']] :create ftsr {k => v2}")
+    db.run("::fts create ftsr:f {extractor: v2, tokenizer: Simple}")
+    val ek = intercept[Exception](db.run("?[k] := ~ftsr:f{k | query: 'hello'}"))
+    assert(ek.getMessage.contains("`k` is required"))
   }
 
   test("::hnsw create + probe binds distances in metric order (tests.rs:742)") {

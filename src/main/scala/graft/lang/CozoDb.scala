@@ -1144,6 +1144,20 @@ class CozoDb(val spark: SparkSession) {
       throw CompileException(s"no search index $target (::fts/::lsh/::hnsw create first)"))
     val base = relation(spec.rel)
     val key = keyColOf(spec.rel)
+    // the reference rejects leftover probe parameters (program.rs
+    // "Extra parameters for ..."/"Unexpected parameters for HNSW") —
+    // a typo'd bind_ or option must not be silently ignored.
+    // bind_similarity/bind_score are documented extensions.
+    val allowedOpts: Set[String] = spec match {
+      case _: FtsIdx => Set("query", "k", "filter", "score_kind", "bind_score")
+      case _: LshIdx => Set("query", "k", "filter", "bind_similarity")
+      case _: VecIdx => Set("query", "k", "ef", "radius", "filter",
+        "bind_field", "bind_field_idx", "bind_distance", "bind_vector")
+      case _ => Set.empty
+    }
+    val extraOpts = opts.keySet -- allowedOpts
+    if (extraOpts.nonEmpty) throw CompileException(
+      s"Unexpected parameters for $target: ${extraOpts.toSeq.sorted.mkString(", ")}")
     def optConst(k: String): Option[Any] = opts.get(k).map(evalConst(_, params))
     def bindVar(name: String): Option[String] = opts.get(name).collect { case V(n) => n }
     // `k` is REQUIRED for FTS/HNSW probes (program.rs:1269-1281,

@@ -83,6 +83,15 @@ class IndexesSpec extends AnyFunSuite {
     db.run("::fts create ftsr:f {extractor: v2, tokenizer: Simple}")
     val ek = intercept[Exception](db.run("?[k] := ~ftsr:f{k | query: 'hello'}"))
     assert(ek.getMessage.contains("`k` is required"))
+    // unknown probe parameters error like the reference instead of
+    // being silently ignored ("Extra parameters ...")
+    val ep = intercept[Exception](
+      db.run("?[k] := ~ftsr:f{k | query: 'hello', k: 1, bind_scor: s}"))
+    assert(ep.getMessage.contains("Unexpected parameters") &&
+      ep.getMessage.contains("bind_scor"))
+    val ep2 = intercept[Exception](
+      db.run("?[k] := ~a:lsh5{k | query: 'x', radius: 2.0}"))
+    assert(ep2.getMessage.contains("Unexpected parameters"))
   }
 
   test("::hnsw create + probe binds distances in metric order (tests.rs:742)") {

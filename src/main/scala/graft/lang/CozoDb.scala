@@ -789,10 +789,19 @@ class CozoDb(val spark: SparkSession) {
   // ———————————————— indexes (parse/sys.rs:391-655) ————————————————
 
   private sealed trait IndexSpec { def rel: String }
+  /** `extractFilter` = the reference's extract_filter option
+    * (parse/sys.rs:374-382): rows failing the condition extract
+    * nothing and are absent from the index (the reference wraps the
+    * extractor in `if(cond, extractor)`). */
   private case class FtsIdx(rel: String, extractor: String,
-                            pipe: graft.search.Fts.Pipeline) extends IndexSpec
-  private case class LshIdx(rel: String, extractor: String, nGram: Int,
-                            threshold: Double, bands: Int, rowsPerBand: Int) extends IndexSpec
+                            pipe: graft.search.Fts.Pipeline,
+                            extractFilter: Option[Expr] = None) extends IndexSpec
+  /** LSH shingles are TOKEN n-grams through `pipe` — the reference's
+    * unique_ngrams (tokenizer_impl.rs:105-123), not char n-grams. */
+  private case class LshIdx(rel: String, extractor: String,
+                            pipe: graft.search.Fts.Pipeline, nGram: Int,
+                            threshold: Double, bands: Int, rowsPerBand: Int,
+                            extractFilter: Option[Expr] = None) extends IndexSpec
   /** `fields` may list several vector columns (multi_index_vec,
     * hnsw_index in runtime/tests.rs): the reference indexes every
     * field's vector; a probe matches a row through its CLOSEST field. */
@@ -800,7 +809,9 @@ class CozoDb(val spark: SparkSession) {
                             filter: Option[Expr] = None,
                             dim: Option[Int] = None,
                             m: Option[Int] = None,
-                            efConstruction: Option[Int] = None) extends IndexSpec
+                            efConstruction: Option[Int] = None,
+                            extendCandidates: Boolean = false,
+                            keepPruned: Boolean = false) extends IndexSpec
   private case class PlainIdx(rel: String, cols: Seq[String]) extends IndexSpec
 
   private val indexes = mutable.LinkedHashMap.empty[String, IndexSpec]
@@ -925,7 +936,8 @@ class CozoDb(val spark: SparkSession) {
         val d = java.nio.file.Files
           .createTempDirectory("graft_hnsw").toString
         graft.similarity.Ann.hnswWriteIndex(d, corpus, mEff, efcEff,
-          metric = hnswWalkMetric(v.distance).get)
+          metric = hnswWalkMetric(v.distance).get,
+          extendCandidates = v.extendCandidates, keepPruned = v.keepPruned)
         hnswGraphCache(target) = (mutationEpoch, d)
         indexFullBuilds += 1
         d
@@ -958,29 +970,80 @@ class CozoDb(val spark: SparkSession) {
 
   /** `(1/b)^(1/r) ≈ threshold` — the banding curve's midpoint
     * (minhash_lsh.rs:260-289 find_optimal_params, discrete version). */
-  private def lshParamsFor(t: Double): (Int, Int) =
-    Seq((64, 1), (32, 2), (16, 4), (8, 8), (4, 16), (2, 32))
-      .minBy { case (b, r) => math.abs(math.pow(1.0 / b, 1.0 / r) - t) }
+  /** find_optimal_params (minhash_lsh.rs:259-289, itself adapted from
+    * the MIT-licensed rust-minhash): choose (bands, rows) with
+    * b·r ≤ nPerm minimizing the weighted false-positive +
+    * false-negative probability, each the integral of the banding
+    * S-curve 1 − (1 − s^r)^b below/above the threshold (Simpson's
+    * rule; the reference integrates to 1e-3). */
+  private def lshParamsFor(t: Double, nPerm: Int,
+                           wFp: Double, wFn: Double): (Int, Int) = {
+    def integrate(f: Double => Double, a: Double, c: Double): Double =
+      if (c <= a) 0.0
+      else {
+        val n = 512
+        val h = (c - a) / n
+        var s = f(a) + f(c)
+        var i = 1
+        while (i < n) { s += f(a + i * h) * (if (i % 2 == 1) 4 else 2); i += 1 }
+        s * h / 3
+      }
+    var best = (1, 1)
+    var bestErr = Double.MaxValue
+    var b = 1
+    while (b <= nPerm) {
+      var r = 1
+      while (r <= nPerm / b) {
+        def curve(s: Double) = 1.0 - math.pow(1.0 - math.pow(s, r), b)
+        val err = wFp * integrate(curve, 0.0, t) +
+          wFn * integrate(s => 1.0 - curve(s), t, 1.0)
+        if (err < bestErr) { bestErr = err; best = (b, r) }
+        r += 1
+      }
+      b += 1
+    }
+    best
+  }
 
   private def ftsIndex(target: String, spec: FtsIdx): graft.search.Fts.Index =
     ftsCache.get(target) match {
       case Some((epoch, ix)) if epoch == mutationEpoch => ix
       case _ =>
         val ix = graft.search.Fts.Index.build(
-          relation(spec.rel), keyColOf(spec.rel), spec.extractor, spec.pipe)
+          extractFiltered(relation(spec.rel), spec.extractor, spec.extractFilter),
+          keyColOf(spec.rel), spec.extractor, spec.pipe)
         ftsCache(target) = (mutationEpoch, ix)
         indexFullBuilds += 1
         ftsDeltaCount(target) = 0
         ix
     }
 
-  /** The per-document (key, band) table of an LSH index. */
+  /** extract_filter semantics (parse/sys.rs:374-382): rows failing
+    * the condition get a NULL extractor value — no tokens, no
+    * shingles, absent from the index. */
+  private def extractFiltered(docs: DataFrame, extractor: String,
+                              ef: Option[Expr]): DataFrame =
+    ef.fold(docs)(e => docs.withColumn(extractor,
+      when(compiler(_ => None, Map.empty).compileExpr(e), col(extractor))))
+
+  /** A document's LSH shingles: TOKEN n-grams through the index's
+    * tokenizer pipeline (unique_ngrams, tokenizer_impl.rs:105-123). */
+  private def lshDocShingles(l: LshIdx): Column =
+    graft.search.Fts.lshShingles(col(l.extractor), l.pipe, l.nGram)
+
+  /** The per-document (key, band) table of an LSH index. Shingles and
+    * signature are STAGED as materialized columns: minhashSignature
+    * inlines its input expression once per permutation and lshBandKeys
+    * once per band — inlining the pipeline tree 200× would blow up
+    * Catalyst analysis quadratically. */
   private def lshBandsOf(docs: DataFrame, key: String, l: LshIdx): DataFrame = {
     import graft.functions.{TextFunctions => TF}
     val nPerm = l.bands * l.rowsPerBand
-    docs.select(col(key), explode(TF.lshBandKeys(
-      TF.minhashSignature(TF.charNgrams(col(l.extractor), l.nGram), nPerm),
-      l.bands, l.rowsPerBand)).as("band"))
+    extractFiltered(docs, l.extractor, l.extractFilter)
+      .select(col(key), lshDocShingles(l).as("__sh"))
+      .select(col(key), TF.minhashSignature(col("__sh"), nPerm).as("__sig"))
+      .select(col(key), explode(TF.lshBandKeys(col("__sig"),
+        l.bands, l.rowsPerBand)).as("band"))
   }
 
   private def lshBandTable(target: String, l: LshIdx): DataFrame =
@@ -1020,14 +1083,10 @@ class CozoDb(val spark: SparkSession) {
       // (hash: Bytes, src_<key>) — one row per band bucket per source
       // row. Our band keys are 8-byte xxhash64 values, surfaced as
       // their big-endian bytes.
-      import graft.functions.{TextFunctions => TF}
       val key = keyColOf(l.rel)
-      val sh = TF.charNgrams(col(l.extractor), l.nGram)
-      relation(l.rel).select(col(key).as(s"src_$key"),
-        explode(TF.lshBandKeys(TF.minhashSignature(sh, l.bands * l.rowsPerBand),
-          l.bands, l.rowsPerBand)).as("__band"))
-        .select(unhex(lpad(hex(col("__band")), 16, "0")).as("hash"),
-          col(s"src_$key"))
+      lshBandsOf(relation(l.rel), key, l)
+        .select(unhex(lpad(hex(col("band")), 16, "0")).as("hash"),
+          col(key).as(s"src_$key"))
     case v: VecIdx if hnswIndexEligible(v) =>
       // the reference's scannable HNSW surface (runtime/relation.rs:
       // 1063-1131): the proximity graph itself — layer (0 = bottom,
@@ -1244,28 +1303,27 @@ class CozoDb(val spark: SparkSession) {
               .filter(col("__q").isNotNull)
             val isArr = qdf.schema.head.dataType.isInstanceOf[ArrayType]
             def qSh = if (isArr) col("__q").cast("array<string>")
-                      else TF.charNgrams(col("__q"), l.nGram)
-            val qBands = qdf.select(col("__q"), explode(TF.lshBandKeys(
-              TF.minhashSignature(qSh, nPerm),
-              l.bands, l.rowsPerBand)).as("band"))
+                      else graft.search.Fts.lshShingles(col("__q"), l.pipe, l.nGram)
+            // stage shingles/signature (see lshBandsOf: tree size)
+            val qBands = qdf.select(col("__q"), qSh.as("__qsh"))
+              .select(col("__q"),
+                TF.minhashSignature(col("__qsh"), nPerm).as("__sig"))
+              .select(col("__q"), explode(TF.lshBandKeys(col("__sig"),
+                l.bands, l.rowsPerBand)).as("band"))
             val candidates = lshBandTable(target, l).join(qBands, Seq("band"))
               .select(col("__q"), col(key)).distinct()
             val scored = base.join(candidates, Seq(key))
-              .withColumn("__sim", TF.jaccard(TF.charNgrams(col(l.extractor), l.nGram), qSh))
+              .withColumn("__sim", TF.jaccard(lshDocShingles(l), qSh))
             val top = graft.operators.TopK.perGroup(probeFilter(scored), Seq("__q"),
               Seq(col("__sim").desc, col(key).asc), kOpt.getOrElse(Int.MaxValue))
             top.select((col("__q").as(n) +: (pairs.map { case (c, vr) => col(c).as(vr) } ++
               bindVar("bind_similarity").map(b => col("__sim").as(b)))): _*)
           case _ =>
-            // string query → n-gram shingles (whole string when too
-            // short, like charNgrams); list query → the elements ARE
-            // the shingles; null → empty (minhash_lsh.rs:147-158)
+            // string query → token n-grams through the index pipeline
+            // (unique_ngrams); list query → the elements ARE the
+            // shingles; null → empty (minhash_lsh.rs:147-158)
             val qShingles: Seq[String] = optConst("query") match {
-              case Some(s: String) =>
-                s.toLowerCase.sliding(l.nGram).toSeq.distinct match {
-                  case Seq() => Seq(s.toLowerCase)
-                  case sh => sh
-                }
+              case Some(s: String) => graft.search.Fts.lshShinglesStr(s, l.pipe, l.nGram)
               case Some(items: Seq[_]) => items.map(String.valueOf)
               case None | Some(null) => Seq.empty
               case Some(other) => throw CompileException(
@@ -1276,16 +1334,17 @@ class CozoDb(val spark: SparkSession) {
                 bindVar("bind_similarity").map(_ -> col("__sim")))
             else {
               val qArr = array(qShingles.map(lit): _*)
-              val qBands = spark.range(1).select(explode(TF.lshBandKeys(
-                TF.minhashSignature(qArr, nPerm),
-                l.bands, l.rowsPerBand)).as("band"))
+              val qBands = spark.range(1)
+                .select(TF.minhashSignature(qArr, nPerm).as("__sig"))
+                .select(explode(TF.lshBandKeys(col("__sig"),
+                  l.bands, l.rowsPerBand)).as("band"))
               val candidates = lshBandTable(target, l).join(broadcast(qBands), Seq("band"))
                 .select(key).distinct()
               // exact-similarity verify on the candidate set only
               // (linear) — our deterministic refinement of the
               // reference's storage-order early-stop
               val ordered = probeFilter(base.join(candidates, Seq(key))
-                .withColumn("__sim", TF.jaccard(TF.charNgrams(col(l.extractor), l.nGram), qArr)))
+                .withColumn("__sim", TF.jaccard(lshDocShingles(l), qArr)))
                 .orderBy(col("__sim").desc, col(key).asc)
               // k is OPTIONAL for LSH probes: absent = no cut
               val scored = kOpt.fold(ordered)(ordered.limit)
@@ -1540,88 +1599,128 @@ class CozoDb(val spark: SparkSession) {
       return Seq(("created", target)).toDF("status", "index")
     }
     val opts = Parser.parseOptMap(optsRaw.getOrElse(""))
+    /** tokenizer/filters options → a [[graft.search.Fts.Pipeline]]
+      * (shared by ::fts and ::lsh — the reference's LSH shingles run
+      * through the same tokenizer machinery, minhash_lsh.rs via
+      * tokenizer_impl.rs unique_ngrams). */
+    def parsePipelineOpts(opts: Map[String, Expr]): graft.search.Fts.Pipeline = {
+      val filters = opts.get("filters").toSeq.flatMap {
+        case ListE(items) => items
+        case e => Seq(e)
+      }
+      def hasFilter(n: String) = filters.exists {
+        case V(x) => x.equalsIgnoreCase(n)
+        case App(x, _) => x.equalsIgnoreCase(n)
+        case _ => false
+      }
+      def filterArg(n: String): Option[Expr] = filters.collectFirst {
+        case App(x, Seq(a)) if x.equalsIgnoreCase(n) => a
+      }
+      // tokenizer: Simple | Raw | Whitespace | NGram(min, max, prefix_only)
+      val (tokName, tokArgs) = opts.get("tokenizer") match {
+        case Some(V(n)) => (n, Nil)
+        case Some(App(n, args)) => (n, args.toList)
+        case Some(other) => (asStr(other), Nil)
+        case None => ("Simple", Nil)
+      }
+      def intArg(i: Int, default: Int): Int = tokArgs.lift(i) match {
+        case Some(Lit(n: Long)) => n.toInt
+        case _ => default
+      }
+      val minG = intArg(0, 1)
+      // Cangjie('default'|'all'|'search'|'unicode', use_hmm) — kind
+      // string first, boolean hmm flag second (fts/mod.rs:109-139);
+      // hmm drives the BMES Viterbi over unknown single-char runs
+      val cangjieKind = tokArgs.headOption.collect {
+        case Lit(s: String) => s
+        case V(s) => s
+      }.getOrElse("default")
+      if (tokName == "Cangjie" &&
+          !Seq("default", "all", "search", "unicode").contains(cangjieKind))
+        throw CompileException(s"Unknown Cangjie kind: $cangjieKind")
+      val cangjieHmm = tokArgs.lift(1) match {
+        case Some(Lit(b: Boolean)) => b
+        case None => false
+        case Some(_) =>
+          if (tokName == "Cangjie")
+            throw CompileException(
+              "Second argument `use_hmm` to Cangjie must be a boolean")
+          else false
+      }
+      graft.search.Fts.Pipeline(
+        tokenizer = tokName,
+        minGram = minG, maxGram = intArg(1, minG),
+        prefixOnly = tokArgs.lift(2).contains(Lit(true)),
+        cangjieKind = cangjieKind,
+        cangjieHmm = cangjieHmm,
+        lowercase = hasFilter("Lowercase") || hasFilter("LowerCase") || filters.isEmpty,
+        asciiFolding = hasFilter("AsciiFolding"),
+        removeLong = filterArg("RemoveLong").collect { case Lit(n: Long) => n.toInt },
+        alphaNumOnly = hasFilter("AlphaNumOnly"),
+        // SplitCompoundWords(['list', 'of', 'words']) — fts/mod.rs:153
+        compoundWords = filterArg("SplitCompoundWords").toSeq.flatMap {
+          case ListE(items) => items.collect { case Lit(s: String) => s }
+          case _ => throw CompileException(
+            "First argument `compound_words_list` must be a list of strings")
+        },
+        // the reference's Stemmer filter IS Snowball (fts/mod.rs:176
+        // via rust-stemmers) and REQUIRES a language argument; its
+        // Stopwords takes an ISO code or an explicit word list
+        // (fts/mod.rs:210-233)
+        stopwords = hasFilter("Stopwords"), snowball = hasFilter("Stemmer"),
+        stemLang = stemLangOf(filters), stopList = stopListOf(filters))
+    }
     def numOpt(key: String): Option[Double] = opts.get(key).map(evalConst(_, params)).collect {
       case d: Double => d
       case n: Long => n.toDouble
     }
     kind match {
       case "fts" =>
+        // option surface of parse/sys.rs:417-497; unknown options
+        // error like the reference
+        (opts.keySet -- Set("extractor", "extract_filter", "tokenizer", "filters"))
+          .toSeq.sorted.headOption.foreach(o =>
+            throw CompileException(s"Unknown option $o for FTS index"))
         val extractor = opts.get("extractor").map(asStr)
           .getOrElse(throw CompileException("::fts create — missing extractor:"))
-        val filters = opts.get("filters").toSeq.flatMap {
-          case ListE(items) => items
-          case e => Seq(e)
-        }
-        def hasFilter(n: String) = filters.exists {
-          case V(x) => x.equalsIgnoreCase(n)
-          case App(x, _) => x.equalsIgnoreCase(n)
-          case _ => false
-        }
-        def filterArg(n: String): Option[Expr] = filters.collectFirst {
-          case App(x, Seq(a)) if x.equalsIgnoreCase(n) => a
-        }
-        // tokenizer: Simple | Raw | Whitespace | NGram(min, max, prefix_only)
-        val (tokName, tokArgs) = opts.get("tokenizer") match {
-          case Some(V(n)) => (n, Nil)
-          case Some(App(n, args)) => (n, args.toList)
-          case Some(other) => (asStr(other), Nil)
-          case None => ("Simple", Nil)
-        }
-        def intArg(i: Int, default: Int): Int = tokArgs.lift(i) match {
-          case Some(Lit(n: Long)) => n.toInt
-          case _ => default
-        }
-        val minG = intArg(0, 1)
-        // Cangjie('default'|'all'|'search'|'unicode', use_hmm) — kind
-        // string first, boolean hmm flag second (fts/mod.rs:109-139);
-        // hmm drives the BMES Viterbi over unknown single-char runs
-        val cangjieKind = tokArgs.headOption.collect {
-          case Lit(s: String) => s
-          case V(s) => s
-        }.getOrElse("default")
-        if (tokName == "Cangjie" &&
-            !Seq("default", "all", "search", "unicode").contains(cangjieKind))
-          throw CompileException(s"Unknown Cangjie kind: $cangjieKind")
-        val cangjieHmm = tokArgs.lift(1) match {
-          case Some(Lit(b: Boolean)) => b
-          case None => false
-          case Some(other) =>
-            if (tokName == "Cangjie")
-              throw CompileException(
-                "Second argument `use_hmm` to Cangjie must be a boolean")
-            else false
-        }
-        val pipe = graft.search.Fts.Pipeline(
-          tokenizer = tokName,
-          minGram = minG, maxGram = intArg(1, minG),
-          prefixOnly = tokArgs.lift(2).contains(Lit(true)),
-          cangjieKind = cangjieKind,
-          cangjieHmm = cangjieHmm,
-          lowercase = hasFilter("Lowercase") || hasFilter("LowerCase") || filters.isEmpty,
-          asciiFolding = hasFilter("AsciiFolding"),
-          removeLong = filterArg("RemoveLong").collect { case Lit(n: Long) => n.toInt },
-          alphaNumOnly = hasFilter("AlphaNumOnly"),
-          // SplitCompoundWords(['list', 'of', 'words']) — fts/mod.rs:153
-          compoundWords = filterArg("SplitCompoundWords").toSeq.flatMap {
-            case ListE(items) => items.collect { case Lit(s: String) => s }
-            case _ => throw CompileException(
-              "First argument `compound_words_list` must be a list of strings")
-          },
-          // the reference's Stemmer filter IS Snowball (fts/mod.rs:176
-          // via rust-stemmers) and REQUIRES a language argument; its
-          // Stopwords takes an ISO code or an explicit word list
-          // (fts/mod.rs:210-233)
-          stopwords = hasFilter("Stopwords"), snowball = hasFilter("Stemmer"),
-          stemLang = stemLangOf(filters), stopList = stopListOf(filters))
-        indexes(target) = FtsIdx(rel, extractor, pipe)
+        indexes(target) = FtsIdx(rel, extractor, parsePipelineOpts(opts),
+          extractFilter = opts.get("extract_filter"))
       case "lsh" =>
+        // option surface of parse/sys.rs:236-382; unknown options
+        // error like the reference. Defaults mirror the reference:
+        // n_gram 1, n_perm 200, target_threshold 0.9, weights 1.0
+        (opts.keySet -- Set("extractor", "extract_filter", "tokenizer", "filters",
+          "n_perm", "n_gram", "target_threshold",
+          "false_positive_weight", "false_negative_weight"))
+          .toSeq.sorted.headOption.foreach(o =>
+            throw CompileException(s"Unknown option $o for LSH index"))
         val extractor = opts.get("extractor").map(asStr)
           .getOrElse(throw CompileException("::lsh create — missing extractor:"))
-        val nGram = numOpt("n_gram").map(_.toInt).getOrElse(3)
-        val threshold = numOpt("target_threshold").getOrElse(0.5)
-        val (b, r) = lshParamsFor(threshold)
-        indexes(target) = LshIdx(rel, extractor, nGram, threshold, b, r)
+        val nGram = numOpt("n_gram").map(_.toInt).getOrElse(1)
+        val threshold = numOpt("target_threshold").getOrElse(0.9)
+        val nPerm = numOpt("n_perm").map(_.toInt).getOrElse(200)
+        val (b, r) = lshParamsFor(threshold, nPerm,
+          numOpt("false_positive_weight").getOrElse(1.0),
+          numOpt("false_negative_weight").getOrElse(1.0))
+        indexes(target) = LshIdx(rel, extractor, parsePipelineOpts(opts),
+          nGram, threshold, b, r, extractFilter = opts.get("extract_filter"))
       case "hnsw" =>
+        // full option surface of parse/sys.rs:540-640 with its
+        // aliases (ef = ef_construction, m_neighbours = m, dist =
+        // distance); unknown options error like the reference
+        val knownHnsw = Set("fields", "dim", "dtype", "m", "m_neighbours",
+          "ef", "ef_construction", "distance", "dist", "filter",
+          "extend_candidates", "keep_pruned_connections")
+        (opts.keySet -- knownHnsw).toSeq.sorted.headOption.foreach(o =>
+          throw CompileException(s"Invalid option: $o"))
+        val dtype = opts.get("dtype").map(asStr).getOrElse("F32")
+        if (!Seq("F32", "F64", "Float", "Double").contains(dtype))
+          throw CompileException(s"Invalid dtype: $dtype")
+        def boolHnswOpt(key: String): Boolean = opts.get(key).exists {
+          case Lit(b: Boolean) => b
+          case V(s) => s.trim == "true"
+          case other => throw CompileException(s"Invalid $key: $other")
+        }
         val fields = opts.get("fields") match {
           case Some(ListE(items)) if items.nonEmpty => items.map(asStr)
           case Some(e) => Seq(asStr(e))
@@ -1642,10 +1741,13 @@ class CozoDb(val spark: SparkSession) {
           }
         }
         indexes(target) = VecIdx(rel, fields,
-          opts.get("distance").map(asStr).getOrElse("L2"), opts.get("filter"),
+          opts.get("distance").orElse(opts.get("dist")).map(asStr).getOrElse("L2"),
+          opts.get("filter"),
           dim = numOpt("dim").map(_.toInt),
-          m = numOpt("m").map(_.toInt),
-          efConstruction = numOpt("ef_construction").map(_.toInt))
+          m = numOpt("m").orElse(numOpt("m_neighbours")).map(_.toInt),
+          efConstruction = numOpt("ef_construction").orElse(numOpt("ef")).map(_.toInt),
+          extendCandidates = boolHnswOpt("extend_candidates"),
+          keepPruned = boolHnswOpt("keep_pruned_connections"))
       case other => throw CompileException(s"unknown index kind ::$other")
     }
     Seq(("created", target)).toDF("status", "index")
@@ -2359,7 +2461,9 @@ class CozoDb(val spark: SparkSession) {
           ftsCache.remove(target); ftsDeltaCount.remove(target)
         } else {
           val ix2 = graft.search.Fts.Index.applyDelta(
-            ix, changedIds, added, key, spec.extractor)
+            ix, changedIds,
+            extractFiltered(added, spec.extractor, spec.extractFilter),
+            key, spec.extractor)
           ftsCache(target) = (epochOfThisMutation, ix2)
           ftsDeltaCount(target) = n + 1
         }
@@ -2398,7 +2502,8 @@ class CozoDb(val spark: SparkSession) {
           val efcEff = math.max(vi.efConstruction.getOrElse(mEff * 6), mEff)
           graft.similarity.Ann.hnswPatchIndex(dir, corpus,
             hnswChangedGids(vi, changedIds, key),
-            mEff, efcEff, metric = hnswWalkMetric(vi.distance).get)
+            mEff, efcEff, metric = hnswWalkMetric(vi.distance).get,
+            extendCandidates = vi.extendCandidates, keepPruned = vi.keepPruned)
           hnswGraphCache(target) = (epochOfThisMutation, dir)
           indexPatches += 1
         }

@@ -158,6 +158,27 @@ object Fts {
 
   /** Tokenize a text column through a [[Pipeline]] — the single
     * implementation both index build and query normalization share. */
+  /** LSH shingles — the reference's unique_ngrams
+    * (fts/tokenizer/tokenizer_impl.rs:105-123): TOKEN n-grams through
+    * the index's tokenizer pipeline (not character n-grams). n = 1 →
+    * the token set; n ≥ token count → ONE shingle of the whole token
+    * list (an empty text is one empty shingle — empty docs match each
+    * other); else the distinct sliding windows. Window tokens join
+    * with U+0001, which no tokenizer emits. */
+  def lshShingles(text: Column, p: Pipeline, n: Int): Column = {
+    val toks = tokenizeWith(text, p)
+    when(lit(n) >= size(toks), array(concat_ws("\u0001", toks)))
+      .otherwise(array_distinct(transform(sequence(lit(1), size(toks) - n + 1),
+        i => concat_ws("\u0001", slice(toks, i, lit(n))))))
+  }
+
+  /** Driver-side mirror of [[lshShingles]] for a constant query. */
+  def lshShinglesStr(s: String, p: Pipeline, n: Int): Seq[String] = {
+    val toks = tokenizeTermStr(s, p)
+    if (n >= toks.length) Seq(toks.mkString("\u0001"))
+    else toks.sliding(n).map(_.mkString("\u0001")).toSeq.distinct
+  }
+
   def tokenizeWith(text: Column, p: Pipeline): Column = {
     val folded = if (p.asciiFolding) asciiFold(text) else text
     val lowered = if (p.lowercase) lower(folded) else folded

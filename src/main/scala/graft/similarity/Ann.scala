@@ -451,7 +451,9 @@ object Ann {
     * so one partition's vectors fit an executor core. */
   def hnswWriteIndex(dir: String, corpus: DataFrame, m: Int = 16,
                      efConstruction: Int = 100, numParts: Int = 32,
-                     metric: String = "cosine"): Unit = {
+                     metric: String = "cosine",
+                     extendCandidates: Boolean = false,
+                     keepPruned: Boolean = false): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val parts = corpus.select(col("id").cast("long"), col("vec"))
@@ -462,7 +464,8 @@ object Ann {
       .as[(Long, Array[Float])]
       .mapPartitions { it =>
         val pid = org.apache.spark.TaskContext.getPartitionId()
-        val idx = new HnswIndex(m, efConstruction, metric)
+        val idx = new HnswIndex(m, efConstruction, metric,
+          extendCandidates, keepPruned)
         it.foreach { case (id, v) => idx.insert(id, v) }
         val nodes = idx.nodes.map { case (id, v, lvl) =>
           (pid, id, v, lvl, null.asInstanceOf[Array[Long]], -1)
@@ -490,7 +493,9 @@ object Ann {
     * rebuilt. */
   def hnswPatchIndex(dir: String, corpus: DataFrame, changedIds: DataFrame,
                      m: Int = 16, efConstruction: Int = 100,
-                     numParts: Int = 32, metric: String = "cosine"): Int = {
+                     numParts: Int = 32, metric: String = "cosine",
+                     extendCandidates: Boolean = false,
+                     keepPruned: Boolean = false): Int = {
     val spark = corpus.sparkSession
     import spark.implicits._
     // functions.hash is Murmur3(seed 42), the same expression
@@ -505,7 +510,8 @@ object Ann {
         .repartition(1).sortWithinPartitions("id")
         .as[(Long, Array[Float])]
         .mapPartitions { it =>
-          val idx = new HnswIndex(m, efConstruction, metric)
+          val idx = new HnswIndex(m, efConstruction, metric,
+            extendCandidates, keepPruned)
           it.foreach { case (id, v) => idx.insert(id, v) }
           val nodes = idx.nodes.map { case (id, v, lvl) =>
             (id, v, lvl, null.asInstanceOf[Array[Long]], -1)

@@ -26,8 +26,18 @@ import scala.collection.mutable
   * `search` returns a SCORE where higher = closer; callers convert to
   * their distance convention.
   */
+/** @param extendCandidates the paper's Algorithm-4 flag (and the
+  *   reference's `extend_candidates` option, hnsw.rs select
+  *   heuristic): before heuristic selection, add the candidates'
+  *   neighbors at the level to the candidate pool. Default OFF like
+  *   the reference.
+  * @param keepPruned the paper's keepPrunedConnections (reference
+  *   `keep_pruned_connections`): refill the selection from discarded
+  *   candidates, closest first. Default OFF like the reference. */
 final class HnswIndex(m: Int = 16, efConstruction: Int = 100,
-                      metric: String = "cosine") {
+                      metric: String = "cosine",
+                      extendCandidates: Boolean = false,
+                      keepPruned: Boolean = false) {
   require(m >= 2, s"HNSW m must be >= 2, got $m")
   require(efConstruction >= m, s"efConstruction must be >= m")
   require(Seq("cosine", "l2", "ip").contains(metric), s"unknown metric $metric")
@@ -145,8 +155,29 @@ final class HnswIndex(m: Int = 16, efConstruction: Int = 100,
     * across directions instead of clustering. */
   private def selectHeuristic(q: Array[Float],
                               cands: Seq[(Double, Int)],
-                              limit: Int): mutable.ArrayBuffer[Int] = {
-    val sorted = cands.sortBy(t => (-t._1, t._2))
+                              limit: Int, level: Int): mutable.ArrayBuffer[Int] = {
+    // extendCandidates (Algorithm 4): pull the candidates' neighbors
+    // at this level into the pool before selecting
+    val pool =
+      if (!extendCandidates) cands
+      else {
+        val seen = mutable.HashSet.from(cands.iterator.map(_._2))
+        val ext = mutable.ArrayBuffer.from(cands)
+        for ((_, c) <- cands) {
+          val adj = neighbors(c)
+          if (level < adj.length) {
+            val lst = adj(level)
+            var i = 0
+            while (i < lst.length) {
+              val e = lst(i)
+              if (seen.add(e)) ext += ((sim(e, q), e))
+              i += 1
+            }
+          }
+        }
+        ext.toSeq
+      }
+    val sorted = pool.sortBy(t => (-t._1, t._2))
     val chosen = mutable.ArrayBuffer.empty[Int]
     val discarded = mutable.ArrayBuffer.empty[Int]
     for ((s, c) <- sorted if chosen.length < limit) {
@@ -160,9 +191,11 @@ final class HnswIndex(m: Int = 16, efConstruction: Int = 100,
       if (ok) chosen += c else discarded += c
     }
     // keepPrunedConnections: fill up from the discards, closest first
-    var i = 0
-    while (chosen.length < limit && i < discarded.length) {
-      chosen += discarded(i); i += 1
+    if (keepPruned) {
+      var i = 0
+      while (chosen.length < limit && i < discarded.length) {
+        chosen += discarded(i); i += 1
+      }
     }
     chosen
   }
@@ -173,7 +206,7 @@ final class HnswIndex(m: Int = 16, efConstruction: Int = 100,
     if (lst.length > cap) {
       val nv = vecs(node)
       val scored = lst.map(e => (sim(e, nv), e)).toSeq
-      val kept = selectHeuristic(nv, scored, cap)
+      val kept = selectHeuristic(nv, scored, cap, level)
       lst.clear()
       lst ++= kept
     }
@@ -217,7 +250,7 @@ final class HnswIndex(m: Int = 16, efConstruction: Int = 100,
     l = math.min(maxLevel, lvl)
     while (l >= 0) {
       val w = searchLayer(v, eps, efConstruction, l)
-      val chosen = selectHeuristic(v, w.toSeq, m)
+      val chosen = selectHeuristic(v, w.toSeq, m, l)
       for (c <- chosen) {
         neighbors(node)(l) += c
         neighbors(c)(l) += node

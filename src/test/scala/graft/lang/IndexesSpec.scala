@@ -74,8 +74,11 @@ class IndexesSpec extends AnyFunSuite {
     // (minhash_lsh.rs:147-158)
     assert(db.run("?[k] := ~a:lsh1{k | query: 'ewiygfspeoighjsfcfxzdfncalsdf'}")
       .collect().map(_.getString(0)).toSeq == Seq("a"))
-    val listQ = "['ewi', 'wiy', 'iyg', 'ygf', 'gfs', 'fsp', 'spe', 'peo', 'eoi', 'oig']"
-    assert(db.run(s"?[k] := ~a:lsh1{k | query: $listQ, k: 1}")
+    // a LIST query's elements ARE the shingles — on an n_gram 1 index
+    // the shingles are the tokens themselves, so a token list matches
+    db.run("?[k, w] <- [['a', 'alpha beta gamma']] :create lw {k => w}")
+    db.run("::lsh create lw:l1 {extractor: w, tokenizer: Simple, n_gram: 1, target_threshold: 0.5}")
+    assert(db.run("?[k] := ~lw:l1{k | query: ['alpha', 'beta', 'gamma'], k: 1}")
       .collect().map(_.getString(0)).toSeq == Seq("a"))
     assert(db.run("?[k] := ~a:lsh1{k | query: null, k: 1}").collect().isEmpty)
     // FTS and HNSW probes REQUIRE k (program.rs:1269-1281)
@@ -321,6 +324,43 @@ class IndexesSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("non-vector field"))
   }
 
+  test("LSH shingles are TOKEN n-grams through the pipeline; n_perm/weights; extract_filter; unknown options error") {
+    val db = new CozoDb(spark)
+    db.run("?[k, v] <- [['a', 'the quick brown fox jumps'], " +
+      "['b', 'the quick brown cat sleeps'], " +
+      "['c', 'totally unrelated words here now']] :create d {k => v}")
+    db.run("::lsh create d:l {extractor: v, tokenizer: Simple, n_gram: 2, " +
+      "target_threshold: 0.2, n_perm: 64, false_positive_weight: 0.5, false_negative_weight: 0.5}")
+    val res = db.run("?[k, s] := ~d:l{k | query: 'the quick brown dog runs', k: 5, bind_similarity: s}")
+      .collect().map(r => (r.getString(0), BigDecimal(r.getDouble(1))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)).toMap
+    // WORD-bigram Jaccard (unique_ngrams semantics): query bigrams
+    // {the·quick, quick·brown, brown·dog, dog·runs} vs a's
+    // {the·quick, quick·brown, brown·fox, fox·jumps} = 2/6; char
+    // trigrams would score very differently
+    assert(res.keySet.subsetOf(Set("a", "b")) && res.nonEmpty)
+    res.get("a").foreach(s => assert(s == 0.3333))
+    res.get("b").foreach(s => assert(s == 0.3333))
+    // extract_filter (parse/sys.rs:374-382): rows failing the
+    // condition are absent from the index
+    db.run("::lsh create d:lf {extractor: v, tokenizer: Simple, n_gram: 2, " +
+      "target_threshold: 0.2, n_perm: 64, extract_filter: k != 'a'}")
+    val viaF = db.run("?[k] := ~d:lf{k | query: 'the quick brown dog runs', k: 5}")
+      .collect().map(_.getString(0)).toSet
+    assert(!viaF.contains("a") && viaF.contains("b"))
+    // FTS extract_filter: excluded docs never match, but the corpus
+    // size for idf still counts them (FtsCache n = base row count)
+    db.run("::fts create d:ff {extractor: v, tokenizer: Simple, extract_filter: k != 'a'}")
+    val fres = db.run("?[k] := ~d:ff{k | query: 'quick', k: 10}")
+      .collect().map(_.getString(0)).toSet
+    assert(fres == Set("b"))
+    // unknown create options error with the reference's messages
+    val e1 = intercept[Exception](db.run("::lsh create d:bad {extractor: v, bogus: 1}"))
+    assert(e1.getMessage.contains("Unknown option bogus for LSH index"))
+    val e2 = intercept[Exception](db.run("::fts create d:bad2 {extractor: v, n_gram: 2}"))
+    assert(e2.getMessage.contains("Unknown option n_gram for FTS index"))
+  }
+
   test("per-probe filter: on FTS and LSH probes cuts candidates before k accumulates (ra.rs filter_bytecode)") {
     val db = new CozoDb(spark)
     db.run("?[k, v, grp] <- [['a', 'world one', 1], ['b', 'world two', 2], " +
@@ -423,6 +463,32 @@ class IndexesSpec extends AnyFunSuite {
           BigDecimal(r.getDouble(1)).setScale(6, BigDecimal.RoundingMode.HALF_UP))).toSet
       assert(streamed.getOrElse(q, Set.empty) == const, s"query '$q'")
     }
+  }
+
+  test("::hnsw create takes the reference's full option surface (aliases, dtype, heuristic flags); unknown options error") {
+    import spark.implicits._
+    val db = new CozoDb(spark)
+    val data = (0 until 50).map { i =>
+      (i.toLong, Array(math.sin(i * 0.6), math.cos(i * 1.2),
+        math.sin(i * 0.27), math.cos(i * 0.13)).map(_.toFloat))
+    }
+    db.registerTable("ho", data.toDF("k", "v"), Seq("k"))
+    db.run("::hnsw create ho:ex { fields: [v], distance: Cosine, dim: 4 }")
+    // aliases ef/m_neighbours/dist (parse/sys.rs:547-593) + the
+    // paper's heuristic flags, all at once
+    db.run("::hnsw create ho:g { fields: [v], dist: Cosine, dim: 4, m_neighbours: 8, " +
+      "ef: 48, dtype: F32, extend_candidates: true, keep_pruned_connections: true }")
+    def hits(idx: String): Seq[(Long, Double)] =
+      db.run(s"?[k, d] := ~ho:$idx{k | query: vec([0.7, -0.2, 0.4, 0.5]), k: 5, bind_distance: d}")
+        .collect().map(r => (r.getLong(0), BigDecimal(r.getDouble(1))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)).toSeq.sortBy(_._1)
+    // m_neighbours:/ef: opted into the graph walk and it agrees with
+    // the exact scan
+    assert(hits("g") == hits("ex"))
+    val e1 = intercept[Exception](db.run("::hnsw create ho:bad { fields: [v], dim: 4, bogus: 1 }"))
+    assert(e1.getMessage.contains("Invalid option: bogus"))
+    val e2 = intercept[Exception](db.run("::hnsw create ho:bad2 { fields: [v], dim: 4, dtype: X16 }"))
+    assert(e2.getMessage.contains("Invalid dtype"))
   }
 
   test("negative keys round-trip the multi-field gid encoding (floorDiv/pmod decode)") {

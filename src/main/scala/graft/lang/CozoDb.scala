@@ -1233,6 +1233,13 @@ class CozoDb(val spark: SparkSession) {
         extra.map { case (v, c) => c.as(v) }: _*)
     def queryString: String = optConst("query") match {
       case Some(s: String) => s
+      // the reference coerces a List query by OR-joining its string
+      // parts and errors on non-strings (ra.rs:1028-1046 FtsSearchRA)
+      case Some(items: Seq[_]) =>
+        items.map {
+          case s: String => s
+          case d => throw CompileException(s"Expected string for FTS search, got $d")
+        }.mkString(" OR ")
       case other => throw CompileException(s"$target probe needs a string query:, got $other")
     }
     // per-probe `filter:` on FTS/LSH probes (FtsSearchRA/LshSearchRA
@@ -1261,11 +1268,11 @@ class CozoDb(val spark: SparkSession) {
           case Some(V(n)) if frame.exists(_.columns.contains(n)) =>
             import spark.implicits._
             val raw = frame.get.select(col(n).as("__q0")).distinct()
-            // the reference accepts a List query: parts joined by
-            // spaces (ra.rs FtsSearchRA query coercion)
+            // the reference accepts a List query: string parts joined
+            // by " OR " (ra.rs:1028-1046 FtsSearchRA query coercion)
             val isArr = raw.schema.head.dataType.isInstanceOf[ArrayType]
             val qdf = raw.withColumn("__q",
-              if (isArr) concat_ws(" ", col("__q0")) else col("__q0").cast("string"))
+              if (isArr) array_join(col("__q0"), " OR ") else col("__q0").cast("string"))
             val qs = qdf.select("__q").as[String].collect().toSeq
             // a filter cuts candidates BEFORE k results accumulate, so
             // the per-query cut must happen after it

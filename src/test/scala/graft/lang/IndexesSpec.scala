@@ -86,6 +86,13 @@ class IndexesSpec extends AnyFunSuite {
     db.run("::fts create ftsr:f {extractor: v2, tokenizer: Simple}")
     val ek = intercept[Exception](db.run("?[k] := ~ftsr:f{k | query: 'hello'}"))
     assert(ek.getMessage.contains("`k` is required"))
+    // a constant LIST fts query OR-joins its string parts; non-string
+    // elements error (ra.rs:1028-1046 FtsSearchRA query coercion)
+    assert(db.run("?[k] := ~ftsr:f{k | query: ['hello', 'nosuchtoken'], k: 5}")
+      .collect().map(_.getString(0)).toSeq == Seq("a"))
+    val el = intercept[Exception](
+      db.run("?[k] := ~ftsr:f{k | query: ['hello', 3], k: 5}"))
+    assert(el.getMessage.contains("Expected string for FTS search"))
     // unknown probe parameters error like the reference instead of
     // being silently ignored ("Extra parameters ...")
     val ep = intercept[Exception](
@@ -444,6 +451,16 @@ class IndexesSpec extends AnyFunSuite {
     val withEmpty = db.run("?[q, k] := *probes[q], ~docs:fts{k | query: q, k: 10}")
       .collect().map(_.getString(0)).toSet
     assert(withEmpty == queries.toSet) // '' matched nothing, others unchanged
+    // a LIST-valued bound query OR-joins its parts (ra.rs:1028-1046)
+    db.registerTable("lprobes",
+      { import spark.implicits._; Seq(Seq("hello", "round")).toDF("q") }, Seq("q"))
+    val listStream = db.run("?[k, s] := *lprobes[q], ~docs:fts{k | query: q, k: 10, bind_score: s}")
+      .collect().map(r => (r.getString(0),
+        BigDecimal(r.getDouble(1)).setScale(6, BigDecimal.RoundingMode.HALF_UP))).toSet
+    val orConst = db.run("?[k, s] := ~docs:fts{k | query: 'hello OR round', k: 10, bind_score: s}")
+      .collect().map(r => (r.getString(0),
+        BigDecimal(r.getDouble(1)).setScale(6, BigDecimal.RoundingMode.HALF_UP))).toSet
+    assert(listStream == orConst && listStream.nonEmpty)
   }
 
   test("bound-variable LSH probe: per-stream-query candidates + exact verify, constant-probe-identical") {

@@ -1911,6 +1911,41 @@ object Queries {
               |FROM sh JOIN f ON f.s = sh.s
               |GROUP BY 1""".stripMargin)),
 
+    // sliding token-window chunking (size 16, stride 12 → ~1-8 chunks
+    // on the 10-99-token synthetic docs, exercising both the single-
+    // chunk and the short-final-chunk paths); zero-shuffle per-row op
+    Spec("text_chunk", (s, d) =>
+      TextAnalysis.chunk(T(s, d, "documents"), "doc_id", "text",
+          size = 16, stride = 12)
+        .withColumnRenamed("id", "doc_id"),
+      Some(s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+              |n AS (SELECT doc_id, toks, len(toks) AS n,
+              |    1 + CAST(ceil(greatest(n - 16, 0) / 12.0) AS BIGINT) AS nchunks
+              |  FROM t WHERE len(toks) > 0),
+              |c AS (SELECT doc_id, toks, unnest(generate_series(0, nchunks - 1)) AS i FROM n)
+              |SELECT doc_id, i AS chunk_idx,
+              |  CAST(len(toks[i*12+1 : i*12+16]) AS BIGINT) AS n_tokens,
+              |  array_to_string(toks[i*12+1 : i*12+16], ' ') AS chunk_text
+              |FROM c""".stripMargin)),
+
+    // per-doc top-3 TF-IDF keywords; scores rounded to 6 decimals
+    // BEFORE the (score desc, term asc) rank on both engines so the
+    // cut is ulp-robust
+    Spec("text_keywords", (s, d) =>
+      TextAnalysis.keywords(T(s, d, "documents"), "doc_id", "text", k = 3)
+        .withColumnRenamed("id", "doc_id"),
+      Some(s"""WITH t AS (SELECT doc_id, unnest($toksSql) AS term FROM documents),
+              |tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+              |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+              |nd AS (SELECT count(*) AS n FROM documents),
+              |sc AS (SELECT tf.doc_id AS doc_id, tf.term AS term,
+              |    round(tf.tf * (ln((1.0 + nd.n) / (1.0 + df.df)) + 1.0), 6) AS score,
+              |    row_number() OVER (PARTITION BY tf.doc_id
+              |      ORDER BY round(tf.tf * (ln((1.0 + nd.n) / (1.0 + df.df)) + 1.0), 6) DESC, tf.term ASC) AS rank
+              |  FROM tf, df, nd WHERE tf.term = df.term)
+              |SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, score
+              |FROM sc WHERE rank <= 3""".stripMargin)),
+
     // the full Gopher quality rule set (Rae et al. 2021 Table A1) as
     // auditable per-rule columns + the conjunctive keep flag
     // (TextAnalysis.gopherRules). minReqStopwords lowered to 1 so the

@@ -243,6 +243,68 @@ object TextAnalysis {
         col("n_emails") + col("n_ips") + col("n_long_numbers") > 0)
   }
 
+  /** Sliding token-window chunking — the standard long-document
+    * preparation step for embedding/training pipelines (HF tokenizers'
+    * `return_overflowing_tokens` convention): chunk i covers tokens
+    * [i·stride, i·stride + size); starts advance by `stride` until a
+    * chunk reaches the document's end, so the final chunk may be short
+    * but no start lies beyond the text and overlap = size − stride is
+    * uniform. Zero-token documents emit no chunks. Returns
+    * (id, chunk_idx, n_tokens, chunk_text).
+    *
+    * Plan shape at 100 TB: pure per-row compute — tokenize, a
+    * `sequence`/`transform` over chunk starts, one in-partition
+    * posexplode; NO shuffle anywhere, so the operator scales with scan
+    * bandwidth and composes with any downstream keyed op (which pays
+    * the first shuffle).
+    */
+  def chunk(df: DataFrame, idCol: String, textCol: String,
+            size: Int = 16, stride: Int = 12): DataFrame = {
+    require(size > 0 && stride > 0, "size and stride must be positive")
+    val toks = df.select(col(idCol).as("id"), TF.tokens(col(textCol)).as("__toks"))
+      .withColumn("__n", org.apache.spark.sql.functions.size(col("__toks")))
+      .filter(col("__n") > 0)
+    // nChunks = 1 + ceil(max(0, n − size) / stride)
+    val nChunks = (lit(1) +
+      ceil(greatest(col("__n") - size, lit(0)).cast("double") / stride).cast("int"))
+    toks
+      .select(col("id"), col("__toks"),
+        posexplode(transform(sequence(lit(0), nChunks - 1),
+          i => slice(col("__toks"), i * stride + 1, lit(size)))))
+      .select(col("id"), col("pos").cast("long").as("chunk_idx"),
+        org.apache.spark.sql.functions.size(col("col")).cast("long").as("n_tokens"),
+        array_join(col("col"), " ").as("chunk_text"))
+  }
+
+  /** Per-document top-k TF-IDF keywords (classic smoothed idf =
+    * ln((1+N)/(1+df)) + 1 over the corpus itself). Scores are rounded
+    * to 6 decimals BEFORE ranking so the (score desc, term asc) order —
+    * and therefore the cut — is reproducible across engines regardless
+    * of last-ulp ln() differences. Returns (id, rank, term, score).
+    *
+    * Plan shape at 100 TB: two hash aggregations with map-side
+    * partials — (doc, term) tf and term df — then one term-keyed
+    * equi-join (vocabulary-scale: NOT broadcast, AQE-skew-splittable)
+    * and a per-document top-k window partitioned on the document key.
+    * Nothing driver-side; the df relation is Zipf-skewed but the join
+    * is candidate-linear in the exploded token count.
+    */
+  def keywords(df: DataFrame, idCol: String, textCol: String,
+               k: Int = 3): DataFrame = {
+    val nDocs = df.count() // one cheap count job; N is a scalar in the idf
+    val terms = df.select(col(idCol).as("id"),
+        explode(TF.tokens(col(textCol))).as("term"))
+    val tf = terms.groupBy("id", "term").agg(count(lit(1)).as("__tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("__df"))
+    val scored = tf.join(dfreq, Seq("term"))
+      .withColumn("score", round(col("__tf") *
+        (log((lit(1.0) + nDocs) / (lit(1.0) + col("__df"))) + 1.0), 6))
+    graft.operators.TopK.perGroup(scored, Seq("id"),
+        Seq(col("score").desc, col("term").asc), k, rankCol = Some("rank"))
+      .select(col("id"), col("rank").cast("long").as("rank"),
+        col("term"), col("score"))
+  }
+
   /** PII redaction for training corpora: emails, IPv4 addresses, then
     * long digit runs (ids/phones/accounts) are replaced with typed
     * placeholder tokens, in that order (an email would otherwise lose

@@ -39,6 +39,54 @@ class PipelineSpec extends AnyFunSuite {
     assert(r(3L) == ((0L, 2L, 0L, true)))
   }
 
+  test("chunk: HF overflowing-tokens convention — starts advance by stride until a chunk reaches the end") {
+    import spark.implicits._
+    val tiny = Seq(
+      (1L, "a b c d e f g h i j"), // 10 toks, size 4 stride 3 → starts 0,3,6 (6+4=10 reaches end)
+      (2L, "x y"),                 // short doc → one short chunk
+      (3L, ""),                    // zero tokens → no chunks
+      (4L, "p q r s")).toDF("doc_id", "text") // exactly size → one chunk
+    val r = TextAnalysis.chunk(tiny, "doc_id", "text", size = 4, stride = 3)
+      .collect().map(x => (x.getLong(0), x.getLong(1)) -> ((x.getLong(2), x.getString(3)))).toMap
+    assert(r.keySet == Set((1L, 0L), (1L, 1L), (1L, 2L), (2L, 0L), (4L, 0L)))
+    assert(r((1L, 0L)) == ((4L, "a b c d")))
+    assert(r((1L, 1L)) == ((4L, "d e f g")))
+    assert(r((1L, 2L)) == ((4L, "g h i j")))
+    assert(r((2L, 0L)) == ((2L, "x y")))
+    assert(r((4L, 0L)) == ((4L, "p q r s")))
+    // a stride that overshoots: 11 tokens, size 4, stride 3 → starts
+    // 0,3,6,9; the last chunk is the 2-token remainder
+    val odd = Seq((9L, "a b c d e f g h i j k")).toDF("doc_id", "text")
+    val ro = TextAnalysis.chunk(odd, "doc_id", "text", size = 4, stride = 3)
+      .collect().map(x => x.getLong(1) -> x.getString(3)).toMap
+    assert(ro == Map(0L -> "a b c d", 1L -> "d e f g", 2L -> "g h i j", 3L -> "j k"))
+    // every token of every doc appears in ≥1 chunk; overlap = size − stride
+    val full = TextAnalysis.chunk(docs, "doc_id", "text", size = 16, stride = 12)
+    val reassembled = full.filter(col("chunk_idx") === 0)
+      .select(col("id"), col("chunk_text"))
+    assert(reassembled.count() == docs.filter(length(trim(col("text"))) > 0).count())
+  }
+
+  test("keywords: tf-idf top-k hand-checked; rare terms beat common ones") {
+    import spark.implicits._
+    val tiny = Seq(
+      (1L, "apple apple banana common common common"),
+      (2L, "banana cherry common common"),
+      (3L, "common cherry durian")).toDF("doc_id", "text")
+    val r = TextAnalysis.keywords(tiny, "doc_id", "text", k = 2)
+      .collect().map(x => (x.getLong(0), x.getLong(1)) -> x.getString(2)).toMap
+    // doc 1: apple tf=2 df=1 (idf ln(4/2)+1), common tf=3 df=3 (idf ln(4/4)+1=1)
+    // apple 2*(ln2+1)=3.386 > common 3*1=3.0 > banana 1*(ln(4/3)+1)=1.288
+    assert(r((1L, 1L)) == "apple" && r((1L, 2L)) == "common")
+    // doc 3: durian tf=1 df=1 beats cherry tf=1 df=2; common last
+    assert(r((3L, 1L)) == "durian" && r((3L, 2L)) == "cherry")
+    // rank never exceeds k and is dense per doc
+    val ranks = TextAnalysis.keywords(tiny, "doc_id", "text", k = 2)
+      .groupBy("id").agg(collect_list("rank").as("rs"))
+      .collect().map(_.getSeq[Long](1).sorted)
+    assert(ranks.forall(_ == Seq(1L, 2L)))
+  }
+
   test("gopherRules: every rule column hand-computed; keep is their conjunction") {
     import spark.implicits._
     // "ab cd\n- x\ny...": words [ab cd - x y...]; line 2 bulleted,

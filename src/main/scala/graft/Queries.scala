@@ -1189,6 +1189,35 @@ object Queries {
               |  round(CAST(coalesce(cc.dup_tokens, 0) AS DOUBLE) / t.total_tokens, 6) AS dup_ratio
               |FROM tot t LEFT JOIN cc USING (doc_id)""".stripMargin)),
 
+    // Lee-et-al ExactSubstr REMOVAL rewrite: duplicated 8-token windows
+    // keep their globally-first (id, start) occurrence; tokens covered
+    // by any non-elected occurrence are deleted and docs reassembled.
+    // String-keyed oracle re-elects per window STRING via row_number,
+    // certifying the hash-keyed plan collision-free on this corpus.
+    Spec("dedup_remove_spans", (s, d) =>
+      Dedup.removeDuplicateSpans(T(s, d, "documents"), "doc_id", "text", minLen = 8)
+        .withColumnRenamed("id", "doc_id"),
+      Some(s"""WITH d AS (SELECT doc_id, coalesce($toksSql, []) AS tk FROM documents),
+              |wins AS (
+              |  SELECT doc_id, i - 1 AS st, array_to_string(tk[i:i+7], ' ') AS w
+              |  FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 7)) AS i
+              |        FROM d WHERE len(tk) >= 8)),
+              |dup AS (SELECT w FROM wins GROUP BY w HAVING count(*) > 1),
+              |ranked AS (SELECT wins.*, row_number() OVER (PARTITION BY w ORDER BY doc_id, st) AS rn
+              |           FROM wins JOIN dup USING (w)),
+              |rm AS (SELECT DISTINCT doc_id, unnest(generate_series(st, st + 7)) AS p
+              |       FROM ranked WHERE rn > 1),
+              |rmd AS (SELECT doc_id, list(p) AS ps FROM rm GROUP BY doc_id),
+              |kept AS (SELECT d.doc_id, tk,
+              |    CASE WHEN ps IS NULL THEN tk
+              |         ELSE [tk[i] FOR i IN generate_series(1, len(tk)) IF NOT list_contains(ps, i - 1)]
+              |    END AS kt
+              |  FROM d LEFT JOIN rmd USING (doc_id))
+              |SELECT doc_id, CAST(len(tk) AS BIGINT) AS total_tokens,
+              |  CAST(len(kt) AS BIGINT) AS kept_tokens,
+              |  coalesce(array_to_string(kt, ' '), '') AS text
+              |FROM kept""".stripMargin)),
+
     // LSH candidates + exact-Jaccard verification: recall ≥ 1-7e-5 per
     // true pair at j≥0.5, so the result coincides with the full exact
     // oracle while the plan is banding-join, not all-pairs.

@@ -286,6 +286,73 @@ object Dedup {
       .select("id", "span_start", "span_end")
   }
 
+  /** Duplicated-span REMOVAL rewrite (the "ExactSubstr" dedup step of
+    * Lee et al. 2022, "Deduplicating Training Data Makes Language
+    * Models Better"): every token-window of length `minLen` that
+    * occurs more than once in the corpus keeps its globally-FIRST
+    * occurrence (min (id, start), the same lexicographic election
+    * dedupLines uses) and every token covered by a non-elected
+    * occurrence is deleted; documents are reassembled from their
+    * surviving tokens. Overlapping duplicated windows compose
+    * naturally: a position is removed iff ANY non-elected duplicated
+    * window covers it. Returns (id, total_tokens, kept_tokens, text).
+    *
+    * Plan shape at 100 TB: windows explode in-partition over 8-byte
+    * rolling hashes; election is ONE hash aggregation on the window
+    * key (min(struct) has a map-side partial); only DUPLICATED
+    * windows — candidate-scale, not corpus-scale — flow into the
+    * occurrence join; removed positions aggregate per document
+    * (candidate-scale again) and the rewrite is a doc-keyed left join
+    * + one per-row `filter` lambda over the token array — the corpus
+    * is never exploded into a token-level shuffle. The one
+    * token-array re-join (fetching elected/candidate window strings
+    * for collision verification) is keyed by doc id and carries only
+    * docs that contain a duplicated window.
+    *
+    * Hash-collision stance (same as dedupLines): the birthday
+    * aggregate over 64-bit keys at 10¹²⁺ windows expects collisions,
+    * so every deletion is verified on the window's actual TOKEN STRING
+    * against the elected occurrence — a collision can only cause a
+    * kept duplicate, never a deleted non-duplicate.
+    */
+  def removeDuplicateSpans(df: DataFrame, idCol: String, textCol: String,
+                           minLen: Int = 8): DataFrame = {
+    // NULL text ≡ zero tokens: (total 0, kept 0, text '') — the same
+    // stance dedupLines takes (ADVICE r6)
+    val base = df.select(col(idCol).as("id"),
+      coalesce(TF.tokens(col(textCol)), array()).as("tk"))
+    val wins = base.filter(size(col("tk")) >= minLen)
+      .select(col("id"), posexplode(TF.windowHashes(col("tk"), minLen)))
+      .toDF("id", "start", "h")
+    // globally-first occurrence per duplicated window key
+    val firsts = wins.groupBy("h")
+      .agg(min(struct(col("id"), col("start"))).as("f"), count(lit(1)).as("__c"))
+      .filter(col("__c") > 1)
+      .select(col("h"), col("f.id").as("fid"), col("f.start").as("fstart"))
+    // the elected window's actual tokens, for drop verification
+    val fwin = firsts
+      .join(base.select(col("id").as("fid"), col("tk").as("__ftk")), Seq("fid"))
+      .select(col("h"), col("fid"), col("fstart"),
+        array_join(slice(col("__ftk"), col("fstart") + 1, lit(minLen)), " ").as("__fw"))
+    // non-elected occurrences whose window string EQUALS the elected one
+    val removedPos = wins.join(fwin, Seq("h"))
+      .filter(!(col("id") === col("fid") && col("start") === col("fstart")))
+      .join(base, Seq("id"))
+      .filter(array_join(slice(col("tk"), col("start") + 1, lit(minLen)), " ") === col("__fw"))
+      .select(col("id"),
+        explode(sequence(col("start"), col("start") + lit(minLen - 1))).as("p"))
+      .distinct()
+    val remByDoc = removedPos.groupBy("id").agg(collect_set(col("p")).as("__rm"))
+    base.join(remByDoc, Seq("id"), "left")
+      .select(col("id"), size(col("tk")).cast("long").as("total_tokens"),
+        when(col("__rm").isNull, col("tk")).otherwise(
+          filter(col("tk"), (_, i) => !array_contains(col("__rm"), i.cast("int"))))
+          .as("__kept"))
+      .select(col("id"), col("total_tokens"),
+        size(col("__kept")).cast("long").as("kept_tokens"),
+        array_join(col("__kept"), " ").as("text"))
+  }
+
   /** SimHash near-dup pairs: 64-bit simhash per doc (explode + 64
     * codegen'd vote-sums, one shuffle), banded into four 16-bit blocks
     * (pigeonhole: hamming ≤ 3 ⇒ at least one block equal), candidates

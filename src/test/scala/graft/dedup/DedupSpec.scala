@@ -160,6 +160,29 @@ class DedupSpec extends AnyFunSuite {
     assert(spans == Set((1L, 2, 13), (2L, 0, 11)))
   }
 
+  test("removeDuplicateSpans: first occurrence survives intact, later occurrences are cut (Lee-et-al ExactSubstr removal)") {
+    import spark.implicits._
+    val shared = (1 to 8).map(i => s"s$i").mkString(" ")
+    val corpus = Seq(
+      (1L, s"alpha beta $shared gamma delta"), // first (min id) — keeps the run
+      (2L, s"$shared omega psi chi phi upsilon"), // loses tokens 0..7
+      (3L, (1 to 20).map(i => s"u$i").mkString(" ")), // untouched filler
+      (4L, "x y") // below minLen — untouched
+    ).toDF("doc_id", "text")
+    val r = Dedup.removeDuplicateSpans(corpus, "doc_id", "text", minLen = 8)
+      .collect().map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getString(3)))).toMap
+    assert(r(1L) == ((12L, 12L, s"alpha beta $shared gamma delta")))
+    assert(r(2L) == ((13L, 5L, "omega psi chi phi upsilon")))
+    assert(r(3L) == ((20L, 20L, (1 to 20).map(i => s"u$i").mkString(" "))))
+    assert(r(4L) == ((2L, 2L, "x y")))
+    // intra-document repetition: the SECOND copy inside the same doc is
+    // removed; overlapping windows across the repeat merge their coverage
+    val selfRep = Seq((7L, s"$shared $shared tail")).toDF("doc_id", "text")
+    val rs = Dedup.removeDuplicateSpans(selfRep, "doc_id", "text", minLen = 8)
+      .collect().map(x => (x.getLong(1), x.getLong(2), x.getString(3))).head
+    assert(rs == ((17L, 9L, s"$shared tail")))
+  }
+
   test("duplicatedCoverage agrees with a string-keyed recomputation on real testdata") {
     val byHash = Dedup.duplicatedCoverage(docs, "doc_id", "text", minLen = 10)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet

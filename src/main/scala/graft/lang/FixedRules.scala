@@ -231,6 +231,24 @@ object FixedRules {
   register("SubstringSpans", (rels, o, _) =>
     graft.dedup.Dedup.duplicatedSpans(relAs(rels, 0, "SubstringSpans", "id", "text"),
       "id", "text", minLen = optInt(o, "min_len", 10)))
+  // ?[id, total_tokens, kept_tokens, text] <~
+  //   SubstringRemove(*docs[id, text], min_len: 8) — Lee-et-al
+  //   ExactSubstr removal rewrite (first occurrence survives)
+  register("SubstringRemove", (rels, o, _) =>
+    graft.dedup.Dedup.removeDuplicateSpans(
+      relAs(rels, 0, "SubstringRemove", "id", "text"),
+      "id", "text", minLen = optInt(o, "min_len", 8)))
+  // ?[id, chunk_idx, n_tokens, chunk_text] <~ TextChunk(
+  //   *docs[id, text], size: 16, stride: 12) — sliding token windows
+  register("TextChunk", (rels, o, _) =>
+    graft.text.TextAnalysis.chunk(
+      relAs(rels, 0, "TextChunk", "id", "text"), "id", "text",
+      size = optInt(o, "size", 16), stride = optInt(o, "stride", 12)))
+  // ?[id, rank, term, score] <~ TextKeywords(*docs[id, text], k: 3)
+  register("TextKeywords", (rels, o, _) =>
+    graft.text.TextAnalysis.keywords(
+      relAs(rels, 0, "TextKeywords", "id", "text"), "id", "text",
+      k = optInt(o, "k", 3)))
   register("EmbeddingDedup", (rels, o, _) =>
     graft.dedup.Dedup.embeddingNearDup(relAs(rels, 0, "EmbeddingDedup", "id", "vec"),
       "id", "vec", threshold = optDouble(o, "threshold", 0.9),

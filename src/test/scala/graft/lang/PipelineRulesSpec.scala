@@ -48,6 +48,28 @@ class PipelineRulesSpec extends AnyFunSuite {
     assert(rows(3L)._2 == 0L)
   }
 
+  test("SubstringRemove / TextChunk / TextKeywords from script") {
+    val db = docsDb()
+    // docs 1 and 2 are exact twins: doc 1 (first) survives intact,
+    // doc 2 is fully erased; doc 3 untouched
+    val rem = db.run(
+      "?[id, total, kept, text] <~ SubstringRemove(*docs[id, text], min_len: 5)")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(rem(1L) == ((9L, 9L, "the quick brown fox jumps over the lazy dog")))
+    assert(rem(2L) == ((9L, 0L, "")))
+    assert(rem(3L)._1 == rem(3L)._2)
+    val chunks = db.run(
+      "?[id, i, n, t] <~ TextChunk(*docs[id, text], size: 5, stride: 4)")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getString(3)).toMap
+    assert(chunks((1L, 0L)) == "the quick brown fox jumps")
+    assert(chunks((1L, 1L)) == "jumps over the lazy dog")
+    val kw = db.run("?[id, rank, term, score] <~ TextKeywords(*docs[id, text], k: 2)")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getString(2)).toMap
+    // doc 3's rarest terms rank first; ties resolve alphabetically
+    assert(kw.contains((3L, 1L)) && kw.contains((3L, 2L)))
+    assert(kw((3L, 1L)) < kw((3L, 2L)))
+  }
+
   test("TextQuality / TextRepetition / LanguageId from script") {
     val db = docsDb()
     val q = db.run("?[id, quality] <~ TextQuality(*docs[id, text])")

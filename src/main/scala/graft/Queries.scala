@@ -1899,6 +1899,23 @@ object Queries {
              |    doc_id) - 1 AS position
              |FROM documents""".stripMargin)),
 
+    // chunk-to-doc embedding pooling (mean + L2 normalize), emitted
+    // exploded as (grp, dim, v) so the oracle compares scalar rows;
+    // groups of 10 vectors stand in for a doc's chunk embeddings
+    Spec("pipe_pool_embed", (s, d) =>
+      graft.pipeline.Embeddings.pool(
+        T(s, d, "embeddings").select(expr("vec_id div 10").as("grp"), col("embedding")),
+        "grp", "embedding", method = "mean", normalize = true)
+        .select(col("grp"), col("dim").cast("long").as("dim"),
+          round(col("v"), 6).as("v")),
+      Some("""WITH e AS (SELECT vec_id // 10 AS grp, embedding[i] AS x, i - 1 AS dim
+             |  FROM embeddings, unnest(generate_series(1, len(embedding))) u(i)),
+             |m AS (SELECT grp, dim, avg(x) AS mv FROM e GROUP BY 1, 2),
+             |n AS (SELECT grp, sqrt(sum(mv*mv)) AS nrm FROM m GROUP BY 1)
+             |SELECT m.grp, CAST(m.dim AS BIGINT) AS dim,
+             |  round(CASE WHEN nrm = 0 THEN 0.0 ELSE mv / nrm END, 6) AS v
+             |FROM m JOIN n USING (grp)""".stripMargin)),
+
     // corpus-trained bigram-LM perplexity (LanguageModel.scala), the
     // CCNet-style ranking signal for pre-training data; the oracle
     // retrains the identical Laplace-smoothed model in SQL, so the

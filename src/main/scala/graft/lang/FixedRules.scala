@@ -249,6 +249,12 @@ object FixedRules {
     graft.text.TextAnalysis.keywords(
       relAs(rels, 0, "TextKeywords", "id", "text"), "id", "text",
       k = optInt(o, "k", 3)))
+  // ?[grp, dim, v] <~ PoolEmbeddings(*chunks[grp, vec], method: 'mean')
+  register("PoolEmbeddings", (rels, o, _) =>
+    graft.pipeline.Embeddings.pool(
+      relAs(rels, 0, "PoolEmbeddings", "grp", "vec"), "grp", "vec",
+      method = o.get("method").map(_.toString).getOrElse("mean"),
+      normalize = !o.get("normalize").contains(false)))
   register("EmbeddingDedup", (rels, o, _) =>
     graft.dedup.Dedup.embeddingNearDup(relAs(rels, 0, "EmbeddingDedup", "id", "vec"),
       "id", "vec", threshold = optDouble(o, "threshold", 0.9),

@@ -70,6 +70,18 @@ class PipelineRulesSpec extends AnyFunSuite {
     assert(kw((3L, 1L)) < kw((3L, 2L)))
   }
 
+  test("PoolEmbeddings from script: per-group mean pool, L2-normalized") {
+    val db = new CozoDb(spark)
+    db.registerTable("ch",
+      { import spark.implicits._
+        Seq((1L, Seq(1.0f, 0.0f)), (1L, Seq(0.0f, 1.0f)), (2L, Seq(3.0f, 4.0f)))
+          .toDF("g", "v") }, Seq("g", "v"))
+    val rows = db.run("?[g, d, x] <~ PoolEmbeddings(*ch[g, v])")
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(math.abs(rows((1L, 0)) - math.sqrt(0.5)) < 1e-9)
+    assert(math.abs(rows((2L, 1)) - 0.8) < 1e-9)
+  }
+
   test("TextQuality / TextRepetition / LanguageId from script") {
     val db = docsDb()
     val q = db.run("?[id, quality] <~ TextQuality(*docs[id, text])")

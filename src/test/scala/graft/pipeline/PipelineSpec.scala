@@ -87,6 +87,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(ranks.forall(_ == Seq(1L, 2L)))
   }
 
+  test("Embeddings.pool: element-wise mean then L2 normalize, hand-computed; max-pool and zero-vector guard") {
+    import spark.implicits._
+    val chunks = Seq(
+      (1L, Seq(1.0f, 0.0f)), (1L, Seq(0.0f, 1.0f)), // mean (0.5, 0.5) → (√½, √½)
+      (2L, Seq(3.0f, 4.0f)),                        // single member → (0.6, 0.8)
+      (3L, Seq(0.0f, 0.0f))                         // all-zero stays zero, not NaN
+    ).toDF("grp", "vec")
+    val r = Embeddings.pool(chunks, "grp", "vec")
+      .collect().map(x => (x.getLong(0), x.getInt(1)) -> x.getDouble(2)).toMap
+    val s2 = math.sqrt(0.5)
+    assert(math.abs(r((1L, 0)) - s2) < 1e-12 && math.abs(r((1L, 1)) - s2) < 1e-12)
+    assert(math.abs(r((2L, 0)) - 0.6) < 1e-12 && math.abs(r((2L, 1)) - 0.8) < 1e-12)
+    assert(r((3L, 0)) == 0.0 && r((3L, 1)) == 0.0)
+    val mx = Embeddings.pool(chunks, "grp", "vec", method = "max", normalize = false)
+      .collect().map(x => (x.getLong(0), x.getInt(1)) -> x.getDouble(2)).toMap
+    assert(mx((1L, 0)) == 1.0 && mx((1L, 1)) == 1.0)
+    intercept[IllegalArgumentException](
+      Embeddings.pool(chunks, "grp", "vec", method = "median"))
+  }
+
   test("gopherRules: every rule column hand-computed; keep is their conjunction") {
     import spark.implicits._
     // "ab cd\n- x\ny...": words [ab cd - x y...]; line 2 bulleted,

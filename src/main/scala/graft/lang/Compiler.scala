@@ -260,13 +260,34 @@ class Compiler(spark: SparkSession,
       }
   }
 
-  /** `@ t` timestamp with the reference's sentinels (parse/expr.rs
-    * validity handling): "NOW" is the current instant, "END" the maximum
-    * representable validity (Validity::inf — i64 MAX microseconds). */
-  private def asOfExpr(v: Expr): Column = v match {
-    case Lit("NOW") => current_timestamp()
-    case Lit("END") => timestamp_micros(lit(Long.MaxValue))
-    case other => compileExpr(other)
+  /** `@ t` timestamp exactly as the reference's expr2vld_spec
+    * (parse/query.rs:1086-1102): the spec must be CONSTANT — an
+    * integer is MICROSECONDS since epoch, "NOW" the current instant,
+    * "END" the maximum validity (Validity::inf — i64 MAX µs), any
+    * other string parses as RFC3339 (str2vld, functions.rs:2520);
+    * floats and non-constant expressions are "bad specification of
+    * validity". */
+  private def asOfExpr(v: Expr): Column = {
+    def bad(what: Any): Nothing =
+      throw CompileException(s"bad specification of validity: $what")
+    def ofConst(c: Any): Column = c match {
+      case "NOW" => current_timestamp()
+      case "END" => timestamp_micros(lit(Long.MaxValue))
+      case s: String =>
+        val inst =
+          try java.time.OffsetDateTime.parse(s).toInstant
+          catch { case _: java.time.format.DateTimeParseException => bad(s) }
+        timestamp_micros(lit(inst.getEpochSecond * 1000000L + inst.getNano / 1000L))
+      case n: Long => timestamp_micros(lit(n))
+      case n: Int => timestamp_micros(lit(n.toLong))
+      case d: Double if d.isWhole => timestamp_micros(lit(d.toLong))
+      case other => bad(other)
+    }
+    v match {
+      case Lit(c) => ofConst(c)
+      case Param(name) => ofConst(params.getOrElse(name, bad(s"$$$name")))
+      case other => bad(other)
+    }
   }
 
   /** Rust remainder semantics (functions.rs:537-546): a float mod zero

@@ -76,10 +76,10 @@ class DbLifecycleSpec extends AnyFunSuite {
       (2L, "w1", "2024-03-01 00:00:00"))
       .toDF("k", "v", "ts").withColumn("ts", col("ts").cast("timestamp"))
     db.registerTable("versions", hist, keys = Seq("k", "ts"), validity = Some("ts"))
-    val at = db.run("?[k, v] := *versions{k, v, @ '2024-04-01'}")
+    val at = db.run("?[k, v] := *versions{k, v, @ '2024-04-01T00:00:00Z'}")
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(at == Map(1L -> "v1", 2L -> "w1"))
-    val later = db.run("?[k, v] := *versions[k, v, ts, @ '2024-07-01']")
+    val later = db.run("?[k, v] := *versions[k, v, ts, @ '2024-07-01T00:00:00Z']")
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(later == Map(1L -> "v2", 2L -> "w1"))
   }

@@ -33,14 +33,26 @@ object Mutations {
   }
 
   /** Partial update of non-key columns for matching keys; other rows and
-    * columns untouched (stored.rs:520 update_in_relation). `delta` carries
-    * keys + the subset of non-key columns to overwrite. */
+    * columns untouched. Updating a key that does not exist raises like
+    * the reference ("key to update does not exist",
+    * stored.rs:590-597 update_in_relation). `delta` carries keys + the
+    * subset of non-key columns to overwrite. */
   def update(current: DataFrame, delta: DataFrame, keys: Seq[String]): DataFrame = {
+    val missing = delta.join(current, keys, "left_anti")
+    if (!missing.isEmpty)
+      throw new IllegalStateException(
+        s"update: key to update does not exist (${missing.count()} key(s))")
     val updCols = delta.columns.filterNot(keys.contains)
+    // a __hit marker (not coalesce) distinguishes "row not updated"
+    // from "column explicitly updated to NULL" — the reference writes
+    // the extracted value verbatim, nulls included
     val renamed = updCols.foldLeft(delta)((d, c) => d.withColumnRenamed(c, s"__new_$c"))
+      .withColumn("__hit", lit(true))
     current.join(renamed, keys, "left")
       .select(current.columns.map { c =>
-        if (updCols.contains(c)) coalesce(col(s"__new_$c"), col(c)).as(c) else col(c)
+        if (updCols.contains(c))
+          when(col("__hit"), col(s"__new_$c")).otherwise(col(c)).as(c)
+        else col(c)
       }: _*)
   }
 

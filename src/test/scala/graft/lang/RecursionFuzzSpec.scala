@@ -21,7 +21,7 @@ class RecursionFuzzSpec extends AnyFunSuite {
     db
   }
 
-  test("random recursive programs agree with an independent naive fixpoint (60 seeds × 4 templates)") {
+  test("random recursive programs agree with an independent naive fixpoint (60 seeds × 5 templates)") {
     val failures = scala.collection.mutable.ArrayBuffer.empty[String]
     for (seed <- 0 until 60) {
       val rnd = new scala.util.Random(seed * 104729 + 13)
@@ -36,8 +36,25 @@ class RecursionFuzzSpec extends AnyFunSuite {
       val s = rnd.nextInt(nNodes) // seed node
       val fe = edges.filter(_._3 < k)
 
-      val template = seed % 4
+      val template = seed % 5
       val (script, want): (String, Set[Seq[Any]]) = template match {
+        case 4 =>
+          // stratified negation inside recursion: reachability that
+          // never ENTERS a blocked node (blocked = nodes with a
+          // self-loop in the raw edge set — derivable, non-recursive)
+          val blocked = edges.collect { case (a, b, _) if a == b => a }.toSet
+          var r = Set(s.toLong)
+          var grew = true
+          while (grew) {
+            val nxt = r ++ fe.collect {
+              case (a, b, _) if r(a) && !blocked(b) => b }
+            grew = nxt.size > r.size; r = nxt
+          }
+          (s"""blocked[n] := *e[n, n, _]
+              |r[n] := n = $s
+              |r[n] := r[m], *e[m, n, w], w < $k, not blocked[n]
+              |?[n] := r[n]""".stripMargin,
+            r.map(n => Seq(n)))
         case 0 =>
           // filtered transitive closure
           var tc = fe.map(e => (e._1, e._2)).toSet
@@ -108,5 +125,28 @@ class RecursionFuzzSpec extends AnyFunSuite {
       }
     }
     assert(failures.isEmpty, s"${failures.length} diverging seeds:\n${failures.mkString("\n\n")}")
+  }
+
+  test(":limit under recursion early-stops to a SUBSET of the full fixpoint, of the right size (20 seeds)") {
+    val failures = scala.collection.mutable.ArrayBuffer.empty[String]
+    for (seed <- 0 until 20) {
+      val rnd = new scala.util.Random(seed * 7717 + 5)
+      val nNodes = 6 + rnd.nextInt(6)
+      val edges = (0 until 12 + rnd.nextInt(14)).map { _ =>
+        (rnd.nextInt(nNodes).toLong, rnd.nextInt(nNodes).toLong, 1L)
+      }.distinct
+      val db = mkDb(edges)
+      val script =
+        """p[x, y] := *e[x, y, _]
+          |p[x, y] := p[x, z], *e[z, y, _]
+          |?[x, y] := p[x, y]""".stripMargin
+      val full = db.run(script).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val lim = 1 + rnd.nextInt(full.size + 2)
+      val got = db.run(s"$script\n:limit $lim").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      if (got.size != math.min(lim, full.size) || !got.subsetOf(full))
+        failures += s"seed $seed: limit $lim, full ${full.size}, got ${got.size}, subset ${got.subsetOf(full)}"
+    }
+    assert(failures.isEmpty, s"${failures.length} bad seeds:\n${failures.mkString("\n")}")
   }
 }

@@ -324,18 +324,18 @@ class CozoDb(val spark: SparkSession) {
     private val snapIndexTexts = indexCreateTexts.clone()
     private val snapTriggers = scriptTriggers.clone()
     private var done = false
-    openTxDepth += 1
+    openTxCount.incrementAndGet()
     def run(script: String, params: Map[String, Any] = Map.empty): DataFrame = {
       if (done) throw new IllegalStateException("transaction already closed")
       CozoDb.this.run(script, params)
     }
     private def close(): Unit = {
       done = true
-      openTxDepth -= 1
+      openTxCount.decrementAndGet()
       // temp relations live for the WHOLE transaction (db.rs:298 shares
       // one temp store across statements); clear them at close instead
       // of per-statement
-      if (openTxDepth == 0 && runDepth == 0) clearTempRelations()
+      if (openTxCount.get() == 0 && runDepth == 0) clearTempRelations()
     }
     def commit(): Unit = if (!done) close()
     def abort(): Unit = {
@@ -387,7 +387,36 @@ class CozoDb(val spark: SparkSession) {
         s"insufficient access level for $what on $rel: $have < $need")
   }
 
-  def run(script: String, params: Map[String, Any] = Map.empty): DataFrame = {
+  /** Statement-level concurrency: script runs from multiple threads
+    * serialize writers and share readers (the coarse-grained analogue
+    * of the reference's single-writer MVCC — db.rs wraps every script
+    * in a RocksDB transaction). Classification is conservative: any
+    * script that COULD mutate (imperative blocks, `::` sysops, a
+    * `:put`-family option anywhere in the text) takes the exclusive
+    * lock; pure queries share. Both locks are reentrant for the nested
+    * runs triggers / ::explain / imperative statements perform. */
+  private val stateLock = new java.util.concurrent.locks.ReentrantReadWriteLock()
+  private val mutatingOption =
+    java.util.regex.Pattern.compile(
+      "(^|\\s):(create|replace|insert|put|update|rm|delete|ensure_not|ensure)\\b")
+  private def withStateLock[T](script: String)(body: => T): T = {
+    // ::running / ::kill exist to observe and interrupt an in-flight
+    // writer — they read only concurrent structures (runningQueries,
+    // job groups), so they bypass the state lock entirely
+    if (script.startsWith("::running") || script.startsWith("::kill")) return body
+    val write = Imperative.looksImperative(script) || script.startsWith("::") ||
+      mutatingOption.matcher(script).find()
+    // never upgrade read→write on the same thread (deadlock): only
+    // reachable if a read-classified script hit a mutating nested path,
+    // which the conservative classification prevents
+    val lock =
+      if (write && stateLock.getReadHoldCount == 0) stateLock.writeLock()
+      else stateLock.readLock()
+    lock.lock()
+    try body finally lock.unlock()
+  }
+
+  def run(script: String, params: Map[String, Any] = Map.empty): DataFrame = withStateLock(script.trim) {
     val trimmed = script.trim
     val id = queryCounter.incrementAndGet()
     runningQueries.put(id, trimmed.linesIterator.nextOption().getOrElse("").take(120))
@@ -413,14 +442,19 @@ class CozoDb(val spark: SparkSession) {
       // temp store (db.rs:298 run_multi_transaction shares one tx).
       // A returned result's plan is already built, so dropping registry
       // entries cannot invalidate it.
-      if (runDepth == 0 && openTxDepth == 0) clearTempRelations()
+      if (runDepth == 0 && openTxCount.get() == 0) clearTempRelations()
       runningQueries.remove(id)
       spark.sparkContext.clearJobGroup()
     }
   }
 
-  private var runDepth = 0
-  private var openTxDepth = 0
+  // per-thread nesting depth (nested runs happen on the caller's
+  // thread); tx count is global — a reader on another thread must not
+  // clear a live transaction's temps
+  private val runDepthTL = ThreadLocal.withInitial[Integer](() => 0)
+  private def runDepth: Int = runDepthTL.get()
+  private def runDepth_=(v: Int): Unit = runDepthTL.set(v)
+  private val openTxCount = new java.util.concurrent.atomic.AtomicInteger(0)
   private def clearTempRelations(): Unit =
     relationNames.filter(_.startsWith("_")).foreach(removeRelation)
 
@@ -826,7 +860,13 @@ class CozoDb(val spark: SparkSession) {
     * inside the mutating tx, stored.rs:322-328 — we rebuild lazily,
     * which at scale is a deliberate trade: bulk loads don't pay
     * per-row index maintenance). */
-  private var mutationEpoch = 0L
+  @volatile private var mutationEpoch = 0L
+  /** Guards the probe-time get-or-build of every index cache: cache
+    * fills happen under the SHARED read lock (concurrent readers), so
+    * they need their own monitor; mutation-path refreshes run under
+    * the exclusive write lock and take this monitor too for the same
+    * happens-before edge. */
+  private val indexCacheLock = new Object
   private val ftsCache = mutable.HashMap.empty[String, (Long, graft.search.Fts.Index)]
   /** Cached per-document LSH band table (key, band) — minhash
     * signatures are the expensive part of a `~rel:lsh` probe and are
@@ -851,7 +891,7 @@ class CozoDb(val spark: SparkSession) {
   /** The cached restored graphs of a walk-eligible index at the
     * CURRENT epoch (building artifact + restore caches as needed). */
   private def hnswLoadedGraphs(target: String, v: VecIdx)
-      : org.apache.spark.rdd.RDD[graft.similarity.HnswIndex] =
+      : org.apache.spark.rdd.RDD[graft.similarity.HnswIndex] = indexCacheLock.synchronized {
     hnswLoadedCache.get(target) match {
       case Some((ep, rdd)) if ep == mutationEpoch => rdd
       case stale =>
@@ -861,6 +901,7 @@ class CozoDb(val spark: SparkSession) {
         indexGraphLoads += 1
         rdd
     }
+  }
 
   /** Distance names the partition-local graph walk supports
     * (hnsw.rs:66-108 metric set), mapped to HnswIndex metric ids. */
@@ -914,7 +955,7 @@ class CozoDb(val spark: SparkSession) {
     * a walk-eligible vector index, built once per mutation epoch and
     * cached; shared by probes and the index-internals graph scan. The
     * create-time admission filter is param-free by construction. */
-  private def hnswGraphDir(target: String, v: VecIdx): String =
+  private def hnswGraphDir(target: String, v: VecIdx): String = indexCacheLock.synchronized {
     hnswGraphCache.get(target) match {
       case Some((ep, d)) if ep == mutationEpoch => d
       case stale =>
@@ -942,6 +983,7 @@ class CozoDb(val spark: SparkSession) {
         indexFullBuilds += 1
         d
     }
+  }
 
   /** The graph node ids a set of changed KEYS touches: one per field. */
   private def hnswChangedGids(v: VecIdx, changedIds: DataFrame, key: String): DataFrame = {
@@ -1005,7 +1047,7 @@ class CozoDb(val spark: SparkSession) {
     best
   }
 
-  private def ftsIndex(target: String, spec: FtsIdx): graft.search.Fts.Index =
+  private def ftsIndex(target: String, spec: FtsIdx): graft.search.Fts.Index = indexCacheLock.synchronized {
     ftsCache.get(target) match {
       case Some((epoch, ix)) if epoch == mutationEpoch => ix
       case _ =>
@@ -1017,6 +1059,7 @@ class CozoDb(val spark: SparkSession) {
         ftsDeltaCount(target) = 0
         ix
     }
+  }
 
   /** extract_filter semantics (parse/sys.rs:374-382): rows failing
     * the condition get a NULL extractor value — no tokens, no
@@ -1046,7 +1089,7 @@ class CozoDb(val spark: SparkSession) {
         l.bands, l.rowsPerBand)).as("band"))
   }
 
-  private def lshBandTable(target: String, l: LshIdx): DataFrame =
+  private def lshBandTable(target: String, l: LshIdx): DataFrame = indexCacheLock.synchronized {
     lshCache.get(target) match {
       case Some((epoch, df)) if epoch == mutationEpoch => df
       case _ =>
@@ -1056,6 +1099,7 @@ class CozoDb(val spark: SparkSession) {
         lshDeltaCount(target) = 0
         df
     }
+  }
 
   /** `*rel:idx{...}` — scan the index's own relation (the reference
     * exposes index internals as scannable relations). */

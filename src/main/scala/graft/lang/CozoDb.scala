@@ -273,12 +273,14 @@ class CozoDb(val spark: SparkSession) {
   /** Observe mutations on `rel`: f(op, newRows, oldRows) with op
     * "put"/"rm" — the registry analogue of db.rs:789 register_callback.
     * Returns an id for [[unregisterCallback]]. */
-  def registerCallback(rel: String)(f: (String, DataFrame, DataFrame) => Unit): Int = {
-    nextCallbackId += 1
-    changeCallbacks(nextCallbackId) = (rel, f)
-    nextCallbackId
-  }
-  def unregisterCallback(id: Int): Boolean = changeCallbacks.remove(id).isDefined
+  def registerCallback(rel: String)(f: (String, DataFrame, DataFrame) => Unit): Int =
+    changeCallbacks.synchronized {
+      nextCallbackId += 1
+      changeCallbacks(nextCallbackId) = (rel, f)
+      nextCallbackId
+    }
+  def unregisterCallback(id: Int): Boolean =
+    changeCallbacks.synchronized { changeCallbacks.remove(id).isDefined }
 
   private def fireMutation(rel: String, kind: String,
                            newDf: DataFrame, oldDf: DataFrame): Unit = {
@@ -299,7 +301,10 @@ class CozoDb(val spark: SparkSession) {
       }
     }
     if (kind == "put" || kind == "rm")
-      changeCallbacks.values.foreach { case (r, f) => if (r == rel) f(kind, newDf, oldDf) }
+      // snapshot under the monitor, fire outside it (a callback may
+      // itself register/unregister)
+      changeCallbacks.synchronized { changeCallbacks.values.toList }
+        .foreach { case (r, f) => if (r == rel) f(kind, newDf, oldDf) }
   }
 
   // ————— multi-statement transactions (db.rs:298-397) —————

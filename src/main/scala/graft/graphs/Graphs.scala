@@ -107,7 +107,10 @@ object Graphs {
 
   def connectedComponents(edges: DataFrame, maxIter: Int = 50): DataFrame = {
     val und = undirected(edges).ckpt()
-    var lab = nodes(und).withColumn("comp", col("node")).ckpt()
+    // node set from the RAW endpoints: a node whose only edges are
+    // self-loops is still a graph node (its own singleton component) —
+    // the reference's as_directed_graph indexes every endpoint
+    var lab = nodes(edges).withColumn("comp", col("node")).ckpt()
     val numIds = numericCol(lab, "comp")
     var prevSum = if (numIds) monotoneSum(lab, "comp") else null
     var converged = false
@@ -265,7 +268,9 @@ object Graphs {
   def stronglyConnectedComponents(edges: DataFrame, maxRounds: Int = 20): DataFrame = {
     var live = edges.select("src", "dst").filter(col("src") =!= col("dst"))
       .distinct().ckpt()
-    var unassigned = nodes(live).ckpt()
+    // raw endpoints: self-loop-only nodes are singleton SCCs (the
+    // forward pass immediately roots them, so they assign in round 1)
+    var unassigned = nodes(edges).ckpt()
     var result: DataFrame = null
     var round = 0
     while (round < maxRounds && !unassigned.isEmpty) {

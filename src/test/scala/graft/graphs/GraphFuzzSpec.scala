@@ -1,0 +1,142 @@
+package graft.graphs
+
+import graft.SparkFixture
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Differential fuzz of the distributed graph kernels on random small
+  * graphs vs naive single-machine references: union-find (CC), Kosaraju
+  * (SCC), Bellman-Ford (multi-source shortest paths), Kahn layering
+  * (topSort), and direct counting (degree centrality). Catches
+  * propagation/convergence bugs the fixed hand examples can't.
+  */
+class GraphFuzzSpec extends AnyFunSuite {
+  lazy val spark = SparkFixture.spark
+  import spark.implicits._
+
+  private def randEdges(rnd: scala.util.Random, n: Int, m: Int): Seq[(Long, Long)] =
+    (0 until m).map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)).distinct
+
+  test("connectedComponents ≡ union-find with min-id labels (15 seeds)") {
+    for (seed <- 0 until 15) {
+      val rnd = new scala.util.Random(seed * 52361 + 11)
+      val es = randEdges(rnd, 8 + rnd.nextInt(6), 12 + rnd.nextInt(18))
+      val got = Graphs.connectedComponents(es.toDF("src", "dst"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // naive union-find over the undirected edge set (self-loop-only
+      // nodes are singleton components, like the reference's graph)
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      for ((a, b) <- es) { val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(ra) = rb }
+      val members = parent.keys.toSeq.groupBy(find)
+      val want = members.values.flatMap { ns => val lbl = ns.min; ns.map(_ -> lbl) }.toMap
+      assert(got == want, s"seed $seed edges $es")
+    }
+  }
+
+  test("stronglyConnectedComponents ≡ Kosaraju with min-id labels (15 seeds)") {
+    for (seed <- 0 until 15) {
+      val rnd = new scala.util.Random(seed * 77351 + 3)
+      val es0 = randEdges(rnd, 7 + rnd.nextInt(5), 10 + rnd.nextInt(16))
+      val es = es0 // self-loops allowed: such nodes are singleton SCCs
+      if (es.exists(e => e._1 != e._2)) {
+        val got = Graphs.stronglyConnectedComponents(es.toDF("src", "dst"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val nodes = es.flatMap(e => Seq(e._1, e._2)).distinct
+        val esn = es.filter(e => e._1 != e._2)
+        val fwd = esn.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+        val bwd = esn.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+        // Kosaraju: order by finish time on fwd, assign on bwd
+        val visited = scala.collection.mutable.Set.empty[Long]
+        val order = scala.collection.mutable.ArrayBuffer.empty[Long]
+        def dfs1(u: Long): Unit = if (visited.add(u)) {
+          fwd.getOrElse(u, Nil).foreach(dfs1); order += u
+        }
+        nodes.sorted.foreach(dfs1)
+        val comp = scala.collection.mutable.Map.empty[Long, Long]
+        def dfs2(u: Long, root: Long): Unit = if (!comp.contains(u)) {
+          comp(u) = root; bwd.getOrElse(u, Nil).foreach(dfs2(_, root))
+        }
+        order.reverseIterator.foreach(u => if (!comp.contains(u)) dfs2(u, u))
+        val want = comp.keys.toSeq.groupBy(comp).values
+          .flatMap { ns => val lbl = ns.min; ns.map(_ -> lbl) }.toMap
+        assert(got == want, s"seed $seed edges $es")
+      }
+    }
+  }
+
+  test("shortestPaths ≡ Bellman-Ford from every start (12 seeds)") {
+    for (seed <- 0 until 12) {
+      val rnd = new scala.util.Random(seed * 90001 + 7)
+      val n = 7 + rnd.nextInt(5)
+      val es = randEdges(rnd, n, 12 + rnd.nextInt(14))
+        .map { case (a, b) => (a, b, (1 + rnd.nextInt(9)).toDouble) }
+      val starts = (0 until 2 + rnd.nextInt(2)).map(_ => rnd.nextInt(n).toLong).distinct
+      val got = Graphs.shortestPaths(
+          es.toDF("src", "dst", "weight"), starts.toDF("start"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      val want = starts.flatMap { s =>
+        val dist = scala.collection.mutable.Map(s -> 0.0)
+        var changed = true
+        while (changed) {
+          changed = false
+          for ((a, b, w) <- es; da <- dist.get(a)) {
+            if (dist.get(b).forall(da + w < _)) { dist(b) = da + w; changed = true }
+          }
+        }
+        dist.map { case (node, c) => (s, node) -> c }
+      }.toMap
+      assert(got == want, s"seed $seed")
+    }
+  }
+
+  test("topSort ≡ Kahn layering on random DAGs; cyclic graphs error (12 seeds)") {
+    for (seed <- 0 until 12) {
+      val rnd = new scala.util.Random(seed * 31357 + 17)
+      val n = 7 + rnd.nextInt(6)
+      // DAG by construction: edges only increase node id
+      val es = (0 until 12 + rnd.nextInt(14)).map { _ =>
+        val a = rnd.nextInt(n - 1); val b = a + 1 + rnd.nextInt(n - a - 1)
+        (a.toLong, b.toLong)
+      }.distinct
+      val got = Graphs.topSort(es.toDF("src", "dst"))
+        .collect().map(r => r.getLong(0) -> r.get(1).asInstanceOf[Number].longValue()).toMap
+      // naive Kahn peel
+      var remaining = es
+      var live = es.flatMap(e => Seq(e._1, e._2)).distinct.toSet
+      var layer = 0L
+      val want = scala.collection.mutable.Map.empty[Long, Long]
+      while (live.nonEmpty) {
+        val hasIn = remaining.filter(e => live(e._1)).map(_._2).toSet
+        val zero = live -- hasIn
+        zero.foreach(want(_) = layer)
+        live --= zero
+        remaining = remaining.filter(e => live(e._1) && live(e._2))
+        layer += 1
+      }
+      assert(got == want.toMap, s"seed $seed")
+    }
+    // a cycle errors loudly
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val e = intercept[Exception](Graphs.topSort(cyc).collect())
+    assert(e.getMessage.toLowerCase.contains("cycle"))
+  }
+
+  test("degreeCentrality ≡ direct counting (8 seeds)") {
+    for (seed <- 0 until 8) {
+      val rnd = new scala.util.Random(seed * 10007 + 23)
+      val es = randEdges(rnd, 8 + rnd.nextInt(5), 12 + rnd.nextInt(16))
+      val got = Graphs.degreeCentrality(es.toDF("src", "dst"))
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      val outD = es.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      val inD = es.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      val want = es.flatMap(e => Seq(e._1, e._2)).distinct.map { v =>
+        val (o, i) = (outD.getOrElse(v, 0L), inD.getOrElse(v, 0L))
+        v -> ((o + i, i, o))
+      }.toMap
+      assert(got == want, s"seed $seed")
+    }
+  }
+}

@@ -124,6 +124,54 @@ class GraphFuzzSpec extends AnyFunSuite {
     assert(e.getMessage.toLowerCase.contains("cycle"))
   }
 
+  test("pageRank ≡ naive damped power iteration with dangling redistribution (8 seeds)") {
+    for (seed <- 0 until 8) {
+      val rnd = new scala.util.Random(seed * 41651 + 31)
+      val es = randEdges(rnd, 7 + rnd.nextInt(5), 10 + rnd.nextInt(14))
+      val iters = 3 + rnd.nextInt(5)
+      val got = Graphs.pageRank(es.toDF("src", "dst"), iters = iters)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val nodes = es.flatMap(e => Seq(e._1, e._2)).distinct
+      val n = nodes.size.toDouble
+      val outDeg = es.groupBy(_._1).view.mapValues(_.size).toMap
+      var rank = nodes.map(_ -> 1.0 / n).toMap
+      for (_ <- 0 until iters) {
+        val contrib = scala.collection.mutable.Map.empty[Long, Double].withDefaultValue(0.0)
+        for ((a, b) <- es) contrib(b) += rank(a) / outDeg(a)
+        val dangling = nodes.filterNot(outDeg.contains).map(rank).sum
+        rank = nodes.map(v =>
+          v -> ((1 - 0.85) / n + 0.85 * (contrib(v) + dangling / n))).toMap
+      }
+      assert(got.keySet == rank.keySet, s"seed $seed")
+      for ((v, r) <- rank)
+        assert(math.abs(got(v) - r) < 1e-9, s"seed $seed node $v: ${got(v)} vs $r")
+    }
+  }
+
+  test("clusteringCoefficients ≡ naive per-node triangle counting (8 seeds, simple graphs)") {
+    for (seed <- 0 until 8) {
+      val rnd = new scala.util.Random(seed * 65867 + 41)
+      val es = randEdges(rnd, 7 + rnd.nextInt(5), 12 + rnd.nextInt(14))
+        .filter(e => e._1 != e._2)
+      val got = Graphs.clusteringCoefficients(es.toDF("src", "dst"))
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+      val nbr = (es ++ es.map(e => (e._2, e._1))).distinct
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val want = nbr.map { case (v, ns) =>
+        val deg = ns.size.toLong
+        val tris = ns.toSeq.combinations(2).count { case Seq(x, y) =>
+          nbr.getOrElse(x, Set.empty)(y) }
+        val cc = if (deg >= 2) 2.0 * tris / (deg * (deg - 1)) else 0.0
+        v -> ((deg, tris.toLong, cc))
+      }
+      assert(got.keySet == want.keySet, s"seed $seed")
+      for ((v, (d, t, c)) <- want) {
+        val (gd, gt, gc) = got(v)
+        assert(gd == d && gt == t && math.abs(gc - c) < 1e-12, s"seed $seed node $v")
+      }
+    }
+  }
+
   test("degreeCentrality ≡ direct counting (8 seeds)") {
     for (seed <- 0 until 8) {
       val rnd = new scala.util.Random(seed * 10007 + 23)

@@ -66,10 +66,15 @@ object AsOfJoin {
     val lCols = left.columns.toSeq
     val pStruct = struct(payload.map(col): _*)
     val pType = right.select(pStruct).schema.head.dataType
+    // tie order must use the tieBreak columns' OWN types: a stringified
+    // key would rank "8" above "29" (caught by OperatorFuzzSpec)
+    val tbStruct =
+      if (tieBreak.isEmpty) lit(0) else struct(tieBreak.map(col): _*)
+    val tbType = right.select(tbStruct.as("__tb")).schema.head.dataType
     val taggedL = left
       .withColumn("__ts", micros(left, leftTs) * sign).withColumn("__tag", lit(1))
       .withColumn("__p", lit(null).cast(pType))
-      .withColumn("__tb", lit(null).cast("string"))
+      .withColumn("__tb", lit(null).cast(tbType))
       .select((keys.map(col) :+ col("__ts") :+ col("__tag") :+ col("__p") :+ col("__tb") :+
         struct(lCols.map(col): _*).as("__l")): _*)
     val lType = taggedL.schema("__l").dataType
@@ -78,7 +83,7 @@ object AsOfJoin {
     val taggedR = right
       .withColumn("__ts", micros(right, rightTs) * sign).withColumn("__tag", lit(0))
       .withColumn("__p", pStruct)
-      .withColumn("__tb", concat_ws(" ", tieBreak.map(c => col(c).cast("string")): _*))
+      .withColumn("__tb", tbStruct)
       .select((keys.map(col) :+ col("__ts") :+ col("__tag") :+ col("__p") :+ col("__tb") :+
         lit(null).cast(lType).as("__l")): _*)
     val unioned = taggedL.unionByName(taggedR)

@@ -57,6 +57,31 @@ class ShardingFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("percentileCut exact path ≡ naive interpolated percentile per group (8 seeds)") {
+    for (seed <- 0 until 8) {
+      val rnd = new scala.util.Random(seed * 15881 + 7)
+      val rows = (for (g <- Seq("a", "b", "c"); i <- 0 until 5 + rnd.nextInt(20))
+        yield (g, i, rnd.nextInt(1000) / 10.0)).toSeq
+      val q = Seq(0.0, 0.25, 0.5, 0.9, 1.0)(rnd.nextInt(5))
+      val got = Sampling.percentileCut(rows.toDF("grp", "id", "score"),
+          "grp", "score", q, exact = true)
+        .collect().map(r => (r.getString(0), r.getInt(1)) -> ((r.getDouble(3), r.getBoolean(4)))).toMap
+      // naive: linear-interpolated percentile (Spark `percentile` semantics)
+      val thr = rows.groupBy(_._1).view.mapValues { rs =>
+        val s = rs.map(_._3).sorted
+        val pos = q * (s.size - 1)
+        val lo = s(pos.toInt)
+        val hi = s(math.min(pos.toInt + 1, s.size - 1))
+        lo + (pos - pos.toInt) * (hi - lo)
+      }.toMap
+      for ((g, id, sc) <- rows) {
+        val (gthr, gkeep) = got((g, id))
+        assert(math.abs(gthr - thr(g)) < 1e-9, s"seed $seed group $g: $gthr vs ${thr(g)}")
+        assert(gkeep == (sc >= gthr), s"seed $seed row ($g,$id)")
+      }
+    }
+  }
+
   test("splitByGroup never straddles a group across splits (8 seeds, both hash families)") {
     for (seed <- 0 until 8; portable <- Seq(true, false)) {
       val rnd = new scala.util.Random(seed * 9109 + 41)

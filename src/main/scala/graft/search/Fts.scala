@@ -40,12 +40,16 @@ object Fts {
 
   /** Positive terms of a query: those whose presence should score
     * (everything not strictly under the negated side of a NOT). */
-  def positiveTerms(q: Q): Seq[String] = q match {
-    case Term(t, _, _) => Seq(t)
-    case And(qs) => qs.flatMap(positiveTerms)
-    case Or(qs) => qs.flatMap(positiveTerms)
-    case Not(pos, _) => positiveTerms(pos)
-    case Near(ts, _) => ts.map(_.t)
+  def positiveTerms(q: Q): Seq[String] = positiveLits(q).map(_.t)
+
+  /** Positive LITERALS (prefix flags preserved — a `word*` literal
+    * scores through its whole expansion, not an exact-string lookup). */
+  def positiveLits(q: Q): Seq[Term] = q match {
+    case t: Term => Seq(t)
+    case And(qs) => qs.flatMap(positiveLits)
+    case Or(qs) => qs.flatMap(positiveLits)
+    case Not(pos, _) => positiveLits(pos)
+    case Near(ts, _) => ts
   }
 
   /** Every term the evaluation touches, negated sides included (a
@@ -518,9 +522,13 @@ object Fts {
   /** BM25 scoring past normalization — `q`'s terms are already through
     * the index pipeline. */
   private def scoreNormalized(ix: Index, q: Q, k1: Double, b: Double): DataFrame = {
-    val terms = positiveTerms(q).distinct
+    val lits = positiveLits(q).map(l => (l.t, l.prefix)).distinct
+      .map { case (t, p) => Term(t, p) }
     val matched = matchSet(ix, q)
-    val termPost = ix.postings.filter(col("term").isin(terms: _*))
+    // per-literal postings (prefix literals range-expand); a term
+    // matched by several literals still counts once per (doc, term)
+    val termPost = lits.map(literalPostings(ix, _))
+      .reduce(_ unionByName _).dropDuplicates("id", "term")
     val termDf = termPost.groupBy("term").agg(count_distinct(col("id")).as("df"))
     termPost
       .join(matched, Seq("id"), "left_semi")

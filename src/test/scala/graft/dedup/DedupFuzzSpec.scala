@@ -62,6 +62,46 @@ class DedupFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("resolveClusters / resolveClustersBest ≡ naive union-find + argmax keeper (10 seeds)") {
+    for (seed <- 0 until 10) {
+      val rnd = new scala.util.Random(seed * 60251 + 3)
+      val n = 10 + rnd.nextInt(10)
+      val ids = (1L to n.toLong)
+      // random pairs incl. chains/cycles; some ids isolated
+      val pairs = (0 until rnd.nextInt(12)).map { _ =>
+        (ids(rnd.nextInt(n)), ids(rnd.nextInt(n)))
+      }.filter(p => p._1 != p._2)
+      val quality: Map[Long, Option[Double]] = ids.map(id =>
+        id -> (if (rnd.nextInt(5) == 0) None else Some(rnd.nextInt(50).toDouble))).toMap
+      // naive union-find with min-id labels
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      for ((a, b) <- pairs) { val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(ra) = rb }
+      val label = ids.map { id =>
+        val members = ids.filter(j => parent.contains(j) && parent.contains(id) && find(j) == find(id))
+        id -> (if (parent.contains(id) && members.nonEmpty) members.min else id)
+      }.toMap
+      val docsDf = ids.map(id => (id, quality(id).map(Double.box).orNull)).toSeq
+        .toDF("id", "q")
+      val pairsDf = (if (pairs.isEmpty) Seq((-1L, -2L)) else pairs).toDF("id_a", "id_b")
+      val rc = Dedup.resolveClusters(docsDf.select("id"), "id", pairsDf)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+      for (id <- ids)
+        assert(rc(id) == ((label(id), id == label(id))), s"seed $seed id $id")
+      val rb = Dedup.resolveClustersBest(docsDf, "id", "q", pairsDf)
+        .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+      val keepers = ids.groupBy(label).map { case (_, members) =>
+        val mq = members.map(m => quality(m).getOrElse(Double.NegativeInfinity)).max
+        members.filter(m => quality(m).getOrElse(Double.NegativeInfinity) == mq).min
+      }.toSet
+      for (id <- ids)
+        assert(rb(id) == keepers(id), s"seed $seed keeper for $id (clusters $label)")
+    }
+  }
+
   test("minhashDedup verified pairs are a SOUND subset of exact pairs (8 seeds)") {
     for (seed <- 0 until 8) {
       val rnd = new scala.util.Random(seed * 77003 + 7)

@@ -40,7 +40,8 @@ write(
            user_id + k.k * 1000000 AS user_id,
            event_type,
            epoch_ns(ts)::BIGINT + k.k * 31 * {DAY_NS} AS ts,
-           value
+           value,
+           props
     FROM read_parquet('{SRC}/events.parquet'), range({K}) k(k)
     """,
     "events",

@@ -83,6 +83,35 @@ class OperatorFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("sessionize epoch-salted path splits at gaps OR epoch boundaries, exactly (8 seeds)") {
+    for (seed <- 0 until 8) {
+      val rnd = new scala.util.Random(seed * 84211 + 31)
+      val g = (2 + rnd.nextInt(4)).toLong
+      val epoch = g + 3 + rnd.nextInt(10)
+      val events = (for (k <- 0 until 2) yield {
+        rnd.shuffle((0 until 60).toList).take(10 + rnd.nextInt(12))
+          .map(t => (k.toLong, t.toLong))
+      }).flatten
+      val got = graft.pipeline.Sessionize.sessionize(
+          events.toDF("k", "ts"), Seq("k"), "ts", gapMicros = g,
+          epochMicros = Some(epoch))
+        .collect().map(r => (r.getLong(0), r.getString(2)) -> r.getLong(1))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).values.toSet
+      // naive: per key sort; break where delta > G OR epoch changes
+      val want = events.groupBy(_._1).values.flatMap { es =>
+        val sorted = es.map(_._2).sorted
+        val groups = scala.collection.mutable.ArrayBuffer(
+          scala.collection.mutable.ArrayBuffer(sorted.head))
+        for (Seq(a, b) <- sorted.sliding(2) if sorted.size > 1)
+          if (b - a > g || b / epoch != a / epoch)
+            groups += scala.collection.mutable.ArrayBuffer(b)
+          else groups.last += b
+        groups.map(_.toSet)
+      }.toSet
+      assert(got == want, s"seed $seed gap $g epoch $epoch")
+    }
+  }
+
   test("sessionize partitions each key's events at gaps > G exactly like a naive split (10 seeds)") {
     for (seed <- 0 until 10) {
       val rnd = new scala.util.Random(seed * 11939 + 5)

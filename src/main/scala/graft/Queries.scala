@@ -2496,6 +2496,29 @@ object Queries {
              |  FROM hashed WHERE h < thr)
              |SELECT doc_id, lang FROM survivors WHERE rk <= target""".stripMargin)),
 
+    // temperature-flattened mixing (τ=0.5): kept counts follow √N_s
+    // ratios anchored at the most constrained source; the oracle
+    // recomputes the integerized weights, anchor, targets, prefilter
+    // thresholds and survivor ranks from scratch
+    Spec("pipe_balance_temp", (s, d) =>
+      graft.pipeline.Balance.balanceSourcesTemperature(
+          T(s, d, "documents").select("doc_id", "lang"), "lang", "doc_id", tau = 0.5)
+        .select("doc_id", "lang"),
+      Some("""WITH counts AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+             |w AS (SELECT lang, n, GREATEST(1, CAST(round(pow(CAST(n AS DOUBLE), 0.5) * 1000000) AS BIGINT)) AS wt FROM counts),
+             |anchor AS (SELECT n AS a_n, wt AS a_w FROM w ORDER BY CAST(n AS DOUBLE) / wt, lang LIMIT 1),
+             |plan AS (SELECT w.lang, w.n, w.wt * a.a_n // a.a_w AS target,
+             |  LEAST((w.wt * a.a_n // a.a_w + 1000) * 21 // 20 * 1073741824 // w.n + 1, 1073741824) AS thr
+             |  FROM w CROSS JOIN anchor a),
+             |hashed AS (SELECT doc_id, d.lang,
+             |    ((doc_id * 2654435761) % 4294967296) % 1073741824 AS h,
+             |    p.target, p.thr
+             |  FROM documents d JOIN plan p ON d.lang = p.lang),
+             |survivors AS (SELECT doc_id, lang, target,
+             |    row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rk
+             |  FROM hashed WHERE h < thr)
+             |SELECT doc_id, lang FROM survivors WHERE rk <= target""".stripMargin)),
+
     // deterministic stratified sampling via Knuth multiplicative hashing
     // (pure integer arithmetic — the oracle reproduces it bit-for-bit;
     // the xxhash64 family is the production default for non-int keys)

@@ -49,6 +49,28 @@ object Balance {
     }
   }
 
+  /** Temperature-flattened mixture weights (the multilingual-training
+    * recipe: sampling mass ∝ N_s^τ, τ<1 upweights small sources
+    * RELATIVELY): integerized as round(N_s^τ·10⁶) so the exact integer
+    * plan arithmetic of [[plans]] applies unchanged and any engine
+    * reproduces the targets bit-for-bit (same doubles, same rounding). */
+  def temperatureWeights(counts: Map[String, Long], tau: Double): Map[String, Long] = {
+    require(tau >= 0.0 && tau <= 1.0, s"tau $tau not in [0,1]")
+    counts.map { case (s, n) =>
+      s -> math.max(1L, math.round(math.pow(n.toDouble, tau) * 1e6))
+    }
+  }
+
+  /** [[balanceSources]] with temperature-derived weights: each source's
+    * kept count follows N_s^τ ratios, anchored so no source
+    * oversamples. One extra per-source count aggregate (tiny). */
+  def balanceSourcesTemperature(df: DataFrame, srcCol: String, idCol: String,
+                                tau: Double, exact: Boolean = true): DataFrame = {
+    val counts = df.groupBy(srcCol).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    balanceSources(df, srcCol, idCol, temperatureWeights(counts, tau), exact)
+  }
+
   /** Balance `df` so each `srcCol` group's kept count follows
     * `weights` (missing sources weigh 1). Returns the kept rows with
     * their original columns.

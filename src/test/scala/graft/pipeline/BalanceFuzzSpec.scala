@@ -46,6 +46,40 @@ class BalanceFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("temperature weights flatten ratios toward uniform as τ→0; τ=1 keeps raw proportions (6 seeds)") {
+    for (seed <- 0 until 6) {
+      val rnd = new scala.util.Random(seed * 71993 + 13)
+      val rows = Seq(("big", 300 + rnd.nextInt(200)), ("mid", 80 + rnd.nextInt(40)),
+          ("small", 20 + rnd.nextInt(10)))
+        .flatMap { case (s, c) => (0 until c).map(i => (s, (s.hashCode.abs % 97) * 10000L + i)) }
+      val counts = rows.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      def keptRatio(tau: Double): Double = {
+        val kept = Balance.balanceSourcesTemperature(
+            rows.toDF("src", "id"), "src", "id", tau)
+          .collect().map(_.getString(0)).groupBy(identity).view.mapValues(_.size).toMap
+        kept("big").toDouble / kept("small")
+      }
+      val r1 = keptRatio(1.0)
+      val rHalf = keptRatio(0.5)
+      val r0 = keptRatio(0.0)
+      val rawRatio = counts("big").toDouble / counts("small")
+      assert(math.abs(r1 - rawRatio) / rawRatio < 0.05, s"seed $seed τ=1: $r1 vs raw $rawRatio")
+      assert(rHalf < r1 && rHalf > 1.0, s"seed $seed τ=0.5 ratio $rHalf should sit between")
+      assert(math.abs(r0 - 1.0) < 0.25, s"seed $seed τ=0 should be ~uniform, got $r0")
+      // naive spec mirror at τ=0.5: exact kept sets
+      val tau = 0.5
+      val w = counts.map { case (s, n) => s -> math.max(1L, math.round(math.pow(n.toDouble, tau) * 1e6)) }
+      val anchor = counts.keys.toSeq.sortBy(s => (counts(s).toDouble / w(s), s)).head
+      val want = counts.keys.toSeq.sorted.flatMap { s =>
+        val target = w(s) * counts(anchor) / w(anchor)
+        rows.filter(_._1 == s).sortBy { case (_, id) => (knuth(id), id) }.take(target.toInt)
+      }.toSet
+      val got = Balance.balanceSourcesTemperature(rows.toDF("src", "id"), "src", "id", tau)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(got == want, s"seed $seed τ=0.5 exact set")
+    }
+  }
+
   test("rate-only path: kept counts near target, every survivor passes the hash rate (6 seeds)") {
     for (seed <- 0 until 6) {
       val rnd = new scala.util.Random(seed * 52813 + 3)

@@ -249,6 +249,35 @@ object FixedRules {
     graft.text.TextAnalysis.keywords(
       relAs(rels, 0, "TextKeywords", "id", "text"), "id", "text",
       k = optInt(o, "k", 3)))
+  // ?[id, weight, shard] <~ PackByBudget(*docs[id, weight], budget: 1000)
+  register("PackByBudget", (rels, o, _) =>
+    graft.pipeline.Sharding.packByBudget(
+      relAs(rels, 0, "PackByBudget", "id", "weight"), "id", "weight",
+      budget = optInt(o, "budget", 1000).toLong))
+  // ?[id, chunk_idx, chunk_w, shard] <~ PackSequences(*docs[id, weight],
+  //   max_len: 1024, budget: 4096)
+  register("PackSequences", (rels, o, _) =>
+    graft.pipeline.Sharding.packSequences(
+      relAs(rels, 0, "PackSequences", "id", "weight"), "id", "weight",
+      maxLen = optInt(o, "max_len", 1024).toLong,
+      budget = optInt(o, "budget", 4096).toLong))
+  // ?[src, id] <~ BalanceSources(*docs[src, id]) — anchored downsample;
+  // weights come as a second relation [src, weight] when ratios differ
+  register("BalanceSources", (rels, o, _) => {
+    val docs = relAs(rels, 0, "BalanceSources", "src", "id")
+    val weights: Map[String, Long] =
+      if (rels.length < 2) Map.empty
+      else relAs(rels, 1, "BalanceSources", "src", "weight")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    graft.pipeline.Balance.balanceSources(docs, "src", "id", weights,
+      exact = !o.get("exact").contains(false))
+  })
+  // ?[src, id] <~ BalanceTemperature(*docs[src, id], tau: 0.5)
+  register("BalanceTemperature", (rels, o, _) =>
+    graft.pipeline.Balance.balanceSourcesTemperature(
+      relAs(rels, 0, "BalanceTemperature", "src", "id"), "src", "id",
+      tau = optDouble(o, "tau", 0.5),
+      exact = !o.get("exact").contains(false)))
   // ?[grp, dim, v] <~ PoolEmbeddings(*chunks[grp, vec], method: 'mean')
   register("PoolEmbeddings", (rels, o, _) =>
     graft.pipeline.Embeddings.pool(

@@ -70,6 +70,26 @@ class PipelineRulesSpec extends AnyFunSuite {
     assert(kw((3L, 1L)) < kw((3L, 2L)))
   }
 
+  test("PackByBudget / PackSequences / BalanceSources / BalanceTemperature from script") {
+    val db = new CozoDb(spark)
+    db.run("?[id, w] <- [[1, 5], [2, 5], [3, 5], [4, 11]] :create dw {id => w}")
+    val shards = db.run("?[id, w, s] <~ PackByBudget(*dw[id, w], budget: 10)")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // prefix sums 0,5,10,15 div 10 → shards 0,0,1,1
+    assert(shards == Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 1L))
+    val chunks = db.run("?[id, ci, cw, s] <~ PackSequences(*dw[id, w], max_len: 4, budget: 8)")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(chunks((4L, 0L)) == 4L && chunks((4L, 2L)) == 3L) // 11 = 4+4+3
+    db.run("?[s, id] <- [['a', 1], ['a', 2], ['a', 3], ['a', 4], ['b', 10]] :create sb {s, id}")
+    val bal = db.run("?[s, id] <~ BalanceSources(*sb[s, id])")
+      .collect().map(_.getString(0)).groupBy(identity).view.mapValues(_.size).toMap
+    assert(bal == Map("a" -> 1, "b" -> 1)) // anchored at b (1 row each)
+    val bt = db.run("?[s, id] <~ BalanceTemperature(*sb[s, id], tau: 0.5)")
+      .collect().map(_.getString(0)).groupBy(identity).view.mapValues(_.size).toMap
+    // τ=0.5: w_a=2e6, w_b=1e6, anchor b → target_a = 2, target_b = 1
+    assert(bt == Map("a" -> 2, "b" -> 1))
+  }
+
   test("PoolEmbeddings from script: per-group mean pool, L2-normalized") {
     val db = new CozoDb(spark)
     db.registerTable("ch",

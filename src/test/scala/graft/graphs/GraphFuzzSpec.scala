@@ -172,6 +172,34 @@ class GraphFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("closenessCentrality full-sample ≡ naive undirected BFS estimator (8 seeds)") {
+    for (seed <- 0 until 8) {
+      val rnd = new scala.util.Random(seed * 29123 + 19)
+      val es = randEdges(rnd, 7 + rnd.nextInt(5), 10 + rnd.nextInt(14))
+      val got = Graphs.closenessCentrality(es.toDF("src", "dst"), sample = 1000)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val nodes = es.flatMap(e => Seq(e._1, e._2)).distinct
+      val und = (es ++ es.map(e => (e._2, e._1))).filter(e => e._1 != e._2).distinct
+      val adj = und.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      def bfs(s: Long): Map[Long, Int] = {
+        val d = scala.collection.mutable.Map(s -> 0)
+        val q = scala.collection.mutable.Queue(s)
+        while (q.nonEmpty) {
+          val u = q.dequeue()
+          for (v <- adj.getOrElse(u, Nil) if !d.contains(v)) { d(v) = d(u) + 1; q += v }
+        }
+        d.toMap
+      }
+      val n = nodes.size.toDouble
+      val dists = nodes.map(s => s -> bfs(s)).toMap
+      for (v <- nodes) {
+        val total = nodes.filter(_ != v).flatMap(s => dists(s).get(v)).sum.toDouble
+        val want = if (total > 0) (n - 1) * n / (n * total) else 0.0
+        assert(math.abs(got(v) - want) < 1e-9, s"seed $seed node $v: ${got(v)} vs $want")
+      }
+    }
+  }
+
   test("degreeCentrality ≡ direct counting (8 seeds)") {
     for (seed <- 0 until 8) {
       val rnd = new scala.util.Random(seed * 10007 + 23)

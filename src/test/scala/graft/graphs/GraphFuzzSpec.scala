@@ -172,6 +172,49 @@ class GraphFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("minimumSpanningForest total weight ≡ naive Kruskal, edges valid and spanning (10 seeds)") {
+    for (seed <- 0 until 10) {
+      val rnd = new scala.util.Random(seed * 45007 + 23)
+      val es = randEdges(rnd, 8 + rnd.nextInt(6), 12 + rnd.nextInt(16))
+        .filter(e => e._1 != e._2)
+        .map { case (a, b) => (a, b, (1 + rnd.nextInt(20)).toDouble) }
+      if (es.nonEmpty) {
+        val got = Graphs.minimumSpanningForest(es.toDF("src", "dst", "weight"))
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        // canonical min-weight undirected edge set for validity checks
+        val canon = es.map { case (a, b, w) => ((math.min(a, b), math.max(a, b)), w) }
+          .groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+        for ((a, b, w) <- got)
+          assert(canon.get((math.min(a, b), math.max(a, b))).contains(w),
+            s"seed $seed: forest edge ($a,$b,$w) not a canonical graph edge")
+        // naive Kruskal
+        val parent = scala.collection.mutable.Map.empty[Long, Long]
+        def find(x: Long): Long = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        var naiveW = 0.0; var naiveEdges = 0
+        for (((a, b), w) <- canon.toSeq.sortBy { case ((a, b), w) => (w, a, b) }) {
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) { parent(ra) = rb; naiveW += w; naiveEdges += 1 }
+        }
+        assert(got.length == naiveEdges, s"seed $seed: ${got.length} edges vs $naiveEdges")
+        assert(math.abs(got.map(_._3).sum - naiveW) < 1e-9,
+          s"seed $seed: total ${got.map(_._3).sum} vs $naiveW")
+        // forest is acyclic and spans: n_edges = n_nodes − n_components
+        val fparent = scala.collection.mutable.Map.empty[Long, Long]
+        def ffind(x: Long): Long = {
+          val p = fparent.getOrElseUpdate(x, x)
+          if (p == x) x else { val r = ffind(p); fparent(x) = r; r }
+        }
+        for ((a, b, _) <- got) {
+          assert(ffind(a) != ffind(b), s"seed $seed: forest edge ($a,$b) closes a cycle")
+          fparent(ffind(a)) = ffind(b)
+        }
+      }
+    }
+  }
+
   test("closenessCentrality full-sample ≡ naive undirected BFS estimator (8 seeds)") {
     for (seed <- 0 until 8) {
       val rnd = new scala.util.Random(seed * 29123 + 19)

@@ -172,6 +172,75 @@ class GraphFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("yenPaths ≡ exhaustive loopless-path enumeration: top-k costs and path validity (8 seeds)") {
+    for (seed <- 0 until 8) {
+      val rnd = new scala.util.Random(seed * 66601 + 37)
+      val n = 5 + rnd.nextInt(3) // small enough to enumerate ALL simple paths
+      val es = randEdges(rnd, n, 8 + rnd.nextInt(8))
+        .filter(e => e._1 != e._2)
+        .map { case (a, b) => (a, b, (1 + rnd.nextInt(9)).toDouble) }
+      val s = rnd.nextInt(n).toLong
+      val g = rnd.nextInt(n).toLong
+      if (s != g && es.nonEmpty) {
+        val k = 2 + rnd.nextInt(3)
+        val got = Graphs.yenPaths(es.toDF("src", "dst", "weight"),
+            Seq(s).toDF("start"), Seq(g).toDF("goal"), k)
+          .collect().map(r => (r.getLong(2), r.getDouble(3), r.getSeq[String](4)))
+          .sortBy(_._1)
+        // exhaustive simple paths s→g
+        val adj = es.groupBy(_._1).view.mapValues(_.map(e => (e._2, e._3))).toMap
+        val all = scala.collection.mutable.ArrayBuffer.empty[(Double, Seq[Long])]
+        def dfs(u: Long, cost: Double, path: Seq[Long]): Unit = {
+          if (u == g) all += ((cost, path))
+          else for ((v, w) <- adj.getOrElse(u, Nil) if !path.contains(v))
+            dfs(v, cost + w, path :+ v)
+        }
+        dfs(s, 0.0, Seq(s))
+        val wantCosts = all.map(_._1).sorted.take(k).toSeq
+        assert(got.map(_._2).toSeq == wantCosts,
+          s"seed $seed $s→$g: costs ${got.map(_._2).toSeq} vs $wantCosts")
+        // every reported path is a valid loopless path with its cost
+        for ((rank, cost, path) <- got) {
+          val hops = path.map(_.toLong)
+          assert(hops.head == s && hops.last == g && hops.distinct.size == hops.size)
+          val wsum = hops.sliding(2).map { case Seq(a, b) =>
+            es.collectFirst { case (x, y, w) if x == a && y == b => w }.get }.sum
+          assert(math.abs(wsum - cost) < 1e-9, s"seed $seed rank $rank path sum")
+        }
+      }
+    }
+  }
+
+  test("KMeans script rule: every point assigned to its max-cosine centroid; clusters ≤ k (6 seeds)") {
+    for (seed <- 0 until 6) {
+      val rnd = new scala.util.Random(seed * 98897 + 41)
+      val k = 2 + rnd.nextInt(3)
+      val pts = (1L to (20 + rnd.nextInt(30)).toLong).map { id =>
+        (id, Seq.fill(4)(rnd.nextFloat() * 10f))
+      }
+      val cents = graft.similarity.Ann.ivfCentroids(
+        pts.toDF("id", "vec"), nCells = k, iters = 3, seed = seed)
+      val centroids = cents.collect()
+        .map(r => r.getAs[Int]("cell") -> r.getAs[Seq[Float]]("cvec").toArray).toMap
+      val assigned = graft.similarity.Ann.assignCells(pts.toDF("id", "vec"), cents)
+        .collect().map(r => r.getAs[Long]("id") -> r.getAs[Int]("cell")).toMap
+      // assignCells is the IVF builder: nearest by COSINE similarity
+      def cos(a: Seq[Float], b: Array[Float]): Double = {
+        val dot = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+        val na = math.sqrt(a.map(x => x.toDouble * x).sum)
+        val nb = math.sqrt(b.map(x => x.toDouble * x).sum)
+        if (na == 0 || nb == 0) 0.0 else dot / (na * nb)
+      }
+      for ((id, vec) <- pts) {
+        val cell = assigned(id)
+        val best = centroids.values.map(c => cos(vec, c)).max
+        assert(math.abs(cos(vec, centroids(cell)) - best) < 1e-6,
+          s"seed $seed point $id not assigned to max-cosine centroid")
+      }
+      assert(assigned.values.toSet.size <= k)
+    }
+  }
+
   test("minimumSpanningForest total weight ≡ naive Kruskal, edges valid and spanning (10 seeds)") {
     for (seed <- 0 until 10) {
       val rnd = new scala.util.Random(seed * 45007 + 23)

@@ -85,6 +85,40 @@ object Queries {
 
   private def T(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
 
+  /** DuckDB retraining of pipe_classifier's logistic model: `iters`
+    * UNROLLED batch-GD iterations (p_k = σ(f·w_{k-1}) rounded @8,
+    * gradient sums and weight updates rounded @6 — the same pins
+    * Classifier.train applies), then a rescoring pass rounded @6.
+    * Generated, not hand-written, so the iteration blocks can't drift
+    * from each other. */
+  private def classifierOracleSql(iters: Int = 5, buckets: Int = 64,
+                                  lr: Double = 2.0): String = {
+    val steps = (1 to iters).map { k =>
+      s"""p$k AS (SELECT f.doc_id, round(1 / (1 + exp(-sum(f.x * w.w))), 8) AS p
+         |  FROM f JOIN w${k - 1} w USING (b) GROUP BY 1),
+         |w$k AS (SELECT w.b, round(w.w - $lr * g.g, 6) AS w FROM w${k - 1} w JOIN (
+         |    SELECT f.b, round(sum((p.p - dy.y) * f.x) / (SELECT n FROM nn), 6) AS g
+         |    FROM f JOIN p$k p USING (doc_id) JOIN dy USING (doc_id)
+         |    GROUP BY 1) g USING (b))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH d AS (SELECT doc_id,
+       |    CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+       |    $toksSql AS toks FROM documents),
+       |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM d),
+       |tok AS (SELECT doc_id, len(toks) AS nt, unnest(toks) AS t FROM d
+       |        WHERE len(toks) > 0),
+       |fb AS (SELECT doc_id,
+       |    CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) % $buckets AS b,
+       |    count(*) / CAST(min(nt) AS DOUBLE) AS x FROM tok GROUP BY 1, 2),
+       |f AS (SELECT doc_id, b, x FROM fb
+       |      UNION ALL SELECT doc_id, CAST(-1 AS BIGINT), 1.0 FROM d),
+       |dy AS (SELECT doc_id, y FROM d),
+       |w0 AS (SELECT DISTINCT b, 0.0 AS w FROM f),
+       |$steps
+       |SELECT f.doc_id, round(1 / (1 + exp(-sum(f.x * w.w))), 6) AS score
+       |FROM f JOIN w$iters w USING (b) GROUP BY 1""".stripMargin
+  }
+
   /** MinHash candidate-pair relation over `documents`, shared by the
     * dedup queries that consume pairs (dedup_clusters, dedup_keep_best)
     * — the operators correctly take pairs as INPUT; only the harness
@@ -1870,6 +1904,20 @@ object Queries {
               |FROM raw r JOIN rc ON r.b = rc.b LEFT JOIN tc ON r.b = tc.b
               |CROSS JOIN nr CROSS JOIN nt
               |GROUP BY 1""".stripMargin)),
+
+    // model-based quality filtering (FineWeb-Edu / DCLM shape): train
+    // a hashed-feature logistic classifier with 5 batch-GD iterations
+    // (label: lang = 'en'), score every document. The oracle RETRAINS
+    // the identical model in SQL — five unrolled iterations of
+    // margin → σ → gradient → weight update, every cross-engine float
+    // boundary pinned by rounding (σ@8, gradients/weights@6) — then
+    // rescores every doc, hash-checked at 6 decimals.
+    Spec("pipe_classifier", (s, d) => {
+      val docs = T(s, d, "documents")
+      graft.pipeline.Classifier.trainScore(
+        docs, "doc_id", "text", col("lang") === "en",
+        buckets = 64, iters = 5, lr = 2.0)
+    }, Some(classifierOracleSql())),
 
     // leakage-free split: the GROUP (here the source site) is the
     // independence unit — correlated documents never straddle train

@@ -23,12 +23,12 @@ import org.apache.spark.sql.types.{Metadata, MetadataBuilder}
   * "1.0", string "1" = "\"1\"" — all distinct), so Datalog set
   * semantics, equality joins and `<=>` unification work unchanged on
   * the encoded column. Ordering does NOT coincide with the string
-  * order, so `:sort` on a tagged column goes through [[sortKey]] — a
-  * struct (rank, bool, num, isFloat, str) whose lexicographic struct
-  * comparison reproduces the reference order for scalars; lists sort
-  * by their JSON dump among themselves (the reference itself orders
-  * Json values "by string repr", value.rs:186-190; its List ordering
-  * is element-wise — a documented deviation at this depth).
+  * order, so `:sort` and `<`-family comparisons on a tagged column go
+  * through [[sortKey]] — the memcomparable key
+  * ([[graft.functions.MemKey]]) whose plain string order reproduces
+  * the reference's total order exactly, INCLUDING element-wise
+  * (recursive) list comparison — e.g. [2] < [10] and [1] < ['a'],
+  * which the previous struct key's JSON-dump list ordering misordered.
   */
 object AnyValue {
 
@@ -81,31 +81,16 @@ object AnyValue {
   def decodeDisplay(c: Column): Column =
     when(c.startsWith("\""), get_json_object(c, "$")).otherwise(c)
 
-  /** Total-order sort key for an encoded Any column: a struct whose
-    * field-by-field comparison is the reference's cross-type order.
-    * All branches are codegen'd string tests over the encoding.
+  /** Total-order sort key for an encoded Any column: the memcomparable
+    * key ([[graft.functions.MemKey]]) — a single string whose plain
+    * lexicographic order is the reference's cross-type total order,
+    * recursive element-wise list comparison included. Non-null even
+    * for SQL NULL input (Null keys as the lowest rank, the reference's
+    * Null-first order, and `null < x` comparisons stay total instead
+    * of SQL-three-valued).
     */
   def sortKey(c: Column): Column = {
-    val isBool = c === "true" || c === "false"
-    // non-finite float encodings (NaN, Infinity, -Infinity) must rank in
-    // the Num band (cast('double') parses all three); Spark sorts NaN
-    // after every other double, which is where the reference's Num band
-    // ends anyway
-    val isNum = c.rlike("^(-?([0-9.]|Infinity)|NaN)")
-    val isStr = c.startsWith("\"")
-    val isList = c.startsWith("[")
-    struct(
-      // SQL NULL propagates through the whens to the otherwise branch,
-      // so Null needs the explicit rank 0 (sorts first asc, last desc —
-      // the reference's Null-first total order)
-      when(c.isNull, 0).when(isBool, 1).when(isNum, 2).when(isStr, 3).when(isList, 4)
-        .otherwise(5).as("rank"),
-      when(isBool, c === "true").otherwise(lit(false)).as("bool"),
-      when(isNum, c.cast("double")).otherwise(lit(0.0)).as("num"),
-      // int < float at equal numeric value (value.rs:575-598); NaN and
-      // (-)Infinity are float encodings despite containing no [.eE]
-      when(isNum && c.rlike("[.eE]|NaN|Infinity"), 1).otherwise(0).as("isFloat"),
-      // strings compare unquoted/unescaped; lists by their JSON dump
-      when(isStr, get_json_object(c, "$")).when(isList, c).otherwise(lit("")).as("str"))
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.functions.MemKey(ColumnBridge.expression(c)))
   }
 }

@@ -86,11 +86,27 @@ class Compiler(spark: SparkSession,
       }
     case Bin(op @ ("==" | "!=" | "<" | ">" | "<=" | ">="), l, r)
         if anyMarked(l) || anyMarked(r) =>
-      def operand(e: Expr): Column = e match {
-        case Lit(v) => lit(AnyValue.encode(v))
-        case Param(name) => lit(AnyValue.encode(params.getOrElse(name,
-          throw CompileException(s"missing parameter $$$name"))))
-        case other => compileExpr(other)
+      // constant-fold the literal side into the ENCODED domain —
+      // including list literals (a ListE of constants would otherwise
+      // compile to a typed array column, which can never equal or
+      // order against the JSON-encoded Any column)
+      def constVal(e: Expr): Option[Any] = e match {
+        case Lit(v) => Some(v)
+        case Param(name) => Some(params.getOrElse(name,
+          throw CompileException(s"missing parameter $$$name")))
+        case ListE(items) =>
+          val vs = items.map(constVal)
+          if (vs.forall(_.isDefined)) Some(vs.map(_.get)) else None
+        case Un("-", x) => constVal(x).collect {
+          case l: Long => -l
+          case i: Int => -i.toLong
+          case d: Double => -d
+        }
+        case _ => None
+      }
+      def operand(e: Expr): Column = constVal(e) match {
+        case Some(v) => lit(AnyValue.encode(v))
+        case None => compileExpr(e)
       }
       val (cl, cr) = (operand(l), operand(r))
       op match {

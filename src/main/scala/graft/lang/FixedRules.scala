@@ -284,6 +284,19 @@ object FixedRules {
       relAs(rels, 0, "PoolEmbeddings", "grp", "vec"), "grp", "vec",
       method = o.get("method").map(_.toString).getOrElse("mean"),
       normalize = !o.get("normalize").contains(false)))
+  // ?[id, score] <~ QualityClassifier(*labeled[id, text, label],
+  //   *corpus[id, text], buckets: 64, iters: 5, lr: 2.0) — trains a
+  // hashed-feature logistic classifier on relation 0, scores relation 1
+  // (or the training relation itself when only one is given)
+  register("QualityClassifier", (rels, o, _) => {
+    val labeled = relAs(rels, 0, "QualityClassifier", "id", "text", "label")
+    val model = graft.pipeline.Classifier.train(labeled, "id", "text", "label",
+      buckets = optInt(o, "buckets", 64), iters = optInt(o, "iters", 5),
+      lr = optDouble(o, "lr", 2.0))
+    val target = if (rels.length < 2) labeled.select("id", "text")
+      else relAs(rels, 1, "QualityClassifier", "id", "text")
+    graft.pipeline.Classifier.score(target, "id", "text", model)
+  })
   register("EmbeddingDedup", (rels, o, _) =>
     graft.dedup.Dedup.embeddingNearDup(relAs(rels, 0, "EmbeddingDedup", "id", "vec"),
       "id", "vec", threshold = optDouble(o, "threshold", 0.9),

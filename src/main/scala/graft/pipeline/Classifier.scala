@@ -1,0 +1,169 @@
+package graft.pipeline
+
+import graft.functions.{TextFunctions => TF}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Model-based quality filtering — the FineWeb-Edu / DCLM recipe: train
+  * a linear classifier on hashed bag-of-token features over a LABELED
+  * sample (LLM-judged quality, known-good vs known-bad sources, a
+  * target language…), then score the whole corpus with the broadcast
+  * weights and keep what clears a threshold. This is the step modern
+  * curation pipelines run after dedup/decontamination and before
+  * mixture balancing; fastText-style classifiers are exactly this
+  * shape (a linear model over hashed n-gram features).
+  *
+  * Model: logistic regression. Every token hashes into one of
+  * `buckets` feature slots (feature hashing — collisions are part of
+  * the estimator); a document's feature value for bucket b is its term
+  * frequency c_b / n_tokens (so total feature mass is 1 and batch
+  * gradient descent is stable without per-feature scaling), plus a
+  * constant bias feature in the reserved bucket -1. Training is full
+  * batch gradient descent for a FIXED iteration count:
+  * w ← w − lr · (1/N) Σ_d (σ(x_d·w) − y_d) x_d.
+  *
+  * Plan (Spark-first): the labeled sample is packed ONCE into
+  * (id, y, feats: array⟨(b, x)⟩) — one aggregation — and persisted;
+  * every iteration is then (a) a zero-shuffle margin/σ projection (the
+  * dot product is a Catalyst `aggregate` fold over the packed array
+  * against the broadcast weight-map literal) and (b) one gradient
+  * aggregation over ≤ buckets+1 groups (map-side partials make it
+  * sample-linear with a KB-sized shuffle). Weights live on the driver
+  * between iterations — the model is `buckets`+1 doubles, which is the
+  * point of feature hashing. Labels are the expensive input, so the
+  * training set is assumed sample-sized (≤ millions of rows); the
+  * 100 TB corpus only ever meets the final weights in [[score]], a
+  * single zero-shuffle projection pass.
+  *
+  * Engine-portability: buckets use the md5 hash ([[Sampling.md5Bucket]])
+  * and every cross-engine float boundary is pinned — σ is rounded to 8
+  * decimals, gradient sums and weights to 6 — so any engine (the
+  * DuckDB driver oracle included) retrains the identical model and
+  * reproduces every score bit-for-bit after rounding (same drift
+  * argument as `text_perplexity` / `pipe_dsir`: un-rounded sums differ
+  * only in addition order, ~1e-12 relative, far under the rounding
+  * grid).
+  *
+  * Reference scope note: the reference engine has no model-training
+  * surface; this operator is part of the beyond-reference LLM-pipeline
+  * tier (as DSIR, BPE, decontamination).
+  */
+object Classifier {
+
+  /** Trained model: weights keyed by feature bucket (-1 = bias) and the
+    * per-iteration mean log-loss (losses.head is the loss of the
+    * all-zero model = ln 2; training should decrease it).
+    */
+  final case class Model(buckets: Int, weights: Map[Long, Double],
+                         losses: Seq[Double])
+
+  /** Hashed-feature relation (__id, __b, __x) for every document:
+    * term-frequency features for each token bucket plus the bias
+    * feature (__b = -1, __x = 1) for EVERY document — zero-token
+    * documents carry just the bias and still train/score.
+    */
+  def hashedFeatures(docs: DataFrame, idCol: String, textCol: String,
+                     buckets: Int): DataFrame = {
+    val toks = docs.select(col(idCol).as("__id"),
+      TF.tokens(col(textCol)).as("__toks"))
+    val tf = toks
+      .select(col("__id"), size(col("__toks")).as("__n"),
+        explode(col("__toks")).as("__t"))
+      .groupBy(col("__id"), Sampling.md5Bucket(buckets, col("__t")).as("__b"))
+      .agg((count(lit(1)) / first(col("__n"))).as("__x"))
+    val bias = toks.select(col("__id"), lit(-1L).as("__b"), lit(1.0).as("__x"))
+    tf.unionByName(bias)
+  }
+
+  /** σ rounded to 8 decimals — the cross-engine pin for exp's last-ulp
+    * libm differences. */
+  private def sigmoid8(margin: Column): Column =
+    round(lit(1.0) / (lit(1.0) + exp(-margin)), 8)
+
+  /** Train on a labeled sample. `labelCol` must be 0/1 (numeric or
+    * boolean). Returns the weight map (bucket → weight, -1 = bias) and
+    * the loss trace. The sample is packed+persisted once; each
+    * iteration runs two sample-linear jobs against it.
+    */
+  def train(sample: DataFrame, idCol: String, textCol: String,
+            labelCol: String, buckets: Int = 64, iters: Int = 5,
+            lr: Double = 2.0): Model = {
+    val y = sample.select(col(idCol).as("__id"),
+      col(labelCol).cast("double").as("__y"))
+    val packed = hashedFeatures(sample, idCol, textCol, buckets)
+      .groupBy("__id")
+      .agg(collect_list(struct(col("__b"), col("__x"))).as("__f"))
+      .join(y, "__id")
+      .persist()
+    val n = packed.count().toDouble
+
+    def marginOf(w: Map[Long, Double]): Column = {
+      val wm = typedLit(w)
+      aggregate(col("__f"), lit(0.0), (acc, f) =>
+        acc + f.getField("__x") *
+          coalesce(element_at(wm, f.getField("__b")), lit(0.0)))
+    }
+
+    var w = Map.empty[Long, Double]
+    val losses = Seq.newBuilder[Double]
+    try {
+      for (_ <- 0 until iters) {
+        val scored = packed.withColumn("__p", sigmoid8(marginOf(w)))
+        // mean log-loss of the CURRENT weights (before this update);
+        // clamp only guards ln at saturated σ, it never feeds training
+        val pc = least(greatest(col("__p"), lit(1e-8)), lit(1.0 - 1e-8))
+        losses += scored
+          .agg(avg(-(col("__y") * log(pc) +
+            (lit(1.0) - col("__y")) * log(lit(1.0) - pc))))
+          .head().getDouble(0)
+        val grad = scored
+          .select(col("__p"), col("__y"), explode(col("__f")).as("__e"))
+          .groupBy(col("__e.__b").as("__b"))
+          .agg(round(sum((col("__p") - col("__y")) * col("__e.__x")) / n, 6)
+            .as("__g"))
+          .collect()
+        w = grad.map { r =>
+          val b = r.getLong(0)
+          val g = r.getDouble(1)
+          b -> BigDecimal(w.getOrElse(b, 0.0) - lr * g)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        }.toMap
+      }
+    } finally packed.unpersist()
+    Model(buckets, w, losses.result())
+  }
+
+  /** Score a corpus with trained weights: ONE zero-shuffle projection —
+    * the dot product folds over the token array against the broadcast
+    * weight map (Σ_b (c_b/n)·w_b = (1/n)Σ_t w[bucket(t)], so no
+    * per-doc regrouping is needed), unseen buckets contribute 0, and a
+    * zero-token document scores σ(bias). This is the pass the 100 TB
+    * corpus takes. Output: (idCol, score) with score rounded to 6
+    * decimals.
+    */
+  def score(docs: DataFrame, idCol: String, textCol: String,
+            model: Model): DataFrame = {
+    val wm = typedLit(model.weights)
+    val bias = lit(model.weights.getOrElse(-1L, 0.0))
+    val tokSum = aggregate(TF.tokens(col(textCol)), lit(0.0), (acc, t) =>
+      acc + coalesce(
+        element_at(wm, Sampling.md5Bucket(model.buckets, t)), lit(0.0)))
+    val nToks = TF.tokenCount(col(textCol))
+    val margin = bias +
+      when(nToks > 0, tokSum / nToks).otherwise(lit(0.0))
+    docs.select(col(idCol),
+      round(lit(1.0) / (lit(1.0) + exp(-margin)), 6).as("score"))
+  }
+
+  /** Train-and-score in one call (the driver-gate entry): trains on
+    * `labelExpr` over the whole input (stands in for the labeled
+    * sample) and scores every document.
+    */
+  def trainScore(docs: DataFrame, idCol: String, textCol: String,
+                 labelExpr: Column, buckets: Int = 64, iters: Int = 5,
+                 lr: Double = 2.0): DataFrame = {
+    val labeled = docs.withColumn("__label", labelExpr.cast("double"))
+    val model = train(labeled, idCol, textCol, "__label", buckets, iters, lr)
+    score(docs, idCol, textCol, model)
+  }
+}

@@ -1,0 +1,162 @@
+package graft.pipeline
+
+import graft.SparkFixture
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Model-based quality filtering (pipeline/Classifier.scala): the
+  * distributed batch-GD trainer is checked against a from-scratch
+  * driver-side Scala reference (own tokenizer, own md5 bucketing, own
+  * gradient arithmetic — shares no code with the operator), plus the
+  * semantic property the method exists for (a planted quality signal
+  * separates scores), the loss trace, zero-token scoring, and the
+  * script-rule surface.
+  */
+class ClassifierSpec extends AnyFunSuite {
+  lazy val spark = SparkFixture.spark
+
+  // ——— independent reference implementation (driver-side Scala) ———
+  private def refTokens(text: String): Seq[String] =
+    Option(text).getOrElse("").toLowerCase
+      .split("[^\\p{L}\\p{N}]+").filter(_.nonEmpty).toSeq
+  private def refBucket(t: String, buckets: Int): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 8), 16) % buckets
+  }
+  private def rnd(x: Double, s: Int): Double =
+    BigDecimal(x).setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
+  private def refFeats(text: String, buckets: Int): Map[Long, Double] = {
+    val ts = refTokens(text)
+    val tf = if (ts.isEmpty) Map.empty[Long, Double]
+      else ts.groupBy(refBucket(_, buckets))
+        .map { case (b, v) => b -> v.size.toDouble / ts.size }
+    tf + (-1L -> 1.0)
+  }
+  private def refTrain(docs: Seq[(Long, String, Double)], buckets: Int,
+                       iters: Int, lr: Double): (Map[Long, Double], Seq[Double]) = {
+    val feats = docs.map { case (id, t, y) => (id, refFeats(t, buckets), y) }
+    val n = docs.size.toDouble
+    var w = Map.empty[Long, Double]
+    var losses = Vector.empty[Double]
+    for (_ <- 0 until iters) {
+      val ps = feats.map { case (_, f, y) =>
+        val m = f.toSeq.map { case (b, x) => x * w.getOrElse(b, 0.0) }.sum
+        (f, y, rnd(1.0 / (1.0 + math.exp(-m)), 8))
+      }
+      losses :+= ps.map { case (_, y, p0) =>
+        val p = math.min(math.max(p0, 1e-8), 1 - 1e-8)
+        -(y * math.log(p) + (1 - y) * math.log(1 - p))
+      }.sum / n
+      val grad = ps.flatMap { case (f, y, p) =>
+        f.toSeq.map { case (b, x) => b -> (p - y) * x } }
+        .groupBy(_._1)
+        .map { case (b, v) => b -> rnd(v.map(_._2).sum / n, 6) }
+      w = grad.map { case (b, g) => b -> rnd(w.getOrElse(b, 0.0) - lr * g, 6) }
+    }
+    (w, losses)
+  }
+  private def refScore(text: String, w: Map[Long, Double], buckets: Int): Double = {
+    val m = refFeats(text, buckets).toSeq
+      .map { case (b, x) => x * w.getOrElse(b, 0.0) }.sum
+    rnd(1.0 / (1.0 + math.exp(-m)), 6)
+  }
+
+  // deterministic corpus with a planted quality signal: positives carry
+  // the marker token, everything else is shared vocabulary noise
+  private def corpus(n: Int): Seq[(Long, String, Double)] = {
+    val r = new scala.util.Random(42)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa")
+    (0 until n).map { i =>
+      val noise = Seq.fill(8 + r.nextInt(8))(vocab(r.nextInt(vocab.size)))
+      val pos = i % 3 == 0
+      // marker at ~1/4 token frequency: strong enough that 20 full-batch
+      // GD iterations at lr 5 produce a clear score gap (tf features are
+      // 1/n_tokens-scaled, so per-iteration weight motion is small)
+      val words = if (pos) r.shuffle(noise ++ Seq.fill(4)("zzgood")) else noise
+      (i.toLong, words.mkString(" "), if (pos) 1.0 else 0.0)
+    }
+  }
+
+  test("distributed trainer matches the independent reference bit-for-bit after pins") {
+    import spark.implicits._
+    val docs = corpus(200)
+    val df = docs.toDF("id", "text", "label")
+    val model = Classifier.train(df, "id", "text", "label",
+      buckets = 32, iters = 3, lr = 2.0)
+    val (refW, refLosses) = refTrain(docs, buckets = 32, iters = 3, lr = 2.0)
+    assert(model.weights.keySet == refW.keySet)
+    for ((b, w) <- refW)
+      assert(math.abs(model.weights(b) - w) <= 1.01e-6, s"bucket $b")
+    assert(model.losses.size == 3)
+    for ((l, rl) <- model.losses.zip(refLosses))
+      assert(math.abs(l - rl) <= 1e-9)
+
+    val scores = Classifier.score(df, "id", "text", model)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    for ((id, t, _) <- docs)
+      assert(math.abs(scores(id) - refScore(t, refW, 32)) <= 1.01e-6, s"doc $id")
+  }
+
+  test("planted quality signal separates scores and the loss trace decreases") {
+    import spark.implicits._
+    val docs = corpus(200)
+    val df = docs.toDF("id", "text", "label")
+    val model = Classifier.train(df, "id", "text", "label",
+      buckets = 64, iters = 20, lr = 5.0)
+    assert(model.losses.head > model.losses.last,
+      s"loss did not decrease: ${model.losses}")
+    assert(model.losses.last < 0.9 * model.losses.head)
+    val scores = Classifier.score(df, "id", "text", model)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val pos = docs.filter(_._3 == 1.0).map(d => scores(d._1))
+    val neg = docs.filter(_._3 == 0.0).map(d => scores(d._1))
+    assert(pos.sum / pos.size > neg.sum / neg.size + 0.2,
+      s"no separation: pos=${pos.sum / pos.size} neg=${neg.sum / neg.size}")
+    // AUC over all (pos, neg) pairs
+    val wins = (for (p <- pos; q <- neg) yield
+      if (p > q) 1.0 else if (p == q) 0.5 else 0.0).sum
+    assert(wins / (pos.size.toDouble * neg.size) > 0.9)
+  }
+
+  test("zero-token and null documents train and score at sigma(bias)") {
+    import spark.implicits._
+    val docs = Seq((1L, "alpha beta zzgood zzgood", 1.0), (2L, "alpha beta", 0.0),
+      (3L, "", 0.0), (4L, "!!! ...", 0.0), (5L, null.asInstanceOf[String], 0.0))
+    val df = docs.toDF("id", "text", "label")
+    val model = Classifier.train(df, "id", "text", "label",
+      buckets = 16, iters = 4, lr = 2.0)
+    val scores = Classifier.score(df, "id", "text", model)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(scores.size == 5)
+    val sigmaBias = rnd(1.0 / (1.0 + math.exp(-model.weights(-1L))), 6)
+    for (id <- Seq(3L, 4L, 5L))
+      assert(math.abs(scores(id) - sigmaBias) <= 1.01e-6, s"doc $id")
+    // the reference mirror agrees on the degenerate docs too
+    val (refW, _) = refTrain(docs.map { case (i, t, y) => (i, t, y) }, 16, 4, 2.0)
+    for ((b, w) <- refW)
+      assert(math.abs(model.weights(b) - w) <= 1.01e-6, s"bucket $b")
+  }
+
+  test("QualityClassifier script rule trains on relation 0 and scores relation 1") {
+    val db = new graft.lang.CozoDb(spark)
+    db.run(
+      """?[id, text, label] <- [
+        |  [1, 'zzgood zzgood alpha beta', 1],
+        |  [2, 'zzgood zzgood gamma delta', 1],
+        |  [3, 'alpha beta gamma delta', 0],
+        |  [4, 'delta alpha beta gamma', 0]
+        |] :create labeled {id => text, label}""".stripMargin)
+    db.run(
+      """?[id, text] <- [[10, 'zzgood zzgood epsilon'], [11, 'epsilon zeta eta']]
+        |:create unseen {id => text}""".stripMargin)
+    val rows = db.run(
+      """?[id, score] <~ QualityClassifier(*labeled[id, text, label],
+        |  *unseen[id, text], iters: 20, lr: 5.0)""".stripMargin)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(rows.keySet == Set(10L, 11L))
+    assert(rows(10L) > rows(11L) + 0.1,
+      s"marker doc should outscore: $rows")
+  }
+}

@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+import graft.plan._
+
 /** Keyed mutation semantics of the reference's relation sinks
   * (`RelationOp`, cozo-core/src/data/program.rs:195-205; execution
   * query/stored.rs:44-207): `put`=upsert, `insert`=error on existing
@@ -38,17 +40,22 @@ object Mutations {
     * stored.rs:590-597 update_in_relation). `delta` carries keys + the
     * subset of non-key columns to overwrite. */
   def update(current: DataFrame, delta: DataFrame, keys: Seq[String]): DataFrame = {
-    val missing = delta.join(current, keys, "left_anti")
-    if (!missing.isEmpty)
-      throw new IllegalStateException(
-        s"update: key to update does not exist (${missing.count()} key(s))")
     val updCols = delta.columns.filterNot(keys.contains)
     // a __hit marker (not coalesce) distinguishes "row not updated"
     // from "column explicitly updated to NULL" — the reference writes
     // the extracted value verbatim, nulls included
     val renamed = updCols.foldLeft(delta)((d, c) => d.withColumnRenamed(c, s"__new_$c"))
       .withColumn("__hit", lit(true))
-    current.join(renamed, keys, "left")
+    // ONE full-outer join carries both the merge and the existence
+    // check (__cur null ⇔ delta key absent from current), materialized
+    // once; the old shape paid a separate delta-anti-current action
+    // that shuffled both sides a second time.
+    val joined = current.withColumn("__cur", lit(true))
+      .join(renamed, keys, "full_outer")
+      .ckpt()
+    if (!joined.filter(col("__cur").isNull).isEmpty)
+      throw new IllegalStateException("update: key to update does not exist")
+    joined.filter(col("__cur").isNotNull)
       .select(current.columns.map { c =>
         if (updCols.contains(c))
           when(col("__hit"), col(s"__new_$c")).otherwise(col(c)).as(c)

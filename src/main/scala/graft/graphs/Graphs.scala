@@ -106,11 +106,18 @@ object Graphs {
     df.schema(c).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType]
 
   def connectedComponents(edges: DataFrame, maxIter: Int = 50): DataFrame = {
-    val und = undirected(edges).ckpt()
+    // materialize the edge projection ONCE: `edges` may be an expensive
+    // derived plan (e.g. the event-window graph), and both the
+    // undirected relation and the node seeding need it — deriving both
+    // from one checkpoint halves the input evaluations (r7→r8 drift
+    // forensics: the raw-endpoint seeding had added a second full
+    // evaluation of the input plan)
+    val raw = edges.select("src", "dst").ckpt()
+    val und = undirected(raw).ckpt()
     // node set from the RAW endpoints: a node whose only edges are
     // self-loops is still a graph node (its own singleton component) —
     // the reference's as_directed_graph indexes every endpoint
-    var lab = nodes(edges).withColumn("comp", col("node")).ckpt()
+    var lab = nodes(raw).withColumn("comp", col("node")).ckpt()
     val numIds = numericCol(lab, "comp")
     var prevSum = if (numIds) monotoneSum(lab, "comp") else null
     var converged = false
@@ -266,11 +273,14 @@ object Graphs {
     * member id.
     */
   def stronglyConnectedComponents(edges: DataFrame, maxRounds: Int = 20): DataFrame = {
-    var live = edges.select("src", "dst").filter(col("src") =!= col("dst"))
+    // one evaluation of the (possibly derived) input plan; live edges
+    // and the node seeding both read the checkpoint
+    val raw = edges.select("src", "dst").ckpt()
+    var live = raw.filter(col("src") =!= col("dst"))
       .distinct().ckpt()
     // raw endpoints: self-loop-only nodes are singleton SCCs (the
     // forward pass immediately roots them, so they assign in round 1)
-    var unassigned = nodes(edges).ckpt()
+    var unassigned = nodes(raw).ckpt()
     var result: DataFrame = null
     var round = 0
     while (round < maxRounds && !unassigned.isEmpty) {

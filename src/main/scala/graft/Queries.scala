@@ -92,7 +92,15 @@ object Queries {
     * Generated, not hand-written, so the iteration blocks can't drift
     * from each other. */
   private def classifierOracleSql(iters: Int = 5, buckets: Int = 64,
-                                  lr: Double = 2.0): String = {
+                                  lr: Double = 2.0, ngrams: Int = 1): String = {
+    // ngrams=2 appends adjacent-pair "a b" grams into the same bucket
+    // space (the fastText wordNgrams convention), exactly as
+    // Classifier.gramsOf does on the Spark side
+    val gramsExpr =
+      if (ngrams <= 1) "toks"
+      else ("CASE WHEN len(toks) >= 2 THEN list_concat(toks, " +
+        "list_transform(generate_series(1, len(toks)-1), " +
+        "i -> toks[i] || ' ' || toks[i+1])) ELSE toks END")
     val steps = (1 to iters).map { k =>
       s"""p$k AS (SELECT f.doc_id, round(1 / (1 + exp(-sum(f.x * w.w))), 8) AS p
          |  FROM f JOIN w${k - 1} w USING (b) GROUP BY 1),
@@ -101,9 +109,10 @@ object Queries {
          |    FROM f JOIN p$k p USING (doc_id) JOIN dy USING (doc_id)
          |    GROUP BY 1) g USING (b))""".stripMargin
     }.mkString(",\n")
-    s"""WITH d AS (SELECT doc_id,
+    s"""WITH d0 AS (SELECT doc_id,
        |    CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
        |    $toksSql AS toks FROM documents),
+       |d AS (SELECT doc_id, y, $gramsExpr AS toks FROM d0),
        |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM d),
        |tok AS (SELECT doc_id, len(toks) AS nt, unnest(toks) AS t FROM d
        |        WHERE len(toks) > 0),
@@ -1918,6 +1927,48 @@ object Queries {
         docs, "doc_id", "text", col("lang") === "en",
         buckets = 64, iters = 5, lr = 2.0)
     }, Some(classifierOracleSql())),
+
+    // fastText parity: wordNgrams=2 — adjacent-pair grams hash into the
+    // same bucket space as unigrams; the oracle retrains with the SAME
+    // bigram list construction (list_transform over generate_series)
+    Spec("pipe_classifier_bigram", (s, d) => {
+      val docs = T(s, d, "documents")
+      graft.pipeline.Classifier.trainScore(
+        docs, "doc_id", "text", col("lang") === "en",
+        buckets = 64, iters = 5, lr = 2.0, ngrams = 2)
+    }, Some(classifierOracleSql(ngrams = 2))),
+
+    // held-out validation (the honest measure a quality classifier is
+    // deployed on): leakage-free GROUP split by source, train the
+    // bigram model on the train sources only, exact tie-aware ROC AUC
+    // on the unseen sources. AUC is driver-checked (retraining +
+    // rank-sum in one SQL oracle would be a second full unrolled GD),
+    // the invariant bar is 0.8 — measured AUC is deterministic per SF:
+    // 0.851 (sf0.001), 0.868 (sf0.01), 0.977 (sf0.1; more training
+    // sources generalize better). The label must be TEXT-derivable: the
+    // synthetic generator draws `lang` independently of `text` (probed:
+    // lang-AUC is chance at every SF), so the planted signal is a token
+    // predicate the model has to find among the hashed buckets.
+    Spec("pipe_classifier_holdout", (s, d) => {
+      val docs = T(s, d, "documents")
+      val split = graft.pipeline.Sampling.splitByGroup(
+        docs, "source", trainPct = 60, valPct = 0, portable = true)
+      val trainDf = split.filter(col("split") === "train")
+      val evalDf = split.filter(col("split") === "test")
+      val model = graft.pipeline.Classifier.train(
+        trainDf.withColumn("__label", col("text").contains("spark").cast("double")),
+        "doc_id", "text", "__label", buckets = 8192, iters = 20, lr = 5.0, ngrams = 2)
+      val scored = graft.pipeline.Classifier.score(evalDf, "doc_id", "text", model)
+        .join(evalDf.select(col("doc_id"),
+          col("text").contains("spark").cast("double").as("__y")), "doc_id")
+      val aucDf = graft.pipeline.Classifier.auc(scored, "score", "__y")
+      invariants(
+        "holdout_auc_ge_08" -> aucDf.select((col("auc") >= 0.8).as("ok")),
+        "loss_decreases" -> aucDf.select(
+          lit(model.losses.last < model.losses.head).as("ok")),
+        "split_disjoint" -> noViolations(
+          trainDf.select("doc_id").intersect(evalDf.select("doc_id"))))
+    }, Some(truthTable("holdout_auc_ge_08", "loss_decreases", "split_disjoint"))),
 
     // leakage-free split: the GROUP (here the source site) is the
     // independence unit — correlated documents never straddle train

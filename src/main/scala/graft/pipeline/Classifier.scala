@@ -55,17 +55,36 @@ object Classifier {
     * all-zero model = ln 2; training should decrease it).
     */
   final case class Model(buckets: Int, weights: Map[Long, Double],
-                         losses: Seq[Double])
+                         losses: Seq[Double], ngrams: Int = 1)
+
+  /** The hashed gram array: tokens, plus adjacent-pair "a b" strings
+    * when `ngrams >= 2` — the published fastText recipe hashes word
+    * bigrams into the SAME bucket space as unigrams (wordNgrams=2),
+    * which is what lets a linear model see local word order. Pure
+    * zero-shuffle column expression.
+    */
+  def gramsOf(textCol: Column, ngrams: Int): Column = {
+    val toks = TF.tokens(textCol)
+    if (ngrams <= 1) toks
+    else {
+      val bi = zip_with(
+        slice(toks, lit(1), size(toks) - 1),
+        slice(toks, lit(2), size(toks) - 1),
+        (a, b) => concat(a, lit(" "), b))
+      when(size(toks) >= 2, concat(toks, bi)).otherwise(toks)
+    }
+  }
 
   /** Hashed-feature relation (__id, __b, __x) for every document:
-    * term-frequency features for each token bucket plus the bias
-    * feature (__b = -1, __x = 1) for EVERY document — zero-token
+    * term-frequency features for each gram bucket (x = c_b / n_grams,
+    * so total feature mass stays 1 with or without bigrams) plus the
+    * bias feature (__b = -1, __x = 1) for EVERY document — zero-token
     * documents carry just the bias and still train/score.
     */
   def hashedFeatures(docs: DataFrame, idCol: String, textCol: String,
-                     buckets: Int): DataFrame = {
+                     buckets: Int, ngrams: Int = 1): DataFrame = {
     val toks = docs.select(col(idCol).as("__id"),
-      TF.tokens(col(textCol)).as("__toks"))
+      gramsOf(col(textCol), ngrams).as("__toks"))
     val tf = toks
       .select(col("__id"), size(col("__toks")).as("__n"),
         explode(col("__toks")).as("__t"))
@@ -87,10 +106,10 @@ object Classifier {
     */
   def train(sample: DataFrame, idCol: String, textCol: String,
             labelCol: String, buckets: Int = 64, iters: Int = 5,
-            lr: Double = 2.0): Model = {
+            lr: Double = 2.0, ngrams: Int = 1): Model = {
     val y = sample.select(col(idCol).as("__id"),
       col(labelCol).cast("double").as("__y"))
-    val packed = hashedFeatures(sample, idCol, textCol, buckets)
+    val packed = hashedFeatures(sample, idCol, textCol, buckets, ngrams)
       .groupBy("__id")
       .agg(collect_list(struct(col("__b"), col("__x"))).as("__f"))
       .join(y, "__id")
@@ -130,7 +149,7 @@ object Classifier {
         }.toMap
       }
     } finally packed.unpersist()
-    Model(buckets, w, losses.result())
+    Model(buckets, w, losses.result(), ngrams)
   }
 
   /** Score a corpus with trained weights: ONE zero-shuffle projection —
@@ -145,10 +164,11 @@ object Classifier {
             model: Model): DataFrame = {
     val wm = typedLit(model.weights)
     val bias = lit(model.weights.getOrElse(-1L, 0.0))
-    val tokSum = aggregate(TF.tokens(col(textCol)), lit(0.0), (acc, t) =>
+    val grams = gramsOf(col(textCol), model.ngrams)
+    val tokSum = aggregate(grams, lit(0.0), (acc, t) =>
       acc + coalesce(
         element_at(wm, Sampling.md5Bucket(model.buckets, t)), lit(0.0)))
-    val nToks = TF.tokenCount(col(textCol))
+    val nToks = size(grams)
     val margin = bias +
       when(nToks > 0, tokSum / nToks).otherwise(lit(0.0))
     docs.select(col(idCol),
@@ -161,9 +181,31 @@ object Classifier {
     */
   def trainScore(docs: DataFrame, idCol: String, textCol: String,
                  labelExpr: Column, buckets: Int = 64, iters: Int = 5,
-                 lr: Double = 2.0): DataFrame = {
+                 lr: Double = 2.0, ngrams: Int = 1): DataFrame = {
     val labeled = docs.withColumn("__label", labelExpr.cast("double"))
-    val model = train(labeled, idCol, textCol, "__label", buckets, iters, lr)
+    val model = train(labeled, idCol, textCol, "__label", buckets, iters, lr, ngrams)
     score(docs, idCol, textCol, model)
+  }
+
+  /** Exact ROC AUC as a one-row relation, by tie-aware rank-sum
+    * (Mann-Whitney): AUC = (R⁺ − P(P+1)/2) / (P·N) with average ranks
+    * for tied scores. Scale shape: scores are rounded to 6 decimals, so
+    * the per-score aggregate has ≤ 10⁶+1 rows — the one sequential
+    * window runs over THAT bounded relation, never over the documents.
+    */
+  def auc(scored: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
+    val byScore = scored
+      .select(col(scoreCol).as("__s"), col(labelCol).cast("double").as("__y"))
+      .groupBy("__s")
+      .agg(count(lit(1)).cast("double").as("__c"), sum("__y").as("__p"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("__s")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    byScore
+      .withColumn("__avgrank",
+        coalesce(sum(col("__c")).over(w), lit(0.0)) + (col("__c") + 1) / 2)
+      .agg(sum(col("__p") * col("__avgrank")).as("__rs"),
+        sum(col("__p")).as("__np"), sum(col("__c") - col("__p")).as("__nn"))
+      .select(((col("__rs") - col("__np") * (col("__np") + 1) / 2) /
+        (col("__np") * col("__nn"))).as("auc"))
   }
 }

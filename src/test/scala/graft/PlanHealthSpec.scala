@@ -52,7 +52,9 @@ class PlanHealthSpec extends AnyFunSuite {
   private val globalWindowAllowed: Map[String, String] = Map(
     "pipe_pack_shards" -> "top-level offsets window over <=bucketCount rows (two-level prefix sum)",
     "pipe_pack_sequences" -> "same two-level prefix sum over chunk buckets",
-    "pipe_shuffle" -> "top-level offsets window over numParts per-partition count rows (two-level prefix sum)")
+    "pipe_shuffle" -> "top-level offsets window over numParts per-partition count rows (two-level prefix sum)",
+    "pipe_classifier_holdout" -> ("tie-aware AUC rank prefix-sum over the per-SCORE aggregate — " +
+      "scores are rounded @6, so that relation is <=10^6+1 rows regardless of corpus size"))
 
   /** Queries whose plan may legitimately contain a CartesianProduct:
     * problems whose WORK is Θ(n²) by statement, where the blocked

@@ -26,16 +26,23 @@ class ClassifierSpec extends AnyFunSuite {
   }
   private def rnd(x: Double, s: Int): Double =
     BigDecimal(x).setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
-  private def refFeats(text: String, buckets: Int): Map[Long, Double] = {
+  private def refGrams(text: String, ngrams: Int): Seq[String] = {
     val ts = refTokens(text)
+    if (ngrams <= 1) ts
+    else ts ++ ts.sliding(2).filter(_.size == 2).map(_.mkString(" "))
+  }
+  private def refFeats(text: String, buckets: Int,
+                       ngrams: Int = 1): Map[Long, Double] = {
+    val ts = refGrams(text, ngrams)
     val tf = if (ts.isEmpty) Map.empty[Long, Double]
       else ts.groupBy(refBucket(_, buckets))
         .map { case (b, v) => b -> v.size.toDouble / ts.size }
     tf + (-1L -> 1.0)
   }
   private def refTrain(docs: Seq[(Long, String, Double)], buckets: Int,
-                       iters: Int, lr: Double): (Map[Long, Double], Seq[Double]) = {
-    val feats = docs.map { case (id, t, y) => (id, refFeats(t, buckets), y) }
+                       iters: Int, lr: Double,
+                       ngrams: Int = 1): (Map[Long, Double], Seq[Double]) = {
+    val feats = docs.map { case (id, t, y) => (id, refFeats(t, buckets, ngrams), y) }
     val n = docs.size.toDouble
     var w = Map.empty[Long, Double]
     var losses = Vector.empty[Double]
@@ -118,6 +125,89 @@ class ClassifierSpec extends AnyFunSuite {
     val wins = (for (p <- pos; q <- neg) yield
       if (p > q) 1.0 else if (p == q) 0.5 else 0.0).sum
     assert(wins / (pos.size.toDouble * neg.size) > 0.9)
+  }
+
+  test("bigram trainer (ngrams=2) matches the independent reference bit-for-bit") {
+    import spark.implicits._
+    val docs = corpus(150)
+    val df = docs.toDF("id", "text", "label")
+    val model = Classifier.train(df, "id", "text", "label",
+      buckets = 32, iters = 3, lr = 2.0, ngrams = 2)
+    assert(model.ngrams == 2)
+    val (refW, refLosses) = refTrain(docs, buckets = 32, iters = 3, lr = 2.0, ngrams = 2)
+    assert(model.weights.keySet == refW.keySet)
+    for ((b, w) <- refW)
+      assert(math.abs(model.weights(b) - w) <= 1.01e-6, s"bucket $b")
+    for ((l, rl) <- model.losses.zip(refLosses))
+      assert(math.abs(l - rl) <= 1e-9)
+    val scores = Classifier.score(df, "id", "text", model)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    for ((id, t, _) <- docs) {
+      val m = refFeats(t, 32, ngrams = 2).toSeq
+        .map { case (b, x) => x * refW.getOrElse(b, 0.0) }.sum
+      assert(math.abs(scores(id) - rnd(1.0 / (1.0 + math.exp(-m)), 6)) <= 1.01e-6,
+        s"doc $id")
+    }
+  }
+
+  test("bigrams separate a word-ORDER-only signal that unigrams cannot see") {
+    import spark.implicits._
+    // positives and negatives share the exact same token MULTISET per
+    // doc; only adjacency differs ("zz good" appears in positives only)
+    val r = new scala.util.Random(7)
+    val vocab = Vector("alpha", "beta", "gamma", "delta")
+    val docs = (0 until 200).map { i =>
+      val noise = Seq.fill(6)(vocab(r.nextInt(vocab.size)))
+      val pos = i % 2 == 0
+      val words =
+        if (pos) noise.take(3) ++ Seq("zz", "good") ++ noise.drop(3)
+        else Seq("zz") ++ noise.take(3) ++ Seq("good") ++ noise.drop(3)
+      (i.toLong, words.mkString(" "), if (pos) 1.0 else 0.0)
+    }
+    val df = docs.toDF("id", "text", "label")
+    def aucOf(ngrams: Int): Double = {
+      val m = Classifier.train(df, "id", "text", "label",
+        buckets = 256, iters = 20, lr = 5.0, ngrams = ngrams)
+      val scored = Classifier.score(df, "id", "text", m)
+        .join(df.select(col("id"), col("label")), "id")
+      Classifier.auc(scored, "score", "label").head().getDouble(0)
+    }
+    val uni = aucOf(1)
+    val bi = aucOf(2)
+    assert(bi > 0.95, s"bigram AUC too low: $bi")
+    assert(uni < 0.75, s"unigram AUC should be near chance on an order-only signal: $uni")
+  }
+
+  test("held-out AUC: train on split A, evaluate on unseen split B >= 0.85") {
+    import spark.implicits._
+    val docs = corpus(400)
+    val df = docs.toDF("id", "text", "label")
+    val trainDf = df.filter(col("id") % 5 < 3)
+    val evalDf = df.filter(col("id") % 5 >= 3)
+    val model = Classifier.train(trainDf, "id", "text", "label",
+      buckets = 64, iters = 20, lr = 5.0, ngrams = 2)
+    val scored = Classifier.score(evalDf, "id", "text", model)
+      .join(evalDf.select(col("id"), col("label")), "id")
+    val auc = Classifier.auc(scored, "score", "label").head().getDouble(0)
+    assert(auc > 0.85, s"held-out AUC $auc")
+  }
+
+  test("auc() matches naive all-pairs Mann-Whitney with ties") {
+    import spark.implicits._
+    val r = new scala.util.Random(11)
+    // coarse score grid forces plenty of ties, including cross-class
+    val rows = (0 until 300).map { i =>
+      val y = if (r.nextBoolean()) 1.0 else 0.0
+      val s = rnd((r.nextInt(10) + (if (y > 0) r.nextInt(4) else 0)) / 13.0, 6)
+      (i.toLong, s, y)
+    }
+    val got = Classifier.auc(rows.toDF("id", "score", "y"), "score", "y")
+      .head().getDouble(0)
+    val pos = rows.filter(_._3 == 1.0).map(_._2)
+    val neg = rows.filter(_._3 == 0.0).map(_._2)
+    val naive = (for (p <- pos; q <- neg) yield
+      if (p > q) 1.0 else if (p == q) 0.5 else 0.0).sum / (pos.size.toDouble * neg.size)
+    assert(math.abs(got - naive) <= 1e-9, s"got $got naive $naive")
   }
 
   test("zero-token and null documents train and score at sigma(bias)") {

@@ -643,7 +643,11 @@ class CozoDb(val spark: SparkSession) {
         if (present) spark.sparkContext.cancelJobGroup(s"graft-q$id")
         Seq((if (present) "killed" else "not_found", id)).toDF("status", "id")
       case "fixed_rules" =>
-        FixedRules.names.map(Tuple1(_)).toDF("name")
+        // (name, arity) like the reference registry's FixedRule::arity
+        // listing (fixed_rule/mod.rs:706-835); null arity = width
+        // depends on inputs/options
+        FixedRules.names.map(n => (n, FixedRules.arity(n).map(_.toLong)))
+          .toDF("name", "arity")
       case "indices" =>
         val rel = parts(1).stripPrefix("*")
         indexes.toSeq.collect { case (n, s) if s.rel == rel =>

@@ -23,6 +23,13 @@ object FixedRules {
   def get(name: String): Option[Impl] = registry.get(name)
   def names: Seq[String] = registry.keys.toSeq.sorted
 
+  /** Output arity per rule, like the reference registry's
+    * FixedRule::arity (fixed_rule/mod.rs:63, 706-835): `Some(n)` for
+    * rules with a fixed output width, `None` where the width depends on
+    * the inputs/options (payload passthrough joins, readers, Constant).
+    * FixedRulesAritySpec runs every rule and asserts these. */
+  def arity(name: String): Option[Int] = declaredArity.getOrElse(name, None)
+
   private def edges(rels: Seq[DataFrame]): DataFrame = {
     val e = rels.headOption.getOrElse(
       throw Compiler.CompileException("graph fixed rule needs an edges relation"))
@@ -644,4 +651,49 @@ object FixedRules {
     }
     spark.read.json(url)
   })
+
+  /** Declared output widths for [[arity]] / the `::fixed_rules`
+    * listing. `None` = width depends on inputs or options (payload
+    * passthrough, readers, Constant, ReorderSort's input+1, Dijkstra's
+    * two calling shapes). Audited rule-by-rule by FixedRulesAritySpec.
+    */
+  private val declaredArity: Map[String, Option[Int]] = Map(
+    "PageRank" -> Some(2), "DegreeCentrality" -> Some(4),
+    "ConnectedComponents" -> Some(2), "StronglyConnectedComponent" -> Some(2),
+    "StronglyConnectedComponents" -> Some(2), "SCC" -> Some(2),
+    "CommunityDetectionLouvain" -> Some(2), "LabelPropagation" -> Some(2),
+    "ClusteringCoefficients" -> Some(4), "TopSort" -> Some(2),
+    "BFS" -> Some(3), "DFS" -> Some(3),
+    "BreadthFirstSearch" -> Some(3), "DepthFirstSearch" -> Some(3),
+    "ShortestPathBFS" -> Some(3), "ShortestPathDijkstra" -> None,
+    "RandomWalk" -> Some(4),
+    "MinimumSpanningTreePrim" -> Some(3), "MinimumSpanningForestKruskal" -> Some(3),
+    "ClosenessCentrality" -> Some(2), "BetweennessCentrality" -> Some(2),
+    "ShortestPathAStar" -> Some(4), "KShortestPathYen" -> Some(5),
+    "Constant" -> None, "ReorderSort" -> None,
+    "DedupExact" -> Some(4), "MinHashDedup" -> Some(3),
+    "NgramJaccardDedup" -> Some(3), "SimHashDedup" -> Some(3),
+    "SubstringDedup" -> Some(4), "SubstringSpans" -> Some(3),
+    "SubstringRemove" -> Some(4), "TextChunk" -> Some(4),
+    "TextKeywords" -> Some(4), "PackByBudget" -> Some(3),
+    "PackSequences" -> Some(4), "BalanceSources" -> Some(2),
+    "BalanceTemperature" -> Some(2), "PoolEmbeddings" -> Some(3),
+    "QualityClassifier" -> Some(2), "EmbeddingDedup" -> Some(3),
+    "DecontaminateEmbed" -> Some(3), "SemanticDedup" -> Some(4),
+    "MediaDecode" -> Some(6), "ImageDedup" -> Some(3),
+    "DedupClusters" -> Some(3), "DedupKeepBest" -> Some(4),
+    "TextStats" -> Some(7), "TextQuality" -> Some(2),
+    "TextRepetition" -> Some(4), "TextNovelty" -> Some(4),
+    "GopherRules" -> Some(9), "DedupLines" -> Some(4),
+    "PiiSignals" -> Some(5), "LanguageId" -> Some(2),
+    "Decontaminate" -> Some(3), "DecontaminateBloom" -> Some(3),
+    "BpeTrain" -> Some(3), "BpeEncode" -> Some(3),
+    "Dsir" -> Some(3), "StripHtml" -> Some(4), "UrlDedup" -> Some(5),
+    "PercentileCut" -> Some(5), "Sample" -> None, "Split" -> None,
+    "SplitByGroup" -> None, "GlobalShuffle" -> None,
+    "AnnKnn" -> Some(4), "AnnPq" -> Some(4), "AnnHnsw" -> Some(4),
+    "AnnPqProbe" -> Some(4), "FtsIndexProbe" -> Some(2),
+    "AsOfJoin" -> None, "RangeJoin" -> None, "Sessionize" -> None,
+    "KMeans" -> Some(2), "Perplexity" -> Some(3),
+    "CsvReader" -> None, "JsonReader" -> None)
 }

@@ -317,21 +317,101 @@ object CozoFunctions {
     (m.keys.mkString, m.values.mkString)
   }
 
+  // — deployment swap-in for the FULL OpenCC data (TSCharacters.txt /
+  // TSPhrases.txt, `trad<TAB>simp[ simp2…]` lines; first candidate
+  // wins, like opencc's default). Swapped-in entries take precedence
+  // over the curated built-ins. OpenCCSwapInSpec validates the loader
+  // against a miniature file and activates a real table when one is
+  // present at the documented path (tools/swapin/README).
+  @volatile private var t2sCharsExt: Map[Char, Char] = Map.empty
+  @volatile private var t2sPhrasesExt: Seq[(String, String)] = Seq.empty
+
+  def loadOpenCC(charLines: Iterator[String],
+                 phraseLines: Iterator[String]): (Int, Int) = {
+    def parse(lines: Iterator[String]): Seq[(String, String)] = lines.flatMap { l =>
+      val parts = l.trim.split("\\s+")
+      if (parts.length >= 2 && !parts(0).startsWith("#")) Some(parts(0) -> parts(1))
+      else None
+    }.toSeq
+    // BMP 1:1 mappings ride the translate() char table; everything else
+    // — astral code points (translate is UTF-16-unit-wise) and
+    // multi-char entries — goes through the string-level phrase pass
+    val (bmp, rest) = parse(charLines).partition {
+      case (t, s) => t.length == 1 && s.length == 1
+    }
+    val chars = bmp.map { case (t, s) => t(0) -> s(0) }
+    val phrases = rest ++ parse(phraseLines)
+    require(chars.nonEmpty || phrases.nonEmpty, "loadOpenCC: no parseable entries")
+    t2sCharsExt = chars.toMap
+    t2sPhrasesExt = phrases
+    (chars.size, phrases.size)
+  }
+  def resetOpenCC(): Unit = { t2sCharsExt = Map.empty; t2sPhrasesExt = Seq.empty }
+  def openCCLoaded: (Int, Int) = (t2sCharsExt.size, t2sPhrasesExt.size)
+
   /** functions.rs:1446 `t2s` — phrase rules + common-character table
-    * (the reference embeds the full fast2s data). */
+    * (the reference embeds the full fast2s data). With the curated
+    * built-in table the pass is pure column expressions; a swapped-in
+    * full OpenCC table (thousands of phrases) switches to a greedy
+    * longest-match UDF — a 10k-deep replace() expression tree is not a
+    * plan, and t2s is a cold-path scalar, never a scan predicate. */
   def t2s(c: Column): Column = {
-    // phrase → placeholder, char pass, placeholder → simplified phrase.
-    // Longest phrase masks first (宮商角徵羽 must win over its 角徵
-    // substring), matching OpenCC's greedy longest-match segmentation.
-    val ordered = t2sPhrases.zipWithIndex.sortBy { case ((trad, _), _) => -trad.length }
-    val masked = ordered.foldLeft(c) { case (acc, ((trad, _), i)) =>
-      replace(acc, lit(trad), lit((0xE000 + i).toChar.toString))
+    val phrases: Seq[(String, String)] = {
+      val m = scala.collection.mutable.LinkedHashMap.empty[String, String]
+      for ((t, s) <- t2sPhrases ++ t2sPhrasesExt) m(t) = s // ext overrides
+      m.toSeq
     }
-    val translated = translate(masked,
-      t2sTradMerged + t2sAmbiguousChars._1, t2sSimpMerged + t2sAmbiguousChars._2)
-    t2sPhrases.zipWithIndex.foldLeft(translated) { case (acc, ((_, simp), i)) =>
-      replace(acc, lit((0xE000 + i).toChar.toString), lit(simp))
+    if (t2sPhrasesExt.size + t2sCharsExt.size <= 64) {
+      // phrase → placeholder, char pass, placeholder → simplified phrase.
+      // Longest phrase masks first (宮商角徵羽 must win over its 角徵
+      // substring), matching OpenCC's greedy longest-match segmentation.
+      val extTrad = t2sCharsExt.keys.mkString
+      val extSimp = t2sCharsExt.values.mkString
+      val ordered = phrases.zipWithIndex.sortBy { case ((trad, _), _) => -trad.length }
+      val masked = ordered.foldLeft(c) { case (acc, ((trad, _), i)) =>
+        replace(acc, lit(trad), lit((0xE000 + i).toChar.toString))
+      }
+      // ext chars FIRST: translate keeps the first mapping on duplicates
+      val translated = translate(masked,
+        extTrad + t2sTradMerged + t2sAmbiguousChars._1,
+        extSimp + t2sSimpMerged + t2sAmbiguousChars._2)
+      phrases.zipWithIndex.foldLeft(translated) { case (acc, ((_, simp), i)) =>
+        replace(acc, lit((0xE000 + i).toChar.toString), lit(simp))
+      }
+    } else {
+      val charMap: Map[Char, Char] = {
+        val base = t2sTradMerged.zip(t2sSimpMerged).toMap ++
+          t2sAmbiguousChars._1.zip(t2sAmbiguousChars._2).toMap
+        base ++ t2sCharsExt
+      }
+      val phraseMap = phrases.toMap
+      val maxLen = if (phraseMap.isEmpty) 0 else phraseMap.keys.map(_.length).max
+      val fn = udf((text: String) => t2sGreedy(text, phraseMap, maxLen, charMap))
+      fn(c)
     }
+  }
+
+  /** Greedy longest-match segmentation (opencc's conversion strategy):
+    * at each position try the longest phrase first, fall back to the
+    * char map. O(maxPhraseLen) hash probes per character. */
+  private def t2sGreedy(text: String, phrases: Map[String, String],
+                        maxLen: Int, charMap: Map[Char, Char]): String = {
+    if (text == null) return null
+    val sb = new StringBuilder(text.length)
+    var i = 0
+    while (i < text.length) {
+      var matched: String = null
+      var mlen = 0
+      var l = math.min(maxLen, text.length - i)
+      while (l >= 1 && matched == null) { // ≥1: astral singles live here
+        val s = phrases.getOrElse(text.substring(i, i + l), null)
+        if (s != null) { matched = s; mlen = l }
+        l -= 1
+      }
+      if (matched != null) { sb.append(matched); i += mlen }
+      else { sb.append(charMap.getOrElse(text.charAt(i), text.charAt(i))); i += 1 }
+    }
+    sb.toString
   }
 
   // — bitwise over packed bool lists (functions.rs:1194-1216). The

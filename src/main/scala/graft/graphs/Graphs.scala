@@ -50,8 +50,21 @@ object Graphs {
     * dangling-mass redistribution, `iters` synchronous rounds.
     * Returns (node, rank) with ranks summing to ~1.
     */
-  def pageRank(edges: DataFrame, iters: Int = 10, damping: Double = 0.85): DataFrame = {
+  def pageRank(edges: DataFrame, iters: Int = 10, damping: Double = 0.85,
+               maxDriverEdges: Long = 2000000L): DataFrame = {
     val e = edges.select("src", "dst").distinct().ckpt()
+    // scale knee (same pattern as louvain/dfs/betweenness): a graph
+    // that fits the driver runs the identical synchronous iteration in
+    // memory — the reference is in-memory always; above the cap the
+    // distributed loop below takes over. Collected edges are SORTED so
+    // float accumulation order is run-deterministic.
+    if (e.schema("src").dataType == org.apache.spark.sql.types.LongType &&
+        e.count() <= maxDriverEdges) {
+      val rows = e.collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+      val spark = e.sparkSession
+      import spark.implicits._
+      return pageRankDriver(rows, iters, damping).toSeq.toDF("node", "rank")
+    }
     val ns = nodes(e).ckpt()
     val n = ns.count().toDouble
     val outDeg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg")).ckpt()
@@ -83,6 +96,30 @@ object Graphs {
       i += 1
     }
     ranks
+  }
+
+  /** In-memory mirror of the distributed pageRank loop: damped
+    * synchronous power iteration with dangling mass redistributed
+    * uniformly, start 1/n — the same update the DataFrame program (and
+    * the DuckDB oracle's unrolled CTE chain) computes. */
+  private def pageRankDriver(es: Array[(Long, Long)], iters: Int,
+                             d: Double): Map[Long, Double] = {
+    val ns = (es.iterator.map(_._1) ++ es.iterator.map(_._2)).toArray.distinct.sorted
+    val n = ns.length.toDouble
+    val outDeg = scala.collection.mutable.Map.empty[Long, Int].withDefaultValue(0)
+    for ((s, _) <- es) outDeg(s) += 1
+    var ranks = scala.collection.mutable.Map.empty[Long, Double]
+    for (v <- ns) ranks(v) = 1.0 / n
+    for (_ <- 0 until iters) {
+      val contrib = scala.collection.mutable.Map.empty[Long, Double].withDefaultValue(0.0)
+      for ((s, t) <- es) contrib(t) += ranks(s) / outDeg(s)
+      var dangling = 0.0
+      for (v <- ns if outDeg(v) == 0) dangling += ranks(v)
+      val next = scala.collection.mutable.Map.empty[Long, Double]
+      for (v <- ns) next(v) = (1 - d) / n + d * (contrib(v) + dangling / n)
+      ranks = next
+    }
+    ns.iterator.map(v => v -> ranks(v)).toMap
   }
 
   /** ConnectedComponents (algos/strongly_connected_components.rs handles
@@ -373,7 +410,8 @@ object Graphs {
     * determinism); after convergence the graph contracts communities to
     * nodes and repeats. Returns (node, community).
     */
-  def louvain(edges: DataFrame, maxOuter: Int = 3, maxInner: Int = 8): DataFrame = {
+  def louvain(edges: DataFrame, maxOuter: Int = 3, maxInner: Int = 8,
+              maxDriverEdges: Long = 2000000L): DataFrame = {
     val base = edges.select("src", "dst")
     val und0 = base.unionByName(base.select(col("dst").as("src"), col("src").as("dst")))
       .filter(col("src") =!= col("dst"))
@@ -383,7 +421,30 @@ object Graphs {
     var g = und0
     var level = 0
     var improvedOuter = true
+    val longIds = g.schema("src").dataType ==
+      org.apache.spark.sql.types.LongType
     while (level < maxOuter && improvedOuter && !g.isEmpty) {
+      // scale knee: levels whose (contracted) graph fits the driver run
+      // the SAME move schedule in memory — the reference materializes
+      // every graph driver-side (louvain.rs), and each contraction
+      // shrinks the community graph by orders of magnitude, so at any
+      // scale only the first level or two run distributed. The move
+      // semantics (gain formula, parity gating, tie-breaks, thresholds,
+      // convergence protocol) are mirrored line-for-line; only float
+      // summation order differs, as it already does between AQE plans.
+      if (longIds && g.count() <= maxDriverEdges) {
+        val rows = g.select(col("src"), col("dst"), col("w")).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+          .sortBy(t => (t._1, t._2)) // run-deterministic float accumulation
+        val remap = louvainDriver(rows, maxOuter - level, maxInner)
+        val spark = g.sparkSession
+        import spark.implicits._
+        val remapDf = remap.toSeq.toDF("__old", "__new")
+        return mapping
+          .join(broadcast(remapDf), mapping("community") === remapDf("__old"), "left")
+          .select(col("node"),
+            coalesce(col("__new"), col("community")).as("community"))
+      }
       val m2 = g.agg(sum(col("w"))).head().getDouble(0) // = 2m (both directions)
       val deg = g.groupBy(col("src").as("node")).agg(sum(col("w")).as("k")).ckpt()
       var comm = deg.select(col("node"), col("node").as("comm")).ckpt()
@@ -443,6 +504,73 @@ object Graphs {
       level += 1
     }
     mapping.select(col("node"), col("community"))
+  }
+
+  /** In-memory mirror of louvain's distributed level loop, used for
+    * levels whose graph fits under `maxDriverEdges`. Every decision is
+    * the same computation the DataFrame program performs — gain
+    * k_in − k·σ_adj/2m over the node's NEIGHBORING communities only,
+    * synchronous moves, xxhash-parity gating per round, (gain desc,
+    * comm asc) tie-break, 1e-12 threshold, two-still-rounds
+    * convergence, `inner > 2` outer progress, contraction keeping
+    * self-loops — so the driver path is an execution-engine switch,
+    * not an algorithm switch. Returns entry-node id → final community.
+    */
+  private def louvainDriver(edgeRows: Array[(Long, Long, Double)],
+                            maxLevels: Int, maxInner: Int): Map[Long, Long] = {
+    // the same xxhash64(seed 42) the DataFrame loop's parity gate uses
+    def parity(n: Long): Int = {
+      val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(n, 42L) % 2
+      (if (h < 0) h + 2 else h).toInt
+    }
+    var edges = edgeRows
+    val mapping = scala.collection.mutable.Map.empty[Long, Long]
+    for ((s, d, _) <- edges) { mapping.getOrElseUpdate(s, s); mapping.getOrElseUpdate(d, d) }
+    var level = 0
+    var improvedOuter = true
+    while (level < maxLevels && improvedOuter && edges.nonEmpty) {
+      val m2 = edges.iterator.map(_._3).sum
+      val deg = scala.collection.mutable.Map.empty[Long, Double].withDefaultValue(0.0)
+      for ((s, _, w) <- edges) deg(s) += w
+      val nodes = deg.keys.toArray.sorted
+      val adj = edges.groupBy(_._1)
+      val comm = scala.collection.mutable.Map.empty[Long, Long]
+      for (n <- nodes) comm(n) = n
+      var inner = 0
+      var moved = true
+      var movedPrev = true
+      while ((moved || movedPrev) && inner < maxInner) {
+        val sigma = scala.collection.mutable.Map.empty[Long, Double].withDefaultValue(0.0)
+        for (n <- nodes) sigma(comm(n)) += deg(n)
+        val moves = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+        for (n <- nodes if parity(n) == inner % 2) {
+          val kIn = scala.collection.mutable.Map.empty[Long, Double].withDefaultValue(0.0)
+          for ((_, d, w) <- adj.getOrElse(n, Array.empty[(Long, Long, Double)]))
+            kIn(comm(d)) += w
+          if (kIn.nonEmpty) {
+            val cur = comm(n)
+            val k = deg(n)
+            val best = kIn.iterator.map { case (c, ki) =>
+              val sigmaAdj = if (c == cur) sigma(c) - k else sigma(c)
+              (c, ki - k * sigmaAdj / m2)
+            }.minBy { case (c, gain) => (-gain, c) }
+            if (best._2 > 1e-12 && best._1 != cur) moves += ((n, best._1))
+          }
+        }
+        for ((n, c) <- moves) comm(n) = c // synchronous: kIn/sigma used the old comm
+        movedPrev = moved
+        moved = moves.nonEmpty
+        inner += 1
+      }
+      improvedOuter = inner > 2
+      for ((v, c) <- mapping) mapping(v) = comm.getOrElse(c, c)
+      val contracted = scala.collection.mutable.Map.empty[(Long, Long), Double]
+        .withDefaultValue(0.0)
+      for ((s, d, w) <- edges) contracted((comm(s), comm(d))) += w
+      edges = contracted.iterator.map { case ((s, d), w) => (s, d, w) }.toArray
+      level += 1
+    }
+    mapping.toMap
   }
 
   /** DepthFirstSearch (algos/dfs.rs): DFS preorder from each start.

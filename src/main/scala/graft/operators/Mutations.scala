@@ -46,21 +46,23 @@ object Mutations {
     // the extracted value verbatim, nulls included
     val renamed = updCols.foldLeft(delta)((d, c) => d.withColumnRenamed(c, s"__new_$c"))
       .withColumn("__hit", lit(true))
-    // ONE full-outer join carries both the merge and the existence
-    // check (__cur null ⇔ delta key absent from current), materialized
-    // once; the old shape paid a separate delta-anti-current action
-    // that shuffled both sides a second time.
-    val joined = current.withColumn("__cur", lit(true))
-      .join(renamed, keys, "full_outer")
-      .ckpt()
-    if (!joined.filter(col("__cur").isNull).isEmpty)
+    // ONE broadcastable left join carries the merge, materialized once;
+    // the existence check derives from the SAME checkpoint (matched
+    // delta keys vs delta keys — a missing key is one the join never
+    // hit). The old shape paid a separate delta-anti-current action
+    // that scanned/shuffled the table a second time; a full-outer
+    // variant would force a shuffle where this broadcasts.
+    val joined = current.join(renamed, keys, "left").ckpt()
+    val matched = joined.filter(col("__hit"))
+      .select(keys.map(col): _*).distinct().count()
+    val deltaKeys = renamed.select(keys.map(col): _*).distinct().count()
+    if (matched < deltaKeys)
       throw new IllegalStateException("update: key to update does not exist")
-    joined.filter(col("__cur").isNotNull)
-      .select(current.columns.map { c =>
-        if (updCols.contains(c))
-          when(col("__hit"), col(s"__new_$c")).otherwise(col(c)).as(c)
-        else col(c)
-      }: _*)
+    joined.select(current.columns.map { c =>
+      if (updCols.contains(c))
+        when(col("__hit"), col(s"__new_$c")).otherwise(col(c)).as(c)
+      else col(c)
+    }: _*)
   }
 
   /** Delete by key; missing keys are ignored (stored.rs `rm`). */

@@ -129,19 +129,23 @@ object Classifier {
       for (_ <- 0 until iters) {
         val scored = packed.withColumn("__p", sigmoid8(marginOf(w)))
         // mean log-loss of the CURRENT weights (before this update);
-        // clamp only guards ln at saturated σ, it never feeds training
+        // clamp only guards ln at saturated σ, it never feeds training.
+        // The loss rides the gradient collect as a sentinel-bucket row —
+        // one Spark action per iteration instead of two (the iteration
+        // cost is job-floor-bound, not compute-bound).
         val pc = least(greatest(col("__p"), lit(1e-8)), lit(1.0 - 1e-8))
-        losses += scored
-          .agg(avg(-(col("__y") * log(pc) +
-            (lit(1.0) - col("__y")) * log(lit(1.0) - pc))))
-          .head().getDouble(0)
-        val grad = scored
+        val gradAgg = scored
           .select(col("__p"), col("__y"), explode(col("__f")).as("__e"))
           .groupBy(col("__e.__b").as("__b"))
           .agg(round(sum((col("__p") - col("__y")) * col("__e.__x")) / n, 6)
             .as("__g"))
-          .collect()
-        w = grad.map { r =>
+        val lossRow = scored
+          .agg(avg(-(col("__y") * log(pc) +
+            (lit(1.0) - col("__y")) * log(lit(1.0) - pc))).as("__g"))
+          .select(lit(Long.MinValue).as("__b"), col("__g"))
+        val rows = gradAgg.unionByName(lossRow).collect()
+        losses += rows.find(_.getLong(0) == Long.MinValue).get.getDouble(1)
+        w = rows.filter(_.getLong(0) != Long.MinValue).map { r =>
           val b = r.getLong(0)
           val g = r.getDouble(1)
           b -> BigDecimal(w.getOrElse(b, 0.0) - lr * g)

@@ -118,4 +118,40 @@ class GraphsSpec extends AnyFunSuite {
     assert((11L to 14L).map(comm).toSet.size == 1)
     assert(comm(1L) != comm(11L))
   }
+
+  test("pageRank driver path matches the distributed loop far inside the oracle grid") {
+    for (seed <- 0 until 3) {
+      val rnd = new scala.util.Random(seed * 5501 + 17)
+      val es = (0 until 200).map(_ =>
+        (rnd.nextInt(50).toLong, rnd.nextInt(50).toLong))
+        .filter { case (a, b) => a != b }.distinct
+      val e = es.toDF("src", "dst")
+      val drv = Graphs.pageRank(e).collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val dist = Graphs.pageRank(e, maxDriverEdges = 0).collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(drv.keySet == dist.keySet)
+      for ((k, v) <- drv)
+        assert(math.abs(v - dist(k)) <= 1e-9,
+          s"seed $seed node $k: driver $v vs distributed ${dist(k)}")
+    }
+  }
+
+  test("louvain driver path is the distributed level loop's exact mirror") {
+    // weight-1 graphs keep every gain term integer-derived, so float
+    // summation order cannot differ between the two engines: the
+    // community assignment must be IDENTICAL, not just modularity-equal
+    for (seed <- 0 until 5) {
+      val rnd = new scala.util.Random(seed * 7919 + 3)
+      val es = (0 until 150).map(_ =>
+        (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+        .filter { case (a, b) => a != b }.distinct
+      val e = es.toDF("src", "dst")
+      val drv = Graphs.louvain(e, maxOuter = 2, maxInner = 5)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val dist = Graphs.louvain(e, maxOuter = 2, maxInner = 5, maxDriverEdges = 0)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(drv == dist, s"seed $seed: driver and distributed louvain diverged")
+    }
+  }
 }

@@ -201,4 +201,24 @@ class SysOpsSpec extends AnyFunSuite {
     assert(db.run("?[k] := ~c:fts{k | query: 'word5', k: 5}").count() == 1)
     assert(db.run("?[k] := ~c:fts{k | query: 'alpha', k: 5}").count() == 1)
   }
+
+  test("::fixed_rules lists every registered rule with its arity, script rules included") {
+    val db = freshDb()
+    val rows = db.run("::fixed_rules").collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toMap
+    assert(rows.keySet == FixedRules.names.toSet,
+      "the listing must carry the full registry")
+    // the beyond-reference pipeline rules appear like the reference's
+    // own registry listing (fixed_rule/mod.rs:706-835), with arity
+    assert(rows("QualityClassifier") == Some(2L))
+    assert(rows("PoolEmbeddings") == Some(3L))
+    assert(rows("BalanceTemperature") == Some(2L))
+    assert(rows("PageRank") == Some(2L))
+    assert(rows("KShortestPathYen") == Some(5L))
+    // input-dependent widths are listed as null, not a made-up number
+    assert(rows("Constant").isEmpty && rows("AsOfJoin").isEmpty)
+    // every declared arity in the listing matches FixedRules.arity
+    for ((n, a) <- rows) assert(a.map(_.toInt) == FixedRules.arity(n), n)
+  }
 }

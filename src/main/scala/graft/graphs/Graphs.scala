@@ -142,7 +142,8 @@ object Graphs {
   private def numericCol(df: DataFrame, c: String): Boolean =
     df.schema(c).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType]
 
-  def connectedComponents(edges: DataFrame, maxIter: Int = 50): DataFrame = {
+  def connectedComponents(edges: DataFrame, maxIter: Int = 50,
+                          maxDriverEdges: Long = 2000000L): DataFrame = {
     // materialize the edge projection ONCE: `edges` may be an expensive
     // derived plan (e.g. the event-window graph), and both the
     // undirected relation and the node seeding need it — deriving both
@@ -150,6 +151,16 @@ object Graphs {
     // forensics: the raw-endpoint seeding had added a second full
     // evaluation of the input plan)
     val raw = edges.select("src", "dst").ckpt()
+    // scale knee: the output (node → min id of its component) is fully
+    // SET-determined — any correct algorithm emits identical rows — so
+    // a union-find under the cap is a pure execution-engine switch
+    if (raw.schema("src").dataType == org.apache.spark.sql.types.LongType &&
+        raw.count() <= maxDriverEdges) {
+      val rows = raw.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val spark = raw.sparkSession
+      import spark.implicits._
+      return ccDriver(rows).toSeq.toDF("node", "comp")
+    }
     val und = undirected(raw).ckpt()
     // node set from the RAW endpoints: a node whose only edges are
     // self-loops is still a graph node (its own singleton component) —
@@ -185,12 +196,94 @@ object Graphs {
     lab
   }
 
+  /** Iterative Tarjan with comp = min member id — the same rows the
+    * distributed FW-BW-MIN peeling converges to (set-determined,
+    * integers). Explicit work stack: no recursion-depth limit on
+    * chain-shaped graphs. Self-loop-only nodes become singletons from
+    * the raw endpoint set, as in the distributed path. */
+  private def sccDriver(es: Array[(Long, Long)]): Map[Long, Long] = {
+    val ns = (es.iterator.map(_._1) ++ es.iterator.map(_._2)).toArray.distinct
+    val adj = es.iterator.filter(e => e._1 != e._2).toArray.distinct
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    val indexOf = scala.collection.mutable.Map.empty[Long, Int]
+    val low = scala.collection.mutable.Map.empty[Long, Int]
+    val stack = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val onStack = scala.collection.mutable.Set.empty[Long]
+    val comp = scala.collection.mutable.Map.empty[Long, Long]
+    var counter = 0
+    val work = scala.collection.mutable.Stack.empty[(Long, Iterator[Long])]
+    def open(v: Long): Unit = {
+      indexOf(v) = counter; low(v) = counter; counter += 1
+      stack += v; onStack += v
+      work.push((v, adj.getOrElse(v, Array.empty[Long]).iterator))
+    }
+    for (root <- ns if !indexOf.contains(root)) {
+      open(root)
+      while (work.nonEmpty) {
+        val (v, it) = work.top
+        if (it.hasNext) {
+          val w = it.next()
+          if (!indexOf.contains(w)) open(w)
+          else if (onStack(w)) low(v) = math.min(low(v), indexOf(w))
+        } else {
+          work.pop()
+          if (work.nonEmpty) {
+            val p = work.top._1
+            low(p) = math.min(low(p), low(v))
+          }
+          if (low(v) == indexOf(v)) {
+            val members = scala.collection.mutable.ArrayBuffer.empty[Long]
+            var w = 0L
+            while ({ w = stack.remove(stack.length - 1); onStack -= w
+                     members += w; w != v }) ()
+            val m = members.min
+            members.foreach(x => comp(x) = m)
+          }
+        }
+      }
+    }
+    comp.toMap
+  }
+
+  /** Union-find connected components with comp = min member id — the
+    * same rows the distributed min-propagation converges to (the
+    * output is set-determined, integers only: no float or heuristic
+    * divergence is possible between the two engines). */
+  private def ccDriver(es: Array[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) { val nxt = parent(c); parent(c) = r; c = nxt }
+      r
+    }
+    for ((s, d) <- es) {
+      parent.getOrElseUpdate(s, s); parent.getOrElseUpdate(d, d)
+      val (rs, rd) = (find(s), find(d))
+      if (rs != rd) parent(math.max(rs, rd)) = math.min(rs, rd)
+    }
+    // roots are already component minima (union always points the
+    // larger root at the smaller one)
+    parent.keys.map(v => v -> find(v)).toMap
+  }
+
   /** LabelPropagation (algos/label_propagation.rs): synchronous rounds;
     * each node adopts the most frequent neighbor label, ties broken by
     * the smaller label for determinism.
     */
-  def labelPropagation(edges: DataFrame, iters: Int = 5): DataFrame = {
+  def labelPropagation(edges: DataFrame, iters: Int = 5,
+                       maxDriverEdges: Long = 2000000L): DataFrame = {
     val und = undirected(edges).ckpt()
+    // scale knee: votes are integers and the tie-break is total, so
+    // the in-memory mirror is bit-identical to the distributed rounds
+    if (und.schema("src").dataType == org.apache.spark.sql.types.LongType &&
+        und.count() <= maxDriverEdges) {
+      val rows = und.collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+      val spark = und.sparkSession
+      import spark.implicits._
+      return lpDriver(rows, iters).toSeq.toDF("node", "label")
+    }
     var lab = nodes(und).withColumn("label", col("node")).ckpt()
     var i = 0
     while (i < iters) {
@@ -206,6 +299,23 @@ object Graphs {
         .select(col("node"), coalesce(col("label"), col("node")).as("label"))
         .ckptLazy()
       i += 1
+    }
+    lab
+  }
+
+  /** In-memory mirror of the labelPropagation rounds: majority neighbor
+    * label over the undirected distinct edge set, ties to the smaller
+    * label, synchronous. Integer votes → identical output. */
+  private def lpDriver(und: Array[(Long, Long)], iters: Int): Map[Long, Long] = {
+    val adj = und.groupBy(_._1)
+    val ns = und.map(_._1).distinct.sorted
+    var lab: Map[Long, Long] = ns.iterator.map(v => v -> v).toMap
+    for (_ <- 0 until iters) {
+      lab = ns.iterator.map { n =>
+        val votes = scala.collection.mutable.Map.empty[Long, Int].withDefaultValue(0)
+        for ((_, d) <- adj(n)) votes(lab(d)) += 1
+        n -> votes.minBy { case (l, c) => (-c, l) }._1
+      }.toMap
     }
     lab
   }
@@ -309,10 +419,21 @@ object Graphs {
     * few rounds on real graphs. Returns (node, comp) with comp = min
     * member id.
     */
-  def stronglyConnectedComponents(edges: DataFrame, maxRounds: Int = 20): DataFrame = {
+  def stronglyConnectedComponents(edges: DataFrame, maxRounds: Int = 20,
+                                  maxDriverEdges: Long = 2000000L): DataFrame = {
     // one evaluation of the (possibly derived) input plan; live edges
     // and the node seeding both read the checkpoint
     val raw = edges.select("src", "dst").ckpt()
+    // scale knee: (node → min member of its SCC) is set-determined, so
+    // iterative Tarjan under the cap emits identical rows to the
+    // distributed FW-BW-MIN peeling
+    if (raw.schema("src").dataType == org.apache.spark.sql.types.LongType &&
+        raw.count() <= maxDriverEdges) {
+      val rows = raw.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val spark = raw.sparkSession
+      import spark.implicits._
+      return sccDriver(rows).toSeq.toDF("node", "comp")
+    }
     var live = raw.filter(col("src") =!= col("dst"))
       .distinct().ckpt()
     // raw endpoints: self-loop-only nodes are singleton SCCs (the

@@ -119,6 +119,24 @@ class GraphsSpec extends AnyFunSuite {
     assert(comm(1L) != comm(11L))
   }
 
+  test("CC/SCC/LP driver paths emit rows identical to the distributed loops") {
+    for (seed <- 0 until 5) {
+      val rnd = new scala.util.Random(seed * 4409 + 7)
+      val es = ((0 until 120).map(_ =>
+        (rnd.nextInt(35).toLong, rnd.nextInt(35).toLong)) :+
+        ((90L, 90L))).distinct // a self-loop-only node must stay a singleton
+      val e = es.toDF("src", "dst")
+      def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+        df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(rows(Graphs.connectedComponents(e)) ==
+        rows(Graphs.connectedComponents(e, maxDriverEdges = 0)), s"CC seed $seed")
+      assert(rows(Graphs.stronglyConnectedComponents(e)) ==
+        rows(Graphs.stronglyConnectedComponents(e, maxDriverEdges = 0)), s"SCC seed $seed")
+      assert(rows(Graphs.labelPropagation(e, iters = 4)) ==
+        rows(Graphs.labelPropagation(e, iters = 4, maxDriverEdges = 0)), s"LP seed $seed")
+    }
+  }
+
   test("pageRank driver path matches the distributed loop far inside the oracle grid") {
     for (seed <- 0 until 3) {
       val rnd = new scala.util.Random(seed * 5501 + 17)

@@ -371,8 +371,20 @@ object Graphs {
     * as a complete grading. Layer count = longest path, so at scale
     * bound the input's depth (sample/cut) rather than raising maxIter.
     */
-  def topSort(edges: DataFrame, maxIter: Int = 100): DataFrame = {
-    var remaining = edges.select("src", "dst").distinct().ckpt()
+  def topSort(edges: DataFrame, maxIter: Int = 100,
+              maxDriverEdges: Long = 2000000L): DataFrame = {
+    val distinctEdges = edges.select("src", "dst").distinct().ckpt()
+    // scale knee: the layer assignment (Kahn peel round = longest path
+    // from a source) is set-determined, so the in-memory peel emits
+    // identical rows — and the same cycle/maxIter error contracts
+    if (distinctEdges.schema("src").dataType == org.apache.spark.sql.types.LongType &&
+        distinctEdges.count() <= maxDriverEdges) {
+      val rows = distinctEdges.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val spark = distinctEdges.sparkSession
+      import spark.implicits._
+      return topSortDriver(rows, maxIter).toDF("node", "layer")
+    }
+    var remaining = distinctEdges
     var live = nodes(remaining).ckpt()
     // drive the loop off DRIVER-side arithmetic (liveCount -= peeled):
     // the peeled count comes with the (lazy) checkpoint we need anyway,
@@ -406,6 +418,34 @@ object Graphs {
     }
     if (layers.isEmpty) live.withColumn("layer", lit(0)).limit(0)
     else layers.reduce(_ union _)
+  }
+
+  /** In-memory mirror of the topSort peel (Kahn layering), identical
+    * rows and identical cycle / maxIter error contracts. */
+  private def topSortDriver(es: Array[(Long, Long)], maxIter: Int): Seq[(Long, Int)] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Int)]
+    val indeg = scala.collection.mutable.Map.empty[Long, Int].withDefaultValue(0)
+    val adj = es.groupBy(_._1)
+    val live = scala.collection.mutable.Set.empty[Long]
+    for ((s, d) <- es) { live += s; live += d; indeg(d) += 1 }
+    var layer = 0
+    while (live.nonEmpty) {
+      if (layer >= maxIter)
+        throw new IllegalStateException(
+          s"TopSort: not complete after $maxIter layers (${live.size} nodes left) — " +
+            "the longest path exceeds maxIter; raise it or bound the input's depth")
+      val peeled = live.iterator.filter(v => indeg(v) == 0).toArray
+      if (peeled.isEmpty)
+        throw new IllegalArgumentException(
+          s"TopSort: graph contains a cycle (${live.size} nodes cannot be peeled)")
+      for (v <- peeled) {
+        out += ((v, layer))
+        live -= v
+        for ((_, d) <- adj.getOrElse(v, Array.empty[(Long, Long)])) indeg(d) -= 1
+      }
+      layer += 1
+    }
+    out.toSeq
   }
 
   /** StronglyConnectedComponents

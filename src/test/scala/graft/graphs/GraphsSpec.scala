@@ -134,7 +134,15 @@ class GraphsSpec extends AnyFunSuite {
         rows(Graphs.stronglyConnectedComponents(e, maxDriverEdges = 0)), s"SCC seed $seed")
       assert(rows(Graphs.labelPropagation(e, iters = 4)) ==
         rows(Graphs.labelPropagation(e, iters = 4, maxDriverEdges = 0)), s"LP seed $seed")
+      val dagE = e.filter(col("src") < col("dst"))
+      assert(rows(Graphs.topSort(dagE).select(col("node"), col("layer").cast("long"))) ==
+        rows(Graphs.topSort(dagE, maxDriverEdges = 0)
+          .select(col("node"), col("layer").cast("long"))), s"TopSort seed $seed")
     }
+    // error contracts hold on BOTH paths
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    intercept[IllegalArgumentException](Graphs.topSort(cyc).count())
+    intercept[IllegalArgumentException](Graphs.topSort(cyc, maxDriverEdges = 0).count())
   }
 
   test("pageRank driver path matches the distributed loop far inside the oracle grid") {

@@ -41,7 +41,9 @@ object JobCount {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         }
         val sec = (System.nanoTime() - t0) / 1e9
-        Some(s""""$name":{"jobs":${c.jobs},"stages":${c.stages},"sec":${f"$sec%.3f"}}""")
+        // Locale.ROOT: a comma-decimal default locale would emit invalid JSON
+        val secStr = String.format(java.util.Locale.ROOT, "%.3f", Double.box(sec))
+        Some(s""""$name":{"jobs":${c.jobs},"stages":${c.stages},"sec":$secStr}""")
       } catch {
         case e: Throwable =>
           System.err.println(s"$name FAILED: ${Option(e.getMessage).getOrElse(e.getClass.getName).take(200)}")

@@ -915,7 +915,10 @@ object Queries {
     // (label propagation) on the same graph — louvain.rs:1-318 is a
     // greedy maximizer of exactly this Q.
     Spec("graph_louvain", (s, d) => {
-      val e = eventEdges(T(s, d, "events"))
+      // shared by louvain + labelPropagation + THREE modularity referees:
+      // without the ckpt each consumer re-executes the salted lead-window
+      // edge derivation (r8 verdict "What's wrong" #3)
+      val e = eventEdges(T(s, d, "events")).ckpt()
       val louv = Graphs.louvain(e, maxOuter = 2, maxInner = 5)
       val lp = Graphs.labelPropagation(e)
       val nodesDf = e.select(col("src").as("node"))
@@ -940,7 +943,8 @@ object Queries {
     // walk starts at its start, steps are contiguous and bounded, and
     // a walk that stopped early did so only at a sink.
     Spec("graph_walk", (s, d) => {
-      val e = eventEdges(T(s, d, "events"))
+      // shared by the walk + the four re-walk referee invariants
+      val e = eventEdges(T(s, d, "events")).ckpt()
       val starts = e.filter(col("src") < 5).select(col("src").as("start")).distinct()
         .withColumn("walk_id", col("start"))
       val walk = Graphs.randomWalk(e, starts, steps = 5)
@@ -984,6 +988,7 @@ object Queries {
         // expands into parallel adjacency entries (doubling sigma)
         .select(least(col("src"), col("dst")).as("src"),
           greatest(col("src"), col("dst")).as("dst")).distinct()
+        .ckpt() // shared by the distributed Brandes AND the driver referee
       val dist = Graphs.betweennessCentralityApprox(sub, sample = Int.MaxValue)
       val exact = Graphs.betweennessCentrality(sub)
       val joined = dist.select(col("node"), col("betweenness").as("__ba"))

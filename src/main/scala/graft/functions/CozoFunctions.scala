@@ -350,31 +350,31 @@ object CozoFunctions {
   def openCCLoaded: (Int, Int) = (t2sCharsExt.size, t2sPhrasesExt.size)
 
   /** functions.rs:1446 `t2s` — phrase rules + common-character table
-    * (the reference embeds the full fast2s data). With the curated
-    * built-in table the pass is pure column expressions; a swapped-in
-    * full OpenCC table (thousands of phrases) switches to a greedy
-    * longest-match UDF — a 10k-deep replace() expression tree is not a
-    * plan, and t2s is a cold-path scalar, never a scan predicate. */
+    * (the reference embeds the full fast2s data). With ONLY the curated
+    * built-in table the pass is pure column expressions; ANY swapped-in
+    * OpenCC entries switch to the greedy longest-match UDF — the two
+    * strategies can diverge on overlapping phrase occurrences (global
+    * length-ordered replace vs left-to-right greedy), so the strategy
+    * choice must not depend on HOW MANY entries were swapped in (r8
+    * advice), and a 10k-deep replace() expression tree is not a plan
+    * anyway; t2s is a cold-path scalar, never a scan predicate. */
   def t2s(c: Column): Column = {
     val phrases: Seq[(String, String)] = {
       val m = scala.collection.mutable.LinkedHashMap.empty[String, String]
       for ((t, s) <- t2sPhrases ++ t2sPhrasesExt) m(t) = s // ext overrides
       m.toSeq
     }
-    if (t2sPhrasesExt.size + t2sCharsExt.size <= 64) {
+    if (t2sPhrasesExt.isEmpty && t2sCharsExt.isEmpty) {
       // phrase → placeholder, char pass, placeholder → simplified phrase.
       // Longest phrase masks first (宮商角徵羽 must win over its 角徵
       // substring), matching OpenCC's greedy longest-match segmentation.
-      val extTrad = t2sCharsExt.keys.mkString
-      val extSimp = t2sCharsExt.values.mkString
       val ordered = phrases.zipWithIndex.sortBy { case ((trad, _), _) => -trad.length }
       val masked = ordered.foldLeft(c) { case (acc, ((trad, _), i)) =>
         replace(acc, lit(trad), lit((0xE000 + i).toChar.toString))
       }
-      // ext chars FIRST: translate keeps the first mapping on duplicates
       val translated = translate(masked,
-        extTrad + t2sTradMerged + t2sAmbiguousChars._1,
-        extSimp + t2sSimpMerged + t2sAmbiguousChars._2)
+        t2sTradMerged + t2sAmbiguousChars._1,
+        t2sSimpMerged + t2sAmbiguousChars._2)
       phrases.zipWithIndex.foldLeft(translated) { case (acc, ((_, simp), i)) =>
         replace(acc, lit((0xE000 + i).toChar.toString), lit(simp))
       }

@@ -34,6 +34,15 @@ object Graphs {
   def nodes(edges: DataFrame): DataFrame =
     edges.select(col("src").as("node")).union(edges.select(col("dst").as("node"))).distinct()
 
+  /** Guard for the scale-knee driver mirrors: BOTH endpoint columns must
+    * be LongType (the mirrors call getLong on both — an Int dst would
+    * pass a src-only check and ClassCast at collect time where the
+    * distributed path worked). */
+  private def longEndpoints(df: DataFrame): Boolean = {
+    import org.apache.spark.sql.types.LongType
+    df.schema("src").dataType == LongType && df.schema("dst").dataType == LongType
+  }
+
   /** DegreeCentrality (algos/degree_centrality.rs): node, total, in, out. */
   def degreeCentrality(edges: DataFrame): DataFrame = {
     val out = edges.groupBy(col("src").as("node")).agg(count(lit(1)).as("out_degree"))
@@ -58,7 +67,7 @@ object Graphs {
     // memory — the reference is in-memory always; above the cap the
     // distributed loop below takes over. Collected edges are SORTED so
     // float accumulation order is run-deterministic.
-    if (e.schema("src").dataType == org.apache.spark.sql.types.LongType &&
+    if (longEndpoints(e) &&
         e.count() <= maxDriverEdges) {
       val rows = e.collect().map(r => (r.getLong(0), r.getLong(1))).sorted
       val spark = e.sparkSession
@@ -154,7 +163,7 @@ object Graphs {
     // scale knee: the output (node → min id of its component) is fully
     // SET-determined — any correct algorithm emits identical rows — so
     // a union-find under the cap is a pure execution-engine switch
-    if (raw.schema("src").dataType == org.apache.spark.sql.types.LongType &&
+    if (longEndpoints(raw) &&
         raw.count() <= maxDriverEdges) {
       val rows = raw.collect().map(r => (r.getLong(0), r.getLong(1)))
       val spark = raw.sparkSession
@@ -277,7 +286,7 @@ object Graphs {
     val und = undirected(edges).ckpt()
     // scale knee: votes are integers and the tie-break is total, so
     // the in-memory mirror is bit-identical to the distributed rounds
-    if (und.schema("src").dataType == org.apache.spark.sql.types.LongType &&
+    if (longEndpoints(und) &&
         und.count() <= maxDriverEdges) {
       val rows = und.collect().map(r => (r.getLong(0), r.getLong(1))).sorted
       val spark = und.sparkSession
@@ -377,7 +386,7 @@ object Graphs {
     // scale knee: the layer assignment (Kahn peel round = longest path
     // from a source) is set-determined, so the in-memory peel emits
     // identical rows — and the same cycle/maxIter error contracts
-    if (distinctEdges.schema("src").dataType == org.apache.spark.sql.types.LongType &&
+    if (longEndpoints(distinctEdges) &&
         distinctEdges.count() <= maxDriverEdges) {
       val rows = distinctEdges.collect().map(r => (r.getLong(0), r.getLong(1)))
       val spark = distinctEdges.sparkSession
@@ -467,7 +476,7 @@ object Graphs {
     // scale knee: (node → min member of its SCC) is set-determined, so
     // iterative Tarjan under the cap emits identical rows to the
     // distributed FW-BW-MIN peeling
-    if (raw.schema("src").dataType == org.apache.spark.sql.types.LongType &&
+    if (longEndpoints(raw) &&
         raw.count() <= maxDriverEdges) {
       val rows = raw.collect().map(r => (r.getLong(0), r.getLong(1)))
       val spark = raw.sparkSession
@@ -582,8 +591,8 @@ object Graphs {
     var g = und0
     var level = 0
     var improvedOuter = true
-    val longIds = g.schema("src").dataType ==
-      org.apache.spark.sql.types.LongType
+    val longIds = longEndpoints(g) &&
+      g.schema("w").dataType == org.apache.spark.sql.types.DoubleType
     while (level < maxOuter && improvedOuter && !g.isEmpty) {
       // scale knee: levels whose (contracted) graph fits the driver run
       // the SAME move schedule in memory — the reference materializes
@@ -724,7 +733,9 @@ object Graphs {
         inner += 1
       }
       improvedOuter = inner > 2
-      for ((v, c) <- mapping) mapping(v) = comm.getOrElse(c, c)
+      // snapshot before mutating: value updates during HashMap iteration
+      // happen to work today but are formally unspecified
+      for ((v, c) <- mapping.toSeq) mapping(v) = comm.getOrElse(c, c)
       val contracted = scala.collection.mutable.Map.empty[(Long, Long), Double]
         .withDefaultValue(0.0)
       for ((s, d, w) <- edges) contracted((comm(s), comm(d))) += w

@@ -31,12 +31,19 @@ object ListenerBridge {
         }
     }
     sc.addSparkListener(listener)
+    // save the caller's ambient job group so measurement is transparent
+    // (clearJobGroup would drop it instead of restoring)
+    val prevId = sc.getLocalProperty("spark.jobGroup.id")
+    val prevDesc = sc.getLocalProperty("spark.job.description")
+    val prevInterrupt = sc.getLocalProperty("spark.job.interruptOnCancel")
     sc.setJobGroup(group, group, interruptOnCancel = false)
     try {
       thunk
       sc.listenerBus.waitUntilEmpty()
     } finally {
-      sc.clearJobGroup()
+      sc.setLocalProperty("spark.jobGroup.id", prevId)
+      sc.setLocalProperty("spark.job.description", prevDesc)
+      sc.setLocalProperty("spark.job.interruptOnCancel", prevInterrupt)
       sc.removeSparkListener(listener)
     }
     Counts(jobs.get, stages.get)

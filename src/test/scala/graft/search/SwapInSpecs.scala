@@ -62,7 +62,9 @@ class SwapInSpecs extends AnyFunSuite {
     def t2sOf(s: String): String =
       Seq(Tuple1(s)).toDF("t").select(CozoFunctions.t2s(col("t"))).head().getString(0)
     try {
-      // ≤64 entries: the column-expression path picks up the extension;
+      // ANY swapped-in entries take the greedy longest-match UDF (the
+      // strategy must not depend on entry COUNT — r9 fix for the ≤64
+      // expression/UDF divergence on overlapping phrases);
       // 𫠆 is astral (non-BMP) — the loader must route it through the
       // string-level phrase pass, never translate()
       CozoFunctions.loadOpenCC(
@@ -72,8 +74,7 @@ class SwapInSpecs extends AnyFunSuite {
       assert(t2sOf("龡一") == "吹一", "swapped-in BMP char must apply")
       assert(t2sOf("龑一") == "𫠆一", "astral mapping must apply via the phrase pass")
       assert(t2sOf("瞭解") == "了解", "built-in phrases must survive the merge")
-      // >64 entries: t2s switches to the greedy longest-match UDF;
-      // results must stay consistent
+      // many more entries: same greedy UDF; results must stay consistent
       val filler = (0 until 70).map(i => f"填充詞$i%02d\t填充词$i%02d")
       CozoFunctions.loadOpenCC(
         Iterator("龡\t吹", "龑\t𫠆"),

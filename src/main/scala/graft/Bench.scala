@@ -10,11 +10,21 @@ import org.apache.spark.sql.SparkSession
   * `errors` map instead of being swallowed; and all persisted RDD blocks
   * (localCheckpoint intermediates) are dropped between queries so one
   * query's lineage truncation can't degrade the rest of the session.
+  *
+  * Noise protocol (round-8 verdict): this box shows 1.2-2× whole-run
+  * noise windows and sporadic 2-5× single-query excursions, which made
+  * every wall-clock claim contestable. The suite therefore runs
+  * SPARK_GRAFT_BENCH_REPS (default 3) back-to-back sweeps and reports
+  * the per-query MEDIAN in `queries` — the headline number — with the
+  * per-query spread in `queries_min`/`queries_max` and the per-rep
+  * totals in `totals`. A single calm-window capture can no longer be
+  * cherry-picked, and one excursion can no longer condemn a query.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -54,13 +64,38 @@ object Bench {
     // SPARK_GRAFT_ONLY subsets are still measured warm)
     SparkEntry.queries.get("rel_scan_filter").foreach(f => runOne("rel_scan_filter", f))
 
-    val results = ordered.map { case (name, fn) => name -> runOne(name, fn) }
+    // reps full sweeps, query-major per sweep (every sweep sees the same
+    // suite-order conditions the single-sweep protocol saw)
+    val bySweep: Seq[Seq[(String, Either[String, Double])]] =
+      (1 to reps).map(_ => ordered.map { case (name, fn) => name -> runOne(name, fn) })
+    def num(d: Double) = String.format(java.util.Locale.ROOT, "%.6f", Double.box(d))
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+    }
     def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
       .replaceAll("[\\n\\r\\t]", " ") + "\""
-    val qs = results.collect { case (k, Right(v)) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
-    val errs = results.collect { case (k, Left(e)) => s"${jstr(k)}:${jstr(e)}" }.mkString("{", ",", "}")
-    val total = results.collect { case (_, Right(v)) => v }.sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+
+    val perQuery: Seq[(String, Either[String, Seq[Double]])] = ordered.map { case (name, _) =>
+      val runs = bySweep.map(_.find(_._1 == name).get._2)
+      val ok = runs.collect { case Right(v) => v }
+      if (ok.nonEmpty) name -> Right(ok)
+      else name -> Left(runs.collectFirst { case Left(e) => e }.get)
+    }
+    val qs = perQuery.collect { case (k, Right(vs)) => s"${jstr(k)}:${num(median(vs))}" }
+      .mkString("{", ",", "}")
+    val qmin = perQuery.collect { case (k, Right(vs)) => s"${jstr(k)}:${num(vs.min)}" }
+      .mkString("{", ",", "}")
+    val qmax = perQuery.collect { case (k, Right(vs)) => s"${jstr(k)}:${num(vs.max)}" }
+      .mkString("{", ",", "}")
+    val errs = perQuery.collect { case (k, Left(e)) => s"${jstr(k)}:${jstr(e)}" }
+      .mkString("{", ",", "}")
+    val totals = bySweep.map(sw => num(sw.collect { case (_, Right(v)) => v }.sum))
+      .mkString("[", ",", "]")
+    val total = perQuery.collect { case (_, Right(vs)) => median(vs) }.sum
+    val line = s"""{"metric":"total","value":${num(total)},"unit":"sec","reps":$reps,""" +
+      s""""queries":$qs,"queries_min":$qmin,"queries_max":$qmax,""" +
+      s""""totals":$totals,"errors":$errs,"sf":"$sfDir"}"""
     println(line)
     // also land the full line in a file: console capture has truncated
     // the (long) JSON before, clipping the committed artifact (r6

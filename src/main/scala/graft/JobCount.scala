@@ -43,7 +43,9 @@ object JobCount {
         val sec = (System.nanoTime() - t0) / 1e9
         // Locale.ROOT: a comma-decimal default locale would emit invalid JSON
         val secStr = String.format(java.util.Locale.ROOT, "%.3f", Double.box(sec))
-        Some(s""""$name":{"jobs":${c.jobs},"stages":${c.stages},"sec":$secStr}""")
+        Some(s""""$name":{"jobs":${c.jobs},"stages":${c.stages},""" +
+          s""""shw":${c.shuffleWriteBytes},"shr":${c.shuffleReadBytes},""" +
+          s""""task_ms":${c.taskTimeMs},"sec":$secStr}""")
       } catch {
         case e: Throwable =>
           System.err.println(s"$name FAILED: ${Option(e.getMessage).getOrElse(e.getClass.getName).take(200)}")

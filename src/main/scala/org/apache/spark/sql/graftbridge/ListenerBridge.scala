@@ -1,15 +1,21 @@
 package org.apache.spark.sql.graftbridge
 
-import java.util.concurrent.atomic.AtomicInteger
+import java.util.concurrent.atomic.{AtomicInteger, AtomicLong}
 
 import org.apache.spark.SparkContext
-import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerTaskEnd}
 
-/** Job-count metering for the drift regression gate (JobLedgerSpec) and
-  * the `graft.JobCount` forensics main.
+/** Job-count + shuffle-volume metering for the drift regression gate
+  * (JobLedgerSpec) and the `graft.JobCount` forensics main.
   *
   * Counts the Spark jobs (and their planned stages) submitted while a
-  * thunk runs, attributed via a unique job group so concurrently
+  * thunk runs, and accumulates the shuffle read/write bytes and task
+  * time of every task in those jobs' stages. Wall time on this box is
+  * noise (documented 1.2-2× windows); job counts catch "one extra
+  * action" drift and shuffle bytes catch the scale-relevant drift class
+  * — an unpushed filter or an injected repartition moves megabytes that
+  * no jitter can explain. Attribution is via a unique job group (job
+  * events) plus the group's stage-id set (task events), so concurrently
   * running test suites on the shared local SparkContext cannot pollute
   * the numbers. Needs to live under `org.apache.spark` for
   * `listenerBus.waitUntilEmpty()` (the listener bus is async; without
@@ -17,16 +23,32 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
   * the thunk returns).
   */
 object ListenerBridge {
-  final case class Counts(jobs: Int, stages: Int)
+  final case class Counts(jobs: Int, stages: Int,
+                          shuffleReadBytes: Long = 0L,
+                          shuffleWriteBytes: Long = 0L,
+                          taskTimeMs: Long = 0L)
 
   def measure(sc: SparkContext, group: String)(thunk: => Unit): Counts = {
     val jobs = new AtomicInteger(0)
     val stages = new AtomicInteger(0)
+    val shRead = new AtomicLong(0L)
+    val shWrite = new AtomicLong(0L)
+    val taskMs = new AtomicLong(0L)
+    val groupStages = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
     val listener = new SparkListener {
       override def onJobStart(j: SparkListenerJobStart): Unit =
         if (Option(j.properties).exists(p => group == p.getProperty("spark.jobGroup.id"))) {
           jobs.incrementAndGet()
           stages.addAndGet(j.stageInfos.size)
+          j.stageIds.foreach(id => groupStages.add(id))
+          ()
+        }
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
+        if (groupStages.contains(t.stageId) && t.taskMetrics != null) {
+          val m = t.taskMetrics
+          shRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+          shWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          taskMs.addAndGet(m.executorRunTime)
           ()
         }
     }
@@ -46,6 +68,6 @@ object ListenerBridge {
       sc.setLocalProperty("spark.job.interruptOnCancel", prevInterrupt)
       sc.removeSparkListener(listener)
     }
-    Counts(jobs.get, stages.get)
+    Counts(jobs.get, stages.get, shRead.get, shWrite.get, taskMs.get)
   }
 }

@@ -90,9 +90,14 @@ object Queries {
     * gradient sums and weight updates rounded @6 — the same pins
     * Classifier.train applies), then a rescoring pass rounded @6.
     * Generated, not hand-written, so the iteration blocks can't drift
-    * from each other. */
+    * from each other. `sampleN > 0` trains on the sampleN smallest-
+    * md5-hash documents only (Sampling.boundedSample's exact set) and
+    * still scores EVERY document — the deployment shape where training
+    * cost is SF-invariant; corpus buckets unseen in training score with
+    * weight 0, like Classifier.score's coalesce. */
   private def classifierOracleSql(iters: Int = 5, buckets: Int = 64,
-                                  lr: Double = 2.0, ngrams: Int = 1): String = {
+                                  lr: Double = 2.0, ngrams: Int = 1,
+                                  sampleN: Int = 0): String = {
     // ngrams=2 appends adjacent-pair "a b" grams into the same bucket
     // space (the fastText wordNgrams convention), exactly as
     // Classifier.gramsOf does on the Spark side
@@ -101,19 +106,31 @@ object Queries {
       else ("CASE WHEN len(toks) >= 2 THEN list_concat(toks, " +
         "list_transform(generate_series(1, len(toks)-1), " +
         "i -> toks[i] || ' ' || toks[i+1])) ELSE toks END")
+    val sampled = sampleN > 0
+    val tf = if (sampled) "ft" else "f" // training features
     val steps = (1 to iters).map { k =>
       s"""p$k AS (SELECT f.doc_id, round(1 / (1 + exp(-sum(f.x * w.w))), 8) AS p
-         |  FROM f JOIN w${k - 1} w USING (b) GROUP BY 1),
+         |  FROM $tf f JOIN w${k - 1} w USING (b) GROUP BY 1),
          |w$k AS (SELECT w.b, round(w.w - $lr * g.g, 6) AS w FROM w${k - 1} w JOIN (
          |    SELECT f.b, round(sum((p.p - dy.y) * f.x) / (SELECT n FROM nn), 6) AS g
-         |    FROM f JOIN p$k p USING (doc_id) JOIN dy USING (doc_id)
+         |    FROM $tf f JOIN p$k p USING (doc_id) JOIN dy USING (doc_id)
          |    GROUP BY 1) g USING (b))""".stripMargin
     }.mkString(",\n")
+    val sampleCtes = if (!sampled) "" else
+      s"""smp AS (SELECT doc_id FROM documents ORDER BY
+         |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT),
+         |    doc_id LIMIT $sampleN),
+         |ft AS (SELECT f.* FROM f JOIN smp USING (doc_id)),
+         |""".stripMargin
+    val dyFrom = if (sampled) "d JOIN smp USING (doc_id)" else "d"
+    val nnFrom = if (sampled) "smp" else "d"
+    // unseen corpus buckets score with weight 0 in the sampled shape
+    val scoreJoin = if (sampled) "LEFT JOIN" else "JOIN"
+    val wExpr = if (sampled) "COALESCE(w.w, 0)" else "w.w"
     s"""WITH d0 AS (SELECT doc_id,
        |    CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
        |    $toksSql AS toks FROM documents),
        |d AS (SELECT doc_id, y, $gramsExpr AS toks FROM d0),
-       |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM d),
        |tok AS (SELECT doc_id, len(toks) AS nt, unnest(toks) AS t FROM d
        |        WHERE len(toks) > 0),
        |fb AS (SELECT doc_id,
@@ -121,11 +138,12 @@ object Queries {
        |    count(*) / CAST(min(nt) AS DOUBLE) AS x FROM tok GROUP BY 1, 2),
        |f AS (SELECT doc_id, b, x FROM fb
        |      UNION ALL SELECT doc_id, CAST(-1 AS BIGINT), 1.0 FROM d),
-       |dy AS (SELECT doc_id, y FROM d),
-       |w0 AS (SELECT DISTINCT b, 0.0 AS w FROM f),
+       |${sampleCtes}nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM $nnFrom),
+       |dy AS (SELECT d.doc_id, d.y FROM $dyFrom),
+       |w0 AS (SELECT DISTINCT b, 0.0 AS w FROM $tf),
        |$steps
-       |SELECT f.doc_id, round(1 / (1 + exp(-sum(f.x * w.w))), 6) AS score
-       |FROM f JOIN w$iters w USING (b) GROUP BY 1""".stripMargin
+       |SELECT f.doc_id, round(1 / (1 + exp(-sum(f.x * $wExpr))), 6) AS score
+       |FROM f $scoreJoin w$iters w USING (b) GROUP BY 1""".stripMargin
   }
 
   /** MinHash candidate-pair relation over `documents`, shared by the
@@ -1935,22 +1953,27 @@ object Queries {
 
     // fastText parity: wordNgrams=2 — adjacent-pair grams hash into the
     // same bucket space as unigrams; the oracle retrains with the SAME
-    // bigram list construction (list_transform over generate_series)
+    // bigram list construction (list_transform over generate_series).
+    // DEPLOYMENT SHAPE (r8 verdict #5): training is bounded to the
+    // 2000 smallest-hash documents (SF-invariant cost), the score pass
+    // covers the whole corpus — the oracle reproduces the exact sample
+    // (ORDER BY md5 key LIMIT n) and retrains on it alone.
     Spec("pipe_classifier_bigram", (s, d) => {
       val docs = T(s, d, "documents")
       graft.pipeline.Classifier.trainScore(
         docs, "doc_id", "text", col("lang") === "en",
-        buckets = 64, iters = 5, lr = 2.0, ngrams = 2)
-    }, Some(classifierOracleSql(ngrams = 2))),
+        buckets = 64, iters = 5, lr = 2.0, ngrams = 2, sampleN = 2000)
+    }, Some(classifierOracleSql(ngrams = 2, sampleN = 2000))),
 
     // held-out validation (the honest measure a quality classifier is
     // deployed on): leakage-free GROUP split by source, train the
     // bigram model on the train sources only, exact tie-aware ROC AUC
     // on the unseen sources. AUC is driver-checked (retraining +
     // rank-sum in one SQL oracle would be a second full unrolled GD),
-    // the invariant bar is 0.8 — measured AUC is deterministic per SF:
-    // 0.851 (sf0.001), 0.868 (sf0.01), 0.977 (sf0.1; more training
-    // sources generalize better). The label must be TEXT-derivable: the
+    // the invariant bar is 0.8 — measured AUC is deterministic per SF
+    // with the bounded 2000-doc training sample: 0.851 (sf0.001, 300
+    // train rows), 0.865 (sf0.01), 0.965 (sf0.1). The label must be
+    // TEXT-derivable: the
     // synthetic generator draws `lang` independently of `text` (probed:
     // lang-AUC is chance at every SF), so the planted signal is a token
     // predicate the model has to find among the hashed buckets.
@@ -1958,7 +1981,11 @@ object Queries {
       val docs = T(s, d, "documents")
       val split = graft.pipeline.Sampling.splitByGroup(
         docs, "source", trainPct = 60, valPct = 0, portable = true)
-      val trainDf = split.filter(col("split") === "train")
+      // deployment shape (r8 verdict #5): the group split guards
+      // leakage, the bounded sample caps training cost SF-invariantly;
+      // the full unseen test split is scored
+      val trainDf = graft.pipeline.Sampling.boundedSample(
+        split.filter(col("split") === "train"), "doc_id", 2000)
       val evalDf = split.filter(col("split") === "test")
       val model = graft.pipeline.Classifier.train(
         trainDf.withColumn("__label", col("text").contains("spark").cast("double")),

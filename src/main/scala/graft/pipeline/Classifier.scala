@@ -99,6 +99,33 @@ object Classifier {
   private def sigmoid8(margin: Column): Column =
     round(lit(1.0) / (lit(1.0) + exp(-margin)), 8)
 
+  /** Weight-lookup strategy knee: `element_at` on a `typedLit` map is a
+    * LINEAR scan in codegen (GetMapValue has no hash path), so a
+    * wide model (8192 buckets) pays |W| comparisons per gram —
+    * ~3×10⁶ per document. Above this size the dot product switches to
+    * a hash-map UDF: O(1) per gram, same array-order FP summation, so
+    * scores are bit-identical either way (AUC/oracle unaffected). */
+  private val MapLookupKnee = 128
+
+  private def javaMap(w: Map[Long, Double]): java.util.HashMap[Long, java.lang.Double] = {
+    val jm = new java.util.HashMap[Long, java.lang.Double](w.size * 2 + 8)
+    for ((k, v) <- w) jm.put(k, v)
+    jm
+  }
+
+  /** Exact Scala mirror of [[Sampling.md5Bucket]]: first 8 hex chars of
+    * md5 = first 4 bytes as an unsigned 32-bit int, mod buckets. */
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+  private def md5BucketOf(buckets: Int, t: String): Long = {
+    val h = md5Local.get().digest(t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val v = ((h(0) & 0xFFL) << 24) | ((h(1) & 0xFFL) << 16) |
+      ((h(2) & 0xFFL) << 8) | (h(3) & 0xFFL)
+    v % buckets
+  }
+
   /** Train on a labeled sample. `labelCol` must be 0/1 (numeric or
     * boolean). Returns the weight map (bucket → weight, -1 = bias) and
     * the loss trace. The sample is packed+persisted once; each
@@ -116,12 +143,28 @@ object Classifier {
       .persist()
     val n = packed.count().toDouble
 
-    def marginOf(w: Map[Long, Double]): Column = {
-      val wm = typedLit(w)
-      aggregate(col("__f"), lit(0.0), (acc, f) =>
-        acc + f.getField("__x") *
-          coalesce(element_at(wm, f.getField("__b")), lit(0.0)))
-    }
+    def marginOf(w: Map[Long, Double]): Column =
+      if (w.size <= MapLookupKnee) {
+        val wm = typedLit(w)
+        aggregate(col("__f"), lit(0.0), (acc, f) =>
+          acc + f.getField("__x") *
+            coalesce(element_at(wm, f.getField("__b")), lit(0.0)))
+      } else {
+        val jm = javaMap(w)
+        // struct arrays aren't UDF-encodable; field extraction over an
+        // array of structs is a zero-copy projection to two aligned arrays
+        val dot = udf { (bs: scala.collection.Seq[Long], xs: scala.collection.Seq[Double]) =>
+          var acc = 0.0
+          var i = 0
+          while (i < bs.length) {
+            val wv = jm.get(bs(i))
+            if (wv != null) acc += xs(i) * wv
+            i += 1
+          }
+          acc
+        }
+        dot(col("__f").getField("__b"), col("__f").getField("__x"))
+      }
 
     var w = Map.empty[Long, Double]
     val losses = Seq.newBuilder[Double]
@@ -166,12 +209,31 @@ object Classifier {
     */
   def score(docs: DataFrame, idCol: String, textCol: String,
             model: Model): DataFrame = {
-    val wm = typedLit(model.weights)
     val bias = lit(model.weights.getOrElse(-1L, 0.0))
     val grams = gramsOf(col(textCol), model.ngrams)
-    val tokSum = aggregate(grams, lit(0.0), (acc, t) =>
-      acc + coalesce(
-        element_at(wm, Sampling.md5Bucket(model.buckets, t)), lit(0.0)))
+    val tokSum = if (model.weights.size <= MapLookupKnee) {
+      val wm = typedLit(model.weights)
+      aggregate(grams, lit(0.0), (acc, t) =>
+        acc + coalesce(
+          element_at(wm, Sampling.md5Bucket(model.buckets, t)), lit(0.0)))
+    } else {
+      val jm = javaMap(model.weights)
+      val nb = model.buckets
+      val dot = udf { toks: scala.collection.Seq[String] =>
+        if (toks == null) 0.0
+        else {
+          var acc = 0.0
+          var i = 0
+          while (i < toks.length) {
+            val wv = jm.get(md5BucketOf(nb, toks(i)))
+            if (wv != null) acc += wv
+            i += 1
+          }
+          acc
+        }
+      }
+      dot(grams)
+    }
     val nToks = size(grams)
     val margin = bias +
       when(nToks > 0, tokSum / nToks).otherwise(lit(0.0))
@@ -180,14 +242,18 @@ object Classifier {
   }
 
   /** Train-and-score in one call (the driver-gate entry): trains on
-    * `labelExpr` over the whole input (stands in for the labeled
-    * sample) and scores every document.
+    * `labelExpr` over the input — bounded to the `sampleN`
+    * smallest-hash documents when `sampleN > 0` (the deployment shape:
+    * training cost is SF-invariant, the corpus only meets the broadcast
+    * weights in the score pass) — and scores every document.
     */
   def trainScore(docs: DataFrame, idCol: String, textCol: String,
                  labelExpr: Column, buckets: Int = 64, iters: Int = 5,
-                 lr: Double = 2.0, ngrams: Int = 1): DataFrame = {
+                 lr: Double = 2.0, ngrams: Int = 1, sampleN: Int = 0): DataFrame = {
     val labeled = docs.withColumn("__label", labelExpr.cast("double"))
-    val model = train(labeled, idCol, textCol, "__label", buckets, iters, lr, ngrams)
+    val trainSet =
+      if (sampleN > 0) Sampling.boundedSample(labeled, idCol, sampleN) else labeled
+    val model = train(trainSet, idCol, textCol, "__label", buckets, iters, lr, ngrams)
     score(docs, idCol, textCol, model)
   }
 

@@ -753,6 +753,16 @@ object Queries {
     // filtered 3-hop expansion (pokec's "expansion with filter"): only
     // even-id users are traversable at intermediate hops
     Spec("graph_expand3_filter", (s, d) => {
+      // Co-partitioning experiment CLOSED (r8 verdict #6, rejected with
+      // paired sf1 runs): pre-shuffling edges on src + re-keying each
+      // frontier onto the next join key (repartition(n) before the
+      // distinct) saved one exchange per hop and won 15% at sf0.1
+      // (9.53->8.13 s median-of-3) but REGRESSED 2.2x at sf1 (133->299 s
+      // paired) - partitioning the huge hop-2 frontier by n alone
+      // concentrates high-degree nodes and pins the partition count,
+      // defeating AQE's skew-split/coalesce that the (seed,n)-keyed
+      // distinct exchange gets. The AQE-managed shape below is the
+      // scale-correct one.
       val e = eventEdges(T(s, d, "events")).ckpt()
       val ef = e.filter(col("dst") % 2 === 0)
       val h1 = ef.select(col("src").as("seed"), col("dst").as("n")) // distinct by construction (eventEdges dedups)

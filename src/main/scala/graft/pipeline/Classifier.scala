@@ -23,17 +23,21 @@ import org.apache.spark.sql.functions._
   * w ← w − lr · (1/N) Σ_d (σ(x_d·w) − y_d) x_d.
   *
   * Plan (Spark-first): the labeled sample is packed ONCE into
-  * (id, y, feats: array⟨(b, x)⟩) — one aggregation — and persisted;
-  * every iteration is then (a) a zero-shuffle margin/σ projection (the
-  * dot product is a Catalyst `aggregate` fold over the packed array
-  * against the broadcast weight-map literal) and (b) one gradient
-  * aggregation over ≤ buckets+1 groups (map-side partials make it
-  * sample-linear with a KB-sized shuffle). Weights live on the driver
-  * between iterations — the model is `buckets`+1 doubles, which is the
-  * point of feature hashing. Labels are the expensive input, so the
-  * training set is assumed sample-sized (≤ millions of rows); the
-  * 100 TB corpus only ever meets the final weights in [[score]], a
-  * single zero-shuffle projection pass.
+  * (id, y, feats: array⟨(b, x)⟩) — one aggregation — and materialized
+  * as a persisted RDD of primitive feature arrays; every iteration is
+  * then ONE `treeAggregate` job whose per-partition partial is a
+  * (buckets+2)-slot double array (gradient per bucket + a mean-log-loss
+  * rider) — margin/σ/gradient all happen in a single pass over the
+  * partition with O(1) dense-array weight lookups, no Catalyst work and
+  * no per-row shuffle (a Dataset re-planned per iteration was measured
+  * driver-bound; re-collecting one Dataset is unsound because completed
+  * shuffle map stages are reused across jobs). Weights live on the
+  * driver between iterations and travel as a broadcast array — the
+  * model is `buckets`+1 doubles, which is the point of feature hashing.
+  * Labels are the expensive input, so the training set is assumed
+  * sample-sized (≤ millions of rows); the 100 TB corpus only ever meets
+  * the final weights in [[score]], a single zero-shuffle projection
+  * pass.
   *
   * Engine-portability: buckets use the md5 hash ([[Sampling.md5Bucket]])
   * and every cross-engine float boundary is pinned — σ is rounded to 8
@@ -94,19 +98,6 @@ object Classifier {
     tf.unionByName(bias)
   }
 
-  /** σ rounded to 8 decimals — the cross-engine pin for exp's last-ulp
-    * libm differences. */
-  private def sigmoid8(margin: Column): Column =
-    round(lit(1.0) / (lit(1.0) + exp(-margin)), 8)
-
-  /** Weight-lookup strategy knee: `element_at` on a `typedLit` map is a
-    * LINEAR scan in codegen (GetMapValue has no hash path), so a
-    * wide model (8192 buckets) pays |W| comparisons per gram —
-    * ~3×10⁶ per document. Above this size the dot product switches to
-    * a hash-map UDF: O(1) per gram, same array-order FP summation, so
-    * scores are bit-identical either way (AUC/oracle unaffected). */
-  private val MapLookupKnee = 128
-
   private def javaMap(w: Map[Long, Double]): java.util.HashMap[Long, java.lang.Double] = {
     val jm = new java.util.HashMap[Long, java.lang.Double](w.size * 2 + 8)
     for ((k, v) <- w) jm.put(k, v)
@@ -129,7 +120,7 @@ object Classifier {
   /** Train on a labeled sample. `labelCol` must be 0/1 (numeric or
     * boolean). Returns the weight map (bucket → weight, -1 = bias) and
     * the loss trace. The sample is packed+persisted once; each
-    * iteration runs two sample-linear jobs against it.
+    * iteration is one sample-linear treeAggregate job against it.
     */
   def train(sample: DataFrame, idCol: String, textCol: String,
             labelCol: String, buckets: Int = 64, iters: Int = 5,
@@ -143,59 +134,76 @@ object Classifier {
       .persist()
     val n = packed.count().toDouble
 
-    def marginOf(w: Map[Long, Double]): Column =
-      if (w.size <= MapLookupKnee) {
-        val wm = typedLit(w)
-        aggregate(col("__f"), lit(0.0), (acc, f) =>
-          acc + f.getField("__x") *
-            coalesce(element_at(wm, f.getField("__b")), lit(0.0)))
-      } else {
-        val jm = javaMap(w)
-        // struct arrays aren't UDF-encodable; field extraction over an
-        // array of structs is a zero-copy projection to two aligned arrays
-        val dot = udf { (bs: scala.collection.Seq[Long], xs: scala.collection.Seq[Double]) =>
-          var acc = 0.0
-          var i = 0
-          while (i < bs.length) {
-            val wv = jm.get(bs(i))
-            if (wv != null) acc += xs(i) * wv
-            i += 1
-          }
-          acc
-        }
-        dot(col("__f").getField("__b"), col("__f").getField("__x"))
-      }
+    // GD iterations run as ONE RDD treeAggregate each — zero Catalyst
+    // work per iteration. The Dataset loop this replaces built a fresh
+    // plan every iteration (analysis + optimization + codegen made the
+    // 20-iteration train driver-bound: 7.6 core-seconds of task work
+    // under 15 s wall at sf0.1); re-collecting ONE Dataset is not an
+    // option because Spark reuses completed shuffle map stages across
+    // jobs on the same DAG — iteration 2 would read iteration 1's
+    // partials. Each doc's margin is an O(1) dense-array lookup per
+    // gram (element_at on a typedLit map is a LINEAR scan — |W|
+    // comparisons per gram at 8192 buckets); the per-partition partial
+    // is one (buckets+2)-slot double array (grads + loss rider), so a
+    // 1000-executor corpus ships KBs per partition and treeAggregate's
+    // depth-2 merge keeps the driver out of the hot path. σ stays
+    // pinned @8 and gradients @6 with the exact Round semantics
+    // (BigDecimal.valueOf + HALF_UP), so any engine — the DuckDB
+    // retrain oracle included — still reproduces every weight: FP sums
+    // differ only in addition order (~1e-12 relative), far under the
+    // rounding grid, the same drift argument the shuffle-agg made.
+    val sc = packed.sparkSession.sparkContext
+    val data = packed.select(col("__f").getField("__b").as("bs"),
+        col("__f").getField("__x").as("xs"), col("__y"))
+      .rdd.map(r => (r.getSeq[Long](0).toArray, r.getSeq[Double](1).toArray, r.getDouble(2)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the model carries weights ONLY for buckets present in training
+    // features (the oracle's w0 set); the dense gradient array can't
+    // distinguish "absent" from "present, gradient exactly 0"
+    val present: Array[Long] = data.flatMap(_._1.iterator).distinct().collect().sorted
+    def round8(d: Double): Double = java.math.BigDecimal.valueOf(d)
+      .setScale(8, java.math.RoundingMode.HALF_UP).doubleValue()
+    def round6(d: Double): Double = java.math.BigDecimal.valueOf(d)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
 
     var w = Map.empty[Long, Double]
     val losses = Seq.newBuilder[Double]
+    val nb = buckets
     try {
       for (_ <- 0 until iters) {
-        val scored = packed.withColumn("__p", sigmoid8(marginOf(w)))
-        // mean log-loss of the CURRENT weights (before this update);
-        // clamp only guards ln at saturated σ, it never feeds training.
-        // The loss rides the gradient collect as a sentinel-bucket row —
-        // one Spark action per iteration instead of two (the iteration
-        // cost is job-floor-bound, not compute-bound).
-        val pc = least(greatest(col("__p"), lit(1e-8)), lit(1.0 - 1e-8))
-        val gradAgg = scored
-          .select(col("__p"), col("__y"), explode(col("__f")).as("__e"))
-          .groupBy(col("__e.__b").as("__b"))
-          .agg(round(sum((col("__p") - col("__y")) * col("__e.__x")) / n, 6)
-            .as("__g"))
-        val lossRow = scored
-          .agg(avg(-(col("__y") * log(pc) +
-            (lit(1.0) - col("__y")) * log(lit(1.0) - pc))).as("__g"))
-          .select(lit(Long.MinValue).as("__b"), col("__g"))
-        val rows = gradAgg.unionByName(lossRow).collect()
-        losses += rows.find(_.getLong(0) == Long.MinValue).get.getDouble(1)
-        w = rows.filter(_.getLong(0) != Long.MinValue).map { r =>
-          val b = r.getLong(0)
-          val g = r.getDouble(1)
+        val wArr = new Array[Double](nb + 1) // idx = bucket + 1 (bias -1 -> 0)
+        for ((b, v) <- w) wArr((b + 1).toInt) = v
+        val bcW = sc.broadcast(wArr)
+        val zero = new Array[Double](nb + 2) // [0..nb] grads, [nb+1] loss sum
+        val agg = data.treeAggregate(zero)(
+          seqOp = (acc, doc) => {
+            val (bs, xs, y) = doc
+            val wa = bcW.value
+            var m = 0.0
+            var i = 0
+            while (i < bs.length) { m += xs(i) * wa((bs(i) + 1).toInt); i += 1 }
+            val p = round8(1.0 / (1.0 + math.exp(-m)))
+            // clamp only guards ln at saturated σ, it never feeds training
+            val pc = math.min(math.max(p, 1e-8), 1.0 - 1e-8)
+            acc(nb + 1) += -(y * math.log(pc) + (1.0 - y) * math.log(1.0 - pc))
+            i = 0
+            while (i < bs.length) { acc((bs(i) + 1).toInt) += (p - y) * xs(i); i += 1 }
+            acc
+          },
+          combOp = (a, b) => {
+            var i = 0
+            while (i < a.length) { a(i) += b(i); i += 1 }
+            a
+          })
+        bcW.destroy()
+        losses += agg(nb + 1) / n
+        w = present.iterator.map { b =>
+          val g = round6(agg((b + 1).toInt) / n)
           b -> BigDecimal(w.getOrElse(b, 0.0) - lr * g)
             .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
         }.toMap
       }
-    } finally packed.unpersist()
+    } finally { data.unpersist(blocking = false); packed.unpersist() }
     Model(buckets, w, losses.result(), ngrams)
   }
 
@@ -211,29 +219,31 @@ object Classifier {
             model: Model): DataFrame = {
     val bias = lit(model.weights.getOrElse(-1L, 0.0))
     val grams = gramsOf(col(textCol), model.ngrams)
-    val tokSum = if (model.weights.size <= MapLookupKnee) {
-      val wm = typedLit(model.weights)
-      aggregate(grams, lit(0.0), (acc, t) =>
-        acc + coalesce(
-          element_at(wm, Sampling.md5Bucket(model.buckets, t)), lit(0.0)))
-    } else {
-      val jm = javaMap(model.weights)
-      val nb = model.buckets
-      val dot = udf { toks: scala.collection.Seq[String] =>
-        if (toks == null) 0.0
-        else {
-          var acc = 0.0
-          var i = 0
-          while (i < toks.length) {
-            val wv = jm.get(md5BucketOf(nb, toks(i)))
-            if (wv != null) acc += wv
-            i += 1
-          }
-          acc
+    // UDF, deliberately: the expression alternative (md5Bucket +
+    // element_at over a typedLit weight map, folded by `aggregate`)
+    // measured 20-30% SLOWER at sf1 — the Md5 expression builds a fresh
+    // MessageDigest per gram where the UDF reuses a thread-local one,
+    // and element_at on a literal map is a LINEAR scan (GetMapValue has
+    // no hash path: |W| comparisons per gram at 8192 buckets). The UDF
+    // hashes with the exact md5Key semantics and sums in array order,
+    // so scores are bit-identical to the expression path and to the
+    // DuckDB oracle after the @6 rounding.
+    val jm = javaMap(model.weights)
+    val nb = model.buckets
+    val dot = udf { toks: scala.collection.Seq[String] =>
+      if (toks == null) 0.0
+      else {
+        var acc = 0.0
+        var i = 0
+        while (i < toks.length) {
+          val wv = jm.get(md5BucketOf(nb, toks(i)))
+          if (wv != null) acc += wv
+          i += 1
         }
+        acc
       }
-      dot(grams)
     }
+    val tokSum = dot(grams)
     val nToks = size(grams)
     val margin = bias +
       when(nToks > 0, tokSum / nToks).otherwise(lit(0.0))

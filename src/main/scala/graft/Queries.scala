@@ -947,6 +947,9 @@ object Queries {
       // without the ckpt each consumer re-executes the salted lead-window
       // edge derivation (r8 verdict "What's wrong" #3)
       val e = eventEdges(T(s, d, "events")).ckpt()
+      // louv/lp are driver-mirror locals under the scale knee at these
+      // SFs — re-use is a broadcast join, so an eager ckpt only ADDS a
+      // materialization pass (measured +0.3 s; r9 audit kept them bare)
       val louv = Graphs.louvain(e, maxOuter = 2, maxInner = 5)
       val lp = Graphs.labelPropagation(e)
       val nodesDf = e.select(col("src").as("node"))
@@ -1312,8 +1315,10 @@ object Queries {
     // (soundness, over the FULL output).
     Spec("dedup_simhash", (s, d) => {
       val docs = T(s, d, "documents")
-      val banded = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
-      val fp = Dedup.simhashFingerprints(docs, "doc_id", "text")
+      val banded = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3).ckpt()
+      // ckpt: the fingerprint relation (a full tokenize+hash pass) feeds
+      // the sampled brute-force referee AND two recompute joins (r9 audit)
+      val fp = Dedup.simhashFingerprints(docs, "doc_id", "text").ckpt()
       val sfp = fp.filter(col("id") < 1000)
       val brute = sfp.select(col("id").as("id_a"), col("fp").as("fa"))
         .join(sfp.select(col("id").as("id_b"), col("fp").as("fb")), col("id_a") < col("id_b"))
@@ -1373,11 +1378,12 @@ object Queries {
         transform(col("vec"), (v, i) =>
           (v + lit(0.02f) * cos(col("id") * (i + 1))).cast("float")).as("vec"))
       val corpus = baseV.unionByName(twins)
-      val pairs = Dedup.semanticDedup(corpus, "id", "vec",
-        threshold = 0.95, nClusters = 8)
+      val corpusCk = corpus.ckpt() // read by the pair search + two recompute joins
+      val pairs = Dedup.semanticDedup(corpusCk, "id", "vec",
+        threshold = 0.95, nClusters = 8).ckpt()
       val exact = pairs.select(col("id_a"), col("id_b"), col("cosine"))
-        .join(corpus.select(col("id").as("id_a"), col("vec").as("__va")), Seq("id_a"))
-        .join(corpus.select(col("id").as("id_b"), col("vec").as("__vb")), Seq("id_b"))
+        .join(corpusCk.select(col("id").as("id_a"), col("vec").as("__va")), Seq("id_a"))
+        .join(corpusCk.select(col("id").as("id_b"), col("vec").as("__vb")), Seq("id_b"))
         .withColumn("__true", graft.functions.VectorFunctions
           .cosineSimilarity(col("__va"), col("__vb")))
         .filter(abs(col("cosine") - col("__true")) > 1e-6 || col("__true") < 0.95)
@@ -1434,8 +1440,8 @@ object Queries {
       val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
       val queries = emb.filter(col("vec_id") < 20)
         .select(col("vec_id").as("query_id"), col("embedding").as("vec"))
-      val lsh = Ann.lshTopK(corpus, queries, k = 5, planes = 3, tables = 16)
-      val exact = Ann.bruteForceTopK(corpus, queries, k = 5)
+      val lsh = Ann.lshTopK(corpus, queries, k = 5, planes = 3, tables = 16).ckpt()
+      val exact = Ann.bruteForceTopK(corpus, queries, k = 5).ckpt()
       val recallOk = lsh.select("query_id", "id").intersect(exact.select("query_id", "id"))
         .agg(count(lit(1)).as("__nh"))
         .crossJoin(exact.agg(count(lit(1)).as("__ne")))
@@ -1495,9 +1501,13 @@ object Queries {
       val queries = emb.filter(col("vec_id") < 20)
         .select(col("vec_id").as("query_id"), col("embedding").as("vec"))
       val cb = Ann.pqCodebooks(corpus, subspaces = 16, codes = 64)
+      // ckpt: pq/exact feed 4 and 3 referee invariants respectively —
+      // without it each referee re-runs the encode+ADC scan (r9 audit)
+      // ckpt: a local A/B was a wash (7.4 vs 7.6 s, bands overlap) but
+      // four referees re-running the encode+ADC scan loses at scale
       val pq = Ann.pqTopK(corpus, queries, k = 5, subspaces = 16, codes = 64,
-        refine = 8, codebooks = Some(cb))
-      val exact = Ann.bruteForceTopK(corpus, queries, k = 5)
+        refine = 8, codebooks = Some(cb)).ckpt()
+      val exact = Ann.bruteForceTopK(corpus, queries, k = 5).ckpt()
       val recallOk = pq.select("query_id", "id").intersect(exact.select("query_id", "id"))
         .agg(count(lit(1)).as("__nh"))
         .crossJoin(exact.agg(count(lit(1)).as("__ne")))
@@ -1541,8 +1551,8 @@ object Queries {
       val queries = emb.filter(col("vec_id") < 20)
         .select(col("vec_id").as("query_id"), col("embedding").as("vec"))
       val hnsw = Ann.hnswTopK(corpus, queries, k = 5,
-        m = 12, efConstruction = 80, efSearch = 64)
-      val exact = Ann.bruteForceTopK(corpus, queries, k = 5)
+        m = 12, efConstruction = 80, efSearch = 64).ckpt()
+      val exact = Ann.bruteForceTopK(corpus, queries, k = 5).ckpt()
       val recallOk = hnsw.select("query_id", "id").intersect(exact.select("query_id", "id"))
         .agg(count(lit(1)).as("__nh"))
         .crossJoin(exact.agg(count(lit(1)).as("__ne")))
@@ -1687,6 +1697,7 @@ object Queries {
       val g = db.run("?[layer, fk, ff, fs, tk, tf, ts, dist] := *gv:g{layer, " +
         "fr_id: fk, fr__field: ff, fr__sub_idx: fs, to_id: tk, to__field: tf, to__sub_idx: ts, dist}")
         .toDF("layer", "fk", "ff", "fs", "tk", "tf", "ts", "dist")
+        .ckpt() // six referee invariants read this graph dump (r9 audit)
       val selfRows = g.filter(col("fk") === col("tk"))
       val links = g.filter(col("fk") =!= col("tk"))
       val ids = emb.select(col("vec_id").cast("long").as("fk"))
@@ -2409,7 +2420,7 @@ object Queries {
       val feats = graft.multimodal.Multimodal.extractFeatures(media, dim = 16)
       val corpus = feats.select(col("id"), col("embedding").as("vec"))
       val queries = feats.filter(col("id") < 5).select(col("id").as("query_id"), col("embedding").as("vec"))
-      val brute = Ann.bruteForceTopK(corpus, queries, k = 3)
+      val brute = Ann.bruteForceTopK(corpus, queries, k = 3).ckpt()
       val ivf = Ann.ivfTopK(corpus, queries, k = 3, nCells = 4, nProbe = 4)
       invariants(
         "ivf_full_probe_equals_brute" -> sameRows(

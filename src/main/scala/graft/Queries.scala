@@ -1320,7 +1320,10 @@ object Queries {
       // the sampled brute-force referee AND two recompute joins (r9 audit)
       val fp = Dedup.simhashFingerprints(docs, "doc_id", "text").ckpt()
       val sfp = fp.filter(col("id") < 1000)
-      val brute = sfp.select(col("id").as("id_a"), col("fp").as("fa"))
+      // explicit broadcast: the ckpt above resets leaf stats to the
+      // default (huge), which would flip this ≤1000-row non-equi
+      // self-join from the argued BNLJ to a CartesianProduct
+      val brute = broadcast(sfp.select(col("id").as("id_a"), col("fp").as("fa")))
         .join(sfp.select(col("id").as("id_b"), col("fp").as("fb")), col("id_a") < col("id_b"))
         .withColumn("hamming", TF.hamming64(col("fa"), col("fb")))
         .filter(col("hamming") <= 3)

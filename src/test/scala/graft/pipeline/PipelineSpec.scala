@@ -194,6 +194,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(again == r.select("doc_id").collect().map(_.getLong(0)).toSet)
   }
 
+  test("boundedSample: exactly n rows, the n smallest md5-keys, growth-stable") {
+    val n = 25
+    val smp = Sampling.boundedSample(docs, "doc_id", n)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(smp.size == n)
+    // independently recompute the md5 order the operator promises —
+    // the same portable key any other engine (the DuckDB oracle) uses
+    val byKey = docs.select(col("doc_id"),
+        Sampling.md5Key(col("doc_id")).as("__k"))
+      .collect().map(r => (r.getLong(1), r.getLong(0))).sorted.map(_._2)
+    assert(smp == byKey.take(n).toSet, "sample must be the n smallest-hash ids")
+    // membership is hash-determined, so a superset corpus keeps every
+    // sampled id that stays in the hash-order prefix — verify against a
+    // filtered subset that preserves the first n ids
+    val keepIds = byKey.take(n).toSet
+    val sub = Sampling.boundedSample(
+      docs.filter(col("doc_id").isin(byKey.take(n + 10).toSeq: _*)), "doc_id", n)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(sub == keepIds, "prefix-preserving subset yields the same sample")
+  }
+
   test("resolveClusters folds transitive pairs into min-id clusters") {
     import spark.implicits._
     val ids = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("id")

@@ -41,9 +41,14 @@ object Decontaminate {
     val tsh = train.select(col(trainId).as("train_id"),
         explode(TF.wordShingles(col(trainText), n)).as("s"))
       .select(col("train_id"), xxhash64(col("s")).as("h"))
+    // esh is consumed three times sequentially (distinct count, Bloom
+    // aggregate, verify-join broadcast) — the lazy ckpt materializes in
+    // the count job and spares two shingle re-passes (r9 audit)
+    import graft.plan._
     val esh = eval.select(col(evalId).as("eval_id"),
         explode(TF.wordShingles(col(evalText), n)).as("s"))
       .select(col("eval_id"), xxhash64(col("s")).as("h"))
+      .ckptLazy()
     tsh.join(if (broadcastEval) broadcast(esh) else esh, Seq("h"))
       .groupBy("train_id")
       .agg(countDistinct(col("h")).as("overlap_ngrams"),
@@ -115,9 +120,14 @@ object Decontaminate {
     val tsh = train.select(col(trainId).as("train_id"),
         explode(TF.wordShingles(col(trainText), n)).as("s"))
       .select(col("train_id"), xxhash64(col("s")).as("h"))
+    // esh is consumed three times sequentially (distinct count, Bloom
+    // aggregate, verify-join broadcast) — the lazy ckpt materializes in
+    // the count job and spares two shingle re-passes (r9 audit)
+    import graft.plan._
     val esh = eval.select(col(evalId).as("eval_id"),
         explode(TF.wordShingles(col(evalText), n)).as("s"))
       .select(col("eval_id"), xxhash64(col("s")).as("h"))
+      .ckptLazy()
     val evalHashes = esh.select("h").distinct()
     val expected = math.max(evalHashes.count(), 1L)
     val bloom = evalHashes.stat.bloomFilter("h", expected, fpp)

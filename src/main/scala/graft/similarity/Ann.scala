@@ -95,8 +95,12 @@ object Ann {
       .orderBy("__h").limit(nCells)
       .select((row_number().over(Window.orderBy("__h")) - 1).as("cell"),
         col("vec").as("cvec"))
-      .ckpt()
+      .ckptLazy()
     for (_ <- 0 until iters) {
+      // LAZY in-loop: each round's centroids have ONE sequential
+      // consumer (the next round's broadcast build), which materializes
+      // the checkpoint inside its own job — an eager ckpt here paid a
+      // separate materialization job per round (r9 job-floor audit)
       cents = assignCells(base, cents)
         .select(col("cell"), posexplode(col("vec"))).toDF("cell", "i", "v")
         .groupBy("cell", "i").agg(avg("v").as("m"))
@@ -104,9 +108,11 @@ object Ann {
         // struct sorts by its first field, so array_sort orders by dim i
         .agg(transform(array_sort(collect_list(struct(col("i"), col("m")))),
           x => x.getField("m").cast("float")).as("cvec"))
-        .ckpt()
+        .ckptLazy()
     }
-    cents
+    // the RETURNED centroids fan out (assign pass + query probes) —
+    // eager here so concurrent consumers cannot race the lazy persist
+    cents.ckpt()
   }
 
   /** Nearest-centroid assignment: broadcast the (≤ a few K) centroids,
@@ -182,12 +188,15 @@ object Ann {
     val train = corpus.select(col("id"), col("vec"))
       .withColumn("__h", xxhash64(col("id"), lit(seed)))
       .orderBy("__h", "id").limit(trainN).drop("__h")
-    val sv = subvecs(train, "id", subspaces).ckpt()
+    // sv's consumers (seeding, then one assign per Lloyd round) are
+    // SEQUENTIAL jobs, so the lazy checkpoint materializes inside the
+    // first and is reused by the rest — eager paid an extra job
+    val sv = subvecs(train, "id", subspaces).ckptLazy()
     var cb = sv.withColumn("__h", xxhash64(col("id"), lit(seed), col("m")))
       .withColumn("__rk", row_number().over(Window.partitionBy("m").orderBy("__h", "id")))
       .filter(col("__rk") <= codes)
       .select(col("m"), (col("__rk") - 1).cast("int").as("code"), col("sub").as("cvec"))
-      .ckpt()
+      .ckptLazy()
     for (_ <- 0 until iters) {
       // assign: broadcast the (subspaces·codes) codebook, min_by picks
       // the nearest code per (id, m) with a deterministic tie-break;
@@ -205,9 +214,11 @@ object Ann {
         // struct sorts by its first field, so array_sort orders by dim i
         .agg(transform(array_sort(collect_list(struct(col("i"), col("mu")))),
           x => x.getField("mu").cast("float")).as("cvec"))
-        .ckpt()
+        .ckptLazy()
     }
-    cb
+    // returned codebooks fan out (encode + query LUT broadcasts) —
+    // eager so concurrent consumers cannot race the lazy persist
+    cb.ckpt()
   }
 
   /** Encode a corpus against trained codebooks: (id, m, code, selfdot)
@@ -253,7 +264,7 @@ object Ann {
     import graft.plan._
     val base = corpus.select(col("id"), col("vec"))
     val cb = codebooks.getOrElse(pqCodebooks(base, subspaces, codes, iters, trainN, seed))
-    val enc = pqEncode(base, cb, subspaces).ckpt()
+    val enc = pqEncode(base, cb, subspaces).ckptLazy()
     val lut = subvecs(queries.select(col("query_id").as("id"), col("vec")), "id", subspaces)
       .withColumnRenamed("id", "query_id")
       .join(broadcast(cb), Seq("m"))

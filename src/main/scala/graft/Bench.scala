@@ -19,6 +19,20 @@ import org.apache.spark.sql.SparkSession
   * per-query spread in `queries_min`/`queries_max` and the per-rep
   * totals in `totals`. A single calm-window capture can no longer be
   * cherry-picked, and one excursion can no longer condemn a query.
+  *
+  * Flaky visibility (round-9 advice): a query that fails in SOME reps
+  * but succeeds in at least one still reports its median-of-successes
+  * in `queries`, but its first error now ALSO stays in `errors` and its
+  * success count lands in `ok_reps` — intermittent failures can no
+  * longer hide inside a clean-looking headline.
+  *
+  * Steady-state mode (round-9 verdict): SPARK_GRAFT_BENCH_WARM=1 runs
+  * one full UNTIMED sweep before the timed reps, so the medians measure
+  * steady-state (codegen/JIT-warm) cost — the regime a long-running
+  * cluster session actually sees, where per-query whole-stage-codegen
+  * compilation has amortized. Reported ALONGSIDE the cold protocol
+  * (`"warm":true` marks the artifact), never replacing it: BENCH_last
+  * stays cold-protocol unless the env var is set.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -64,6 +78,11 @@ object Bench {
     // SPARK_GRAFT_ONLY subsets are still measured warm)
     SparkEntry.queries.get("rel_scan_filter").foreach(f => runOne("rel_scan_filter", f))
 
+    // steady-state mode: one full untimed sweep first, so every timed
+    // rep runs with that query's codegen already compiled and JITted
+    val warm = sys.env.get("SPARK_GRAFT_BENCH_WARM").contains("1")
+    if (warm) ordered.foreach { case (name, fn) => runOne(name, fn) }
+
     // reps full sweeps, query-major per sweep (every sweep sees the same
     // suite-order conditions the single-sweep protocol saw)
     val bySweep: Seq[Seq[(String, Either[String, Double])]] =
@@ -88,14 +107,26 @@ object Bench {
       .mkString("{", ",", "}")
     val qmax = perQuery.collect { case (k, Right(vs)) => s"${jstr(k)}:${num(vs.max)}" }
       .mkString("{", ",", "}")
-    val errs = perQuery.collect { case (k, Left(e)) => s"${jstr(k)}:${jstr(e)}" }
+    // partial failures: median-of-successes still lands in `queries`,
+    // but the error stays visible and ok_reps records the success count
+    val flaky: Seq[(String, String, Int)] = ordered.flatMap { case (name, _) =>
+      val runs = bySweep.map(_.find(_._1 == name).get._2)
+      val nOk = runs.count(_.isRight)
+      if (nOk > 0 && nOk < reps)
+        runs.collectFirst { case Left(e) => (name, e, nOk) }
+      else None
+    }
+    val errs = (perQuery.collect { case (k, Left(e)) => s"${jstr(k)}:${jstr(e)}" } ++
+      flaky.map { case (k, e, _) => s"${jstr(k)}:${jstr(e)}" })
       .mkString("{", ",", "}")
+    val okReps = flaky.map { case (k, _, n) => s"${jstr(k)}:$n" }.mkString("{", ",", "}")
     val totals = bySweep.map(sw => num(sw.collect { case (_, Right(v)) => v }.sum))
       .mkString("[", ",", "]")
     val total = perQuery.collect { case (_, Right(vs)) => median(vs) }.sum
     val line = s"""{"metric":"total","value":${num(total)},"unit":"sec","reps":$reps,""" +
+      (if (warm) """"warm":true,""" else "") +
       s""""queries":$qs,"queries_min":$qmin,"queries_max":$qmax,""" +
-      s""""totals":$totals,"errors":$errs,"sf":"$sfDir"}"""
+      s""""totals":$totals,"errors":$errs,"ok_reps":$okReps,"sf":"$sfDir"}"""
     println(line)
     // also land the full line in a file: console capture has truncated
     // the (long) JSON before, clipping the committed artifact (r6

@@ -645,6 +645,25 @@ object Queries {
               |l2 AS (SELECT DISTINCT e.dst AS t FROM l1 JOIN edges e ON e.src = l1.t)
               |SELECT t FROM l2""".stripMargin)),
 
+    // ReorderSort through the script path (utilities/reorder_sort.rs),
+    // full-relation branch: the r9 single-partition global window is
+    // now the range-partitioned prefix rank (GlobalRank.withRank — the
+    // only sequential window runs over numPartitions offset rows).
+    // descending + skip exercise the option surface; c_custkey is a
+    // unique leading sort key, so ranks are deterministic.
+    Spec("lang_reorder_sort", (s, d) => {
+      val db = new graft.lang.CozoDb(s)
+      db.registerTable("customer", T(s, d, "customer"))
+      db.run(
+        """r[k, b] := *customer{c_custkey: k, c_acctbal: b}
+          |?[idx, k, b] <~ ReorderSort(r[], descending: true, skip: 10)""".stripMargin)
+        .toDF("idx", "c_custkey", "c_acctbal")
+    },
+      Some("""SELECT idx, c_custkey, c_acctbal FROM (
+             |  SELECT row_number() OVER (ORDER BY c_custkey DESC, c_acctbal DESC) AS idx,
+             |    c_custkey, c_acctbal FROM customer) t
+             |WHERE idx > 10""".stripMargin)),
+
     Spec("rec_sssp", (s, d) => {
       val e = eventEdges(T(s, d, "events")).ckpt()
       val starts = e.filter(col("src") < 5).select(col("src").as("start")).distinct()
@@ -1242,6 +1261,36 @@ object Queries {
         .withColumn("jaccard", round(col("jaccard"), 4)),
       Some(exactJaccardSql)),
 
+    // the PRODUCTION-shape twin (r9 verdict): hot-shingle cut ENGAGED.
+    // greatest(2, n/500) tracks the library's 0.1%-of-corpus default —
+    // it EQUALS it at sf1 (both 100) and, unlike the 100-row floor,
+    // still bites at oracle SF (sf0.01: cutoff 2 drops 29 shingles and
+    // changes the answer, 25 → 23 pairs — the oracle certifies the cut
+    // SEMANTICS, not a vacuous no-op). Jaccard is over the FILTERED
+    // shingle sets on both sides — the oracle applies the same cut in
+    // SQL, so the benched plan is the 100 TB plan (at sf1 the cut drops
+    // ~45% of the shingle vocabulary — the df² blowup dedup_jaccard's
+    // deliberately-uncut oracle shape pays in full).
+    Spec("dedup_jaccard_cut", (s, d) => {
+      val docs = T(s, d, "documents")
+      val cutoff = math.max(2L, docs.count() / 500L)
+      Dedup.ngramJaccard(docs, "doc_id", "text", shingleN = 3, threshold = 0.5,
+          maxDocFreq = Some(cutoff))
+        .withColumn("jaccard", round(col("jaccard"), 4))
+    },
+      Some(s"""WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
+              |idx AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS i FROM d),
+              |sh0 AS (SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS s FROM idx),
+              |f AS (SELECT s, count(*) AS df FROM sh0 GROUP BY s),
+              |sh AS (SELECT doc_id, sh0.s FROM sh0 JOIN f USING (s)
+              |       WHERE df <= greatest(2, (SELECT count(*) FROM documents) // 500)),
+              |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+              |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+              |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+              |SELECT id_a, id_b, round(common * 1.0 / (sa.n + sb.n - common), 4) AS jaccard
+              |FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+              |WHERE common * 1.0 / (sa.n + sb.n - common) >= 0.5""".stripMargin)),
+
     // Lee-et-al exact-substring dedup (beyond the reference): L-token
     // rolling-window hashes, corpus-wide HAVING count>1, per-doc covered
     // positions. The oracle recomputes the same coverage from n-gram
@@ -1541,6 +1590,62 @@ object Queries {
       Some(truthTable("recall_at_5_ge_07", "rerank_scores_exact",
         "index_16_codes_per_id_in_range", "no_self_matches",
         "at_most_k_ranked_by_cosine"))),
+
+    // IVF-PQ composed (r9 verdict #4): the actual 100 TB ANN deployment
+    // shape — inverted-file pruning (nProbe=8 of nCells=16 → half the
+    // code relation scanned per query) OVER the 16× PQ code compression,
+    // exact re-rank on the k·refine survivors. Same referee battery as
+    // ann_pq (recall vs brute force, re-rank drift, index shape), with
+    // the cell assignment checked alongside the codes; centroids and
+    // codebooks are trained once and shared into the referees (training
+    // is deterministic by seed, so sharing changes nothing but cost).
+    // Recall bar: measured 0.85 at sf0.01 at this config (AnnSpec pins
+    // >= 0.7 there); the 0.6 gate leaves noise margin without hiding a
+    // regression, same stance as ann_pq's.
+    Spec("ann_ivfpq", (s, d) => {
+      val emb = T(s, d, "embeddings")
+      val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val queries = emb.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("embedding").as("vec"))
+      val cents = Ann.ivfCentroids(corpus, nCells = 16, iters = 2)
+      val cb = Ann.pqCodebooks(corpus, subspaces = 16, codes = 64, iters = 2)
+      val ivfpq = Ann.ivfPqTopK(corpus, queries, k = 5, nCells = 16, nProbe = 8,
+        subspaces = 16, codes = 64, iters = 2, refine = 8,
+        centroids = Some(cents), codebooks = Some(cb)).ckpt()
+      val exact = Ann.bruteForceTopK(corpus, queries, k = 5).ckpt()
+      val recallOk = ivfpq.select("query_id", "id").intersect(exact.select("query_id", "id"))
+        .agg(count(lit(1)).as("__nh"))
+        .crossJoin(exact.agg(count(lit(1)).as("__ne")))
+        .select((col("__nh") >= col("__ne") * lit(0.6)).as("ok"))
+      val drift = ivfpq.select(col("query_id"), col("id"), col("cosine").as("__c"))
+        .join(Ann.bruteForceTopK(corpus, queries, k = Int.MaxValue)
+          .select(col("query_id"), col("id"), col("cosine").as("__e")),
+          Seq("query_id", "id"))
+        .filter(abs(col("__c") - col("__e")) > 1e-9)
+      val enc = Ann.pqEncode(corpus, cb, subspaces = 16)
+      val codesOk = enc.groupBy("id").agg(count(lit(1)).as("__n"))
+        .filter(col("__n") =!= 16)
+        .unionByName(enc.filter(col("code") < 0 || col("code") >= 64)
+          .select(col("id"), lit(0L).as("__n")))
+      val cellsOk = Ann.assignCells(corpus, cents)
+        .groupBy("id").agg(count(lit(1)).as("__n"), min(col("cell")).as("__c"))
+        .filter(col("__n") =!= 1 || col("__c") < 0 || col("__c") >= 16)
+        .select("id", "__n")
+      val w = Window.partitionBy(col("query_id")).orderBy(col("rank"))
+      invariants(
+        "recall_at_5_ge_06" -> recallOk,
+        "rerank_scores_exact" -> noViolations(drift),
+        "index_16_codes_per_id_in_range" -> noViolations(codesOk),
+        "one_cell_per_id_in_range" -> noViolations(cellsOk),
+        "no_self_matches" -> noViolations(ivfpq.filter(col("query_id") === col("id"))),
+        "at_most_k_ranked_by_cosine" -> noViolations(
+          ivfpq.withColumn("__prev", lag(col("cosine"), 1).over(w))
+            .filter(col("rank") > 5 ||
+              (col("__prev").isNotNull && col("__prev") < col("cosine") - lit(1e-9)))))
+    },
+      Some(truthTable("recall_at_5_ge_06", "rerank_scores_exact",
+        "index_16_codes_per_id_in_range", "one_cell_per_id_in_range",
+        "no_self_matches", "at_most_k_ranked_by_cosine"))),
 
     // HNSW proper (the reference's hnsw.rs algorithm, partition-local
     // graphs + global top-k merge — Ann.hnswTopK). Per-partition graphs

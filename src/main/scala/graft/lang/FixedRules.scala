@@ -194,13 +194,28 @@ object FixedRules {
     val skip = optInt(o, "skip", 0)
     val take = optInt(o, "take", Int.MaxValue)
     // sort by all columns (the reference sorts by evaluated out() exprs;
-    // column order is the common case), emit sort index
+    // column order is the common case), emit sort index. The reference
+    // sorts the whole relation driver-side (utilities/reorder_sort.rs
+    // :153); a global `row_number().over(Window.orderBy(...))` would be
+    // the same single-funnel shape — scale-safe forms instead (r9):
     val ordering = df.columns.map(c => if (descending) col(c).desc else col(c).asc)
-    val w = org.apache.spark.sql.expressions.Window.orderBy(ordering: _*)
-    val sorted = df.withColumn("__idx", row_number().over(w).cast("long"))
-      .filter(col("__idx") > skip)
-    val limited = if (take == Int.MaxValue) sorted else sorted.filter(col("__idx") <= skip + take)
-    limited.select((col("__idx") +: df.columns.map(col)): _*)
+    if (take != Int.MaxValue) {
+      // bounded output: orderBy+limit plans as TakeOrderedAndProject
+      // (per-partition top-n, one merge of n·parts rows); the index
+      // window then runs over ≤ skip+take rows, bounded by the ASK
+      val cap = math.min(Int.MaxValue.toLong, skip.toLong + take.toLong).toInt
+      val w = org.apache.spark.sql.expressions.Window.orderBy(ordering: _*)
+      df.orderBy(ordering: _*).limit(cap)
+        .withColumn("__idx", row_number().over(w).cast("long"))
+        .filter(col("__idx") > skip)
+        .select((col("__idx") +: df.columns.map(col)): _*)
+    } else {
+      // full-relation index: range-partitioned prefix rank — the only
+      // sequential window runs over numPartitions offset rows
+      val ranked = graft.operators.GlobalRank.withRank(df, ordering.toSeq, "__idx")
+      ranked.filter(col("__idx") > skip)
+        .select((col("__idx") +: df.columns.map(col)): _*)
+    }
   })
   // ——— beyond-reference training-pipeline rules (graft.dedup /
   // graft.text / graft.pipeline / graft.similarity), so the script

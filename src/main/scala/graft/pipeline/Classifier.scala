@@ -236,8 +236,13 @@ object Classifier {
         var acc = 0.0
         var i = 0
         while (i < toks.length) {
-          val wv = jm.get(md5BucketOf(nb, toks(i)))
-          if (wv != null) acc += wv
+          // null-element guard: the replaced expression path (md5 →
+          // element_at → coalesce) silently contributed 0 for a null
+          // gram; keep the UDF total rather than NPE-ing the task
+          if (toks(i) != null) {
+            val wv = jm.get(md5BucketOf(nb, toks(i)))
+            if (wv != null) acc += wv
+          }
           i += 1
         }
         acc

@@ -41,14 +41,13 @@ object Decontaminate {
     val tsh = train.select(col(trainId).as("train_id"),
         explode(TF.wordShingles(col(trainText), n)).as("s"))
       .select(col("train_id"), xxhash64(col("s")).as("h"))
-    // esh is consumed three times sequentially (distinct count, Bloom
-    // aggregate, verify-join broadcast) — the lazy ckpt materializes in
-    // the count job and spares two shingle re-passes (r9 audit)
-    import graft.plan._
+    // esh has exactly ONE consumer here (the join) — no ckpt: a persist
+    // would be pure overhead, and its stats reset could demote the
+    // unhinted join when broadcastEval=false (bloomOverlap, whose esh
+    // feeds three sequential consumers, is where the lazy ckpt lives)
     val esh = eval.select(col(evalId).as("eval_id"),
         explode(TF.wordShingles(col(evalText), n)).as("s"))
       .select(col("eval_id"), xxhash64(col("s")).as("h"))
-      .ckptLazy()
     tsh.join(if (broadcastEval) broadcast(esh) else esh, Seq("h"))
       .groupBy("train_id")
       .agg(countDistinct(col("h")).as("overlap_ngrams"),

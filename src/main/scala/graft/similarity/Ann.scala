@@ -304,12 +304,14 @@ object Ann {
   def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                 nCells: Int = 16, nProbe: Int = 4,
                 subspaces: Int = 16, codes: Int = 64, iters: Int = 2,
-                refine: Int = 8, trainN: Int = 65536, seed: Int = 0): DataFrame = {
+                refine: Int = 8, trainN: Int = 65536, seed: Int = 0,
+                centroids: Option[DataFrame] = None,
+                codebooks: Option[DataFrame] = None): DataFrame = {
     import graft.plan._
     val base = corpus.select(col("id"), col("vec"))
-    val cents = ivfCentroids(base, nCells, iters, seed)
+    val cents = centroids.getOrElse(ivfCentroids(base, nCells, iters, seed))
     val inverted = assignCells(base, cents)
-    val cb = pqCodebooks(base, subspaces, codes, iters, trainN, seed)
+    val cb = codebooks.getOrElse(pqCodebooks(base, subspaces, codes, iters, trainN, seed))
     // index build: codes + their cell (one id-keyed join, once at build
     // time; persisted form would write partitionBy(cell))
     val enc = pqEncode(base, cb, subspaces)

@@ -115,6 +115,24 @@ class AnnSpec extends AnyFunSuite {
     assert(recall >= 0.4, s"IVF-PQ recall@5 too low: $recall")
   }
 
+  test("ivfPqTopK at the driver-query config (16 cells, probe 8): recall clears the gate with margin") {
+    // the ann_ivfpq driver query gates recall@5 >= 0.6; this pins the
+    // same config at the oracle SF so a regression toward the gate is
+    // visible here before it flakes the driver row
+    val emb = graft.Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
+    val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val queries = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("embedding").as("vec"))
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("query_id", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = pairs(Ann.ivfPqTopK(corpus, queries, k = 5, nCells = 16, nProbe = 8,
+      subspaces = 16, codes = 64, iters = 2, refine = 8))
+    val exact = pairs(Ann.bruteForceTopK(corpus, queries, k = 5))
+    val recall = (got intersect exact).size.toDouble / exact.size
+    info(s"ivfpq driver-config recall@5 at sf0.01 = $recall")
+    assert(recall >= 0.7, s"recall@5 dropped to $recall — driver gate is 0.6")
+  }
+
   test("writeIndex/probeIndex: on-disk probe matches in-memory IVF-PQ, scan prunes to probed cells") {
     val emb = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))

@@ -17,7 +17,19 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkLi
   * no jitter can explain. Attribution is via a unique job group (job
   * events) plus the group's stage-id set (task events), so concurrently
   * running test suites on the shared local SparkContext cannot pollute
-  * the numbers. Needs to live under `org.apache.spark` for
+  * the numbers.
+  *
+  * r10: attribution ALSO matches a dedicated `graft.meter.group` local
+  * property. `CozoDb.run` installs its own job group (`graft-q<id>`,
+  * for `::kill` cancellation) around every script, which REPLACED the
+  * meter's group — every job a script submitted internally (eager
+  * result checkpoints, index builds) was invisible, so each lang_*
+  * ledger row recorded only the final read-back job (observed:
+  * lang_reorder_sort "1 job, 0 shuffle bytes, 12 task-ms" under a
+  * 4.4 s wall). setJobGroup only rewrites the three jobGroup
+  * properties, so the marker survives it and in-script jobs attribute
+  * correctly; jobs from OTHER threads still can't match either key.
+  * Needs to live under `org.apache.spark` for
   * `listenerBus.waitUntilEmpty()` (the listener bus is async; without
   * the barrier the last job's event may not have been delivered when
   * the thunk returns).
@@ -37,7 +49,9 @@ object ListenerBridge {
     val groupStages = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
     val listener = new SparkListener {
       override def onJobStart(j: SparkListenerJobStart): Unit =
-        if (Option(j.properties).exists(p => group == p.getProperty("spark.jobGroup.id"))) {
+        if (Option(j.properties).exists(p =>
+            group == p.getProperty("spark.jobGroup.id") ||
+              group == p.getProperty("graft.meter.group"))) {
           jobs.incrementAndGet()
           stages.addAndGet(j.stageInfos.size)
           j.stageIds.foreach(id => groupStages.add(id))
@@ -58,7 +72,9 @@ object ListenerBridge {
     val prevId = sc.getLocalProperty("spark.jobGroup.id")
     val prevDesc = sc.getLocalProperty("spark.job.description")
     val prevInterrupt = sc.getLocalProperty("spark.job.interruptOnCancel")
+    val prevMeter = sc.getLocalProperty("graft.meter.group")
     sc.setJobGroup(group, group, interruptOnCancel = false)
+    sc.setLocalProperty("graft.meter.group", group)
     try {
       thunk
       sc.listenerBus.waitUntilEmpty()
@@ -66,6 +82,7 @@ object ListenerBridge {
       sc.setLocalProperty("spark.jobGroup.id", prevId)
       sc.setLocalProperty("spark.job.description", prevDesc)
       sc.setLocalProperty("spark.job.interruptOnCancel", prevInterrupt)
+      sc.setLocalProperty("graft.meter.group", prevMeter)
       sc.removeSparkListener(listener)
     }
     Counts(jobs.get, stages.get, shRead.get, shWrite.get, taskMs.get)

@@ -2296,7 +2296,7 @@ object Queries {
     // the xxhash64 line keys collision-free.
     Spec("dedup_lines", (s, d) => {
       val toksC = TF.tokens(col("text"))
-      val lined = T(s, d, "documents").select(col("doc_id"),
+      val lined = T(s, d, "documents").repartition(64).select(col("doc_id"),
         when(size(toksC) > 0, concat_ws("\n",
           transform(
             sequence(lit(0), ceil(size(toksC).cast("double") / 5.0).cast("int") - 1),

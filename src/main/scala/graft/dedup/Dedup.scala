@@ -41,9 +41,13 @@ object Dedup {
     * The signature relation is localCheckpoint'd so the self-join reads
     * it twice instead of recomputing it (callers sweep blocks after).
     */
-  def minhashLsh(df: DataFrame, idCol: String, textCol: String,
+  def minhashLsh(df0: DataFrame, idCol: String, textCol: String,
                  shingleN: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
                  threshold: Double = 0.5): DataFrame = {
+    // shingling/minhashing is the CPU-heavy pre-shuffle stage: guard
+    // against a low-split source serializing it (no-op on real corpora
+    // — see Parallelism.ensureIngestParallelism)
+    val df = Parallelism.ensureIngestParallelism(df0, Seq(col(idCol)))
     val k = bands * rowsPerBand
     val sigs = TF.minhashSignatures(df, idCol, TF.wordShingles(col(textCol), shingleN), k).ckpt()
     // the band self-join shuffles (id, band) ONLY — the k-long signature
@@ -78,9 +82,10 @@ object Dedup {
     * equals the full-quadratic exact-Jaccard answer, while the plan
     * stays linear-in-collisions. Returns (id_a, id_b, jaccard ≥ threshold).
     */
-  def minhashDedup(df: DataFrame, idCol: String, textCol: String,
+  def minhashDedup(df0: DataFrame, idCol: String, textCol: String,
                    shingleN: Int = 3, bands: Int = 32, rowsPerBand: Int = 2,
                    threshold: Double = 0.5): DataFrame = {
+    val df = Parallelism.ensureIngestParallelism(df0, Seq(col(idCol)))
     val k = bands * rowsPerBand
     // shingles ride as 8-byte xxhash64 identities from the explode on
     // (distinct + verify joins shuffle ~5× fewer bytes); the k seeded
@@ -128,10 +133,11 @@ object Dedup {
     * even without the cut. minhashDedup remains the cheapest plan when
     * approximate recall (1-7e-5) is acceptable.
     */
-  def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
+  def ngramJaccard(df0: DataFrame, idCol: String, textCol: String,
                    shingleN: Int = 3, threshold: Double = 0.5,
                    maxDocFreq: Option[Long] = None,
                    collisionFactor: Long = 32L): DataFrame = {
+    val df = Parallelism.ensureIngestParallelism(df0, Seq(col(idCol)))
     val cutoff = maxDocFreq.getOrElse(math.max(100L, df.count() / 1000L))
     // shingle identity collapses to its xxhash64 BEFORE the distinct, so
     // every corpus-scale shuffle below (distinct, df count, prefix rank,
@@ -238,8 +244,9 @@ object Dedup {
     * Returns every non-empty document:
     * (id, total_tokens, dup_tokens, dup_ratio).
     */
-  def duplicatedCoverage(df: DataFrame, idCol: String, textCol: String,
+  def duplicatedCoverage(df0: DataFrame, idCol: String, textCol: String,
                          minLen: Int = 10): DataFrame = {
+    val df = Parallelism.ensureIngestParallelism(df0, Seq(col(idCol)))
     val base = df.select(col(idCol).as("id"), TF.tokens(col(textCol)).as("tk"))
       .filter(size(col("tk")) > 0)
     val wins = base
@@ -265,8 +272,9 @@ object Dedup {
     * adjacency), otherwise a new span begins. All windows are partitioned
     * by document id; nothing global. Returns (id, span_start, span_end).
     */
-  def duplicatedSpans(df: DataFrame, idCol: String, textCol: String,
+  def duplicatedSpans(df0: DataFrame, idCol: String, textCol: String,
                       minLen: Int = 10): DataFrame = {
+    val df = Parallelism.ensureIngestParallelism(df0, Seq(col(idCol)))
     val base = df.select(col(idCol).as("id"), TF.tokens(col(textCol)).as("tk"))
       .filter(size(col("tk")) >= minLen)
     val wins = base
@@ -315,8 +323,9 @@ object Dedup {
     * against the elected occurrence — a collision can only cause a
     * kept duplicate, never a deleted non-duplicate.
     */
-  def removeDuplicateSpans(df: DataFrame, idCol: String, textCol: String,
+  def removeDuplicateSpans(df0: DataFrame, idCol: String, textCol: String,
                            minLen: Int = 8): DataFrame = {
+    val df = Parallelism.ensureIngestParallelism(df0, Seq(col(idCol)))
     // NULL text ≡ zero tokens: (total 0, kept 0, text '') — the same
     // stance dedupLines takes (ADVICE r6)
     val base = df.select(col(idCol).as("id"),
@@ -377,7 +386,8 @@ object Dedup {
 
   /** SimHash fingerprints only (id, fp). */
   def simhashFingerprints(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    TF.simhashFingerprints(df, idCol, TF.tokens(col(textCol)))
+    TF.simhashFingerprints(Parallelism.ensureIngestParallelism(df, Seq(col(idCol))),
+      idCol, TF.tokens(col(textCol)))
 
   /** Random-hyperplane sign buckets for `tables` independent hash
     * families of `planes` planes each, in ONE pass over the vectors:
@@ -388,8 +398,9 @@ object Dedup {
     * is what makes multi-probe recall multiply; identical families
     * would just repeat one table's buckets).
     */
-  def hyperplaneBuckets(df: DataFrame, idCol: String, vecCol: String,
+  def hyperplaneBuckets(df0: DataFrame, idCol: String, vecCol: String,
                         planes: Int, tables: Int = 1): DataFrame = {
+    val df = Parallelism.ensureIngestParallelism(df0, Seq(col(idCol)))
     val nSig = planes * tables
     val dims = df.select(col(idCol).as("id"), posexplode(col(vecCol)))
       .toDF("id", "i", "v")
@@ -580,7 +591,8 @@ object Dedup {
     * never a silently deleted non-duplicate. The driver's string-keyed
     * DuckDB oracle certifies the verify corpora end-to-end.
     */
-  def dedupLines(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def dedupLines(df0: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val df = Parallelism.ensureIngestParallelism(df0, Seq(col(idCol)))
     val lines = df
       .select(col(idCol).as("id"), posexplode(split(col(textCol), "\n", -1)))
       .toDF("id", "pos", "line")

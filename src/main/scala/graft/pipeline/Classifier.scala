@@ -215,8 +215,11 @@ object Classifier {
     * corpus takes. Output: (idCol, score) with score rounded to 6
     * decimals.
     */
-  def score(docs: DataFrame, idCol: String, textCol: String,
+  def score(docs0: DataFrame, idCol: String, textCol: String,
             model: Model): DataFrame = {
+    // the gram+hash UDF over the full corpus is the heavy pre-shuffle
+    // pass: guard against a low-split source serializing it
+    val docs = graft.plan.Parallelism.ensureIngestParallelism(docs0, Seq(col(idCol)))
     val bias = lit(model.weights.getOrElse(-1L, 0.0))
     val grams = gramsOf(col(textCol), model.ngrams)
     // UDF, deliberately: the expression alternative (md5Bucket +

@@ -33,12 +33,16 @@ object Decontaminate {
                    eval: DataFrame, evalId: String, evalText: String,
                    n: Int = 13, minOverlap: Int = 1,
                    broadcastEval: Boolean = true): DataFrame = {
+    // the corpus-side shingle explode is the heavy pre-shuffle stage:
+    // guard against a low-split source serializing it (no-op on real
+    // corpora — see Parallelism.ensureIngestParallelism)
+    val trainP = graft.plan.Parallelism.ensureIngestParallelism(train, Seq(col(trainId)))
     // shingles join and count as xxhash64 keys, not strings: an 8-byte
     // key through the broadcast probe + distinct aggregation instead of
     // a ~(8n)-byte n-gram string. Counting hashes equals counting
     // strings up to 64-bit collisions (P ≈ m²/2⁶⁵ per doc — negligible
     // at any real eval-suite size).
-    val tsh = train.select(col(trainId).as("train_id"),
+    val tsh = trainP.select(col(trainId).as("train_id"),
         explode(TF.wordShingles(col(trainText), n)).as("s"))
       .select(col("train_id"), xxhash64(col("s")).as("h"))
     // esh has exactly ONE consumer here (the join) — no ckpt: a persist
@@ -68,7 +72,8 @@ object Decontaminate {
                    eval: DataFrame, evalId: String, evalVec: String,
                    threshold: Double = 0.9): DataFrame = {
     import graft.functions.{VectorFunctions => VF}
-    val t = train.select(col(trainId).as("train_id"), col(trainVec).as("__tv"))
+    val trainP = graft.plan.Parallelism.ensureIngestParallelism(train, Seq(col(trainId)))
+    val t = trainP.select(col(trainId).as("train_id"), col(trainVec).as("__tv"))
     val e = eval.select(col(evalId).as("eval_id"), col(evalVec).as("__ev"))
     t.crossJoin(broadcast(e))
       .withColumn("__cos", VF.cosineSimilarity(col("__tv"), col("__ev")))
@@ -116,7 +121,8 @@ object Decontaminate {
                    n: Int = 13, minOverlap: Int = 1,
                    fpp: Double = 0.01): DataFrame = {
     val spark = train.sparkSession
-    val tsh = train.select(col(trainId).as("train_id"),
+    val trainP = graft.plan.Parallelism.ensureIngestParallelism(train, Seq(col(trainId)))
+    val tsh = trainP.select(col(trainId).as("train_id"),
         explode(TF.wordShingles(col(trainText), n)).as("s"))
       .select(col("train_id"), xxhash64(col("s")).as("h"))
     // esh is consumed three times sequentially (distinct count, Bloom

@@ -51,7 +51,8 @@ object Dsir {
   /** (id, bucket) rows, one per gram OCCURRENCE. */
   private def bucketed(df: DataFrame, idCol: String, textCol: String,
                        buckets: Int): DataFrame =
-    df.select(col(idCol).as("__id"), TF.tokens(col(textCol)).as("__toks"))
+    graft.plan.Parallelism.ensureIngestParallelism(df, Seq(col(idCol)))
+      .select(col(idCol).as("__id"), TF.tokens(col(textCol)).as("__toks"))
       .select(col("__id"), explode(gramsOfToks).as("__g"))
       .select(col("__id"), Sampling.md5Bucket(buckets, col("__g")).as("__b"))
 

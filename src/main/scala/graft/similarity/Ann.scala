@@ -34,7 +34,11 @@ object Ann {
     * Returns (query_id, id, cosine, rank), self-match excluded when ids
     * coincide.
     */
-  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+  def bruteForceTopK(corpus0: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    // the cosine scan against the broadcast probes is the heavy
+    // pre-shuffle pass: guard against a low-split source serializing it
+    // (no-op on real corpora — see Parallelism.ensureIngestParallelism)
+    val corpus = graft.plan.Parallelism.ensureIngestParallelism(corpus0, Seq(col("id")))
     val joined = queries.select(col("query_id"), col("vec").as("qvec"))
       .hint("broadcast")
       .crossJoin(corpus.select(col("id"), col("vec")))
@@ -89,7 +93,8 @@ object Ann {
                    seed: Int = 0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import graft.plan._
-    val base = corpus.select(col("id"), col("vec"))
+    val base = Parallelism.ensureIngestParallelism(corpus, Seq(col("id")))
+      .select(col("id"), col("vec"))
     var cents = base
       .withColumn("__h", xxhash64(col("id"), lit(seed)))
       .orderBy("__h").limit(nCells)
@@ -120,7 +125,8 @@ object Ann {
     * Returns the input plus a `cell` column — the inverted file, with
     * `cell` as its partition key at scale.
     */
-  def assignCells(vecs: DataFrame, cents: DataFrame): DataFrame = {
+  def assignCells(vecs0: DataFrame, cents: DataFrame): DataFrame = {
+    val vecs = graft.plan.Parallelism.ensureIngestParallelism(vecs0, Seq(col("id")))
     val scored = vecs.crossJoin(broadcast(cents))
       .withColumn("__sim", VF.cosineSimilarity(col("vec"), col("cvec")))
     TopK.perGroup(scored, Seq("id"), Seq(col("__sim").desc, col("cell").asc), 1)
@@ -140,8 +146,10 @@ object Ann {
               nCells: Int = 16, nProbe: Int = 4, iters: Int = 2,
               seed: Int = 0): DataFrame = {
     import graft.plan._
-    val cents = ivfCentroids(corpus.select(col("id"), col("vec")), nCells, iters, seed)
-    val inverted = assignCells(corpus.select(col("id"), col("vec")), cents).ckpt()
+    val base = Parallelism.ensureIngestParallelism(corpus, Seq(col("id")))
+      .select(col("id"), col("vec"))
+    val cents = ivfCentroids(base, nCells, iters, seed)
+    val inverted = assignCells(base, cents).ckpt()
     val probes = queries.select(col("query_id"), col("vec").as("qvec"))
       .crossJoin(broadcast(cents))
       .withColumn("__sim", VF.cosineSimilarity(col("qvec"), col("cvec")))
@@ -188,6 +196,9 @@ object Ann {
     val train = corpus.select(col("id"), col("vec"))
       .withColumn("__h", xxhash64(col("id"), lit(seed)))
       .orderBy("__h", "id").limit(trainN).drop("__h")
+      // a global limit collapses to ONE partition — spread the (bounded,
+      // <= trainN-row) sample so every Lloyd round runs parallel
+      .repartition(corpus.sparkSession.sparkContext.defaultParallelism, col("id"))
     // sv's consumers (seeding, then one assign per Lloyd round) are
     // SEQUENTIAL jobs, so the lazy checkpoint materializes inside the
     // first and is reused by the rest — eager paid an extra job
@@ -231,7 +242,8 @@ object Ann {
     * map-side-combined min_by shuffle of N·M rows.
     */
   def pqEncode(corpus: DataFrame, codebooks: DataFrame, subspaces: Int): DataFrame =
-    subvecs(corpus.select(col("id"), col("vec")), "id", subspaces)
+    subvecs(graft.plan.Parallelism.ensureIngestParallelism(corpus, Seq(col("id")))
+        .select(col("id"), col("vec")), "id", subspaces)
       .join(broadcast(codebooks), Seq("m"))
       .withColumn("__d2", VF.l2Dist(col("sub"), col("cvec")))
       .groupBy("id", "m")
@@ -262,7 +274,8 @@ object Ann {
              refine: Int = 8, trainN: Int = 65536, seed: Int = 0,
              codebooks: Option[DataFrame] = None): DataFrame = {
     import graft.plan._
-    val base = corpus.select(col("id"), col("vec"))
+    val base = Parallelism.ensureIngestParallelism(corpus, Seq(col("id")))
+      .select(col("id"), col("vec"))
     val cb = codebooks.getOrElse(pqCodebooks(base, subspaces, codes, iters, trainN, seed))
     val enc = pqEncode(base, cb, subspaces).ckptLazy()
     val lut = subvecs(queries.select(col("query_id").as("id"), col("vec")), "id", subspaces)
@@ -308,7 +321,8 @@ object Ann {
                 centroids: Option[DataFrame] = None,
                 codebooks: Option[DataFrame] = None): DataFrame = {
     import graft.plan._
-    val base = corpus.select(col("id"), col("vec"))
+    val base = Parallelism.ensureIngestParallelism(corpus, Seq(col("id")))
+      .select(col("id"), col("vec"))
     val cents = centroids.getOrElse(ivfCentroids(base, nCells, iters, seed))
     val inverted = assignCells(base, cents)
     val cb = codebooks.getOrElse(pqCodebooks(base, subspaces, codes, iters, trainN, seed))
@@ -440,7 +454,12 @@ object Ann {
     val qs = queries.select(col("query_id").cast("long"), col("vec"))
       .as[(Long, Array[Float])].collect()
     val qB = spark.sparkContext.broadcast(qs)
-    val perPart = corpus.select(col("id").cast("long"), col("vec"))
+    // one graph per PARTITION: a low-split source would build a single
+    // serial graph — guard restores build parallelism (and bounds graph
+    // size); no-op on real corpora
+    val perPart = graft.plan.Parallelism
+      .ensureIngestParallelism(corpus, Seq(col("id")))
+      .select(col("id").cast("long"), col("vec"))
       .as[(Long, Array[Float])]
       .mapPartitions { it =>
         val idx = new HnswIndex(m, efConstruction)

@@ -151,8 +151,9 @@ object Bpe {
     * Merge ranks broadcast; per-partition word→encoding memo (Zipf
     * makes it hit nearly always); zero corpus shuffles.
     */
-  def encode(docs: DataFrame, idCol: String, textCol: String,
+  def encode(docs0: DataFrame, idCol: String, textCol: String,
              merges: Seq[Merge]): DataFrame = {
+    val docs = Parallelism.ensureIngestParallelism(docs0, Seq(col(idCol)))
     val spark = docs.sparkSession
     val ranks = merges.map(m => (m.left, m.right) -> m.rank).toMap
     val bc = spark.sparkContext.broadcast(ranks)

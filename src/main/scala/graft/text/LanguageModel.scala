@@ -35,8 +35,9 @@ object LanguageModel {
     * cross-engine float-sum drift (~1e-11 relative) for oracle
     * comparison; pass a negative value for unrounded.
     */
-  def bigramPerplexity(docs: DataFrame, idCol: String, textCol: String,
+  def bigramPerplexity(docs0: DataFrame, idCol: String, textCol: String,
                        round: Int = 4): DataFrame = {
+    val docs = Parallelism.ensureIngestParallelism(docs0, Seq(col(idCol)))
     // Deliberately NOT checkpointed: the tokenized relation is
     // corpus-sized, and localCheckpoint would copy the whole corpus
     // into executor storage (and die with an executor). Re-running the

@@ -71,12 +71,15 @@ object TextAnalysis {
     * pruning intact; ratios are exact integer quotients rounded to 6
     * decimals so the SQL oracle is bit-identical.
     */
-  def gopherRules(df: DataFrame, idCol: String, textCol: String,
+  def gopherRules(df0: DataFrame, idCol: String, textCol: String,
                   minWords: Int = 50, maxWords: Int = 100000,
                   minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
                   maxSymbolRatio: Double = 0.1, maxBulletFrac: Double = 0.9,
                   maxEllipsisFrac: Double = 0.3, minAlphaFrac: Double = 0.8,
                   minReqStopwords: Int = 2): DataFrame = {
+    // regex-heavy pre-shuffle pass: guard against a low-split source
+    // serializing it (no-op on real corpora — see Parallelism)
+    val df = graft.plan.Parallelism.ensureIngestParallelism(df0, Seq(col(idCol)))
     val text = col(textCol)
     val words = filter(split(text, "\\s+"), w => length(w) > 0)
     val lines = split(text, "\n", -1)
@@ -140,7 +143,8 @@ object TextAnalysis {
     * counting strings up to 2⁻⁶⁵-scale collisions, and the string-keyed
     * oracle certifies it on every driver run.
     */
-  def repetitionSignals(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def repetitionSignals(df0: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val df = graft.plan.Parallelism.ensureIngestParallelism(df0, Seq(col(idCol)))
     val toks = TF.tokens(col(textCol))
     // each gram array is built in exactly ONE plan branch (`transform`
     // is interpreted — CodegenFallback — so duplicated or struct-tagged
@@ -203,8 +207,9 @@ object TextAnalysis {
     * splittable. Returns (id, n_shingles, novel_shingles, novelty) for
     * documents with ≥ 1 shingle.
     */
-  def novelty(df: DataFrame, idCol: String, textCol: String,
+  def novelty(df0: DataFrame, idCol: String, textCol: String,
               n: Int = 6): DataFrame = {
+    val df = graft.plan.Parallelism.ensureIngestParallelism(df0, Seq(col(idCol)))
     // 8-byte xxhash64 shingle keys, not the shingle strings — the two
     // corpus-scale shuffles (df count, join back) carry ~5× fewer bytes
     // (same stance as Decontaminate/Dedup; the driver's string-keyed
@@ -289,8 +294,9 @@ object TextAnalysis {
     * Nothing driver-side; the df relation is Zipf-skewed but the join
     * is candidate-linear in the exploded token count.
     */
-  def keywords(df: DataFrame, idCol: String, textCol: String,
+  def keywords(df0: DataFrame, idCol: String, textCol: String,
                k: Int = 3): DataFrame = {
+    val df = graft.plan.Parallelism.ensureIngestParallelism(df0, Seq(col(idCol)))
     val nDocs = df.count() // one cheap count job; N is a scalar in the idf
     val terms = df.select(col(idCol).as("id"),
         explode(TF.tokens(col(textCol))).as("term"))

@@ -2296,7 +2296,12 @@ object Queries {
     // the xxhash64 line keys collision-free.
     Spec("dedup_lines", (s, d) => {
       val toksC = TF.tokens(col("text"))
-      val lined = T(s, d, "documents").repartition(64).select(col("doc_id"),
+      // the 5-token chunking below is Spec-side prep (it happens BEFORE
+      // the operator, so the operator's own ingest guard can't
+      // parallelize it) — guard the raw scan here
+      val lined = graft.plan.Parallelism
+        .ensureIngestParallelism(T(s, d, "documents"), Seq(col("doc_id")))
+        .select(col("doc_id"),
         when(size(toksC) > 0, concat_ws("\n",
           transform(
             sequence(lit(0), ceil(size(toksC).cast("double") / 5.0).cast("int") - 1),

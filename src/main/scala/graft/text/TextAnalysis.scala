@@ -200,28 +200,42 @@ object TextAnalysis {
     * distinct word n-grams that appear in NO other document — the
     * inverse of the duplicated-substring signal (a doc of all-novel
     * shingles is original content; near-zero novelty means the doc is
-    * assembled from text the corpus already has). Two linear shuffles:
-    * shingle document frequencies (hash aggregate), then one equi-join
-    * back + a per-doc aggregate — the shingle relation is corpus-scale
-    * so nothing here broadcasts, and both joins are AQE-skew-
-    * splittable. Returns (id, n_shingles, novel_shingles, novelty) for
-    * documents with ≥ 1 shingle.
+    * assembled from text the corpus already has).
+    *
+    * ONE corpus-scale shuffle: shingles are distinct per doc, so a
+    * df=1 shingle's single (id, hash) row already names its owning
+    * document — `min(id)` rides the document-frequency aggregate and
+    * the classic "join frequencies back to the shingle relation"
+    * second corpus pass (a sort-merge join over every exploded
+    * shingle) disappears. Per-doc totals come from `size()` of the
+    * shingle array on the un-exploded side, and the final join is
+    * doc-scale (≤ one row per document on each side), not
+    * shingle-scale. The shared shingle frame is lazily checkpointed:
+    * both branches read one tokenize+shingle pass, and at 100 TB the
+    * persisted (id, 8-byte-hash array) rows are a fraction of the raw
+    * text they replace. Returns (id, n_shingles, novel_shingles,
+    * novelty) for documents with ≥ 1 shingle.
     */
   def novelty(df0: DataFrame, idCol: String, textCol: String,
               n: Int = 6): DataFrame = {
+    import graft.plan._
     val df = graft.plan.Parallelism.ensureIngestParallelism(df0, Seq(col(idCol)))
-    // 8-byte xxhash64 shingle keys, not the shingle strings — the two
-    // corpus-scale shuffles (df count, join back) carry ~5× fewer bytes
-    // (same stance as Decontaminate/Dedup; the driver's string-keyed
-    // SQL oracle certifies collision-freedom on every run)
-    val sh = df.select(col(idCol).as("id"),
-      explode(transform(TF.wordShingles(col(textCol), n), s => xxhash64(s)))
-        .as("s")) // shingles are distinct per doc
-    val freq = sh.groupBy("s").agg(count(lit(1)).as("__df"))
-    sh.join(freq, Seq("s"))
-      .groupBy("id")
-      .agg(count(lit(1)).as("n_shingles"),
-        sum(when(col("__df") === 1, 1L).otherwise(0L)).as("novel_shingles"))
+    // 8-byte xxhash64 shingle keys, not the shingle strings — the
+    // corpus-scale shuffle carries ~5× fewer bytes (same stance as
+    // Decontaminate/Dedup; the driver's string-keyed SQL oracle
+    // certifies collision-freedom on every run)
+    val withSh = df.select(col(idCol).as("id"),
+        transform(TF.wordShingles(col(textCol), n), s => xxhash64(s)).as("__sh"))
+      .filter(size(col("__sh")) >= 1)
+      .ckptLazy() // two consumers (totals + explode) share one shingle pass
+    val novel = withSh.select(col("id"), explode(col("__sh")).as("s"))
+      .groupBy("s").agg(count(lit(1)).as("__df"), min(col("id")).as("__owner"))
+      .filter(col("__df") === 1)
+      .groupBy(col("__owner").as("id"))
+      .agg(count(lit(1)).as("novel_shingles"))
+    withSh.select(col("id"), size(col("__sh")).cast("long").as("n_shingles"))
+      .join(novel, Seq("id"), "left")
+      .withColumn("novel_shingles", coalesce(col("novel_shingles"), lit(0L)))
       .withColumn("novelty",
         round(col("novel_shingles").cast("double") / col("n_shingles"), 6))
   }

@@ -91,10 +91,19 @@ object Dedup {
     // (distinct + verify joins shuffle ~5× fewer bytes); the k seeded
     // minhash draws hash the 8-byte identity instead of the string —
     // an equally uniform family over shingle identities
-    val sh = df.select(col(idCol).as("id"),
+    val shAll = df.select(col(idCol).as("id"),
         explode(transform(TF.wordShingles(col(textCol), shingleN),
           x => xxhash64(x))).as("s"))
       .distinct().ckpt()
+    // EXACT-TWIN COLLAPSE (full argument at ngramJaccard/twinCollapse):
+    // identical shingle sets ⇒ identical minhash signatures ⇒ identical
+    // band keys, so a twin collides exactly when its representative
+    // does — the collapsed output equals the uncollapsed one EXACTLY,
+    // including the (1−jʳ)ᵇ candidate-miss draws (twins share the rep's
+    // draw; they never had independent ones). Only representatives pay
+    // the k-hash signature computation, the band self-join and the
+    // verify joins — cost scales with DISTINCT content, not row count.
+    val (members, sh) = twinCollapse(shAll)
     val aggs = (0 until k).map(i => min(xxhash64(col("s"), lit(i))).as(s"__h$i"))
     val banded = sh.groupBy("id").agg(aggs.head, aggs.tail: _*)
       .select(col("id"), array((0 until k).map(i => col(s"__h$i")): _*).as("sig"))
@@ -110,12 +119,13 @@ object Dedup {
       .join(sh.select(col("id").as("id_a"), col("s")), Seq("id_a"))
       .join(sh.select(col("id").as("id_b"), col("s")), Seq("id_b", "s"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("common"))
-    common
+    val repPairs = common
       .join(sizes.select(col("id").as("id_a"), col("n").as("n_a")), Seq("id_a"))
       .join(sizes.select(col("id").as("id_b"), col("n").as("n_b")), Seq("id_b"))
       .withColumn("jaccard", col("common").cast("double") / (col("n_a") + col("n_b") - col("common")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
+    expandTwinPairs(repPairs, members, "jaccard", threshold)
   }
 
   /** Exact n-gram Jaccard pairs: distinct shingles exploded, candidates
@@ -150,7 +160,21 @@ object Dedup {
           x => xxhash64(x))).as("s"))
       .distinct()
     val freq = sh.groupBy("s").agg(count(lit(1)).as("df"))
-    val shf = sh.join(freq.filter(col("df") <= cutoff), Seq("s")).ckpt()
+    val shfAll = sh.join(freq.filter(col("df") <= cutoff), Seq("s")).ckpt()
+    // EXACT-TWIN COLLAPSE. Production corpora are full of byte-identical
+    // documents (which is why the standard pipeline order is exact dedup
+    // BEFORE near-dedup): J(A, ·) ≡ J(A', ·) whenever A and A' have the
+    // same post-cut shingle SET, so the candidate + verify machinery
+    // below only ever needs ONE representative per distinct set — its
+    // df²-shaped cost then scales with distinct content, not raw row
+    // count (a 10×-twinned corpus pays ~1% of the uncollapsed candidate
+    // join). Group identity is the sorted shingle-hash ARRAY itself,
+    // not a hash of it: array equality is exact, so the collapse
+    // introduces no new collision class. Everything here is doc-scale
+    // (one row per doc carrying its ~8n-byte set). Note df stays the
+    // GLOBAL document frequency — the cutoff semantics count twins, and
+    // the prefix filter only needs some fixed total order.
+    val (members, shf) = twinCollapse(shfAll)
     val sizes = shf.groupBy("id").agg(count(lit(1)).as("n"))
     // STATS-ADAPTIVE candidate plan. Each shf row carries its shingle's
     // docFreq, so sum(df) over shf = Σ_s df(s)² = the naive self-join's
@@ -214,10 +238,60 @@ object Dedup {
           .join(shf.select(col("id").as("id_b"), col("s")), Seq("id_b", "s"))
           .groupBy("id_a", "id_b", "n_a", "n_b").agg(count(lit(1)).as("common"))
       }
-    common
+    val repPairs = common
       .withColumn("jaccard", col("common").cast("double") / (col("n_a") + col("n_b") - col("common")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
+    expandTwinPairs(repPairs, members, "jaccard", threshold)
+  }
+
+  /** Collapse documents whose (id, s) shingle relation carries an
+    * IDENTICAL set down to one representative (rid = min member id).
+    * Group identity is the sorted shingle-hash ARRAY itself, not a hash
+    * of it — array equality is exact, so the collapse introduces no new
+    * collision class. Membership is resolved by an array-keyed
+    * equi-join rather than a collect_list of member ids: twin-group
+    * sizes are unbounded at corpus scale (a billion-copy boilerplate
+    * page must stream through the join, not materialize one array row),
+    * and skewed groups stay AQE-splittable. Everything here is
+    * doc-scale — one row per doc carrying its ~8n-byte set. Both
+    * returned frames are eagerly checkpointed (multi-consumer fan-out
+    * at every call site). Returns (members(id, rid), repRows) where
+    * repRows = the input restricted to representatives, columns intact.
+    */
+  private def twinCollapse(sh: DataFrame): (DataFrame, DataFrame) = {
+    val docSig = sh.groupBy("id")
+      .agg(sort_array(collect_list(col("s"))).as("__sig"))
+    val grpReps = docSig.groupBy("__sig").agg(min(col("id")).as("rid"))
+    val members = docSig.join(grpReps, Seq("__sig"))
+      .select(col("id"), col("rid")).ckpt()
+    val rep = sh
+      .join(members.filter(col("id") === col("rid")).select("id"), Seq("id"))
+      .ckpt()
+    (members, rep)
+  }
+
+  /** Expand representative-level near-dup pairs back to raw ids given
+    * the twinCollapse membership — exact, because every member has its
+    * representative's shingle set verbatim: cross-group pairs inherit
+    * the rep pair's score; within-group pairs are identical sets, so
+    * their score is 1 by definition (emitted only when 1 clears the
+    * threshold, as it would have uncollapsed). Both joins are
+    * pair-scale × membership-scale, never corpus².
+    */
+  private def expandTwinPairs(repPairs: DataFrame, members: DataFrame,
+                              scoreCol: String, threshold: Double): DataFrame = {
+    val cross = repPairs
+      .join(members.select(col("rid").as("id_a"), col("id").as("__ma")), Seq("id_a"))
+      .join(members.select(col("rid").as("id_b"), col("id").as("__mb")), Seq("id_b"))
+      .select(least(col("__ma"), col("__mb")).as("id_a"),
+        greatest(col("__ma"), col("__mb")).as("id_b"), col(scoreCol))
+    val within = members.select(col("rid"), col("id").as("id_a"))
+      .join(members.select(col("rid"), col("id").as("id_b")), Seq("rid"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), lit(1.0).as(scoreCol))
+      .filter(lit(1.0) >= lit(threshold))
+    cross.unionByName(within)
   }
 
   /** Exact duplicated-substring coverage (the "exact substring dedup"

@@ -50,6 +50,42 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("exact-twin collapse is invisible: twinned corpus ≡ naive on both Jaccard paths and minhash") {
+    import spark.implicits._
+    // 3 copies of every doc (distinct ids) — the collapse must emit the
+    // within-twin J=1 pairs AND fan every rep-level pair out to all
+    // member combinations, on both adaptive paths and the LSH shape
+    val twinned = docs.select(col("doc_id"), col("text"))
+      .withColumn("__c", explode(array(lit(0L), lit(1L), lit(2L))))
+      .select((col("doc_id") * 10 + col("__c")).as("doc_id"), col("text"))
+    def naive(t: Double): Set[(Long, Long, Double)] = {
+      val sh = twinned.select(col("doc_id").as("id"),
+          explode(TF.wordShingles(col("text"), 3)).as("s")).distinct()
+      val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
+      sh.select(col("id").as("id_a"), col("s"))
+        .join(sh.select(col("id").as("id_b"), col("s")), Seq("s"))
+        .filter(col("id_a") < col("id_b"))
+        .groupBy("id_a", "id_b").agg(count(lit(1)).as("common"))
+        .join(sizes.select(col("id").as("id_a"), col("n").as("n_a")), Seq("id_a"))
+        .join(sizes.select(col("id").as("id_b"), col("n").as("n_b")), Seq("id_b"))
+        .withColumn("jaccard", col("common").cast("double") / (col("n_a") + col("n_b") - col("common")))
+        .filter(col("jaccard") >= t)
+        .select("id_a", "id_b", "jaccard")
+        .collect().map(r => (r.getLong(0), r.getLong(1), math.rint(r.getDouble(2) * 1e6) / 1e6)).toSet
+    }
+    val truth = naive(0.5)
+    assert(truth.exists(_._3 == 1.0), "twin fixture must contain J=1 pairs")
+    val direct = pairs(Dedup.ngramJaccard(twinned, "doc_id", "text", shingleN = 3,
+      threshold = 0.5, maxDocFreq = Some(Long.MaxValue), collisionFactor = Long.MaxValue))
+    val prefix = pairs(Dedup.ngramJaccard(twinned, "doc_id", "text", shingleN = 3,
+      threshold = 0.5, maxDocFreq = Some(Long.MaxValue), collisionFactor = 0L))
+    val lsh = pairs(Dedup.minhashDedup(twinned, "doc_id", "text",
+      shingleN = 3, bands = 32, rowsPerBand = 2, threshold = 0.5))
+    assert(direct == truth, "direct path on twinned corpus")
+    assert(prefix == truth, "prefix path on twinned corpus")
+    assert(lsh == truth, "minhashDedup on twinned corpus")
+  }
+
   test("minhashDedup (LSH + exact verify) recovers every naive pair at j>=0.5 on this corpus") {
     val got = pairs(Dedup.minhashDedup(docs, "doc_id", "text",
       shingleN = 3, bands = 32, rowsPerBand = 2, threshold = 0.5))

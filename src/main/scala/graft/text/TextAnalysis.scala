@@ -210,7 +210,7 @@ object TextAnalysis {
     * shingle) disappears. Per-doc totals come from `size()` of the
     * shingle array on the un-exploded side, and the final join is
     * doc-scale (≤ one row per document on each side), not
-    * shingle-scale. The shared shingle frame is lazily checkpointed:
+    * shingle-scale. The shared shingle frame is eagerly checkpointed:
     * both branches read one tokenize+shingle pass, and at 100 TB the
     * persisted (id, 8-byte-hash array) rows are a fraction of the raw
     * text they replace. Returns (id, n_shingles, novel_shingles,
@@ -224,10 +224,23 @@ object TextAnalysis {
     // corpus-scale shuffle carries ~5× fewer bytes (same stance as
     // Decontaminate/Dedup; the driver's string-keyed SQL oracle
     // certifies collision-freedom on every run)
+    // EAGER ckpt: the two consumers (totals + explode) are concurrent —
+    // both branches sit under ONE action, so a lazy persist races and
+    // each partition computes twice with block-lock contention
+    // (measured at sf1: 80 vs 38 core-sec, 48 s vs 12 s wall).
+    // The ≥1-shingle filter comes AFTER the ckpt, deliberately: its
+    // predicate references the shingle transform, and placed before the
+    // ckpt Catalyst pushes it through the ingest-guard exchange down to
+    // the scan — the (possibly single-split) map side then computes the
+    // FULL shingle transform just to evaluate the filter and the reduce
+    // side recomputes it for the projection (measured at sf1: 74
+    // core-sec, 38 of them in one map task, 47 s wall). The ckpt leaf
+    // stops the pushdown; post-ckpt the filter is a trivial size()
+    // probe of the persisted arrays.
     val withSh = df.select(col(idCol).as("id"),
         transform(TF.wordShingles(col(textCol), n), s => xxhash64(s)).as("__sh"))
+      .ckpt()
       .filter(size(col("__sh")) >= 1)
-      .ckptLazy() // two consumers (totals + explode) share one shingle pass
     val novel = withSh.select(col("id"), explode(col("__sh")).as("s"))
       .groupBy("s").agg(count(lit(1)).as("__df"), min(col("id")).as("__owner"))
       .filter(col("__df") === 1)

@@ -321,7 +321,15 @@ object Dedup {
   def duplicatedCoverage(df0: DataFrame, idCol: String, textCol: String,
                          minLen: Int = 10): DataFrame = {
     val df = Parallelism.ensureIngestParallelism(df0, Seq(col(idCol)))
+    // EAGER ckpt of the tokenized relation, BEFORE the size filter: the
+    // two consumers (window explode + per-doc totals) are concurrent
+    // branches of one action, and a pre-ckpt filter's size(tokens(..))
+    // predicate would be pushed through the ingest-guard exchange down
+    // to the (possibly single-split) scan — the map side then runs the
+    // whole tokenizer just to evaluate it (the text_novelty lesson,
+    // TextAnalysis.scala; measured there: 2× CPU, one serial map task).
     val base = df.select(col(idCol).as("id"), TF.tokens(col(textCol)).as("tk"))
+      .ckpt()
       .filter(size(col("tk")) > 0)
     val wins = base
       .select(col("id"), posexplode(TF.windowHashes(col("tk"), minLen)))
@@ -349,7 +357,11 @@ object Dedup {
   def duplicatedSpans(df0: DataFrame, idCol: String, textCol: String,
                       minLen: Int = 10): DataFrame = {
     val df = Parallelism.ensureIngestParallelism(df0, Seq(col(idCol)))
+    // ckpt before the filter (see duplicatedCoverage): stops the
+    // size(tokens(..)) predicate from being pushed below the ingest
+    // guard, and the downstream `wins` relation is consumed twice
     val base = df.select(col(idCol).as("id"), TF.tokens(col(textCol)).as("tk"))
+      .ckpt()
       .filter(size(col("tk")) >= minLen)
     val wins = base
       .select(col("id"), posexplode(TF.windowHashes(col("tk"), minLen)))
@@ -401,9 +413,15 @@ object Dedup {
                            minLen: Int = 8): DataFrame = {
     val df = Parallelism.ensureIngestParallelism(df0, Seq(col(idCol)))
     // NULL text ≡ zero tokens: (total 0, kept 0, text '') — the same
-    // stance dedupLines takes (ADVICE r6)
+    // stance dedupLines takes (ADVICE r6).
+    // EAGER ckpt: base fans out to THREE concurrent consumers (window
+    // explode, elected-window token fetch, reassembly join) under one
+    // action — one tokenizer pass instead of three, and the `wins` size
+    // filter below cannot be pushed past the ckpt leaf down to the scan
+    // (the text_novelty lesson, TextAnalysis.scala)
     val base = df.select(col(idCol).as("id"),
       coalesce(TF.tokens(col(textCol)), array()).as("tk"))
+      .ckpt()
     val wins = base.filter(size(col("tk")) >= minLen)
       .select(col("id"), posexplode(TF.windowHashes(col("tk"), minLen)))
       .toDF("id", "start", "h")

@@ -30,21 +30,31 @@ import org.apache.spark.sql.SparkSession
   * one full UNTIMED sweep before the timed reps, so the medians measure
   * steady-state (codegen/JIT-warm) cost — the regime a long-running
   * cluster session actually sees, where per-query whole-stage-codegen
-  * compilation has amortized. Reported ALONGSIDE the cold protocol
-  * (`"warm":true` marks the artifact), never replacing it: BENCH_last
-  * stays cold-protocol unless the env var is set.
+  * compilation has amortized. For the amortization to be measurable
+  * across a 127-query suite the session's codegen cache must HOLD the
+  * suite: at the 100-entry default every rep of every query recompiles
+  * (measured: rel_agg_q1 1.66 s in the warm suite vs 1.02 s warm solo,
+  * identical plan), so warm mode raises the static
+  * spark.sql.codegen.cache.maxEntries — exactly the tuning a long-lived
+  * session serving a repeated workload carries. Reported ALONGSIDE the
+  * cold protocol (`"warm":true` marks the artifact), never replacing
+  * it: BENCH_last stays cold-protocol unless the env var is set.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
-    val spark = SparkSession.builder()
+    val warmMode = sys.env.get("SPARK_GRAFT_BENCH_WARM").contains("1")
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // steady-state regime: the codegen cache must hold the whole suite
+    // or every rep recompiles (static conf — set before session init)
+    if (warmMode) builder.config("spark.sql.codegen.cache.maxEntries", "4096")
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     def sweep(): Unit = {
@@ -80,7 +90,7 @@ object Bench {
 
     // steady-state mode: one full untimed sweep first, so every timed
     // rep runs with that query's codegen already compiled and JITted
-    val warm = sys.env.get("SPARK_GRAFT_BENCH_WARM").contains("1")
+    val warm = warmMode
     if (warm) ordered.foreach { case (name, fn) => runOne(name, fn) }
 
     // reps full sweeps, query-major per sweep (every sweep sees the same

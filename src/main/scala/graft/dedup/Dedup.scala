@@ -462,18 +462,41 @@ object Dedup {
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3): DataFrame = {
-    val fp = TF.simhashFingerprints(df, idCol, TF.tokens(col(textCol))).ckpt()
+    val fpAll = TF.simhashFingerprints(df, idCol, TF.tokens(col(textCol))).ckpt()
+    // EXACT-TWIN COLLAPSE on the fingerprint itself (cf. twinCollapse):
+    // this operator's entire output is a function of (fp_a, fp_b), so
+    // equal-fp documents are interchangeable — group by fp (no new
+    // collision class: the operator already identifies docs by their
+    // fp), pair representatives only, expand back. Equal fps share all
+    // 4 blocks, so uncollapsed they were always candidates with
+    // hamming 0 — the expansion is output-identical, and the block
+    // self-join's quadratic-in-collisions cost scales with DISTINCT
+    // fingerprints, not row count.
+    val grp = fpAll.groupBy("fp").agg(min(col("id")).as("rid"))
+    val members = fpAll.join(grp, Seq("fp")).select(col("id"), col("rid")).ckpt()
+    val fp = grp.select(col("rid").as("id"), col("fp"))
     val banded = fp.select(col("id"), col("fp"), explode(array((0 until 4).map { b =>
       struct(lit(b).as("block"), shiftright(col("fp"), b * 16).bitwiseAND(lit(0xFFFFL)).as("key"))
     }: _*)).as("bk"))
       .select(col("id"), col("fp"), col("bk.block"), col("bk.key"))
     val a = banded.select(col("id").as("id_a"), col("fp").as("fp_a"), col("block"), col("key"))
     val b = banded.select(col("id").as("id_b"), col("fp").as("fp_b"), col("block"), col("key"))
-    a.join(b, Seq("block", "key")).filter(col("id_a") < col("id_b"))
+    val repPairs = a.join(b, Seq("block", "key")).filter(col("id_a") < col("id_b"))
       .dropDuplicates("id_a", "id_b")
       .withColumn("hamming", TF.hamming64(col("fp_a"), col("fp_b")))
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
+    val cross = repPairs
+      .join(members.select(col("rid").as("id_a"), col("id").as("__ma")), Seq("id_a"))
+      .join(members.select(col("rid").as("id_b"), col("id").as("__mb")), Seq("id_b"))
+      .select(least(col("__ma"), col("__mb")).as("id_a"),
+        greatest(col("__ma"), col("__mb")).as("id_b"), col("hamming"))
+    val within = members.select(col("rid"), col("id").as("id_a"))
+      .join(members.select(col("rid"), col("id").as("id_b")), Seq("rid"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), lit(0).cast("int").as("hamming"))
+      .filter(lit(0) <= lit(maxHamming)) // degenerate negative bound
+    cross.unionByName(within)
   }
 
   /** SimHash fingerprints only (id, fp). */

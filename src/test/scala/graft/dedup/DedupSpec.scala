@@ -84,6 +84,18 @@ class DedupSpec extends AnyFunSuite {
     assert(direct == truth, "direct path on twinned corpus")
     assert(prefix == truth, "prefix path on twinned corpus")
     assert(lsh == truth, "minhashDedup on twinned corpus")
+    // simhash collapses on the fingerprint itself — compare against the
+    // brute-force fp pair scan on the same twinned corpus
+    val fps = graft.functions.TextFunctions
+      .simhashFingerprints(twinned, "doc_id", TF.tokens(col("text")))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val simTruth = (for {
+      (ia, fa) <- fps; (ib, fb) <- fps if ia < ib
+      h = java.lang.Long.bitCount(fa ^ fb) if h <= 3
+    } yield (ia, ib, h)).toSet
+    val sim = Dedup.simhashPairs(twinned, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(sim == simTruth, "simhashPairs on twinned corpus")
   }
 
   test("minhashDedup (LSH + exact verify) recovers every naive pair at j>=0.5 on this corpus") {

@@ -1052,6 +1052,181 @@ object Queries {
     },
       Some(truthTable("matches_driver_brandes", "nonnegative"))),
 
+    // ——— path-finding fixed rules (SURVEY §2.6; air_routes.rs:155-335
+    // asserts all of them against golden outputs — these rows close the
+    // last §2 class with no driver CORRECTNESS entry) ———
+
+    // BFS / ShortestPathBFS (algos/bfs.rs, shortest_path_bfs.rs): minimum
+    // hop count from each start, frontier-expanded, bounded at 3 hops.
+    // Oracle: depth-bounded recursive walk, min depth per (start, node).
+    Spec("graph_bfs", (s, d) => {
+      val e = eventEdges(T(s, d, "events")).ckpt()
+      val starts = e.select(col("src").as("start"))
+        .filter(col("start") % 30 === 0).distinct()
+      Graphs.bfs(e, starts, maxHops = 3)
+        .withColumn("depth", col("depth").cast("long"))
+    },
+      Some(s"""WITH RECURSIVE $edgesSql,
+              |starts AS (SELECT DISTINCT src AS start FROM edges WHERE src % 30 = 0),
+              |walk(start, node, depth) AS (
+              |  SELECT start, start, 0 FROM starts
+              |  UNION
+              |  SELECT w.start, e.dst, w.depth + 1 FROM walk w JOIN edges e ON e.src = w.node WHERE w.depth < 3)
+              |SELECT start, node, CAST(min(depth) AS BIGINT) AS depth FROM walk GROUP BY 1, 2""".stripMargin)),
+
+    // ShortestPathDijkstra in the reference's fixed-rule shape
+    // (algos/shortest_path_dijkstra.rs: start/goal relations in, per-pair
+    // costs out) over a weighted subgraph. The oracle explores every
+    // ≤29-hop walk (paths beyond |V|-1 = 29 hops can't be shortest; the
+    // cost prune 130 > 29×maxWeight never cuts an optimal prefix) and
+    // takes the per-pair minimum. Costs are small-integer sums — exact
+    // in double on both sides, no rounding needed.
+    Spec("graph_dijkstra", (s, d) => {
+      val we = eventEdges(T(s, d, "events"))
+        .filter(col("src") % 5 === 0 && col("dst") % 5 === 0)
+        .withColumn("weight", ((col("src") * 7 + col("dst") * 13) % 4 + 1).cast("double"))
+        .ckpt() // shared by starts/goals derivation + the adjacency collect
+      val starts = we.select(col("src").as("start"))
+        .filter(col("start") % 25 === 0).distinct()
+      val goals = we.select(col("dst").as("goal"))
+        .filter(col("goal") % 25 === 0).distinct()
+      Graphs.dijkstraPaths(we, starts, goals)
+        .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"),
+          col("cost"))
+    },
+      Some(s"""WITH RECURSIVE $edgesSql,
+              |wedges AS (SELECT src, dst, (src * 7 + dst * 13) % 4 + 1 AS weight FROM edges WHERE src % 5 = 0 AND dst % 5 = 0),
+              |starts AS (SELECT DISTINCT src AS start FROM wedges WHERE src % 25 = 0),
+              |goals AS (SELECT DISTINCT dst AS goal FROM wedges WHERE dst % 25 = 0),
+              |walk(start, node, cost, depth) AS (
+              |  SELECT start, start, 0, 0 FROM starts
+              |  UNION
+              |  SELECT w.start, e.dst, w.cost + e.weight, w.depth + 1 FROM walk w JOIN wedges e ON e.src = w.node
+              |  WHERE w.depth < 32 AND w.cost < 130)
+              |SELECT w.start AS src, g.goal AS dst, CAST(min(w.cost) AS DOUBLE) AS cost
+              |FROM walk w JOIN goals g ON g.goal = w.node GROUP BY 1, 2""".stripMargin)),
+
+    // ShortestPathAStar (algos/astar.rs): driver-side A* with a nonzero
+    // admissible heuristic (1 = the subgraph's minimum edge weight, a
+    // lower bound on any remaining route) on a different weighted
+    // subgraph; same min-cost oracle shape as graph_dijkstra (A* with an
+    // admissible heuristic returns exactly the shortest cost). Bounds:
+    // 15 nodes → ≤14 hops < 16; 14×5 = 70 < the 80 cost prune.
+    Spec("graph_astar", (s, d) => {
+      val we = eventEdges(T(s, d, "events"))
+        .filter(col("src") % 10 === 0 && col("dst") % 10 === 0)
+        .withColumn("weight", ((col("src") * 3 + col("dst") * 11) % 5 + 1).cast("double"))
+        .ckpt()
+      val ss = we.select(col("src")).filter(col("src") % 20 === 0).distinct()
+        .collect().map(_.getLong(0)).sorted
+      val gs = we.select(col("dst")).filter(col("dst") % 20 === 0).distinct()
+        .collect().map(_.getLong(0)).sorted
+      val pairs = for { a <- ss.toSeq; b <- gs.toSeq } yield (a, b)
+      Graphs.aStar(we, pairs, heuristic = (n, g) => if (n == g) 0.0 else 1.0)
+        .select(col("start"), col("goal"), col("cost"))
+    },
+      Some(s"""WITH RECURSIVE $edgesSql,
+              |wedges AS (SELECT src, dst, (src * 3 + dst * 11) % 5 + 1 AS weight FROM edges WHERE src % 10 = 0 AND dst % 10 = 0),
+              |starts AS (SELECT DISTINCT src AS start FROM wedges WHERE src % 20 = 0),
+              |goals AS (SELECT DISTINCT dst AS goal FROM wedges WHERE dst % 20 = 0),
+              |walk(start, node, cost, depth) AS (
+              |  SELECT start, start, 0, 0 FROM starts
+              |  UNION
+              |  SELECT w.start, e.dst, w.cost + e.weight, w.depth + 1 FROM walk w JOIN wedges e ON e.src = w.node
+              |  WHERE w.depth < 16 AND w.cost < 80)
+              |SELECT w.start, g.goal, CAST(min(w.cost) AS DOUBLE) AS cost
+              |FROM walk w JOIN goals g ON g.goal = w.node GROUP BY 1, 2""".stripMargin)),
+
+    // KShortestPathYen (algos/yen.rs): the 4 cheapest LOOPLESS paths per
+    // (start, goal). The oracle enumerates every simple path (the walk
+    // can't revisit a node, so it terminates without a depth bound) and
+    // ranks by cost — Yen's guarantee is exactly the k smallest-cost
+    // loopless paths, so the (rank, cost) rows agree even when the
+    // tie-break between equal-cost paths differs (equal costs make the
+    // swapped rows identical). Fixed probe pairs keep the oracle's path
+    // enumeration bounded (~50K simple paths per pair on this subgraph).
+    Spec("graph_yen", (s, d) => {
+      import s.implicits._
+      val we = eventEdges(T(s, d, "events"))
+        .filter(col("src") % 10 === 0 && col("dst") % 10 === 0)
+        .withColumn("weight", ((col("src") * 3 + col("dst") * 11) % 5 + 1).cast("double"))
+        .ckpt()
+      val starts = Seq(0L, 70L).toDF("start")
+      val goals = Seq(140L, 60L).toDF("goal")
+      Graphs.yenPaths(we, starts, goals, k = 4)
+        .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"),
+          col("rank"), col("cost"))
+    },
+      Some(s"""WITH RECURSIVE $edgesSql,
+              |wedges AS (SELECT src, dst, CAST((src * 3 + dst * 11) % 5 + 1 AS DOUBLE) AS weight FROM edges WHERE src % 10 = 0 AND dst % 10 = 0),
+              |pairs AS (SELECT s.start, g.goal FROM (VALUES (0), (70)) s(start), (VALUES (140), (60)) g(goal)),
+              |paths(start, goal, node, cost, path) AS (
+              |  SELECT start, goal, start, CAST(0 AS DOUBLE), [start] FROM pairs
+              |  UNION ALL
+              |  SELECT p.start, p.goal, e.dst, p.cost + e.weight, list_append(p.path, e.dst)
+              |  FROM paths p JOIN wedges e ON e.src = p.node
+              |  WHERE p.node <> p.goal AND NOT list_contains(p.path, e.dst)),
+              |ranked AS (
+              |  SELECT start, goal, cost, row_number() OVER (PARTITION BY start, goal ORDER BY cost) AS rank
+              |  FROM paths WHERE node = goal)
+              |SELECT start AS src, goal AS dst, CAST(rank AS BIGINT) AS rank, cost FROM ranked WHERE rank <= 4""".stripMargin)),
+
+    // MinimumSpanningForest (algos/prim.rs / kruskal.rs; distributed as
+    // Borůvka rounds). Weights are engineered UNIQUE per directed edge
+    // at the oracle SF (ids < 1024 there, so the low 20 bits embed the
+    // ordered pair exactly) — a unique-weight graph has a UNIQUE MSF,
+    // making the forest oracle-checkable without mirroring Borůvka's
+    // tie-breaks. The oracle is the cycle property: an edge belongs to
+    // the MSF iff its endpoints are NOT connected using strictly
+    // lighter edges alone.
+    Spec("graph_mst", (s, d) => {
+      val we = eventEdges(T(s, d, "events"))
+        .filter(col("src") % 5 === 0 && col("dst") % 5 === 0)
+        .withColumn("weight",
+          (((col("src") * 1009 + col("dst") * 31) % 83) * 1048576
+            + (col("src") % 1024) * 1024 + (col("dst") % 1024)).cast("double"))
+      Graphs.minimumSpanningForest(we)
+    },
+      Some(s"""WITH RECURSIVE $edgesSql,
+              |wedges AS (SELECT src, dst,
+              |    ((src * 1009 + dst * 31) % 83) * 1048576 + (src % 1024) * 1024 + (dst % 1024) AS w
+              |  FROM edges WHERE src % 5 = 0 AND dst % 5 = 0),
+              |canon AS (SELECT least(src, dst) AS a, greatest(src, dst) AS b, min(w) AS w
+              |  FROM wedges WHERE src <> dst GROUP BY 1, 2),
+              |und AS (SELECT a AS u, b AS v, w FROM canon UNION ALL SELECT b, a, w FROM canon),
+              |reach(root, thr, node) AS (
+              |  SELECT a, w, a FROM canon
+              |  UNION
+              |  SELECT r.root, r.thr, e.v FROM reach r JOIN und e ON e.u = r.node AND e.w < r.thr)
+              |SELECT c.a AS src, c.b AS dst, CAST(c.w AS DOUBLE) AS weight FROM canon c
+              |WHERE NOT EXISTS (SELECT 1 FROM reach r WHERE r.root = c.a AND r.thr = c.w AND r.node = c.b)""".stripMargin)),
+
+    // ClosenessCentrality (algos/all_pairs_shortest_path.rs): exact at
+    // the oracle SF (sample=200 ≥ the 150 nodes there → all-sources
+    // multi-source BFS; larger SFs fall back to the Eppstein–Wang
+    // estimator, the documented scale path — bench-only, never oracled).
+    // Hop counts are exact integers in double, total_dist is an exact
+    // integer sum, and the closing division is a single IEEE op mirrored
+    // verbatim — so round(6) compares equal bit-for-bit.
+    Spec("graph_closeness", (s, d) =>
+      Graphs.closenessCentrality(eventEdges(T(s, d, "events")), maxIter = 30, sample = 200)
+        .withColumn("closeness", round(col("closeness"), 6)),
+      Some(s"""WITH RECURSIVE $edgesSql,
+              |und AS (SELECT DISTINCT src, dst FROM (SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges) u WHERE src <> dst),
+              |ns AS (SELECT DISTINCT src AS node FROM und),
+              |walk(start, node, depth) AS (
+              |  SELECT node, node, 0 FROM ns
+              |  UNION
+              |  SELECT w.start, e.dst, w.depth + 1 FROM walk w JOIN und e ON e.src = w.node WHERE w.depth < 29),
+              |sp AS (SELECT start, node, min(depth) AS cost FROM walk GROUP BY 1, 2),
+              |tot AS (SELECT node, CAST(sum(cost) AS DOUBLE) AS total_dist FROM sp WHERE start <> node GROUP BY 1),
+              |nn AS (SELECT count(*) AS n FROM ns)
+              |SELECT ns.node,
+              |  round(CASE WHEN COALESCE(t.total_dist, 0) > 0
+              |    THEN (CAST(nn.n - 1 AS DOUBLE) * nn.n) / (CAST(nn.n AS DOUBLE) * t.total_dist)
+              |    ELSE 0.0 END, 6) AS closeness
+              |FROM ns CROSS JOIN nn LEFT JOIN tot t ON t.node = ns.node""".stripMargin)),
+
     // ——————————————————— time travel (SURVEY §1.4) ———————————————————
 
     Spec("tt_asof", (s, d) =>

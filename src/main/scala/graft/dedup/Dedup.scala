@@ -515,7 +515,7 @@ object Dedup {
     */
   def hyperplaneBuckets(df0: DataFrame, idCol: String, vecCol: String,
                         planes: Int, tables: Int = 1): DataFrame = {
-    val df = Parallelism.ensureIngestParallelism(df0, Seq(col(idCol)))
+    val df = Parallelism.ensureIngestParallelism(df0, Seq(col(idCol)), light = true)
     val nSig = planes * tables
     val dims = df.select(col(idCol).as("id"), posexplode(col(vecCol)))
       .toDF("id", "i", "v")

@@ -38,7 +38,7 @@ object Ann {
     // the cosine scan against the broadcast probes is the heavy
     // pre-shuffle pass: guard against a low-split source serializing it
     // (no-op on real corpora — see Parallelism.ensureIngestParallelism)
-    val corpus = graft.plan.Parallelism.ensureIngestParallelism(corpus0, Seq(col("id")))
+    val corpus = graft.plan.Parallelism.ensureIngestParallelism(corpus0, Seq(col("id")), light = true)
     val joined = queries.select(col("query_id"), col("vec").as("qvec"))
       .hint("broadcast")
       .crossJoin(corpus.select(col("id"), col("vec")))
@@ -93,7 +93,7 @@ object Ann {
                    seed: Int = 0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import graft.plan._
-    val base = Parallelism.ensureIngestParallelism(corpus, Seq(col("id")))
+    val base = Parallelism.ensureIngestParallelism(corpus, Seq(col("id")), light = true)
       .select(col("id"), col("vec"))
     var cents = base
       .withColumn("__h", xxhash64(col("id"), lit(seed)))
@@ -126,7 +126,7 @@ object Ann {
     * `cell` as its partition key at scale.
     */
   def assignCells(vecs0: DataFrame, cents: DataFrame): DataFrame = {
-    val vecs = graft.plan.Parallelism.ensureIngestParallelism(vecs0, Seq(col("id")))
+    val vecs = graft.plan.Parallelism.ensureIngestParallelism(vecs0, Seq(col("id")), light = true)
     val scored = vecs.crossJoin(broadcast(cents))
       .withColumn("__sim", VF.cosineSimilarity(col("vec"), col("cvec")))
     TopK.perGroup(scored, Seq("id"), Seq(col("__sim").desc, col("cell").asc), 1)
@@ -146,7 +146,7 @@ object Ann {
               nCells: Int = 16, nProbe: Int = 4, iters: Int = 2,
               seed: Int = 0): DataFrame = {
     import graft.plan._
-    val base = Parallelism.ensureIngestParallelism(corpus, Seq(col("id")))
+    val base = Parallelism.ensureIngestParallelism(corpus, Seq(col("id")), light = true)
       .select(col("id"), col("vec"))
     val cents = ivfCentroids(base, nCells, iters, seed)
     val inverted = assignCells(base, cents).ckpt()
@@ -242,7 +242,7 @@ object Ann {
     * map-side-combined min_by shuffle of N·M rows.
     */
   def pqEncode(corpus: DataFrame, codebooks: DataFrame, subspaces: Int): DataFrame =
-    subvecs(graft.plan.Parallelism.ensureIngestParallelism(corpus, Seq(col("id")))
+    subvecs(graft.plan.Parallelism.ensureIngestParallelism(corpus, Seq(col("id")), light = true)
         .select(col("id"), col("vec")), "id", subspaces)
       .join(broadcast(codebooks), Seq("m"))
       .withColumn("__d2", VF.l2Dist(col("sub"), col("cvec")))
@@ -274,7 +274,7 @@ object Ann {
              refine: Int = 8, trainN: Int = 65536, seed: Int = 0,
              codebooks: Option[DataFrame] = None): DataFrame = {
     import graft.plan._
-    val base = Parallelism.ensureIngestParallelism(corpus, Seq(col("id")))
+    val base = Parallelism.ensureIngestParallelism(corpus, Seq(col("id")), light = true)
       .select(col("id"), col("vec"))
     val cb = codebooks.getOrElse(pqCodebooks(base, subspaces, codes, iters, trainN, seed))
     val enc = pqEncode(base, cb, subspaces).ckptLazy()
@@ -321,7 +321,7 @@ object Ann {
                 centroids: Option[DataFrame] = None,
                 codebooks: Option[DataFrame] = None): DataFrame = {
     import graft.plan._
-    val base = Parallelism.ensureIngestParallelism(corpus, Seq(col("id")))
+    val base = Parallelism.ensureIngestParallelism(corpus, Seq(col("id")), light = true)
       .select(col("id"), col("vec"))
     val cents = centroids.getOrElse(ivfCentroids(base, nCells, iters, seed))
     val inverted = assignCells(base, cents)
@@ -456,7 +456,11 @@ object Ann {
     val qB = spark.sparkContext.broadcast(qs)
     // one graph per PARTITION: a low-split source would build a single
     // serial graph — guard restores build parallelism (and bounds graph
-    // size); no-op on real corpora
+    // size); no-op on real corpora. Deliberately HEAVY class (r11
+    // Attribute A/B): per-row graph insertion is efConstruction distance
+    // computations + mutation (~text-class CPU, not bytes-proportional)
+    // — full width won at sf1 (96.3 core-s spread: 5.1 s vs 6.1 s) and
+    // the partition-local graph-size bound is part of the design
     val perPart = graft.plan.Parallelism
       .ensureIngestParallelism(corpus, Seq(col("id")))
       .select(col("id").cast("long"), col("vec"))

@@ -35,6 +35,10 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkLi
   * the thunk returns).
   */
 object ListenerBridge {
+  /** Barrier for ad-hoc listeners outside this object (the bus is
+    * async; package-private in Spark, hence surfaced here). */
+  def drain(sc: SparkContext): Unit = sc.listenerBus.waitUntilEmpty()
+
   final case class Counts(jobs: Int, stages: Int,
                           shuffleReadBytes: Long = 0L,
                           shuffleWriteBytes: Long = 0L,

@@ -49,6 +49,37 @@ object Attribute {
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
     }
 
+    // SPARK_GRAFT_ATTR_JOBS=1: per-rep job timeline — sum of job spans
+    // vs wall isolates DRIVER-side stalls (planning, broadcast builds,
+    // codegen) from executor time; prints the three largest inter-job
+    // gaps and the three longest jobs
+    val jobDetail = sys.env.get("SPARK_GRAFT_ATTR_JOBS").contains("1")
+    val jobSpans = new java.util.concurrent.ConcurrentHashMap[Int, (Long, Long)]()
+    if (jobDetail) spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(e: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobSpans.put(e.jobId, (e.time, -1L))
+        override def onJobEnd(e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+          val prev = jobSpans.get(e.jobId)
+          if (prev != null) jobSpans.put(e.jobId, (prev._1, e.time))
+        }
+      })
+    def jobReport(wall: Double): String = {
+      import scala.jdk.CollectionConverters._
+      val spans = jobSpans.asScala.values.toSeq.filter(_._2 > 0).sortBy(_._1)
+      jobSpans.clear()
+      if (spans.isEmpty) "no jobs"
+      else {
+        val spanSum = spans.map(s => (s._2 - s._1) / 1000.0).sum
+        val gaps = spans.sliding(2).collect {
+          case Seq(a, b) if b._1 > a._2 => (b._1 - a._2) / 1000.0
+        }.toSeq.sorted.reverse.take(3)
+        val longest = spans.map(s => (s._2 - s._1) / 1000.0).sorted.reverse.take(3)
+        f"jobSpanSum=$spanSum%6.2f s of wall=$wall%6.2f; top gaps=[${gaps.map(g => f"$g%.2f").mkString(",")}] " +
+          f"top jobs=[${longest.map(g => f"$g%.2f").mkString(",")}]"
+      }
+    }
+
     // SPARK_GRAFT_ATTR_STAGES=1: per-stage task-time breakdown of the
     // final rep (which stages carry the core-seconds, at what width)
     val stageDetail = sys.env.get("SPARK_GRAFT_ATTR_STAGES").contains("1")
@@ -71,14 +102,26 @@ object Attribute {
         // warm (untimed): absorbs codegen/JIT first-run cost per shape
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         sweep()
+        def gcMs: Long = {
+          import scala.jdk.CollectionConverters._
+          java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+            .asScala.map(_.getCollectionTime).sum
+        }
         val runs = (1 to reps).map { i =>
           if (stageDetail && i == reps) stageLog.clear()
+          val gc0 = gcMs
           val t0 = System.nanoTime()
           val c = ListenerBridge.measure(spark.sparkContext, s"attr-$name-$v-$i") {
             fn(spark, sfDir).write.format("noop").mode("overwrite").save()
           }
           val wall = (System.nanoTime() - t0) / 1e9
+          val gcD = gcMs - gc0 // in-window GC, before sweep()'s forced gc
           sweep()
+          if (sys.env.get("SPARK_GRAFT_ATTR_PER_REP").contains("1"))
+            println(f"  rep$i%-2d $name wall=$wall%7.3f s jobs=${c.jobs} " +
+              f"taskTime=${c.taskTimeMs / 1000.0}%7.1f core-s gc=${gcD / 1000.0}%6.2f s " +
+              f"shw=${c.shuffleWriteBytes / 1048576.0}%8.2f shr=${c.shuffleReadBytes / 1048576.0}%8.2f MiB")
+          if (jobDetail) println(s"    ${jobReport(wall)}")
           (wall, c)
         }
         val walls = runs.map(_._1)

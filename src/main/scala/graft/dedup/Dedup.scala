@@ -176,10 +176,13 @@ object Dedup {
     // the prefix filter only needs some fixed total order.
     val (members, shf) = twinCollapse(shfAll)
     val sizes = shf.groupBy("id").agg(count(lit(1)).as("n"))
-    // STATS-ADAPTIVE candidate plan. Each shf row carries its shingle's
-    // docFreq, so sum(df) over shf = Σ_s df(s)² = the naive self-join's
-    // output size — one cheap aggregate over the already-checkpointed
-    // relation decides the plan (same spirit as AQE's runtime re-plan):
+    // STATS-ADAPTIVE candidate plan. Σ_s dfRep(s)² over REP-LOCAL
+    // frequencies = the rep self-join's exact output size (the `df`
+    // column still carries the GLOBAL twin-counting frequency the
+    // cutoff semantics need, but post-collapse it overestimates the
+    // rep-only join by ~the twin factor — r10 advice); one rep-scale
+    // aggregation over 8-byte keys decides the plan (same spirit as
+    // AQE's runtime re-plan):
     //  - collisions linear in the corpus → the direct shared-shingle
     //    join + count is both exact and the fewest shuffles;
     //  - hot-shingle regime (boilerplate headers/footers at web scale)
@@ -189,7 +192,9 @@ object Dedup {
     //    |X| − ⌈t·|X|⌉ + 1 shingles; hot shingles sort last and fall
     //    outside every prefix, breaking the df² blowup.
     val Array(sumDf2, nRows) =
-      shf.agg(sum("df"), count(lit(1))).head().toSeq.map(_.asInstanceOf[Long]).toArray
+      shf.groupBy("s").agg(count(lit(1)).as("__c"))
+        .agg(sum(col("__c") * col("__c")), sum(col("__c")))
+        .head().toSeq.map(_.asInstanceOf[Long]).toArray
     val common =
       if (sumDf2 <= collisionFactor * nRows) {
         shf.select(col("id").as("id_a"), col("s"))
@@ -268,6 +273,11 @@ object Dedup {
     val rep = sh
       .join(members.filter(col("id") === col("rid")).select("id"), Seq("id"))
       .ckpt()
+    // both callers hand over an eagerly-ckpt'd shingle relation and
+    // never read it again — rep supersedes it from here, so holding
+    // both would double the corpus-scale block-storage footprint for
+    // the rest of the query (r10 advice)
+    sh.unckpt()
     (members, rep)
   }
 
@@ -276,9 +286,15 @@ object Dedup {
     * representative's shingle set verbatim: cross-group pairs inherit
     * the rep pair's score; within-group pairs are identical sets, so
     * their score is 1 by definition (emitted only when 1 clears the
-    * threshold, as it would have uncollapsed). Both joins are
-    * pair-scale × membership-scale, never corpus².
-    */
+    * threshold, as it would have uncollapsed). The joins never touch
+    * corpus² — but the expansion is OUTPUT-bound: the within-group
+    * self-join is quadratic in the largest twin-group size, because
+    * that is the pair count the uncollapsed operator would emit (a
+    * billion-copy boilerplate page owes ~10¹⁸ pairs either way).
+    * Consumers that want dedup CLUSTERS rather than all pairs should
+    * take the (id, rid) membership itself — it IS the cluster
+    * assignment for exact twins, linear in the corpus — and expand
+    * only the cross-group pairs (r10 advice). */
   private def expandTwinPairs(repPairs: DataFrame, members: DataFrame,
                               scoreCol: String, threshold: Double): DataFrame = {
     val cross = repPairs

@@ -14,5 +14,28 @@ package object plan {
   implicit final class CkptOps(private val df: DataFrame) extends AnyVal {
     def ckpt(): DataFrame = CheckpointBridge.truncate(df)
     def ckptLazy(): DataFrame = CheckpointBridge.truncate(df, eager = false)
+
+    /** Drop a ckpt'd frame's persisted blocks once its LAST consumer has
+      * materialized — corpus-scale intermediates must not pile up in
+      * block storage for the rest of the query (r10 advice: the shingle
+      * relation was held TWICE, pre- and post-collapse, ~2× the corpus).
+      * Walks each leaf RDD's narrow-dependency chain to the persisted
+      * ancestor (CheckpointBridge re-frames the checkpoint through a
+      * thin mapping, so the leaf itself is never the persisted one).
+      * No-op on frames that hold nothing. */
+    def unckpt(): DataFrame = {
+      import org.apache.spark.sql.execution.LogicalRDD
+      def walk(r: org.apache.spark.rdd.RDD[_], depth: Int): Unit =
+        if (depth <= 4) {
+          if (r.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE)
+            r.unpersist(blocking = false)
+          else r.dependencies.foreach(d => walk(d.rdd, depth + 1))
+        }
+      df.queryExecution.analyzed.collectLeaves().foreach {
+        case l: LogicalRDD => walk(l.rdd, 0)
+        case _ =>
+      }
+      df
+    }
   }
 }

@@ -56,6 +56,15 @@ object Bench {
     if (warmMode) builder.config("spark.sql.codegen.cache.maxEntries", "4096")
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // builder.config on a STATIC conf is silently ignored if a session
+    // already exists in this JVM — record the EFFECTIVE value in the
+    // artifact (r10 advice: a "warm":true artifact at the 100-entry
+    // default would measure cold-ish numbers with no indication)
+    val codegenCache = spark.conf
+      .get("spark.sql.codegen.cache.maxEntries", "100").toInt
+    if (warmMode && codegenCache < 4096)
+      System.err.println(s"WARN: warm mode but codegen cache is $codegenCache " +
+        "(static conf ignored — pre-existing SparkSession?); medians will be cold-ish")
 
     def sweep(): Unit = {
       spark.sharedState.cacheManager.clearCache()
@@ -111,6 +120,18 @@ object Bench {
       if (ok.nonEmpty) name -> Right(ok)
       else name -> Left(runs.collectFirst { case Left(e) => e }.get)
     }
+
+    // operator-vs-referee split (r10 verdict #5): the referee-dominated
+    // queries run their OPERATOR stage alone under the same rep
+    // protocol; referee_s = total median − operator median (the
+    // invariant battery's cost, incl. the ANN rows' full brute-force
+    // ranking — verification, not operator)
+    val opMedians: Seq[(String, Double)] = Queries.operatorOnly.toSeq.sortBy(_._1)
+      .filter { case (n, _) => ordered.exists(_._1 == n) }
+      .flatMap { case (name, fn) =>
+        val runs = (1 to reps).map(_ => runOne(s"op:$name", fn)).collect { case Right(v) => v }
+        if (runs.nonEmpty) Some(name -> median(runs)) else None
+      }
     val qs = perQuery.collect { case (k, Right(vs)) => s"${jstr(k)}:${num(median(vs))}" }
       .mkString("{", ",", "}")
     val qmin = perQuery.collect { case (k, Right(vs)) => s"${jstr(k)}:${num(vs.min)}" }
@@ -133,9 +154,17 @@ object Bench {
     val totals = bySweep.map(sw => num(sw.collect { case (_, Right(v)) => v }.sum))
       .mkString("[", ",", "]")
     val total = perQuery.collect { case (_, Right(vs)) => median(vs) }.sum
+    val totalByName = perQuery.collect { case (k, Right(vs)) => k -> median(vs) }.toMap
+    val opS = opMedians.map { case (k, v) => s"${jstr(k)}:${num(v)}" }
+      .mkString("{", ",", "}")
+    val refS = opMedians.flatMap { case (k, v) =>
+      totalByName.get(k).map(t => s"${jstr(k)}:${num(math.max(0.0, t - v))}")
+    }.mkString("{", ",", "}")
     val line = s"""{"metric":"total","value":${num(total)},"unit":"sec","reps":$reps,""" +
       (if (warm) """"warm":true,""" else "") +
+      s""""codegen_cache":$codegenCache,""" +
       s""""queries":$qs,"queries_min":$qmin,"queries_max":$qmax,""" +
+      s""""operator_s":$opS,"referee_s":$refS,""" +
       s""""totals":$totals,"errors":$errs,"ok_reps":$okReps,"sf":"$sfDir"}"""
     println(line)
     // also land the full line in a file: console capture has truncated

@@ -3077,4 +3077,62 @@ object Queries {
 
   def oracleSql: Map[String, String] =
     specs.flatMap(sp => sp.oracle.map(sp.name -> _)).toMap
+
+  /** OPERATOR-ONLY variants of the referee-dominated queries (r10
+    * verdict #5): the registered query IS the correctness artifact —
+    * operator plus its invariant battery (for the ANN rows that
+    * includes a full brute-force ranking, pure verification) — so its
+    * bench row muddies the operator-vs-baseline reading. Each entry
+    * here is the SAME operator stage with the referees stripped
+    * (training included, shared-referee ckpts dropped — single
+    * consumer). Bench times these alongside and emits per-query
+    * `operator_s` with `referee_s` = total − operator. */
+  def operatorOnly: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_pq" -> ((s, d) => {
+      val emb = T(s, d, "embeddings")
+      val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val qs = emb.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("embedding").as("vec"))
+      Ann.pqTopK(corpus, qs, k = 5, subspaces = 16, codes = 64, refine = 8)
+    }),
+    "ann_ivfpq" -> ((s, d) => {
+      val emb = T(s, d, "embeddings")
+      val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val qs = emb.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("embedding").as("vec"))
+      Ann.ivfPqTopK(corpus, qs, k = 5, nCells = 16, nProbe = 8,
+        subspaces = 16, codes = 64, iters = 2, refine = 8)
+    }),
+    "ann_hnsw" -> ((s, d) => {
+      val emb = T(s, d, "embeddings")
+      val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val qs = emb.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("embedding").as("vec"))
+      Ann.hnswTopK(corpus, qs, k = 5, m = 12, efConstruction = 80, efSearch = 64)
+    }),
+    "dedup_semantic" -> ((s, d) => {
+      val emb = T(s, d, "embeddings")
+      val baseV = emb.filter(col("vec_id") < 200)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val twins = baseV.select((col("id") + 10000).as("id"),
+        transform(col("vec"), (v, i) =>
+          (v + lit(0.02f) * cos(col("id") * (i + 1))).cast("float")).as("vec"))
+      Dedup.semanticDedup(baseV.unionByName(twins), "id", "vec",
+        threshold = 0.95, nClusters = 8)
+    }),
+    "graph_louvain" -> ((s, d) =>
+      Graphs.louvain(eventEdges(T(s, d, "events")), maxOuter = 2, maxInner = 5)),
+    "graph_walk" -> ((s, d) => {
+      val e = eventEdges(T(s, d, "events")).ckpt()
+      val starts = e.filter(col("src") < 5).select(col("src").as("start")).distinct()
+        .withColumn("walk_id", col("start"))
+      Graphs.randomWalk(e, starts, steps = 5)
+    }),
+    "graph_betweenness" -> ((s, d) => {
+      val sub = eventEdges(T(s, d, "events"))
+        .filter(col("src") < 200 && col("dst") < 200 && col("src") =!= col("dst"))
+        .select(least(col("src"), col("dst")).as("src"),
+          greatest(col("src"), col("dst")).as("dst")).distinct()
+      Graphs.betweennessCentralityApprox(sub, sample = Int.MaxValue)
+    }))
 }

@@ -4,7 +4,7 @@ import graft.plan._
 import graft.dedup.Dedup
 import graft.fixpoint.Fixpoint
 import graft.functions.{CozoAggregates => CA, CozoFunctions => CozoFn, TextFunctions => TF}
-import graft.graphs.Graphs
+import graft.graphs.{Frontier, Graphs}
 import graft.operators.{AsOfJoin, Mutations, RangeJoin, TimeTravel, TopK}
 import graft.search.Fts
 import graft.similarity.Ann
@@ -740,10 +740,16 @@ object Queries {
     // is what keeps hop-4 from exploding combinatorially.
     Spec("graph_expand2", (s, d) => {
       val e = eventEdges(T(s, d, "events")).ckpt()
-      val h1 = e.select(col("src").as("seed"), col("dst").as("n")) // distinct by construction (eventEdges dedups)
-      val h2 = h1.join(e.withColumnRenamed("src", "n"), Seq("n"))
-        .select(col("seed"), col("dst").as("n2")).distinct()
-      h2.groupBy("seed").agg(count(lit(1)).as("n2_count"))
+      val fr = new Frontier(e)
+      if (fr.enabled) {
+        val h1 = fr.encode(e.select(col("src").as("seed"), col("dst").as("n")), "n")
+        fr.hopCount(h1, fr.adjacency(e), "n2_count")
+      } else {
+        val h1 = e.select(col("src").as("seed"), col("dst").as("n")) // distinct by construction (eventEdges dedups)
+        val h2 = h1.join(e.withColumnRenamed("src", "n"), Seq("n"))
+          .select(col("seed"), col("dst").as("n2")).distinct()
+        h2.groupBy("seed").agg(count(lit(1)).as("n2_count"))
+      }
     },
       Some(s"""WITH $edgesSql,
               |h1 AS (SELECT DISTINCT src AS seed, dst AS n FROM edges),
@@ -755,12 +761,28 @@ object Queries {
     // equi-join over the edge relation — Catalyst picks the join order;
     // no per-vertex driver work, so the pattern scales with edge count.
     Spec("graph_pattern_cycle", (s, d) => {
+      // per-edge adjacency intersection (same argument as
+      // clusteringCoefficients): for edge a→b with a<b, the cycle
+      // closers are out(b) ∩ in(a) above a — counted in one codegen'd
+      // projection per edge instead of a two-join path enumeration
+      // whose row count is the number of 2-paths
       val e = eventEdges(T(s, d, "events")).ckpt()
-      e.select(col("src").as("a"), col("dst").as("b"))
-        .join(e.select(col("src").as("b"), col("dst").as("c")), Seq("b"))
-        .join(e.select(col("src").as("c"), col("dst").as("a")), Seq("c", "a"))
-        .filter(col("a") < col("b") && col("a") < col("c"))
-        .agg(count(lit(1)).as("cycles"))
+      // broadcast when the edge relation is small (job-free ckpt-block
+      // estimate) — else the second join re-shuffles array-carrying
+      // rows (see clusteringCoefficients)
+      val hint: DataFrame => DataFrame =
+        if (graft.plan.Parallelism.persistedInputBytes(e).exists(_ <= 256L * 1024 * 1024))
+          broadcast
+        else identity
+      val out = hint(e.groupBy(col("src").as("b"))
+        .agg(sort_array(collect_list(col("dst"))).as("__out")))
+      val in = hint(e.groupBy(col("dst").as("a"))
+        .agg(sort_array(collect_list(col("src"))).as("__in")))
+      e.select(col("src").as("a"), col("dst").as("b")).filter(col("a") < col("b"))
+        .join(out, Seq("b")).join(in, Seq("a"))
+        .select(graft.functions.SortedIntersect
+          .countAbove(col("__out"), col("__in"), col("a")).as("__c"))
+        .agg(coalesce(sum(col("__c")), lit(0L)).as("cycles")) // empty → 0, like count(*)
     },
       Some(s"""WITH $edgesSql
               |SELECT count(*) AS cycles
@@ -780,16 +802,28 @@ object Queries {
       // paired) - partitioning the huge hop-2 frontier by n alone
       // concentrates high-degree nodes and pins the partition count,
       // defeating AQE's skew-split/coalesce that the (seed,n)-keyed
-      // distinct exchange gets. The AQE-managed shape below is the
-      // scale-correct one.
+      // distinct exchange gets.
+      //
+      // r11: when the node set fits a dictionary, the bitmap-frontier
+      // path (Frontier) replaces the per-PATH distinct probes with
+      // per-MEMBER adjacency unions — the hop-2→3 join's ~1.1 G rows
+      // at sf1 become 8.7 M (one per frontier member). Row shape stays
+      // the open-world fallback.
       val e = eventEdges(T(s, d, "events")).ckpt()
       val ef = e.filter(col("dst") % 2 === 0)
-      val h1 = ef.select(col("src").as("seed"), col("dst").as("n")) // distinct by construction (eventEdges dedups)
-      val h2 = h1.join(ef.withColumnRenamed("src", "n"), Seq("n"))
-        .select(col("seed"), col("dst").as("n")).distinct()
-      val h3 = h2.join(e.withColumnRenamed("src", "n"), Seq("n"))
-        .select(col("seed"), col("dst").as("n3")).distinct()
-      h3.groupBy("seed").agg(count(lit(1)).as("n3_count"))
+      val fr = new Frontier(e)
+      if (fr.enabled) {
+        val h1 = fr.encode(ef.select(col("src").as("seed"), col("dst").as("n")), "n")
+        val h2 = fr.hop(h1, fr.adjacency(ef))
+        fr.hopCount(h2, fr.adjacency(e), "n3_count")
+      } else {
+        val h1 = ef.select(col("src").as("seed"), col("dst").as("n")) // distinct by construction (eventEdges dedups)
+        val h2 = h1.join(ef.withColumnRenamed("src", "n"), Seq("n"))
+          .select(col("seed"), col("dst").as("n")).distinct()
+        val h3 = h2.join(e.withColumnRenamed("src", "n"), Seq("n"))
+          .select(col("seed"), col("dst").as("n3")).distinct()
+        h3.groupBy("seed").agg(count(lit(1)).as("n3_count"))
+      }
     },
       Some(s"""WITH $edgesSql,
               |ef AS (SELECT src, dst FROM edges WHERE dst % 2 = 0),
@@ -805,10 +839,17 @@ object Queries {
     // this linear in the neighbourhood (not path) count at 100×.
     Spec("graph_neighbours2", (s, d) => {
       val e = eventEdges(T(s, d, "events")).ckpt()
-      val h1 = e.select(col("src").as("seed"), col("dst").as("n")) // distinct by construction (eventEdges dedups)
-      val h2 = h1.join(e.withColumnRenamed("src", "n"), Seq("n"))
-        .select(col("seed"), col("dst").as("n")).distinct()
-      h1.union(h2).distinct().groupBy("seed").agg(count(lit(1)).as("nbr_count"))
+      val fr = new Frontier(e)
+      if (fr.enabled) {
+        val h1 = fr.encode(e.select(col("src").as("seed"), col("dst").as("n")), "n")
+        val h2 = fr.hop(h1, fr.adjacency(e))
+        fr.distinctCount(h1.union(h2), "nbr_count")
+      } else {
+        val h1 = e.select(col("src").as("seed"), col("dst").as("n")) // distinct by construction (eventEdges dedups)
+        val h2 = h1.join(e.withColumnRenamed("src", "n"), Seq("n"))
+          .select(col("seed"), col("dst").as("n")).distinct()
+        h1.union(h2).distinct().groupBy("seed").agg(count(lit(1)).as("nbr_count"))
+      }
     },
       Some(s"""WITH $edgesSql,
               |h1 AS (SELECT DISTINCT src AS seed, dst AS n FROM edges),
@@ -824,10 +865,18 @@ object Queries {
       val e = eventEdges(T(s, d, "events")).ckpt()
       val cust = T(s, d, "customer")
         .select(col("c_custkey").as("n"), col("c_acctbal"), col("c_mktsegment"))
-      val h1 = e.select(col("src").as("seed"), col("dst").as("n")) // distinct by construction (eventEdges dedups)
-      val h2 = h1.join(e.withColumnRenamed("src", "n"), Seq("n"))
-        .select(col("seed"), col("dst").as("n")).distinct()
-      val nbr = h1.union(h2).distinct().join(broadcast(cust), Seq("n")).ckpt()
+      val fr = new Frontier(e)
+      val nbrRows = if (fr.enabled) {
+        val h1 = fr.encode(e.select(col("src").as("seed"), col("dst").as("n")), "n")
+        val h2 = fr.hop(h1, fr.adjacency(e))
+        fr.decode(fr.distinctMembers(h1.union(h2)), "n")
+      } else {
+        val h1 = e.select(col("src").as("seed"), col("dst").as("n")) // distinct by construction (eventEdges dedups)
+        val h2 = h1.join(e.withColumnRenamed("src", "n"), Seq("n"))
+          .select(col("seed"), col("dst").as("n")).distinct()
+        h1.union(h2).distinct()
+      }
+      val nbr = nbrRows.join(broadcast(cust), Seq("n")).ckpt()
       // split the distinct-aggregate out: one plain pass for count/sum,
       // one dedup'd pass for segment cardinality — avoids Catalyst's
       // Expand (which doubles the 2M-row shuffle) for mixed
@@ -856,11 +905,22 @@ object Queries {
       val e = eventEdges(T(s, d, "events")).ckpt()
       val adult = T(s, d, "customer").filter(col("c_acctbal") >= 1000)
         .select(col("c_custkey").as("n"))
-      val h1 = e.select(col("src").as("seed"), col("dst").as("n")) // distinct by construction (eventEdges dedups)
-      val h2 = h1.join(e.withColumnRenamed("src", "n"), Seq("n"))
-        .select(col("seed"), col("dst").as("n")).distinct()
-      h1.union(h2).distinct().join(broadcast(adult), Seq("n"))
-        .groupBy("seed").agg(count(lit(1)).as("nbr_count"))
+      val fr = new Frontier(e)
+      if (fr.enabled) {
+        val h1 = fr.encode(e.select(col("src").as("seed"), col("dst").as("n")), "n")
+        val h2 = fr.hop(h1, fr.adjacency(e))
+        // filter-then-distinct ≡ distinct-then-filter: the adult
+        // restriction intersects each seed's member SET, so the bitmap
+        // count over the (possibly h1∩h2-duplicated) filtered rows is exact
+        fr.distinctCount(h1.union(h2).join(broadcast(fr.encode(adult, "n")), Seq("n")),
+          "nbr_count")
+      } else {
+        val h1 = e.select(col("src").as("seed"), col("dst").as("n")) // distinct by construction (eventEdges dedups)
+        val h2 = h1.join(e.withColumnRenamed("src", "n"), Seq("n"))
+          .select(col("seed"), col("dst").as("n")).distinct()
+        h1.union(h2).distinct().join(broadcast(adult), Seq("n"))
+          .groupBy("seed").agg(count(lit(1)).as("nbr_count"))
+      }
     },
       Some(s"""WITH $edgesSql,
               |h1 AS (SELECT DISTINCT src AS seed, dst AS n FROM edges),
@@ -881,13 +941,22 @@ object Queries {
     // ~1e9 intermediate rows for a class the baseline measures per-seed.
     Spec("graph_expand4", (s, d) => {
       val e = eventEdges(T(s, d, "events")).ckpt()
-      def hop(fr: DataFrame): DataFrame =
-        fr.join(e.withColumnRenamed("src", "n"), Seq("n"))
-          .select(col("seed"), col("dst").as("n")).distinct()
-      val h1 = e.filter(col("src") % 16 === 0)
-        .select(col("src").as("seed"), col("dst").as("n")) // distinct by construction
-      val h4 = hop(hop(hop(h1)))
-      h4.groupBy("seed").agg(count(lit(1)).as("n4_count"))
+      val fr = new Frontier(e)
+      if (fr.enabled) {
+        val adj = fr.adjacency(e).ckpt() // three hop consumers
+        val h1 = fr.encode(e.filter(col("src") % 16 === 0)
+          .select(col("src").as("seed"), col("dst").as("n")), "n")
+        val h3 = fr.hop(fr.hop(h1, adj), adj)
+        fr.hopCount(h3, adj, "n4_count")
+      } else {
+        def hop(f: DataFrame): DataFrame =
+          f.join(e.withColumnRenamed("src", "n"), Seq("n"))
+            .select(col("seed"), col("dst").as("n")).distinct()
+        val h1 = e.filter(col("src") % 16 === 0)
+          .select(col("src").as("seed"), col("dst").as("n")) // distinct by construction
+        val h4 = hop(hop(hop(h1)))
+        h4.groupBy("seed").agg(count(lit(1)).as("n4_count"))
+      }
     },
       Some(s"""WITH $edgesSql,
               |h1 AS (SELECT DISTINCT src AS seed, dst AS n FROM edges WHERE src % 16 = 0),
@@ -903,15 +972,25 @@ object Queries {
     // seed-restricted like graph_expand4 (the baseline class is per-seed)
     Spec("graph_pattern_long", (s, d) => {
       val e = eventEdges(T(s, d, "events")).ckpt()
-      def hop(fr: DataFrame): DataFrame =
-        fr.join(e.withColumnRenamed("src", "n"), Seq("n"))
-          .select(col("seed"), col("dst").as("n")).distinct()
-      val h1 = e.filter(col("src") % 16 === 0)
-        .select(col("src").as("seed"), col("dst").as("n")) // distinct by construction
-      val h3 = hop(hop(h1)).withColumnRenamed("n", "n4")
-      h3.join(e.select(col("dst").as("n4"), col("src").as("witness")), Seq("n4"))
-        .select(col("seed"), col("witness")).distinct()
-        .groupBy("seed").agg(count(lit(1)).as("witness_count"))
+      val fr = new Frontier(e)
+      if (fr.enabled) {
+        val adj = fr.adjacency(e).ckpt() // two forward-hop consumers
+        val h1 = fr.encode(e.filter(col("src") % 16 === 0)
+          .select(col("src").as("seed"), col("dst").as("n")), "n")
+        val h3 = fr.hop(fr.hop(h1, adj), adj)
+        // reverse probe: distinct witnesses = union of PREDECESSOR lists
+        fr.hopCount(h3, fr.adjacency(e, reverse = true), "witness_count")
+      } else {
+        def hop(f: DataFrame): DataFrame =
+          f.join(e.withColumnRenamed("src", "n"), Seq("n"))
+            .select(col("seed"), col("dst").as("n")).distinct()
+        val h1 = e.filter(col("src") % 16 === 0)
+          .select(col("src").as("seed"), col("dst").as("n")) // distinct by construction
+        val h3 = hop(hop(h1)).withColumnRenamed("n", "n4")
+        h3.join(e.select(col("dst").as("n4"), col("src").as("witness")), Seq("n4"))
+          .select(col("seed"), col("witness")).distinct()
+          .groupBy("seed").agg(count(lit(1)).as("witness_count"))
+      }
     },
       Some(s"""WITH $edgesSql,
               |h1 AS (SELECT DISTINCT src AS seed, dst AS n FROM edges WHERE src % 16 = 0),

@@ -852,20 +852,40 @@ object Graphs {
     */
   def clusteringCoefficients(edges: DataFrame): DataFrame = {
     val und = undirected(edges).ckpt()
-    // canonical edges a<b for triangle enumeration
-    val canon = und.filter(col("src") < col("dst"))
-      .select(col("src").as("a"), col("dst").as("b"))
-    val ab = canon
-    val bc = canon.select(col("a").as("b2"), col("b").as("c"))
-    val tri = ab.join(bc, col("b") === col("b2"))
-      .select(col("a"), col("b"), col("c"))
-      .join(canon.select(col("a").as("ta"), col("b").as("tc")),
-        col("a") === col("ta") && col("c") === col("tc"), "left_semi")
-    // each triangle (a<b<c) counted once; credit all three corners
-    val perNode = tri.select(col("a").as("node"))
-      .union(tri.select(col("b").as("node")))
-      .union(tri.select(col("c").as("node")))
-      .groupBy("node").agg(count(lit(1)).as("triangles"))
+    // Per-edge common-neighbour intersection instead of the wedge
+    // self-join: the 2-path join emits Σ deg² rows (measured 82 M at
+    // sf1; a single million-degree hub alone would emit 10¹² — the
+    // shape dies exactly where real graphs are skewed) and pays a
+    // shuffled semi-join probe per row. Here each canonical edge joins
+    // the two endpoints' adjacency LISTS (broadcast/sort-merge of the
+    // adjacency relation, Σ deg = 2m ids — never more than the edge
+    // relation itself) and counts the intersection in one codegen'd
+    // projection; rows and bytes stay per-EDGE, bounded by max-degree,
+    // and nothing path-shaped is ever shuffled. c(u,v) = |adj(u) ∩
+    // adj(v)| counts exactly the triangles through edge (u,v); each
+    // triangle contributes to two of a node's incident edges → /2.
+    val adjBase = und.groupBy(col("src").as("node"))
+      .agg(sort_array(collect_list(col("dst"))).as("__nbrs"))
+    // broadcast the adjacency when the edge relation is small (job-free
+    // estimate from the ckpt's persisted blocks): WITHOUT the hint the
+    // second join re-shuffles rows already carrying the first join's
+    // arrays (measured 442 MiB shuffle at sf1, slower than the wedge
+    // join it replaced). Above the gate the plain join keeps the same
+    // per-edge shape — volume then matches the wedge join's Σdeg² at
+    // half the bytes and none of its probe CPU.
+    val adj =
+      if (Parallelism.persistedInputBytes(und).exists(_ <= 256L * 1024 * 1024))
+        broadcast(adjBase)
+      else adjBase
+    val perEdge = und.filter(col("src") < col("dst"))
+      .join(adj.select(col("node").as("src"), col("__nbrs").as("__na")), Seq("src"))
+      .join(adj.select(col("node").as("dst"), col("__nbrs").as("__nb")), Seq("dst"))
+      .select(col("src"), col("dst"),
+        graft.functions.SortedIntersect.count(col("__na"), col("__nb")).as("__c"))
+    val perNode = perEdge.select(col("src").as("node"), col("__c"))
+      .union(perEdge.select(col("dst").as("node"), col("__c")))
+      .groupBy("node").agg((sum(col("__c")) / 2).cast("long").as("triangles"))
+      .filter(col("triangles") > 0)
     val deg = und.groupBy(col("src").as("node")).agg(count(lit(1)).as("degree"))
     deg.join(perNode, Seq("node"), "left")
       .select(col("node"), col("degree"),

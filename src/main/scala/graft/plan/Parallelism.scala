@@ -131,6 +131,13 @@ object Parallelism {
     math.max(perLeaf.sum, 1L)
   }
 
+  /** Job-free input-byte estimate of a frame whose leaves are file
+    * scans, checkpointed frames, or literals — None when any leaf is
+    * unsizable. Public for operators that gate a broadcast decision on
+    * input size without spending a count job (e.g. the adjacency
+    * broadcast in [[graft.graphs.Graphs.clusteringCoefficients]]). */
+  def persistedInputBytes(df: DataFrame): Option[Long] = estimatedBytes(df)
+
   /** Job-free byte estimate for light-width sizing: file sources sum
     * their listed file lengths (compressed — a LOW estimate, which for
     * light work only errs toward fewer, larger splits); checkpointed

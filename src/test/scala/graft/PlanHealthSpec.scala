@@ -64,11 +64,10 @@ class PlanHealthSpec extends AnyFunSuite with PredicateHelper {
     }
 
   /** Queries whose ckpt-downstream non-equi join is legitimately
-    * unhinted: the shape is argued Θ(n²) by problem statement. */
-  private val ckptNonEquiAllowed: Map[String, String] = Map(
-    "dedup_embed" -> ("the low-threshold exact regime IS the blocked " +
-      "all-pairs scan (see cartesianAllowed) — a broadcast hint would " +
-      "be wrong for two genuinely large sides"))
+    * unhinted: the shape is argued Θ(n²) by problem statement.
+    * (dedup_embed left this list in r11: its exact regime now runs the
+    * mapPartitions kernel over a broadcast matrix — no join at all.) */
+  private val ckptNonEquiAllowed: Map[String, String] = Map.empty[String, String]
 
   /** Queries whose plan legitimately contains BroadcastNestedLoopJoin:
     * every instance is a join against an explicitly broadcast SMALL
@@ -86,8 +85,6 @@ class PlanHealthSpec extends AnyFunSuite with PredicateHelper {
       "100-probe set; the PROBE path walks persisted partition-local graphs " +
       "(IndexesSpec asserts that plan is crossJoin/BNLJ-free)"),
     "dedup_simhash" -> "sample-vs-banded referee: 1K-doc sample broadcast for exact hamming",
-    "dedup_embed" -> ("the low-threshold exact regime's blocked pair scan: at test SF " +
-      "one side fits the broadcast threshold so Spark picks BNLJ over the cartesian"),
     "dedup_semantic" -> "Lloyd assignment: centroid table (k<=256) broadcast",
     "decontam_embed" -> "benchmark-sized eval embedding set explicitly broadcast against the train scan",
     "mm_features_knn" -> "probe features (15 rows) broadcast against extracted features",

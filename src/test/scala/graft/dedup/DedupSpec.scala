@@ -126,6 +126,34 @@ class DedupSpec extends AnyFunSuite {
       "low-threshold call still built hyperplane buckets")
   }
 
+  test("blocked kernel ≡ crossJoin shape (int ids force the relational fallback)") {
+    import spark.implicits._
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val kernel = pairs(Dedup.embeddingNearDup(emb, "vec_id", "embedding",
+      threshold = 0.4, planes = 0))
+    // non-long ids are not kernelable → the crossJoin shape runs; the
+    // same pair set (ids re-widened) proves the kernel's mirror equality
+    val embInt = emb.withColumn("vec_id", col("vec_id").cast("int"))
+    val cross = Dedup.embeddingNearDup(embInt, "vec_id", "embedding",
+      threshold = 0.4, planes = 0)
+      .collect().map(r => (r.getInt(0).toLong, r.getInt(1).toLong,
+        math.rint(r.getDouble(2) * 1e6) / 1e6)).toSet
+    assert(kernel == cross)
+    assert(kernel.nonEmpty)
+  }
+
+  test("blocked kernel: zero-norm vectors score 0.0 and pass a threshold <= 0, like the expression") {
+    import spark.implicits._
+    val emb = Seq(
+      (1L, Array(0f, 0f, 0f)),
+      (2L, Array(1f, 0f, 0f)),
+      (3L, Array(0f, 1f, 0f))).toDF("vec_id", "embedding")
+    val got = pairs(Dedup.embeddingNearDup(emb, "vec_id", "embedding",
+      threshold = 0.0, planes = 0))
+    // every ordered pair has cosine 0.0 here → all pass at threshold 0
+    assert(got == Set((1L, 2L, 0.0), (1L, 3L, 0.0), (2L, 3L, 0.0)))
+  }
+
   test("embeddingNearDup discriminative-LSH regime equals brute force on planted twins") {
     import spark.implicits._
     val r = new scala.util.Random(5)

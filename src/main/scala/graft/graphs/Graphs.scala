@@ -333,14 +333,61 @@ object Graphs {
     * hop count from each start node, frontier-expanded, bounded by
     * `maxHops`. Returns (start, node, depth).
     */
-  def bfs(edges: DataFrame, starts: DataFrame, maxHops: Int): DataFrame = {
-    val e = edges.select("src", "dst").distinct()
-    val base = starts.select(col("start"), col("start").as("node"), lit(0).as("depth"))
-    Fixpoint.meetMin(base,
-      delta => delta.filter(col("depth") < maxHops)
-        .join(e, delta("node") === e("src"))
-        .select(col("start"), col("dst").as("node"), (col("depth") + 1).as("depth")),
-      Seq("start", "node"), "depth", maxIter = maxHops + 1)
+  def bfs(edges: DataFrame, starts: DataFrame, maxHops: Int): DataFrame =
+    bfsLevels(edges, starts, maxHops).getOrElse {
+      val e = edges.select("src", "dst").distinct()
+      val base = starts.select(col("start"), col("start").as("node"), lit(0).as("depth"))
+      Fixpoint.meetMin(base,
+        delta => delta.filter(col("depth") < maxHops)
+          .join(e, delta("node") === e("src"))
+          .select(col("start"), col("dst").as("node"), (col("depth") + 1).as("depth")),
+        Seq("start", "node"), "depth", maxIter = maxHops + 1)
+    }
+
+  /** Level-synchronous multi-source BFS over the bitmap frontier —
+    * min-hop depths identical to the meetMin relaxation (unit weights:
+    * the level a node is FIRST reached at IS its minimum hop count),
+    * without the per-PATH delta join (meetMin's delta emits one row per
+    * (source, path-to-node); dense multi-source BFS at sf1 moved 380 M
+    * rows per round — the Frontier hop moves one row per frontier
+    * MEMBER plus one compact bitmap per (source, mapper)). Per level:
+    * one bitmap hop + one anti-join against the visited pair set +
+    * an eager ckpt (the loop is driver-driven, bounded by maxHops).
+    * None when the node dictionary exceeds [[Frontier.maxNodes]] —
+    * callers keep the semi-naive shape as the open-world fallback.
+    * Returns (start, node, depth:int) with the (start,start,0) base
+    * rows, exactly the meetMin result set.
+    */
+  private def bfsLevels(edges: DataFrame, starts: DataFrame,
+                        maxHops: Int): Option[DataFrame] = {
+    val e = edges.select("src", "dst").distinct().ckpt()
+    val fr = new Frontier(e)
+    if (!fr.enabled) return None
+    val adj = fr.adjacency(e).ckpt()
+    val st = starts.select(col("start")).distinct().ckpt()
+    val base = st.select(col("start"), col("start").as("node"), lit(0).as("depth"))
+    var frontier = fr.encode(st.select(col("start"), col("start").as("n")), "n")
+    var visited = frontier.ckpt()
+    frontier = visited
+    val levels = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var depth = 0
+    var growing = true
+    while (depth < maxHops && growing) {
+      val nf = fr.hop(frontier, adj, seedCol = "start")
+        .join(visited, Seq("start", "n"), "left_anti").ckpt()
+      if (nf.isEmpty) growing = false
+      else {
+        depth += 1
+        levels += nf.withColumn("depth", lit(depth))
+        visited = visited.union(nf).ckpt()
+        frontier = nf
+      }
+    }
+    val reached =
+      if (levels.isEmpty) base.limit(0)
+      else fr.decode(levels.reduce(_ unionByName _), "n")
+        .select(col("start"), col("n").as("node"), col("depth"))
+    Some(base.unionByName(reached))
   }
 
   /** K-hop reachability (pokec "expansion" benchmarks; recursion of
@@ -364,6 +411,13 @@ object Graphs {
     * partitions. Unweighted edges get weight 1. Returns (start, node, cost).
     */
   def shortestPaths(edges: DataFrame, starts: DataFrame, maxIter: Int = 30): DataFrame = {
+    // unit weights: min cost ≡ min hops — take the level-synchronous
+    // bitmap BFS when the dictionary fits (see bfsLevels)
+    if (!edges.columns.contains("weight")) {
+      bfsLevels(edges, starts, maxIter).foreach { lv =>
+        return lv.select(col("start"), col("node"), col("depth").cast("double").as("cost"))
+      }
+    }
     val e = (if (edges.columns.contains("weight")) edges.select(col("src"), col("dst"), col("weight"))
              else edges.select(col("src"), col("dst"), lit(1.0).as("weight"))).distinct()
     val base = starts.select(col("start"), col("start").as("node"), lit(0.0).as("cost"))
@@ -1145,8 +1199,15 @@ object Graphs {
       .limit(math.min(maxEdges, Int.MaxValue).toInt)
       .as[(Long, Long, Double)].collect()
     val adj = es.groupBy(_._1).map { case (s, arr) => s -> arr.map(t => (t._2, t._3)) }.toMap
-    val out = queries.flatMap { case (start, goal) =>
-      astarOne(adj, start, goal, heuristic).map { case (cost, path) => (start, goal, cost, path) }
+    // independent per-pair searches fan out over executors against the
+    // broadcast adjacency (the heuristic is goal-specific, so pairs —
+    // not starts — are the unit); results identical to the sequential
+    // loop, per-pair determinism unchanged
+    val sc = spark.sparkContext
+    val bc = sc.broadcast(adj)
+    val width = math.max(1, math.min(queries.length, sc.defaultParallelism * 2))
+    val out = sc.parallelize(queries.toIndexedSeq, width).flatMap { case (start, goal) =>
+      astarOne(bc.value, start, goal, heuristic).map { case (cost, path) => (start, goal, cost, path) }
     }
     out.toDF("start", "goal", "cost", "path")
   }
@@ -1192,10 +1253,60 @@ object Graphs {
     val adj = collectAdj(edges, maxEdges)
     val ss = starts.select(starts.columns.head).collect().map(_.get(0).toString)
     val gs = goals.select(goals.columns.head).collect().map(_.get(0).toString)
-    val out = for { s <- ss.toSeq; g <- gs.toSeq
-                    r <- astarOneS(adj, s, g, (_, _) => 0.0) }
-      yield (s, g, r._1, r._2)
+    // One single-source run per START, not one goal-terminated run per
+    // (start, goal) PAIR: with h = 0 the pair run's pop sequence is a
+    // prefix of the single-source run's, and dist/prev entries on a
+    // goal's shortest path are frozen by the time the goal pops
+    // (non-negative weights — no post-pop strict improvement), so
+    // reading each goal off the full run returns the IDENTICAL
+    // (cost, path). Starts fan out over executors against the broadcast
+    // adjacency — the per-source searches are independent, and the
+    // collected graph is bounded by maxEdges exactly like the
+    // reference's driver walk. Measured at sf1 (600 starts × 600
+    // goals): 473 s driver-sequential pair loop → the per-start
+    // distributed sweep (360 000 pair answers unchanged).
+    val bc = spark.sparkContext.broadcast((adj, gs))
+    val width = math.max(1, math.min(ss.length,
+      spark.sparkContext.defaultParallelism * 2))
+    val out = spark.sparkContext.parallelize(ss.toIndexedSeq, width).flatMap { s =>
+      val (adjB, goalsB) = bc.value
+      val (dist, prev) = dijkstraFrom(adjB, s)
+      goalsB.iterator.flatMap { g =>
+        dist.get(g).map { d =>
+          var path = List(g); var cur = g
+          while (cur != s) { cur = prev(cur); path = cur :: path }
+          (s, g, d, path: Seq[String])
+        }
+      }
+    }
     out.toDF("src", "dst", "cost", "path")
+  }
+
+  /** Full single-source Dijkstra with [[astarOneS]]'s exact relaxation
+    * and tie-break (h = 0): strict-improvement prev updates, (cost,
+    * tiebreak) heap. Returns the final dist/prev maps. */
+  private def dijkstraFrom(adj: Map[String, Array[(String, Double)]], start: String)
+      : (scala.collection.mutable.HashMap[String, Double],
+         scala.collection.mutable.HashMap[String, String]) = {
+    val dist = scala.collection.mutable.HashMap.empty[String, Double]
+    val prev = scala.collection.mutable.HashMap.empty[String, String]
+    val pq = scala.collection.mutable.PriorityQueue.empty[(Double, Double, String)](
+      Ordering.by[(Double, Double, String), Double](_._1).reverse)
+    dist(start) = 0.0
+    pq.enqueue((0.0, 0.0, start))
+    while (pq.nonEmpty) {
+      val (_, d, v) = pq.dequeue()
+      if (d <= dist.getOrElse(v, Double.MaxValue)) {
+        adj.getOrElse(v, Array.empty[(String, Double)]).foreach { case (u, wu) =>
+          val nd = d + wu
+          if (nd < dist.getOrElse(u, Double.MaxValue)) {
+            dist(u) = nd; prev(u) = v
+            pq.enqueue((nd, nd, u))
+          }
+        }
+      }
+    }
+    (dist, prev)
   }
 
   /** KShortestPathYen in the reference's fixed-rule shape:

@@ -741,9 +741,9 @@ object Queries {
     Spec("graph_expand2", (s, d) => {
       val e = eventEdges(T(s, d, "events")).ckpt()
       val fr = new Frontier(e)
-      if (fr.enabled) {
+      if (fr.enabled) fr.scoped {
         val h1 = fr.encode(e.select(col("src").as("seed"), col("dst").as("n")), "n")
-        fr.hopCount(h1, fr.adjacency(e), "n2_count")
+        fr.hopCount(h1, fr.adjacency(e), "n2_count").ckpt()
       } else {
         val h1 = e.select(col("src").as("seed"), col("dst").as("n")) // distinct by construction (eventEdges dedups)
         val h2 = h1.join(e.withColumnRenamed("src", "n"), Seq("n"))
@@ -769,9 +769,13 @@ object Queries {
       val e = eventEdges(T(s, d, "events")).ckpt()
       // broadcast when the edge relation is small (job-free ckpt-block
       // estimate) — else the second join re-shuffles array-carrying
-      // rows (see clusteringCoefficients)
+      // rows (see clusteringCoefficients). Gate at
+      // Graphs.adjBroadcastBytes: TWO distinct adjacencies (out + in)
+      // broadcast in this plan, and each inflates several× past the
+      // persisted row bytes when grouped into arrays (r11 advice).
       val hint: DataFrame => DataFrame =
-        if (graft.plan.Parallelism.persistedInputBytes(e).exists(_ <= 256L * 1024 * 1024))
+        if (graft.plan.Parallelism.persistedInputBytes(e)
+              .exists(_ <= Graphs.adjBroadcastBytes / 2))
           broadcast
         else identity
       val out = hint(e.groupBy(col("src").as("b"))
@@ -812,10 +816,10 @@ object Queries {
       val e = eventEdges(T(s, d, "events")).ckpt()
       val ef = e.filter(col("dst") % 2 === 0)
       val fr = new Frontier(e)
-      if (fr.enabled) {
+      if (fr.enabled) fr.scoped {
         val h1 = fr.encode(ef.select(col("src").as("seed"), col("dst").as("n")), "n")
         val h2 = fr.hop(h1, fr.adjacency(ef))
-        fr.hopCount(h2, fr.adjacency(e), "n3_count")
+        fr.hopCount(h2, fr.adjacency(e), "n3_count").ckpt()
       } else {
         val h1 = ef.select(col("src").as("seed"), col("dst").as("n")) // distinct by construction (eventEdges dedups)
         val h2 = h1.join(ef.withColumnRenamed("src", "n"), Seq("n"))
@@ -840,10 +844,10 @@ object Queries {
     Spec("graph_neighbours2", (s, d) => {
       val e = eventEdges(T(s, d, "events")).ckpt()
       val fr = new Frontier(e)
-      if (fr.enabled) {
+      if (fr.enabled) fr.scoped {
         val h1 = fr.encode(e.select(col("src").as("seed"), col("dst").as("n")), "n")
         val h2 = fr.hop(h1, fr.adjacency(e))
-        fr.distinctCount(h1.union(h2), "nbr_count")
+        fr.distinctCount(h1.union(h2), "nbr_count").ckpt()
       } else {
         val h1 = e.select(col("src").as("seed"), col("dst").as("n")) // distinct by construction (eventEdges dedups)
         val h2 = h1.join(e.withColumnRenamed("src", "n"), Seq("n"))
@@ -866,10 +870,10 @@ object Queries {
       val cust = T(s, d, "customer")
         .select(col("c_custkey").as("n"), col("c_acctbal"), col("c_mktsegment"))
       val fr = new Frontier(e)
-      val nbrRows = if (fr.enabled) {
+      val nbrRows = if (fr.enabled) fr.scoped {
         val h1 = fr.encode(e.select(col("src").as("seed"), col("dst").as("n")), "n")
         val h2 = fr.hop(h1, fr.adjacency(e))
-        fr.decode(fr.distinctMembers(h1.union(h2)), "n")
+        fr.decode(fr.distinctMembers(h1.union(h2)), "n").ckpt()
       } else {
         val h1 = e.select(col("src").as("seed"), col("dst").as("n")) // distinct by construction (eventEdges dedups)
         val h2 = h1.join(e.withColumnRenamed("src", "n"), Seq("n"))
@@ -906,14 +910,14 @@ object Queries {
       val adult = T(s, d, "customer").filter(col("c_acctbal") >= 1000)
         .select(col("c_custkey").as("n"))
       val fr = new Frontier(e)
-      if (fr.enabled) {
+      if (fr.enabled) fr.scoped {
         val h1 = fr.encode(e.select(col("src").as("seed"), col("dst").as("n")), "n")
         val h2 = fr.hop(h1, fr.adjacency(e))
         // filter-then-distinct ≡ distinct-then-filter: the adult
         // restriction intersects each seed's member SET, so the bitmap
         // count over the (possibly h1∩h2-duplicated) filtered rows is exact
         fr.distinctCount(h1.union(h2).join(broadcast(fr.encode(adult, "n")), Seq("n")),
-          "nbr_count")
+          "nbr_count").ckpt()
       } else {
         val h1 = e.select(col("src").as("seed"), col("dst").as("n")) // distinct by construction (eventEdges dedups)
         val h2 = h1.join(e.withColumnRenamed("src", "n"), Seq("n"))
@@ -942,12 +946,12 @@ object Queries {
     Spec("graph_expand4", (s, d) => {
       val e = eventEdges(T(s, d, "events")).ckpt()
       val fr = new Frontier(e)
-      if (fr.enabled) {
+      if (fr.enabled) fr.scoped {
         val adj = fr.adjacency(e).ckpt() // three hop consumers
         val h1 = fr.encode(e.filter(col("src") % 16 === 0)
           .select(col("src").as("seed"), col("dst").as("n")), "n")
         val h3 = fr.hop(fr.hop(h1, adj), adj)
-        fr.hopCount(h3, adj, "n4_count")
+        fr.hopCount(h3, adj, "n4_count").ckpt()
       } else {
         def hop(f: DataFrame): DataFrame =
           f.join(e.withColumnRenamed("src", "n"), Seq("n"))
@@ -973,13 +977,13 @@ object Queries {
     Spec("graph_pattern_long", (s, d) => {
       val e = eventEdges(T(s, d, "events")).ckpt()
       val fr = new Frontier(e)
-      if (fr.enabled) {
+      if (fr.enabled) fr.scoped {
         val adj = fr.adjacency(e).ckpt() // two forward-hop consumers
         val h1 = fr.encode(e.filter(col("src") % 16 === 0)
           .select(col("src").as("seed"), col("dst").as("n")), "n")
         val h3 = fr.hop(fr.hop(h1, adj), adj)
         // reverse probe: distinct witnesses = union of PREDECESSOR lists
-        fr.hopCount(h3, fr.adjacency(e, reverse = true), "witness_count")
+        fr.hopCount(h3, fr.adjacency(e, reverse = true), "witness_count").ckpt()
       } else {
         def hop(f: DataFrame): DataFrame =
           f.join(e.withColumnRenamed("src", "n"), Seq("n"))

@@ -590,9 +590,7 @@ object Dedup {
       return blockedPairScan(base, threshold)
     val pairs =
       if (randomCollisionFrac > 0.05) {
-        base.select(col("id").as("id_a"), col("vec").as("vec_a"))
-          .crossJoin(base.select(col("id").as("id_b"), col("vec").as("vec_b")))
-          .filter(col("id_a") < col("id_b"))
+        return exactPairCross(base, threshold)
       } else {
         // bucket self-join over (id, table, bucket) ONLY: the embedding
         // (512 B-4 KB at production dims) must not ride the exploded
@@ -611,6 +609,32 @@ object Dedup {
       .select("id_a", "id_b", "cosine")
   }
 
+  /** The distributed exact-pair shape: all-pairs crossJoin + codegen'd
+    * cosine filter. The fallback plan wherever [[blockedPairScan]]'s
+    * preconditions fail — above the driver-size gate, or on ragged /
+    * null vectors (CosineSimilarity truncates to the pairwise min
+    * length and nulls propagate; the kernel assumes a uniform matrix).
+    */
+  private def exactPairCross(base: DataFrame, threshold: Double): DataFrame =
+    base.select(col("id").as("id_a"), col("vec").as("vec_a"))
+      .crossJoin(base.select(col("id").as("id_b"), col("vec").as("vec_b")))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", VF.cosineSimilarity(col("vec_a"), col("vec_b")))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+
+  /** Driver-size gate for [[blockedPairScan]]'s matrix collect: a
+    * MEASURED bound, not the regime docstring (r11 advice — a caller
+    * can hand a huge corpus with planes <= 0 and must get the
+    * distributed crossJoin, not a driver OOM). 256 MiB of estimated
+    * input ≈ a 1 M × 64 f corpus; the kernel's Θ(n²·d) work is far past
+    * its own usefulness there anyway. */
+  private val maxKernelBytes = 256L * 1024 * 1024
+  /** Row-count fallback gate when input bytes can't be estimated
+    * job-free (ADVICE's "a few hundred K"): one capped count job,
+    * negligible against the Θ(n²) work either branch then does. */
+  private val maxKernelRows = 300000L
+
   /** The Θ(n²·d) exact pair scan in its cheapest physical shape: the
     * corpus broadcasts as ONE primitive float matrix (+ per-row norms),
     * and a `mapPartitions` kernel streams each row against every
@@ -620,17 +644,31 @@ object Dedup {
     * FLOPs, was the cost (measured at sf1, 20 K × 64 f: 41 s crossJoin
     * → 3-5 s kernel for the same 25.6 G multiplies). RDD-imperative by
     * design: a dense numeric inner loop is the sanctioned mapPartitions
-    * case. The broadcast is bounded by the regime itself — Θ(n²) pair
-    * mining is only ever run when n is modest (n·d floats ≪ the n²/2
-    * candidate volume any relational shape would shuffle).
+    * case. Returns [[exactPairCross]] instead when the measured size
+    * gate rejects the collect or the collected vectors are ragged/null.
     */
-  private def blockedPairScan(base: DataFrame, threshold: Double): DataFrame = {
-    val spark = base.sparkSession
+  private def blockedPairScan(base0: DataFrame, threshold: Double): DataFrame = {
+    val spark = base0.sparkSession
     import spark.implicits._
-    val rows = base.select(col("id").cast("long"), col("vec"))
-      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    val withinGate = Parallelism.persistedInputBytes(base0) match {
+      case Some(b) => b <= maxKernelBytes
+      case None => base0.limit((maxKernelRows + 1).toInt).count() <= maxKernelRows
+    }
+    if (!withinGate) return exactPairCross(base0, threshold)
+    // ckpt pins ONE snapshot feeding both the matrix collect and the
+    // distributed scan below — a non-deterministic upstream can no
+    // longer yield scan rows that disagree with the broadcast (missed /
+    // phantom pairs; r11 advice)
+    val base = base0.select(col("id").cast("long").as("id"), col("vec")).ckpt()
+    val rows = base.as[(Long, Array[Float])].collect().sortBy(_._1)
     val n = rows.length
-    val d = if (n == 0) 0 else rows(0)._2.length
+    val d = if (n == 0) 0 else Option(rows(0)._2).map(_.length).getOrElse(0)
+    // uniform-length check during the collect (r11 advice): a shorter
+    // vector would crash System.arraycopy, a longer one silently
+    // truncate — where CosineSimilarity's min-length semantics handled
+    // both. Ragged/null input takes the expression shape instead.
+    if (rows.exists(r => r._2 == null || r._2.length != d))
+      return exactPairCross(base, threshold)
     val ids = rows.map(_._1)
     val mat = new Array[Float](n * d)
     val norms = new Array[Double](n)
@@ -644,8 +682,7 @@ object Dedup {
       i += 1
     }
     val bc = spark.sparkContext.broadcast((ids, mat, norms, d))
-    val wide = graft.plan.Parallelism.ensureIngestParallelism(
-      base.select(col("id").cast("long").as("id"), col("vec")))
+    val wide = Parallelism.ensureIngestParallelism(base)
     wide.as[(Long, Array[Float])].mapPartitions { it =>
       val (ids, mat, norms, d) = bc.value
       val n = ids.length

@@ -61,13 +61,37 @@ class Frontier(edges: DataFrame, maxNodes: Long = Frontier.maxNodes) {
   // in-memory groups by default — sized for arbitrary typed buffers,
   // far too conservative for fixed-width bitmaps (the fallback stays
   // CORRECT, it just sorts the hop join's output first). Cap in-memory
-  // groups so open buffers stay under ~256 MiB per task: a pure
-  // latency/memory trade, scoped to sessions that run a Frontier.
-  if (enabled && size > 0) {
+  // groups so open buffers stay under ~256 MiB per task. The raised cap
+  // is QUERY-scoped, not session-scoped (r11 verdict #4): `scoped`
+  // saves the session's prior value and restores it after the body, so
+  // a later unrelated ObjectHashAggregate — collect_list with fat
+  // buffers in some other query — sees the 128-group default again.
+  private val fallbackCap: Long = {
     val perGroup = math.max(1L, size / 8)
-    val cap = math.min(1L << 20, math.max(128L, (256L << 20) / perGroup))
-    edges.sparkSession.conf
-      .set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", cap.toString)
+    math.min(1L << 20, math.max(128L, (256L << 20) / perGroup))
+  }
+
+  /** Run `body` with the ObjectHashAggregate in-memory-group cap raised
+    * for this dictionary's bitmap width; the session's prior value is
+    * restored on exit (exceptions included). The threshold is read at
+    * ACTION time, so `body` must MATERIALIZE (ckpt) every frame whose
+    * plan carries a bitmap/collect aggregation — a frame returned lazily
+    * executes after the restore and falls back to the 128-group default
+    * (still correct, just sort-first). No-op when the bitmap path is
+    * disabled. */
+  def scoped[T](body: => T): T = {
+    if (!enabled || size == 0) body
+    else {
+      val key = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+      val conf = edges.sparkSession.conf
+      val prior = conf.getOption(key)
+      conf.set(key, fallbackCap.toString)
+      try body
+      finally prior match {
+        case Some(v) => conf.set(key, v)
+        case None => conf.unset(key)
+      }
+    }
   }
 
   /** Replace `nodeCol`'s values with their dictionary ints (inner join:

@@ -24,6 +24,14 @@ import org.apache.spark.sql.functions._
   */
 object Graphs {
 
+  /** Broadcast gate for grouped-adjacency relations, in PERSISTED edge
+    * bytes (compressed, row-shaped). The built broadcast is the grouped
+    * adjacency with deserialized array buffers — typically several times
+    * larger than the persisted estimate — so the gate budgets that
+    * expansion: 64 MiB persisted ≈ low hundreds of MiB on the driver
+    * and per executor (r11 advice; was 256 MiB with no allowance). */
+  val adjBroadcastBytes: Long = 64L * 1024 * 1024
+
   /** src/dst pairs, both directions, deduped, self-loops dropped. */
   def undirected(edges: DataFrame): DataFrame =
     edges.select("src", "dst")
@@ -363,24 +371,29 @@ object Graphs {
     val e = edges.select("src", "dst").distinct().ckpt()
     val fr = new Frontier(e)
     if (!fr.enabled) return None
-    val adj = fr.adjacency(e).ckpt()
+    // every bitmap hop materializes (ckpt) inside the loop, so the whole
+    // level sweep sits in one `scoped` block — the raised aggregation
+    // cap never outlives this call (r11 verdict #4)
+    val levels = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     val st = starts.select(col("start")).distinct().ckpt()
     val base = st.select(col("start"), col("start").as("node"), lit(0).as("depth"))
-    var frontier = fr.encode(st.select(col("start"), col("start").as("n")), "n")
-    var visited = frontier.ckpt()
-    frontier = visited
-    val levels = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-    var depth = 0
-    var growing = true
-    while (depth < maxHops && growing) {
-      val nf = fr.hop(frontier, adj, seedCol = "start")
-        .join(visited, Seq("start", "n"), "left_anti").ckpt()
-      if (nf.isEmpty) growing = false
-      else {
-        depth += 1
-        levels += nf.withColumn("depth", lit(depth))
-        visited = visited.union(nf).ckpt()
-        frontier = nf
+    fr.scoped {
+      val adj = fr.adjacency(e).ckpt()
+      var frontier = fr.encode(st.select(col("start"), col("start").as("n")), "n")
+      var visited = frontier.ckpt()
+      frontier = visited
+      var depth = 0
+      var growing = true
+      while (depth < maxHops && growing) {
+        val nf = fr.hop(frontier, adj, seedCol = "start")
+          .join(visited, Seq("start", "n"), "left_anti").ckpt()
+        if (nf.isEmpty) growing = false
+        else {
+          depth += 1
+          levels += nf.withColumn("depth", lit(depth))
+          visited = visited.union(nf).ckpt()
+          frontier = nf
+        }
       }
     }
     val reached =
@@ -926,9 +939,15 @@ object Graphs {
     // arrays (measured 442 MiB shuffle at sf1, slower than the wedge
     // join it replaced). Above the gate the plain join keeps the same
     // per-edge shape — volume then matches the wedge join's Σdeg² at
-    // half the bytes and none of its probe CPU.
+    // half the bytes and none of its probe CPU. The gate compares the
+    // edge relation's COMPRESSED row bytes, but what is broadcast is the
+    // grouped adjacency with deserialized array buffers — several times
+    // larger on the driver and per executor — so the threshold carries
+    // an expansion allowance: 64 MiB persisted ≈ a few hundred MiB
+    // built (r11 advice). One broadcast serves both joins (identical
+    // exchange → ReuseExchange dedups the build).
     val adj =
-      if (Parallelism.persistedInputBytes(und).exists(_ <= 256L * 1024 * 1024))
+      if (Parallelism.persistedInputBytes(und).exists(_ <= Graphs.adjBroadcastBytes))
         broadcast(adjBase)
       else adjBase
     val perEdge = und.filter(col("src") < col("dst"))
@@ -981,10 +1000,19 @@ object Graphs {
         // min outgoing edge per component (both endpoints' views)
         val cand = labeled.select(col("ca").as("comp"), col("a"), col("b"), col("weight"), col("cb").as("other"))
           .union(labeled.select(col("cb").as("comp"), col("a"), col("b"), col("weight"), col("ca").as("other")))
-        val wnd = Window.partitionBy(col("comp"))
-          .orderBy(col("weight"), col("a"), col("b"))
-        val chosen = cand.withColumn("__rn", row_number().over(wnd)).filter(col("__rn") === 1)
-          .select(col("a"), col("b"), col("weight"), col("comp"), col("other"))
+        // min edge per component as an AGGREGATE, not a row_number
+        // window (r11 verdict #3): the window shape gets no map-side
+        // partials, so a near-single-component round funnels ~all
+        // candidate edges through one partition's sort; min_by keeps the
+        // identical deterministic tie-break — (weight, a, b) is unique
+        // per component, `es` being grouped on (a, b) — while partial
+        // aggregation reduces each map task to one row per component
+        // before the shuffle.
+        val chosen = cand.groupBy("comp")
+          .agg(min_by(struct(col("a"), col("b"), col("weight"), col("other")),
+            struct(col("weight"), col("a"), col("b"))).as("__e"))
+          .select(col("__e.a").as("a"), col("__e.b").as("b"),
+            col("__e.weight").as("weight"), col("comp"), col("__e.other").as("other"))
           .ckptLazy() // first consumer job materializes; persisted for the second
 
         val newEdges = chosen.select(col("a").as("src"), col("b").as("dst"), col("weight"))
@@ -1282,8 +1310,8 @@ object Graphs {
     out.toDF("src", "dst", "cost", "path")
   }
 
-  /** Full single-source Dijkstra with [[astarOneS]]'s exact relaxation
-    * and tie-break (h = 0): strict-improvement prev updates, (cost,
+  /** Full single-source Dijkstra with [[astarBannedS]]'s exact relaxation
+    * and tie-break (no bans): strict-improvement prev updates, (cost,
     * tiebreak) heap. Returns the final dist/prev maps. */
   private def dijkstraFrom(adj: Map[String, Array[(String, Double)]], start: String)
       : (scala.collection.mutable.HashMap[String, Double],
@@ -1310,7 +1338,12 @@ object Graphs {
   }
 
   /** KShortestPathYen in the reference's fixed-rule shape:
-    * (src, dst, rank, cost, path array<string>). */
+    * (src, dst, rank, cost, path array<string>). (start, goal) pairs are
+    * independent, so they fan out over executors against the broadcast
+    * adjacency — the aStar/dijkstraPaths pattern (r11 verdict #5; the
+    * driver-sequential double loop was the same shape that cost
+    * graph_dijkstra 473 s at sf1 before r11's fix). Per-pair results are
+    * identical to the sequential loop. */
   def yenPaths(edges: DataFrame, starts: DataFrame, goals: DataFrame, k: Int,
                maxEdges: Long = 10000000L): DataFrame = {
     val spark = edges.sparkSession
@@ -1318,9 +1351,15 @@ object Graphs {
     val adj = collectAdj(edges, maxEdges)
     val ss = starts.select(starts.columns.head).collect().map(_.get(0).toString)
     val gs = goals.select(goals.columns.head).collect().map(_.get(0).toString)
-    val out = for { s <- ss.toSeq; g <- gs.toSeq
-                    (r, i) <- yenOneS(adj, s, g, k).zipWithIndex }
-      yield (s, g, (i + 1).toLong, r._1, r._2)
+    val pairs = for { s <- ss.toIndexedSeq; g <- gs.toIndexedSeq } yield (s, g)
+    val sc = spark.sparkContext
+    val bc = sc.broadcast(adj)
+    val width = math.max(1, math.min(pairs.length, sc.defaultParallelism * 2))
+    val out = sc.parallelize(pairs, width).flatMap { case (s, g) =>
+      yenOneS(bc.value, s, g, k).zipWithIndex.map { case ((c, p), i) =>
+        (s, g, (i + 1).toLong, c, p)
+      }
+    }
     out.toDF("src", "dst", "rank", "cost", "path")
   }
 
@@ -1336,14 +1375,19 @@ object Graphs {
       .groupBy(_._1).map { case (s, arr) => s -> arr.map(t => (t._2, t._3)).sortBy(x => (x._2, x._1)) }
   }
 
-  private def astarOneS(adj: Map[String, Array[(String, Double)]], start: String, goal: String,
-                        h: (String, String) => Double): Option[(Double, Seq[String])] = {
+  /** [[astarOne]]'s string-keyed twin with h = 0 and (edge, node) bans applied during
+    * relaxation — semantically identical to running it on an adjacency
+    * with those entries removed, without materializing that copy. */
+  private def astarBannedS(adj: Map[String, Array[(String, Double)]],
+                           start: String, goal: String,
+                           banned: Set[(String, String)],
+                           bannedNodes: Set[String]): Option[(Double, Seq[String])] = {
     val dist = scala.collection.mutable.HashMap.empty[String, Double]
     val prev = scala.collection.mutable.HashMap.empty[String, String]
     val pq = scala.collection.mutable.PriorityQueue.empty[(Double, Double, String)](
       Ordering.by[(Double, Double, String), Double](_._1).reverse)
     dist(start) = 0.0
-    pq.enqueue((h(start, goal), 0.0, start))
+    pq.enqueue((0.0, 0.0, start))
     while (pq.nonEmpty) {
       val (_, d, v) = pq.dequeue()
       if (v == goal) {
@@ -1353,10 +1397,12 @@ object Graphs {
       }
       if (d <= dist.getOrElse(v, Double.MaxValue)) {
         adj.getOrElse(v, Array.empty[(String, Double)]).foreach { case (u, wu) =>
-          val nd = d + wu
-          if (nd < dist.getOrElse(u, Double.MaxValue)) {
-            dist(u) = nd; prev(u) = v
-            pq.enqueue((nd + h(u, goal), nd, u))
+          if (!banned.contains((v, u)) && !bannedNodes.contains(u)) {
+            val nd = d + wu
+            if (nd < dist.getOrElse(u, Double.MaxValue)) {
+              dist(u) = nd; prev(u) = v
+              pq.enqueue((nd, nd, u))
+            }
           }
         }
       }
@@ -1366,13 +1412,14 @@ object Graphs {
 
   private def yenOneS(adj: Map[String, Array[(String, Double)]], start: String, goal: String,
                       k: Int): Seq[(Double, Seq[String])] = {
+    // ban checks live INSIDE the relaxation (astarBannedS) — copying the
+    // whole filtered adjacency map per spur search was O(E) per spur
+    // (r11 verdict #5); skipping a banned edge at relax time visits the
+    // identical node sequence (h = 0, same heap order)
     def shortest(banned: Set[(String, String)], bannedNodes: Set[String],
-                 from: String): Option[(Double, Seq[String])] = {
-      val filtered = adj.map { case (s, arr) =>
-        s -> arr.filter { case (u, _) => !banned.contains((s, u)) && !bannedNodes.contains(u) }
-      }
-      if (bannedNodes.contains(from)) None else astarOneS(filtered, from, goal, (_, _) => 0.0)
-    }
+                 from: String): Option[(Double, Seq[String])] =
+      if (bannedNodes.contains(from)) None
+      else astarBannedS(adj, from, goal, banned, bannedNodes)
     val found = scala.collection.mutable.ArrayBuffer.empty[(Double, Seq[String])]
     val candidates = scala.collection.mutable.PriorityQueue.empty[(Double, Seq[String])](
       Ordering.by[(Double, Seq[String]), Double](_._1).reverse)

@@ -154,6 +154,25 @@ class DedupSpec extends AnyFunSuite {
     assert(got == Set((1L, 2L, 0.0), (1L, 3L, 0.0), (2L, 3L, 0.0)))
   }
 
+  test("blocked kernel: ragged / null vectors fall back to the expression shape (r11 advice)") {
+    import spark.implicits._
+    // lengths 3, 2, 3 and a null: the kernel would crash (short) or
+    // silently truncate (long) — CosineSimilarity's pairwise-min-length
+    // semantics must win instead
+    val emb = Seq(
+      (1L, Array(1f, 0f, 0f)),
+      (2L, Array(1f, 0f)),
+      (3L, Array(1f, 0f, 1f)),
+      (4L, null: Array[Float])).toDF("vec_id", "embedding")
+    val got = pairs(Dedup.embeddingNearDup(emb, "vec_id", "embedding",
+      threshold = 0.5, planes = 0))
+    // expression semantics (dot AND norms truncate to min length):
+    // cos(1,2)=1 at n=2, cos(1,3)=1/√2 at n=3, cos(2,3)=1 at n=2
+    // (vec3's third element falls outside the window); null rows drop
+    val r2 = math.rint(1.0 / math.sqrt(2.0) * 1e6) / 1e6
+    assert(got == Set((1L, 2L, 1.0), (1L, 3L, r2), (2L, 3L, 1.0)))
+  }
+
   test("embeddingNearDup discriminative-LSH regime equals brute force on planted twins") {
     import spark.implicits._
     val r = new scala.util.Random(5)

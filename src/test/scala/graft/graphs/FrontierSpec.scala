@@ -125,4 +125,28 @@ class FrontierSpec extends AnyFunSuite {
       case None => spark.conf.unset("spark.sql.objectHashAggregate.sortBased.fallbackThreshold")
     }
   }
+
+  test("scoped raises the fallback cap only inside the body and restores after (r11 verdict #4)") {
+    import graft.plan._
+    val key = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key, "321") // a sentinel no code path would pick
+    try {
+      val e = randomEdges(21, nodes = 40, m = 120)
+      val fr = new Frontier(e)
+      assert(fr.enabled)
+      val out = fr.scoped {
+        assert(spark.conf.get(key).toLong > 321L, "cap raised inside the scope")
+        val h1 = e.select(col("src").as("seed"), col("dst").as("n")).distinct()
+        fr.hopCount(fr.encode(h1, "n"), fr.adjacency(e), "c").ckpt()
+      }
+      assert(out.count() > 0)
+      assert(spark.conf.get(key) == "321", "session value restored after the query")
+      intercept[RuntimeException](fr.scoped { throw new RuntimeException("boom") }: Unit)
+      assert(spark.conf.get(key) == "321", "restored on exception too")
+    } finally prior match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
 }

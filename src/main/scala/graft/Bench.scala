@@ -30,15 +30,18 @@ import org.apache.spark.sql.SparkSession
   * one full UNTIMED sweep before the timed reps, so the medians measure
   * steady-state (codegen/JIT-warm) cost — the regime a long-running
   * cluster session actually sees, where per-query whole-stage-codegen
-  * compilation has amortized. For the amortization to be measurable
-  * across a 127-query suite the session's codegen cache must HOLD the
-  * suite: at the 100-entry default every rep of every query recompiles
-  * (measured: rel_agg_q1 1.66 s in the warm suite vs 1.02 s warm solo,
-  * identical plan), so warm mode raises the static
-  * spark.sql.codegen.cache.maxEntries — exactly the tuning a long-lived
-  * session serving a repeated workload carries. Reported ALONGSIDE the
-  * cold protocol (`"warm":true` marks the artifact), never replacing
-  * it: BENCH_last stays cold-protocol unless the env var is set.
+  * compilation has amortized. Reported ALONGSIDE the cold protocol
+  * (`"warm":true` marks the artifact), never replacing it: BENCH_last
+  * stays cold-protocol unless the env var is set.
+  *
+  * Both protocols size the session's codegen cache to HOLD the suite
+  * (round-11 verdict #7): at the 100-entry default every sweep of the
+  * 133-query suite evicts every query's generated classes, so each
+  * "cold" rep re-pays compilation an undersized LRU caused — measured
+  * r12: dedup_jaccard_cut 8.96 s first-run vs 2.7-3.5 s steady with
+  * identical jobs and shuffle bytes; rel_agg_q1 1.66 s suite vs 1.02 s
+  * solo at identical plans. Cold still pays each query's first compile
+  * (visible in queries_max); the conf value lands in the artifact.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -51,9 +54,18 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-    // steady-state regime: the codegen cache must hold the whole suite
-    // or every rep recompiles (static conf — set before session init)
-    if (warmMode) builder.config("spark.sql.codegen.cache.maxEntries", "4096")
+      // The codegen cache must hold the whole suite or every sweep
+      // recompiles every query: at the 100-entry default the 133-query
+      // suite is a guaranteed LRU miss chain, so each cold rep re-pays
+      // whole-stage-codegen compilation that a real long-lived session
+      // sizes away with exactly this static conf (r11 verdict #7 — the
+      // r12 Attribute meter pinned dedup_jaccard_cut's "bimodal" cold
+      // spread to this class: first-run 8.96 s vs 2.7-3.5 s steady,
+      // jobs/shuffle-bytes constant across reps). Cold protocol still
+      // pays each query's FIRST compile (a real cold cost, visible in
+      // queries_max); it no longer pays eviction-driven recompiles. The
+      // effective value is recorded in the artifact (codegen_cache).
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // builder.config on a STATIC conf is silently ignored if a session
@@ -62,9 +74,9 @@ object Bench {
     // default would measure cold-ish numbers with no indication)
     val codegenCache = spark.conf
       .get("spark.sql.codegen.cache.maxEntries", "100").toInt
-    if (warmMode && codegenCache < 4096)
-      System.err.println(s"WARN: warm mode but codegen cache is $codegenCache " +
-        "(static conf ignored — pre-existing SparkSession?); medians will be cold-ish")
+    if (codegenCache < 4096)
+      System.err.println(s"WARN: codegen cache is $codegenCache, below the suite size " +
+        "(static conf ignored — pre-existing SparkSession?); medians will carry eviction recompiles")
 
     def sweep(): Unit = {
       spark.sharedState.cacheManager.clearCache()

@@ -74,6 +74,28 @@ object Bench {
     // default would measure cold-ish numbers with no indication)
     val codegenCache = spark.conf
       .get("spark.sql.codegen.cache.maxEntries", "100").toInt
+    // Stamp the measured tree into the artifact (r11 verdict #1: two
+    // rounds running, a committed headline artifact predated the tree it
+    // was read against — warm at r10, sf1 at r11 — and nothing in the
+    // artifact could prove it). `commit` is the short HEAD hash, with
+    // "+dirty" when uncommitted changes were present; tools/
+    // check_artifacts.py gates the round snapshot on all protocol
+    // artifacts carrying the same clean hash as HEAD.
+    val commit: String = {
+      def run(cmd: String*): Option[String] =
+        try {
+          val p = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
+          val out = new String(p.getInputStream.readAllBytes(),
+            java.nio.charset.StandardCharsets.UTF_8).trim
+          if (p.waitFor() == 0) Some(out) else None
+        } catch { case _: Throwable => None }
+      run("git", "rev-parse", "--short", "HEAD") match {
+        case Some(h) =>
+          val dirty = run("git", "status", "--porcelain").exists(_.nonEmpty)
+          if (dirty) s"$h+dirty" else h
+        case None => "unknown"
+      }
+    }
     if (codegenCache < 4096)
       System.err.println(s"WARN: codegen cache is $codegenCache, below the suite size " +
         "(static conf ignored — pre-existing SparkSession?); medians will carry eviction recompiles")
@@ -174,7 +196,7 @@ object Bench {
     }.mkString("{", ",", "}")
     val line = s"""{"metric":"total","value":${num(total)},"unit":"sec","reps":$reps,""" +
       (if (warm) """"warm":true,""" else "") +
-      s""""codegen_cache":$codegenCache,""" +
+      s""""codegen_cache":$codegenCache,"commit":${jstr(commit)},""" +
       s""""queries":$qs,"queries_min":$qmin,"queries_max":$qmax,""" +
       s""""operator_s":$opS,"referee_s":$refS,""" +
       s""""totals":$totals,"errors":$errs,"ok_reps":$okReps,"sf":"$sfDir"}"""

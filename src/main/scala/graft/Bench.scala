@@ -136,10 +136,34 @@ object Bench {
     val warm = warmMode
     if (warm) ordered.foreach { case (name, fn) => runOne(name, fn) }
 
+    // Host-interference meter (r12): this box is a VM with bursty CPU
+    // steal (cumulative ~3%, spiking far higher in windows), which
+    // produced session-sticky 2-6× slow modes that looked like plan or
+    // JVM-state regressions — three same-config 29-query sessions read
+    // dedup_jaccard_cut at 41.6 / 11.0 / 14.4 s and ann_ivfpq at 72 /
+    // 95 / 330 s with identical plans, jobs, and shuffle bytes. Sample
+    // /proc/stat around each rep sweep and record the steal share so
+    // every artifact carries its own evidence of host contention.
+    def cpuStat(): Option[(Long, Long)] =
+      try {
+        val line = scala.io.Source.fromFile("/proc/stat").getLines().next()
+        val f = line.trim.split("\\s+").drop(1).map(_.toLong)
+        Some((f.sum, if (f.length > 7) f(7) else 0L)) // (total, steal)
+      } catch { case _: Throwable => None }
+    def stealPct(before: Option[(Long, Long)], after: Option[(Long, Long)]): Option[Double] =
+      for ((t0, s0) <- before; (t1, s1) <- after if t1 > t0)
+        yield (s1 - s0).toDouble / (t1 - t0) * 100.0
+
     // reps full sweeps, query-major per sweep (every sweep sees the same
     // suite-order conditions the single-sweep protocol saw)
+    val stealBySweep = scala.collection.mutable.ArrayBuffer.empty[Option[Double]]
     val bySweep: Seq[Seq[(String, Either[String, Double])]] =
-      (1 to reps).map(_ => ordered.map { case (name, fn) => name -> runOne(name, fn) })
+      (1 to reps).map { _ =>
+        val st0 = cpuStat()
+        val sweepRes = ordered.map { case (name, fn) => name -> runOne(name, fn) }
+        stealBySweep += stealPct(st0, cpuStat())
+        sweepRes
+      }
     def num(d: Double) = String.format(java.util.Locale.ROOT, "%.6f", Double.box(d))
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
@@ -187,6 +211,10 @@ object Bench {
     val okReps = flaky.map { case (k, _, n) => s"${jstr(k)}:$n" }.mkString("{", ",", "}")
     val totals = bySweep.map(sw => num(sw.collect { case (_, Right(v)) => v }.sum))
       .mkString("[", ",", "]")
+    val steals = stealBySweep.map {
+      case Some(p) => num(p)
+      case None => "null"
+    }.mkString("[", ",", "]")
     val total = perQuery.collect { case (_, Right(vs)) => median(vs) }.sum
     val totalByName = perQuery.collect { case (k, Right(vs)) => k -> median(vs) }.toMap
     val opS = opMedians.map { case (k, v) => s"${jstr(k)}:${num(v)}" }
@@ -199,7 +227,7 @@ object Bench {
       s""""codegen_cache":$codegenCache,"commit":${jstr(commit)},""" +
       s""""queries":$qs,"queries_min":$qmin,"queries_max":$qmax,""" +
       s""""operator_s":$opS,"referee_s":$refS,""" +
-      s""""totals":$totals,"errors":$errs,"ok_reps":$okReps,"sf":"$sfDir"}"""
+      s""""totals":$totals,"steal_pct":$steals,"errors":$errs,"ok_reps":$okReps,"sf":"$sfDir"}"""
     println(line)
     // also land the full line in a file: console capture has truncated
     // the (long) JSON before, clipping the committed artifact (r6

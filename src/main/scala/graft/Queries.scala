@@ -1824,9 +1824,12 @@ object Queries {
         .select((col("__nh") >= col("__ne") * lit(0.7)).as("ok"))
       // the re-rank is the exact kernel: every reported cosine must
       // agree with brute force's for the same pair
+      // drift wants the exact cosine OF THE RETURNED PAIRS — computing
+      // it per pair replaces a full q × n corpus ranking (the referee's
+      // dominant stage at sf1) with one corpus scan against q × k pairs
       val drift = pq.select(col("query_id"), col("id"), col("cosine").as("__c"))
-        .join(Ann.bruteForceTopK(corpus, queries, k = Int.MaxValue)
-          .select(col("query_id"), col("id"), col("cosine").as("__e")),
+        .join(Ann.exactCosineFor(pq.select("query_id", "id"), corpus, queries)
+          .withColumnRenamed("cosine", "__e"),
           Seq("query_id", "id"))
         .filter(abs(col("__c") - col("__e")) > 1e-9)
       val enc = Ann.pqEncode(corpus, cb, subspaces = 16)
@@ -1876,8 +1879,8 @@ object Queries {
         .crossJoin(exact.agg(count(lit(1)).as("__ne")))
         .select((col("__nh") >= col("__ne") * lit(0.6)).as("ok"))
       val drift = ivfpq.select(col("query_id"), col("id"), col("cosine").as("__c"))
-        .join(Ann.bruteForceTopK(corpus, queries, k = Int.MaxValue)
-          .select(col("query_id"), col("id"), col("cosine").as("__e")),
+        .join(Ann.exactCosineFor(ivfpq.select("query_id", "id"), corpus, queries)
+          .withColumnRenamed("cosine", "__e"),
           Seq("query_id", "id"))
         .filter(abs(col("__c") - col("__e")) > 1e-9)
       val enc = Ann.pqEncode(corpus, cb, subspaces = 16)
@@ -1924,8 +1927,8 @@ object Queries {
         .crossJoin(exact.agg(count(lit(1)).as("__ne")))
         .select((col("__nh") >= col("__ne") * lit(0.9)).as("ok"))
       val drift = hnsw.select(col("query_id"), col("id"), col("cosine").as("__c"))
-        .join(Ann.bruteForceTopK(corpus, queries, k = Int.MaxValue)
-          .select(col("query_id"), col("id"), col("cosine").as("__e")),
+        .join(Ann.exactCosineFor(hnsw.select("query_id", "id"), corpus, queries)
+          .withColumnRenamed("cosine", "__e"),
           Seq("query_id", "id"))
         .filter(abs(col("__c") - col("__e")) > 1e-6)
       val w = Window.partitionBy(col("query_id")).orderBy(col("rank"))
@@ -1979,7 +1982,8 @@ object Queries {
       // walked distances are exact cosine distances (float-normalized
       // walker vs double brute force: 1e-5)
       val drift = noSelf
-        .join(Ann.bruteForceTopK(corpus, queries, k = Int.MaxValue)
+        .join(Ann.exactCosineFor(
+            noSelf.select(col("p").as("query_id"), col("id")), corpus, queries)
           .select(col("query_id").as("p"), col("id"), col("cosine").as("__e")),
           Seq("p", "id"))
         .filter(abs((lit(1.0) - col("dist")) - col("__e")) > 1e-5)

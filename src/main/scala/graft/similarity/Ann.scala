@@ -33,8 +33,175 @@ object Ann {
     * queries: (query_id, vec); corpus: (id, vec).
     * Returns (query_id, id, cosine, rank), self-match excluded when ids
     * coincide.
+    *
+    * Physical shape: the probe set broadcasts as one primitive float
+    * matrix and a `mapPartitions` kernel scans the corpus ONCE, keeping
+    * a bounded per-query heap per partition — the partial top-k a
+    * map-side combine would compute — so only partitions × q × k rows
+    * ever shuffle into the exact final merge. The corpus never
+    * shuffles and never visits the driver; at 100 TB this is one
+    * embarrassingly-parallel pass. The crossJoin + per-query window
+    * shape it replaces materialized q × n joined ROWS and shuffled all
+    * of them into a single-stage ranking (100 M rows at sf1 for the
+    * ANN referees' 512-probe set — row machinery, not FLOPs; same
+    * lesson as Dedup.blockedPairScan). Kernel preconditions — long
+    * ids on both sides, array<float> vecs, uniform non-null probe
+    * vectors, bounded k and probe count — else the expression shape
+    * runs (same rows). Cosine accumulation mirrors
+    * [[VF.cosineSimilarity]] bit-exactly: independent double
+    * accumulators in index order over the pairwise min length,
+    * zero denominator → 0.0.
     */
-  def bruteForceTopK(corpus0: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+  def bruteForceTopK(corpus0: DataFrame, queries: DataFrame, k: Int): DataFrame =
+    bruteForceKernel(corpus0, queries, k)
+      .getOrElse(bruteForceTopKRows(corpus0, queries, k))
+
+  /** Probe-count bound for the kernel's driver collect: the probe set
+    * is bounded by design (it is the QUERY side), but FixedRules can
+    * hand an arbitrary relation — a corpus-sized one must take the
+    * distributed expression shape, not a driver OOM. */
+  private val maxKernelProbes = 65536
+  /** Heap budget: q × k entries are ALLOCATED per partition (a double
+    * + a long each), so this bounds executor memory, not just driver
+    * output: 2 M entries ≈ 32 MiB per concurrently-running partition. */
+  private val maxHeapEntries = 2L * 1024 * 1024
+
+  private def isLong(df: DataFrame, name: String): Boolean =
+    df.schema(name).dataType == org.apache.spark.sql.types.LongType
+  private def isFloatVec(df: DataFrame, name: String): Boolean =
+    df.schema(name).dataType match {
+      case org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType, _) => true
+      case _ => false
+    }
+
+  private def bruteForceKernel(corpus0: DataFrame, queries: DataFrame, k: Int): Option[DataFrame] = {
+    if (k <= 0 || k > 10000) return None
+    if (!isLong(corpus0, "id") || !isLong(queries, "query_id") ||
+        !isFloatVec(corpus0, "vec") || !isFloatVec(queries, "vec")) return None
+    val spark = corpus0.sparkSession
+    import spark.implicits._
+    val qRows = queries.select(col("query_id"), col("vec"))
+      .limit(maxKernelProbes + 1).as[(Long, Array[Float])].collect()
+    val q = qRows.length
+    if (q == 0 || q > maxKernelProbes || q.toLong * k > maxHeapEntries) return None
+    val d = Option(qRows(0)._2).map(_.length).getOrElse(-1)
+    // uniform non-null probes only: the fast path precomputes full
+    // query norms, which is only the expression's min-length semantics
+    // when the probe length is the shorter side uniformly
+    if (d <= 0 || qRows.exists(r => r._2 == null || r._2.length != d)) return None
+    val qids = qRows.map(_._1)
+    val qmat = new Array[Float](q * d)
+    val qnorms = new Array[Double](q)
+    var j = 0
+    while (j < q) {
+      System.arraycopy(qRows(j)._2, 0, qmat, j * d, d)
+      var s = 0.0; var i = 0
+      while (i < d) { val x = qmat(j * d + i).toDouble; s += x * x; i += 1 }
+      qnorms(j) = s
+      j += 1
+    }
+    val bc = spark.sparkContext.broadcast((qids, qmat, qnorms, d))
+    val scan = graft.plan.Parallelism.ensureIngestParallelism(
+      corpus0.select(col("id"), col("vec")), Seq(col("id")), light = true)
+      .filter(col("vec").isNotNull)
+    val partials = scan.as[(Long, Array[Float])].mapPartitions { it =>
+      val (qids, qmat, qnorms, d) = bc.value
+      val q = qids.length
+      // per-query bounded heap, worst entry at the root:
+      // worse = lower cosine, then higher id (so the kept set is the
+      // top k by (cosine desc, id asc) — the final merge re-sorts)
+      val heapCos = Array.fill(q)(new Array[Double](k))
+      val heapId = Array.fill(q)(new Array[Long](k))
+      val heapN = new Array[Int](q)
+      def worse(c1: Double, i1: Long, c2: Double, i2: Long): Boolean =
+        c1 < c2 || (c1 == c2 && i1 > i2)
+      def siftDown(hc: Array[Double], hi: Array[Long], n: Int, from: Int): Unit = {
+        var p = from
+        while (true) {
+          val l = 2 * p + 1; val r = l + 1
+          var w = p
+          if (l < n && worse(hc(l), hi(l), hc(w), hi(w))) w = l
+          if (r < n && worse(hc(r), hi(r), hc(w), hi(w))) w = r
+          if (w == p) return
+          val tc = hc(p); hc(p) = hc(w); hc(w) = tc
+          val ti = hi(p); hi(p) = hi(w); hi(w) = ti
+          p = w
+        }
+      }
+      def offer(qi: Int, cos: Double, id: Long): Unit = {
+        val hc = heapCos(qi); val hi = heapId(qi); val n = heapN(qi)
+        if (n < k) {
+          hc(n) = cos; hi(n) = id
+          heapN(qi) = n + 1
+          if (n + 1 == k) { // heapify once full
+            var p = k / 2 - 1
+            while (p >= 0) { siftDown(hc, hi, k, p); p -= 1 }
+          }
+        } else if (worse(hc(0), hi(0), cos, id)) {
+          hc(0) = cos; hi(0) = id
+          siftDown(hc, hi, k, 0)
+        }
+      }
+      it.foreach { case (id, vec) =>
+        val lr = vec.length
+        if (lr == d) {
+          // uniform fast path: full-length dot, precomputed query norm,
+          // one row-norm pass (independent accumulators — identical
+          // doubles to the expression's interleaved loop)
+          var ny = 0.0; var i = 0
+          while (i < lr) { val y = vec(i).toDouble; ny += y * y; i += 1 }
+          val sy = math.sqrt(ny)
+          var j = 0
+          while (j < q) {
+            if (qids(j) != id) {
+              var dot = 0.0; var i2 = 0; val base = j * d
+              while (i2 < d) { dot += qmat(base + i2).toDouble * vec(i2).toDouble; i2 += 1 }
+              val denom = math.sqrt(qnorms(j)) * sy
+              offer(j, if (denom == 0.0) 0.0 else dot / denom, id)
+            }
+            j += 1
+          }
+        } else {
+          // ragged corpus row: per-pair min-length loop, exactly the
+          // expression's semantics (norms truncate with the dot)
+          var j = 0
+          while (j < q) {
+            if (qids(j) != id) {
+              val n = math.min(d, lr)
+              var dot = 0.0; var nx = 0.0; var ny = 0.0; var i2 = 0; val base = j * d
+              while (i2 < n) {
+                val x = qmat(base + i2).toDouble; val y = vec(i2).toDouble
+                dot += x * y; nx += x * x; ny += y * y; i2 += 1
+              }
+              val denom = math.sqrt(nx) * math.sqrt(ny)
+              offer(j, if (denom == 0.0) 0.0 else dot / denom, id)
+            }
+            j += 1
+          }
+        }
+      }
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+      var qi = 0
+      while (qi < q) {
+        var e = 0
+        while (e < heapN(qi)) { out += ((qids(qi), heapId(qi)(e), heapCos(qi)(e))); e += 1 }
+        qi += 1
+      }
+      out.iterator
+    }.toDF("query_id", "id", "cosine")
+    // exact final merge over partitions × q × k rows — tiny
+    Some(TopK.perGroup(partials, Seq("query_id"),
+      Seq(col("cosine").desc, col("id").asc), k, rankCol = Some("rank")))
+  }
+
+  /** The distributed expression shape: broadcast probes × corpus scan,
+    * codegen'd cosine, per-query window top-k. The fallback wherever
+    * [[bruteForceKernel]]'s preconditions fail (non-long ids, non-float
+    * or ragged/null probe vectors, unbounded k, corpus-sized probe
+    * relation). Unlike the kernel it ranks null-vec corpus rows (null
+    * cosine, after every non-null candidate) — visible only when a
+    * probe has fewer than k non-null candidates. */
+  private def bruteForceTopKRows(corpus0: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     // the cosine scan against the broadcast probes is the heavy
     // pre-shuffle pass: guard against a low-split source serializing it
     // (no-op on real corpora — see Parallelism.ensureIngestParallelism)
@@ -47,6 +214,20 @@ object Ann {
       .select("query_id", "id", "cosine")
     TopK.perGroup(joined, Seq("query_id"),
       Seq(col("cosine").desc, col("id").asc), k, rankCol = Some("rank"))
+  }
+
+  /** Exact cosine for an EXPLICIT (query_id, id) pair set. The drift
+    * referees need the true cosine of the pairs an index returned —
+    * ranking the whole corpus per probe (q × n rows) to then join out
+    * q × k of them was the single most expensive stage in the ANN
+    * bench rows. One corpus scan against the broadcast pair set. */
+  def exactCosineFor(pairs: DataFrame, corpus: DataFrame, queries: DataFrame): DataFrame = {
+    val probeVecs = pairs.select(col("query_id"), col("id"))
+      .join(queries.select(col("query_id"), col("vec").as("__qv")), Seq("query_id"))
+    corpus.select(col("id"), col("vec").as("__cv"))
+      .join(broadcast(probeVecs), Seq("id"))
+      .withColumn("cosine", VF.cosineSimilarity(col("__qv"), col("__cv")))
+      .select("query_id", "id", "cosine")
   }
 
   /** Approximate top-k: candidates from a multi-table hyperplane-LSH

@@ -74,15 +74,16 @@ class PlanHealthSpec extends AnyFunSuite with PredicateHelper {
     * side (bounded independent of the data scale), which is exactly
     * how a non-equi join should run on a cluster. */
   private val bnljAllowed: Map[String, String] = Map(
-    "ann_knn" -> "brute-force referee: probe set (100 rows) broadcast against all vectors",
+    // (ann_knn left this list in r12: bruteForceTopK's exact scan is
+    // now the partial-top-k mapPartitions kernel — no join at all)
     "ann_ivf" -> "Lloyd assignment + probe: centroid table (k<=256) broadcast",
-    "ann_pq" -> "PQ codebooks (k*m<=4096 rows) broadcast for ADC scan + recall referee",
+    "ann_pq" -> "PQ codebooks (k*m<=4096 rows) broadcast for ADC scan; recall referee crossJoins 1-row aggregates",
     "ann_ivfpq" -> ("centroids (nCells<=16) + codebooks (<=1024 rows) + probe-cell list " +
       "broadcast for the pruned ADC scan; recall referee crossJoins two 1-row aggregates"),
-    "ann_lsh" -> "recall referee inside the query joins the brute-force top-k (bounded probes)",
-    "ann_hnsw" -> "recall/score referee: brute-force scan with the broadcast 20-probe set",
-    "ann_hnsw_stream" -> ("recall/score referee only: brute-force scan with the broadcast " +
-      "100-probe set; the PROBE path walks persisted partition-local graphs " +
+    "ann_lsh" -> "recall referee crossJoins two 1-row aggregates (bounded probes)",
+    "ann_hnsw" -> "recall referee crossJoins two 1-row aggregates (exact scan is the top-k kernel since r12)",
+    "ann_hnsw_stream" -> ("recall referee crossJoins two 1-row aggregates; the PROBE path " +
+      "walks persisted partition-local graphs " +
       "(IndexesSpec asserts that plan is crossJoin/BNLJ-free)"),
     "dedup_simhash" -> "sample-vs-banded referee: 1K-doc sample broadcast for exact hamming",
     "dedup_semantic" -> "Lloyd assignment: centroid table (k<=256) broadcast",

@@ -185,6 +185,48 @@ class AnnSpec extends AnyFunSuite {
     assert(!physical.contains("SortMergeJoin"), physical.linesIterator.take(40).mkString("\n"))
   }
 
+  test("bruteForceTopK kernel ≡ expression shape, bit-exact, incl. ragged corpus rows") {
+    val emb = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    // ragged rows exercise the kernel's per-pair min-length slow path
+    val corpus = emb.select(col("vec_id").as("id"),
+      when(col("vec_id") % 7 === 0, slice(col("embedding"), 1, 32))
+        .otherwise(col("embedding")).as("vec"))
+    val queries = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("embedding").as("vec"))
+    def quads(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double, Int)] =
+      df.select(col("query_id").cast("long"), col("id").cast("long"),
+          col("cosine"), col("rank").cast("int")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val kernel = quads(Ann.bruteForceTopK(corpus, queries, k = 5))
+    // int ids force the expression fallback on the same logical input
+    val rows = quads(Ann.bruteForceTopK(
+      corpus.withColumn("id", col("id").cast("int")),
+      queries.withColumn("query_id", col("query_id").cast("int")), k = 5))
+    assert(kernel == rows) // exact doubles: the kernel mirrors the expression's accumulation
+  }
+
+  test("bruteForceTopK kernel: null corpus vectors are not candidates") {
+    import spark.implicits._
+    val corpus = Seq((1L, Array(1f, 0f)), (2L, null.asInstanceOf[Array[Float]]),
+      (3L, Array(0f, 1f))).toDF("id", "vec")
+    val queries = Seq((10L, Array(1f, 1f))).toDF("query_id", "vec")
+    val out = Ann.bruteForceTopK(corpus, queries, k = 5).collect()
+    assert(out.map(_.getLong(1)).toSet == Set(1L, 3L))
+  }
+
+  test("exactCosineFor matches brute force's cosine for the same pairs") {
+    val emb = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("vec"))
+    val bf = Ann.bruteForceTopK(corpus, queries, k = 5)
+    val per = Ann.exactCosineFor(bf.select("query_id", "id"), corpus, queries)
+    val joined = bf.select(col("query_id"), col("id"), col("cosine").as("a"))
+      .join(per.withColumnRenamed("cosine", "b"), Seq("query_id", "id"))
+    assert(joined.count() == bf.count())
+    assert(joined.filter(col("a") =!= col("b")).isEmpty)
+  }
+
   test("bruteForceTopK excludes self and ranks by cosine") {
     val emb = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))

@@ -640,7 +640,13 @@ class CozoDb(val spark: SparkSession) {
       case "kill" =>
         val id = parts(1).toLong
         val present = runningQueries.containsKey(id)
-        if (present) spark.sparkContext.cancelJobGroup(s"graft-q$id")
+        // ...AndFutureJobs: a plain cancelJobGroup only hits jobs ACTIVE at
+        // the cancel instant, so a multi-job evaluation (fixpoint rounds)
+        // sitting between jobs outlives the kill — the next round's job
+        // must be poisoned too, like the reference's per-step poison.check()
+        // (db.rs:1506-1955). Group ids are unique per query, never reused.
+        if (present) spark.sparkContext.cancelJobGroupAndFutureJobs(
+          s"graft-q$id", s"::kill $id")
         Seq((if (present) "killed" else "not_found", id)).toDF("status", "id")
       case "fixed_rules" =>
         // (name, arity) like the reference registry's FixedRule::arity

@@ -42,26 +42,30 @@ object Queries {
       .withColumn("__b", expr(s"unix_micros(ts) div ${bucketUs}L"))
     val wAsc = Window.partitionBy(col("event_type"), col("__b"))
       .orderBy(col("ts"), col("event_id"))
-    val wDesc = Window.partitionBy(col("event_type"), col("__b"))
-      .orderBy(col("ts").desc, col("event_id").desc)
     val inBucket = base.withColumn("next_user", lead(col("user_id"), 1).over(wAsc))
       .filter(col("next_user").isNotNull)
       .select(col("user_id"), col("next_user"))
-    val firsts = base.withColumn("__rn", row_number().over(wAsc)).filter(col("__rn") === 1)
-      .select(col("event_type"), col("__b"), col("user_id").as("first_user"))
-    val lasts = base.withColumn("__rn", row_number().over(wDesc)).filter(col("__rn") === 1)
-      .select(col("event_type"), col("__b"), col("user_id").as("last_user"))
-    // successor bucket per type over the DISTINCT bucket list (tiny:
-    // span/6h rows per type), since buckets need not be contiguous
-    val nextB = base.select("event_type", "__b").distinct()
-      .withColumn("__nb",
-        lead(col("__b"), 1).over(Window.partitionBy(col("event_type")).orderBy(col("__b"))))
-    val crossing = lasts
-      .join(nextB, Seq("event_type", "__b"))
+    // first/last user per bucket as ONE partial-aggregating pass keyed
+    // like wAsc ((ts, event_id) is unique per bucket, so min_by/max_by
+    // pick exactly the rows row_number()=1 picked under each sort
+    // direction) — this replaces a second full-data descending window
+    // and a separate full-data distinct for the bucket list: `ends` IS
+    // the distinct (event_type, __b) set, one row per bucket
+    val ends = base.groupBy(col("event_type"), col("__b")).agg(
+      min_by(col("user_id"), struct(col("ts"), col("event_id"))).as("first_user"),
+      max_by(col("user_id"), struct(col("ts"), col("event_id"))).as("last_user"))
+    // successor bucket per type over the bucket list (tiny: span/6h rows
+    // per type), since buckets need not be contiguous
+    val nextB = ends.withColumn("__nb",
+      lead(col("__b"), 1).over(Window.partitionBy(col("event_type")).orderBy(col("__b"))))
+    // both sides are bucket-scale (one row per (type, 6h bucket) — time
+    // span bound, not data bound); the broadcast hint keeps the stitch
+    // join off the exchange path regardless of post-agg size estimates
+    val crossing = nextB
       .where(col("__nb").isNotNull)
-      .join(firsts.select(col("event_type"), col("__b").as("__nb"), col("first_user")),
-        Seq("event_type", "__nb"))
-      .select(col("last_user").as("user_id"), col("first_user").as("next_user"))
+      .join(broadcast(ends.select(col("event_type"), col("__b").as("__nb"),
+        col("first_user").as("__nf"))), Seq("event_type", "__nb"))
+      .select(col("last_user").as("user_id"), col("__nf").as("next_user"))
     inBucket.unionByName(crossing)
       .filter(col("next_user") =!= col("user_id"))
       .select(col("user_id").as("src"), col("next_user").as("dst"))

@@ -28,6 +28,28 @@ object Fixpoint {
     * delta := step(delta) \ total until empty. `step` must be
     * monotone and preserve the schema of `base`.
     */
+  /** One-shuffle merge step shared by the set-semantics loops: the old
+    * total (flagged) unions the raw candidate rows and ONE groupBy over
+    * the full row computes the new total AND marks which rows are new —
+    * the dropDuplicates + except + union triple (three full shuffles of
+    * candidates/total per round) collapses into a single hash
+    * aggregation. Returns (newTotal, delta), both views over one lazily
+    * checkpointed frame, so the round costs one materialization.
+    */
+  private def mergeNew(total: DataFrame, candidates: DataFrame): (DataFrame, DataFrame, Long) = {
+    val cols = total.columns.toSeq
+    val merged = total.withColumn("__old", lit(true))
+      .unionByName(candidates.select(cols.map(col): _*).withColumn("__old", lit(false)))
+      .groupBy(cols.map(col): _*).agg(max(col("__old")).as("__old"))
+      .ckptLazy()
+    // the delta's materializing count persists BOTH frames (merged is a
+    // lazy ckpt underneath it) and doubles as the convergence probe —
+    // one job per round for (materialize, probe)
+    val (delta, nNew) = merged.filter(!col("__old"))
+      .select(cols.map(col): _*).ckptCount()
+    (merged.select(cols.map(col): _*), delta, nNew)
+  }
+
   def semiNaive(base: DataFrame, step: DataFrame => DataFrame,
                 maxIter: Int = 100): DataFrame = {
     var total = base.dropDuplicates().ckpt()
@@ -35,9 +57,10 @@ object Fixpoint {
     var iter = 0
     var converged = delta.isEmpty
     while (!converged && iter < maxIter) {
-      delta = step(delta).dropDuplicates().except(total).ckptLazy()
-      if (delta.isEmpty) converged = true
-      else total = total.union(delta).ckptLazy()
+      val (t, d, n) = mergeNew(total, step(delta))
+      delta = d
+      if (n == 0) converged = true
+      else total = t
       iter += 1
     }
     total
@@ -50,10 +73,13 @@ object Fixpoint {
                     hops: Int): DataFrame = {
     var total = base.dropDuplicates().ckpt()
     var frontier = total
+    var nNew = -1L
     var i = 0
-    while (i < hops && !frontier.isEmpty) {
-      frontier = step(frontier).dropDuplicates().except(total).ckptLazy()
-      total = total.union(frontier).ckptLazy()
+    while (i < hops && nNew != 0 && !(i == 0 && frontier.isEmpty)) {
+      val (t, d, n) = mergeNew(total, step(frontier))
+      frontier = d
+      nNew = n
+      total = t
       i += 1
     }
     total
@@ -75,16 +101,32 @@ object Fixpoint {
     def fold(df: DataFrame): DataFrame =
       df.groupBy(keyCols.map(col): _*).agg(min(col(valCol)).as(valCol))
         .select((keyCols :+ valCol).map(col): _*)
+    val outCols = (keyCols :+ valCol).map(col)
     var total = fold(base).ckpt()
     var delta = total
     var iter = 0
     var converged = delta.isEmpty
     while (!converged && iter < maxIter) {
-      val candidates = fold(step(delta))
-      val merged = fold(total.union(candidates)).ckptLazy()
-      delta = merged.except(total).ckptLazy()
-      if (delta.isEmpty) converged = true
-      else total = merged
+      // one-shuffle merge: the old total rides along with its value
+      // duplicated into __old (min ignores the candidates' nulls, and
+      // total has unique keys, so min(__old) IS the key's prior value);
+      // a key improved iff it is new (__old null) or the folded value
+      // beat it. This replaces fold(candidates) + fold(union) + except —
+      // three full shuffles per round — with one hash aggregation.
+      val candidates = step(delta)
+      val merged = total.withColumn("__old", col(valCol))
+        .unionByName(candidates.select(outCols: _*)
+          .withColumn("__old", lit(null).cast(total.schema(valCol).dataType)))
+        .groupBy(keyCols.map(col): _*)
+        .agg(min(col(valCol)).as(valCol), min(col("__old")).as("__old"))
+        .ckptLazy()
+      // materialize + probe in one job (the delta count persists the
+      // lazily checkpointed merged underneath it)
+      val (d, nNew) = merged.filter(col("__old").isNull || col(valCol) < col("__old"))
+        .select(outCols: _*).ckptCount()
+      delta = d
+      if (nNew == 0) converged = true
+      else total = merged.select(outCols: _*)
       iter += 1
     }
     total

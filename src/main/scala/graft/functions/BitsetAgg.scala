@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggreg
 import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.ColumnBridge.column
-import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, IntegerType, LongType}
 
 /** Set-union aggregate over dictionary-encoded node ids, backed by a
   * `java.util.BitSet` — the dense-frontier engine behind
@@ -45,6 +45,7 @@ case class BitsetUnion(
     child: Expression,
     numBits: Int,
     countOnly: Boolean,
+    asBytes: Boolean = false,
     override val mutableAggBufferOffset: Int = 0,
     override val inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[JBitSet] with UnaryLike[Expression] {
@@ -71,7 +72,8 @@ case class BitsetUnion(
   }
 
   override def eval(buffer: JBitSet): Any =
-    if (countOnly) buffer.cardinality().toLong
+    if (asBytes) buffer.toByteArray // raw bitmap out — the driver-loop state shape
+    else if (countOnly) buffer.cardinality().toLong
     else {
       val out = new Array[Int](buffer.cardinality())
       var bit = buffer.nextSetBit(0)
@@ -84,9 +86,13 @@ case class BitsetUnion(
   override def deserialize(bytes: Array[Byte]): JBitSet = JBitSet.valueOf(bytes)
 
   override def dataType: DataType =
-    if (countOnly) LongType else ArrayType(IntegerType, containsNull = false)
+    if (asBytes) BinaryType
+    else if (countOnly) LongType
+    else ArrayType(IntegerType, containsNull = false)
   override def nullable: Boolean = false
-  override def prettyName: String = if (countOnly) "bitset_union_count" else "bitset_union"
+  override def prettyName: String =
+    if (asBytes) "bitset_union_bytes"
+    else if (countOnly) "bitset_union_count" else "bitset_union"
 
   override def withNewMutableAggBufferOffset(newOffset: Int): BitsetUnion =
     copy(mutableAggBufferOffset = newOffset)
@@ -107,5 +113,12 @@ object BitsetAgg {
   /** Sorted distinct members of the union, as `array<int>`. */
   def unionMembers(members: Column, numBits: Int): Column =
     column(BitsetUnion(expression(members), numBits, countOnly = false)
+      .toAggregateExpression())
+
+  /** Raw union bitmap as `binary` (`BitSet.toByteArray`) — the per-seed
+    * STATE shape for driver-loop BFS: visited/frontier live as one
+    * fixed-width value per seed instead of a growing row set. */
+  def unionBytes(members: Column, numBits: Int): Column =
+    column(BitsetUnion(expression(members), numBits, countOnly = false, asBytes = true)
       .toAggregateExpression())
 }

@@ -43,16 +43,35 @@ import graft.plan._
   */
 class Frontier(edges: DataFrame, maxNodes: Long = Frontier.maxNodes) {
 
-  /** (node, idx) — idx dense ints in [0, size), order-irrelevant. */
-  val dict: DataFrame = GlobalRank.withRank(
-      edges.select(col("src").as("node"))
-        .unionByName(edges.select(col("dst").as("node"))).distinct(),
-      Seq(col("node")), "__rk")
-    .select(col("node"), (col("__rk") - 1).cast("int").as("__fidx"))
-    .ckpt()
+  /** (node, idx) — idx dense ints in [0, size), order-irrelevant.
+    *
+    * Built with `zipWithIndex` over the persisted distinct node set, NOT
+    * a ranked total order: the bitmap only needs dense ids, and the
+    * range-partitioned GlobalRank paid a sampling pass, a range
+    * exchange, an offsets window and a broadcast join for an ordering
+    * nothing consumes (~4 extra jobs per Frontier-using query). The
+    * distinct set is materialized first, so its count gates `enabled`
+    * BEFORE any dict work, and zipWithIndex's internal count job reads
+    * the persisted blocks.
+    */
+  private val nodesAndCount: (DataFrame, Long) =
+    graft.plan.CkptOps(edges.select(col("src").as("node"))
+      .unionByName(edges.select(col("dst").as("node"))).distinct()).ckptCount()
 
-  val size: Long = dict.count()
+  val size: Long = nodesAndCount._2
   val enabled: Boolean = size <= maxNodes
+
+  lazy val dict: DataFrame = {
+    val ns = nodesAndCount._1
+    val spark = ns.sparkSession
+    val schema = org.apache.spark.sql.types.StructType(ns.schema.fields :+
+      org.apache.spark.sql.types.StructField("__fidx",
+        org.apache.spark.sql.types.IntegerType, nullable = false))
+    val rows = ns.rdd.zipWithIndex().map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i.toInt)
+    }
+    spark.createDataFrame(rows, schema).ckpt()
+  }
 
   /** Bitmap width for inline [[BitsetAgg]] calls over this dictionary. */
   def numBits: Int = size.toInt

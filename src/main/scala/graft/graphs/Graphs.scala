@@ -378,23 +378,51 @@ object Graphs {
     val st = starts.select(col("start")).distinct().ckpt()
     val base = st.select(col("start"), col("start").as("node"), lit(0).as("depth"))
     fr.scoped {
-      val adj = fr.adjacency(e).ckpt()
-      var frontier = fr.encode(st.select(col("start"), col("start").as("n")), "n")
-      var visited = frontier.ckpt()
-      frontier = visited
+      val adjBase = fr.adjacency(e).ckpt()
+      // broadcast the adjacency below the gate: the per-level hop join
+      // then streams the frontier rows NARROW (no frontier exchange and
+      // no per-level re-exchange of the persisted adjacency — ckpt'd
+      // frames lose their partitioning, so a shuffle join re-exchanges
+      // both sides every level)
+      val adj =
+        if (Parallelism.persistedInputBytes(adjBase).exists(_ <= Graphs.adjBroadcastBytes))
+          broadcast(adjBase) else adjBase
+      // Per-seed BITMAP STATE instead of a growing (start, n) visited
+      // row set: one row per seed carries the visited bitmap (vbits) and
+      // the new frontier members (newm). The old shape re-shuffled the
+      // whole visited set every level (anti-join + union), so level k
+      // paid O(Σ_{i≤k} |level_i|); here a level pays one partial-
+      // aggregated hop + a seed-count-sized join, and the fixed-width
+      // state never grows.
+      val enc = fr.encode(st.select(col("start"), col("start").as("n")), "n")
+      var state = enc.groupBy("start").agg(
+          graft.functions.BitsetAgg.unionBytes(col("n"), fr.numBits).as("vbits"),
+          graft.functions.BitsetAgg.unionMembers(col("n"), fr.numBits).as("newm"))
+        .ckpt()
       var depth = 0
       var growing = true
       while (depth < maxHops && growing) {
-        val nf = fr.hop(frontier, adj, seedCol = "start")
-          .join(visited, Seq("start", "n"), "left_anti").ckpt()
-        if (nf.isEmpty) growing = false
-        else {
-          depth += 1
-          levels += nf.withColumn("depth", lit(depth))
-          visited = visited.union(nf).ckpt()
-          frontier = nf
-        }
+        val frRows = state.select(col("start"), explode(col("newm")).as("n"))
+        val hb = frRows.join(adj, Seq("n"))
+          .groupBy("start").agg(graft.functions.BitsetAgg.unionBytes(col("__adj"), fr.numBits).as("hbits"))
+        val prev = state
+        // both expressions read the INPUT vbits: newm = hop \ visited,
+        // vbits' = visited ∪ hop — exactly the anti-join + union pair.
+        // LAZY ckpt: the level frame's materializing count below
+        // persists it in the same job.
+        state = state.join(hb, Seq("start"), "left")
+          .select(col("start"),
+            graft.functions.BitsetOps.orBytes(col("vbits"), col("hbits")).as("vbits"),
+            graft.functions.BitsetOps.andNotMembers(col("hbits"), col("vbits")).as("newm"))
+          .ckptLazy()
+        depth += 1
+        val (nf, nNew) = state.select(col("start"), explode(col("newm")).as("n"))
+          .withColumn("depth", lit(depth)).ckptCount()
+        prev.unckpt() // nf and the new state are materialized; the old state must not pile up
+        if (nNew == 0) growing = false
+        else levels += nf
       }
+      state.unckpt()
     }
     val reached =
       if (levels.isEmpty) base.limit(0)
@@ -977,78 +1005,128 @@ object Graphs {
     * (weight, src, dst) for determinism. Returns the forest's edges
     * (src, dst, weight) with src < dst.
     */
-  def minimumSpanningForest(edges: DataFrame, maxRounds: Int = 30): DataFrame = {
+  def minimumSpanningForest(edges: DataFrame, maxRounds: Int = 30,
+                            maxDriverEdges: Long = 2000000L): DataFrame = {
     val w = if (edges.columns.contains("weight")) col("weight").cast("double") else lit(1.0)
     // canonical undirected edges a<b, min weight per pair
-    val es = edges.select(least(col("src"), col("dst")).as("a"),
+    val (es, esN) = edges.select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"), w.as("weight"))
       .filter(col("a") =!= col("b"))
       .groupBy("a", "b").agg(min(col("weight")).as("weight"))
-      .ckpt()
-    var comp = es.select(col("a").as("node")).union(es.select(col("b").as("node")))
-      .distinct().withColumn("comp", col("node")).ckpt()
-    var forest: DataFrame = null
-    var round = 0
-    var done = false
-    while (!done && round < maxRounds) {
-      val labeled = es
-        .join(comp.select(col("node").as("a"), col("comp").as("ca")), Seq("a"))
-        .join(comp.select(col("node").as("b"), col("comp").as("cb")), Seq("b"))
-        .filter(col("ca") =!= col("cb"))
-      if (labeled.isEmpty) done = true
-      else {
-        // min outgoing edge per component (both endpoints' views)
-        val cand = labeled.select(col("ca").as("comp"), col("a"), col("b"), col("weight"), col("cb").as("other"))
-          .union(labeled.select(col("cb").as("comp"), col("a"), col("b"), col("weight"), col("ca").as("other")))
-        // min edge per component as an AGGREGATE, not a row_number
-        // window (r11 verdict #3): the window shape gets no map-side
-        // partials, so a near-single-component round funnels ~all
-        // candidate edges through one partition's sort; min_by keeps the
-        // identical deterministic tie-break — (weight, a, b) is unique
-        // per component, `es` being grouped on (a, b) — while partial
-        // aggregation reduces each map task to one row per component
-        // before the shuffle.
-        val chosen = cand.groupBy("comp")
-          .agg(min_by(struct(col("a"), col("b"), col("weight"), col("other")),
-            struct(col("weight"), col("a"), col("b"))).as("__e"))
-          .select(col("__e.a").as("a"), col("__e.b").as("b"),
-            col("__e.weight").as("weight"), col("comp"), col("__e.other").as("other"))
-          .ckptLazy() // first consumer job materializes; persisted for the second
-
-        val newEdges = chosen.select(col("a").as("src"), col("b").as("dst"), col("weight"))
-          .dropDuplicates()
-        forest = if (forest == null) newEdges.ckpt()
-          else forest.union(newEdges).dropDuplicates().ckpt()
-        // merge: each comp points to min(comp, other); pointer-jump to fixpoint
-        var ptr = chosen.select(col("comp"), least(col("comp"), col("other")).as("to"))
-          .groupBy("comp").agg(min(col("to")).as("to"))
-          .ckptLazy()
-        val numIds = numericCol(ptr, "to")
-        var prevPtrSum = if (numIds) monotoneSum(ptr, "to") else null
-        var stable = false
-        var hops = 0
-        while (!stable && hops < 20) {
-          val jumped = ptr.as("p1")
-            .join(ptr.select(col("comp").as("to"), col("to").as("to2")), Seq("to"), "left")
-            .select(col("comp"), least(col("to"), coalesce(col("to2"), col("to"))).as("to"))
-            .ckptLazy()
-          if (numIds) {
-            val s = monotoneSum(jumped, "to") // pointer targets only decrease
-            stable = java.util.Objects.equals(s, prevPtrSum)
-            prevPtrSum = s
-          } else stable = jumped.except(ptr).isEmpty
-          ptr = jumped
-          hops += 1
-        }
-        comp = comp.join(ptr, Seq("comp"), "left")
-          .select(col("node"), coalesce(col("to"), col("comp")).as("comp"))
-          .ckpt()
-        round += 1
+      .ckptCount()
+    // scale knee (same pattern as pageRank/topSort/betweenness — the
+    // reference's kruskal.rs/prim.rs materialize the whole graph
+    // always): below the cap, driver Kruskal over the (weight, a, b)
+    // total order picks exactly the edge set Borůvka's min_by(struct(
+    // weight, a, b)) tie-break converges to — a consistent lexicographic
+    // tie-break makes weights effectively distinct, and the MSF of a
+    // distinct-weight graph is unique. O(E log E) in memory beats
+    // O(log V) distributed rounds of joins by ~two orders of magnitude
+    // at this scale; the Borůvka loop below stays the 100 TB path.
+    if (esN <= maxDriverEdges &&
+        es.schema("a").dataType == org.apache.spark.sql.types.LongType &&
+        es.schema("b").dataType == org.apache.spark.sql.types.LongType) {
+      val rows = es.collect().map(r => (r.getDouble(2), r.getLong(0), r.getLong(1)))
+      java.util.Arrays.sort(rows, Ordering.Tuple3[Double, Long, Long])
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val nx = parent(c); parent(c) = r; c = nx }
+        r
       }
+      val keep = rows.filter { case (_, a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra == rb) false else { parent(math.max(ra, rb)) = math.min(ra, rb); true }
+      }
+      val spark = es.sparkSession
+      import spark.implicits._
+      return keep.toSeq.map { case (wt, a, b) => (a, b, wt) }.toDF("src", "dst", "weight")
     }
-    if (forest == null)
+    // Live edges CARRY their endpoints' current component labels
+    // (ca/cb) instead of a node→comp side table: the old shape re-joined
+    // the full edge set against the component table twice per round (two
+    // edge-scale shuffles × O(log V) rounds). Here each round relabels
+    // via the component-POINTER table — one row per live component,
+    // shrinking geometrically and broadcast below the adjacency gate —
+    // so after round 1 the edge relation never shuffles again: the only
+    // edge-scale work per round is the min_by aggregation, which partial
+    // aggregation reduces to one row per (component, map task).
+    var (live, liveN) = es.select(col("a"), col("b"), col("weight"),
+      col("a").as("ca"), col("b").as("cb")).ckptCount()
+    // chosen edges accumulate per round and dedupe ONCE at the end: an
+    // edge picked by both its components duplicates within a round, but
+    // never across rounds (its components merge, so next round it is
+    // intra-component and dropped) — the old per-round forest-wide
+    // dropDuplicates re-shuffled the whole forest every round
+    val picks = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var round = 0
+    while (round < maxRounds && liveN > 0) {
+      // min outgoing edge per component (both endpoints' views), as an
+      // AGGREGATE, not a row_number window (r11 verdict #3): min_by
+      // keeps the deterministic (weight, a, b) tie-break — unique per
+      // component, `es` being grouped on (a, b) — while map-side
+      // partials avoid the single-partition funnel on a near-single-
+      // component round. Eager ckpt: consumed by the pointer jump, the
+      // relabel and the final forest union.
+      val chosen = live.select(col("ca").as("comp"), col("a"), col("b"), col("weight"), col("cb").as("other"))
+        .union(live.select(col("cb").as("comp"), col("a"), col("b"), col("weight"), col("ca").as("other")))
+        .groupBy("comp")
+        .agg(min_by(struct(col("a"), col("b"), col("weight"), col("other")),
+          struct(col("weight"), col("a"), col("b"))).as("__e"))
+        .select(col("comp"), col("__e.a").as("a"), col("__e.b").as("b"),
+          col("__e.weight").as("weight"), col("__e.other").as("other"))
+        .ckpt()
+      picks += chosen.select(col("a").as("src"), col("b").as("dst"), col("weight"))
+      // merge: each comp points to min(comp, other) — `chosen` is unique
+      // per comp, so no re-aggregation needed; pointer-jump to fixpoint
+      // (doubling, targets only decrease)
+      var ptr = chosen.select(col("comp"), least(col("comp"), col("other")).as("to"))
+        .ckptLazy()
+      val numIds = numericCol(ptr, "to")
+      var prevPtrSum = if (numIds) monotoneSum(ptr, "to") else null
+      var stable = false
+      var hops = 0
+      while (!stable && hops < 20) {
+        val jumped = ptr.as("p1")
+          .join(ptr.select(col("comp").as("to"), col("to").as("to2")), Seq("to"), "left")
+          .select(col("comp"), least(col("to"), coalesce(col("to2"), col("to"))).as("to"))
+          .ckptLazy()
+        if (numIds) {
+          val s = monotoneSum(jumped, "to") // pointer targets only decrease
+          stable = java.util.Objects.equals(s, prevPtrSum)
+          prevPtrSum = s
+        } else stable = jumped.except(ptr).isEmpty
+        ptr = jumped
+        hops += 1
+      }
+      // relabel surviving edges through the root pointers; the pointer
+      // table is one row per pre-merge component — broadcast it below
+      // the adjacency gate (chosen's persisted bytes stand in for ptr's,
+      // same row count) so the edge side never shuffles
+      val ptrB =
+        if (Parallelism.persistedInputBytes(chosen).exists(_ <= Graphs.adjBroadcastBytes))
+          broadcast(ptr) else ptr
+      val prevLive = live
+      val (l2, n2) = live
+        .join(ptrB.select(col("comp").as("ca"), col("to").as("__ta")), Seq("ca"), "left")
+        .join(ptrB.select(col("comp").as("cb"), col("to").as("__tb")), Seq("cb"), "left")
+        .select(col("a"), col("b"), col("weight"),
+          coalesce(col("__ta"), col("ca")).as("ca"),
+          coalesce(col("__tb"), col("cb")).as("cb"))
+        .filter(col("ca") =!= col("cb"))
+        .ckptCount() // materialize + next round's emptiness probe, one job
+      live = l2
+      liveN = n2
+      // the new live is materialized — the previous round's edge blocks
+      // must not pile up for the rest of the query
+      prevLive.unckpt()
+      round += 1
+    }
+    if (picks.isEmpty)
       es.limit(0).select(col("a").as("src"), col("b").as("dst"), col("weight"))
-    else forest
+    else picks.reduce(_ union _).dropDuplicates()
   }
 
   /** ClosenessCentrality (algos/all_pairs_shortest_path.rs): harmonic-free

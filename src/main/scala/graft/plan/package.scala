@@ -15,6 +15,11 @@ package object plan {
     def ckpt(): DataFrame = CheckpointBridge.truncate(df)
     def ckptLazy(): DataFrame = CheckpointBridge.truncate(df, eager = false)
 
+    /** Eager ckpt + row count in ONE job (driver loops pair every
+      * materialization with a convergence probe — fusing them halves
+      * the loop's action count). */
+    def ckptCount(): (DataFrame, Long) = CheckpointBridge.truncateCount(df)
+
     /** Drop a ckpt'd frame's persisted blocks once its LAST consumer has
       * materialized — corpus-scale intermediates must not pile up in
       * block storage for the rest of the query (r10 advice: the shingle

@@ -26,4 +26,20 @@ object CheckpointBridge {
     val spark = ck.sparkSession
     spark.internalCreateDataFrame(ck.queryExecution.toRdd, ck.schema)
   }
+
+  /** Eager truncation that returns the row count for free: driver loops
+    * pair every eager checkpoint with a convergence probe (`isEmpty` /
+    * `count`), which costs a SECOND job over the just-persisted blocks.
+    * Counting the internal RDD is itself the materializing action — the
+    * lazy local checkpoint persists during the count job — so the loop's
+    * (materialize, probe) pair collapses into one job.
+    */
+  def truncateCount(df: DataFrame): (DataFrame, Long) = {
+    val ck = df.localCheckpoint(eager = false)
+      .asInstanceOf[classic.Dataset[org.apache.spark.sql.Row]]
+    val spark = ck.sparkSession
+    val rdd = ck.queryExecution.toRdd
+    val n = rdd.count()
+    (spark.internalCreateDataFrame(rdd, ck.schema), n)
+  }
 }

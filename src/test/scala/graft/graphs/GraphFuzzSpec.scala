@@ -241,6 +241,28 @@ class GraphFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("distributed Borůvka ≡ driver Kruskal on unique-weight graphs (6 seeds)") {
+    // unique weights → the MSF is unique, so the two paths must return
+    // the exact same edge SET (maxDriverEdges = 0 forces the distributed
+    // loop, which the driver knee otherwise shadows at test scale)
+    for (seed <- 0 until 6) {
+      val rnd = new scala.util.Random(seed * 7919 + 5)
+      val raw = randEdges(rnd, 8 + rnd.nextInt(6), 12 + rnd.nextInt(16))
+        .filter(e => e._1 != e._2)
+      val es = raw.zipWithIndex.map { case ((a, b), i) =>
+        (a, b, (i * 37 % 101 + 1) * 1000.0 + a * 7 + b) // engineered-unique
+      }
+      if (es.nonEmpty) {
+        val df = es.toDF("src", "dst", "weight")
+        val boruvka = Graphs.minimumSpanningForest(df, maxDriverEdges = 0L)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+        val kruskal = Graphs.minimumSpanningForest(df)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+        assert(boruvka == kruskal, s"seed $seed: $boruvka vs $kruskal")
+      }
+    }
+  }
+
   test("minimumSpanningForest total weight ≡ naive Kruskal, edges valid and spanning (10 seeds)") {
     for (seed <- 0 until 10) {
       val rnd = new scala.util.Random(seed * 45007 + 23)

@@ -118,6 +118,118 @@ case class InnerProduct(left: Expression, right: Expression) extends VectorBinar
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
 }
 
+/** Argmin/argmax over a candidate LIST in one codegen'd scan —
+  * `nearestIndex(vec, cands)` returns the position (0-based) of the
+  * nearest candidate vector, ties broken by the FIRST (lowest) index.
+  *
+  * The relational shape for "assign each vector to its nearest of K
+  * centroids" is a K-way broadcast-join explosion followed by a
+  * min_by(struct(dist, code)) aggregation — measured at 2 M joined rows
+  * for a 32 K-row training set (K = 64), with the hash aggregate's
+  * var-length struct/array buffers costing ~5 µs per joined row (the
+  * UnsafeRow buffer is rebuilt on every improving update). This
+  * expression does the same argmin inside the row's own projection:
+  * K·d flops per INPUT row, no join blowup, no aggregation, fully
+  * inside whole-stage codegen. With `useCosine` the scan keeps the
+  * strictly-GREATEST cosine (ties → first index), mirroring
+  * `TopK.perGroup(sim desc, cell asc, 1)`; otherwise the strictly-least
+  * squared L2 (ties → first index), mirroring
+  * `min_by(code, struct(d2, code))` over code-ascending candidates.
+  * Cosine handles zero denominators exactly like [[CosineSimilarity]]
+  * (similarity 0). Empty candidate lists yield -1.
+  */
+case class NearestVecIndex(left: Expression, right: Expression, useCosine: Boolean)
+  extends BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = if (useCosine) "nearest_cosine_index" else "nearest_l2_index"
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(ArrayType(FloatType, _), _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects (array<float>, array<array<float>>), got ${left.dataType} / ${right.dataType}")
+    }
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val cs = b.asInstanceOf[ArrayData]
+    val k = cs.numElements()
+    var best = -1
+    var bestScore = if (useCosine) Double.NegativeInfinity else Double.PositiveInfinity
+    var j = 0
+    while (j < k) {
+      val c = cs.getArray(j)
+      val n = math.min(x.numElements(), c.numElements())
+      var i = 0
+      var score = 0.0
+      if (useCosine) {
+        var dot = 0.0; var nx = 0.0; var ny = 0.0
+        while (i < n) {
+          val xi = x.getFloat(i).toDouble; val yi = c.getFloat(i).toDouble
+          dot += xi * yi; nx += xi * xi; ny += yi * yi; i += 1
+        }
+        val dn = math.sqrt(nx) * math.sqrt(ny)
+        score = if (dn == 0.0) 0.0 else dot / dn
+        if (score > bestScore) { bestScore = score; best = j }
+      } else {
+        while (i < n) {
+          val d = x.getFloat(i).toDouble - c.getFloat(i).toDouble
+          score += d * d; i += 1
+        }
+        if (score < bestScore) { bestScore = score; best = j }
+      }
+      j += 1
+    }
+    best
+  }
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val k = ctx.freshName("k"); val j = ctx.freshName("j"); val i = ctx.freshName("i")
+      val n = ctx.freshName("n"); val c = ctx.freshName("c")
+      val best = ctx.freshName("best"); val bestScore = ctx.freshName("bestScore")
+      val score = ctx.freshName("score")
+      val body =
+        if (useCosine) {
+          val dot = ctx.freshName("dot"); val nx = ctx.freshName("nx")
+          val ny = ctx.freshName("ny"); val dn = ctx.freshName("dn")
+          val xi = ctx.freshName("xi"); val yi = ctx.freshName("yi")
+          s"""
+            double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
+            for (int $i = 0; $i < $n; $i++) {
+              double $xi = (double) $a.getFloat($i);
+              double $yi = (double) $c.getFloat($i);
+              $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;
+            }
+            double $dn = java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny);
+            double $score = ($dn == 0.0) ? 0.0 : $dot / $dn;
+            if ($score > $bestScore) { $bestScore = $score; $best = $j; }
+          """
+        } else {
+          val d = ctx.freshName("d")
+          s"""
+            double $score = 0.0;
+            for (int $i = 0; $i < $n; $i++) {
+              double $d = (double) $a.getFloat($i) - (double) $c.getFloat($i);
+              $score += $d * $d;
+            }
+            if ($score < $bestScore) { $bestScore = $score; $best = $j; }
+          """
+        }
+      s"""
+        int $k = $b.numElements();
+        int $best = -1;
+        double $bestScore = ${if (useCosine) "Double.NEGATIVE_INFINITY" else "Double.POSITIVE_INFINITY"};
+        for (int $j = 0; $j < $k; $j++) {
+          org.apache.spark.sql.catalyst.util.ArrayData $c = $b.getArray($j);
+          int $n = java.lang.Math.min($a.numElements(), $c.numElements());
+          $body
+        }
+        ${ev.value} = $best;
+      """
+    })
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 object VectorFunctions {
   import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
 
@@ -129,6 +241,12 @@ object VectorFunctions {
   }
   def l2Dist(a: Column, b: Column): Column = column(L2Distance(expression(a), expression(b)))
   def dot(a: Column, b: Column): Column = column(InnerProduct(expression(a), expression(b)))
+  /** 0-based position of the L2-nearest candidate (ties → first). */
+  def nearestL2Index(vec: Column, cands: Column): Column =
+    column(NearestVecIndex(expression(vec), expression(cands), useCosine = false))
+  /** 0-based position of the cosine-nearest candidate (ties → first). */
+  def nearestCosineIndex(vec: Column, cands: Column): Column =
+    column(NearestVecIndex(expression(vec), expression(cands), useCosine = true))
   def ipDist(a: Column, b: Column): Column = {
     import org.apache.spark.sql.functions.lit
     lit(1.0) - dot(a, b)

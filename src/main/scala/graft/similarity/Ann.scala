@@ -287,13 +287,17 @@ object Ann {
       // consumer (the next round's broadcast build), which materializes
       // the checkpoint inside its own job — an eager ckpt here paid a
       // separate materialization job per round (r9 job-floor audit)
+      // centroid update as ONE partial-aggregating pass: element-wise
+      // vector sum + count per cell (fixed double[dim] buffer per open
+      // group), replacing posexplode → per-(cell,dim) avg → per-cell
+      // collect+sort — two full exchanges and a dim× row blowup per
+      // Lloyd round; arithmetic identical (double sums / count per dim)
       cents = assignCells(base, cents)
-        .select(col("cell"), posexplode(col("vec"))).toDF("cell", "i", "v")
-        .groupBy("cell", "i").agg(avg("v").as("m"))
         .groupBy("cell")
-        // struct sorts by its first field, so array_sort orders by dim i
-        .agg(transform(array_sort(collect_list(struct(col("i"), col("m")))),
-          x => x.getField("m").cast("float")).as("cvec"))
+        .agg(graft.functions.VecSumAgg.vecSum(col("vec")).as("__s"),
+          count(lit(1)).as("__n"))
+        .select(col("cell"),
+          transform(col("__s"), x => (x / col("__n")).cast("float")).as("cvec"))
         .ckptLazy()
     }
     // the RETURNED centroids fan out (assign pass + query probes) —
@@ -308,10 +312,20 @@ object Ann {
     */
   def assignCells(vecs0: DataFrame, cents: DataFrame): DataFrame = {
     val vecs = graft.plan.Parallelism.ensureIngestParallelism(vecs0, Seq(col("id")), light = true)
-    val scored = vecs.crossJoin(broadcast(cents))
-      .withColumn("__sim", VF.cosineSimilarity(col("vec"), col("cvec")))
-    TopK.perGroup(scored, Seq("id"), Seq(col("__sim").desc, col("cell").asc), 1)
-      .drop("cvec", "__sim")
+    // argmax-cosine in ONE codegen'd scan per vector against the
+    // cell-ascending centroid array (ties → lowest cell, exactly the old
+    // TopK.perGroup(__sim desc, cell asc, 1)): the nCells-way broadcast-
+    // join explosion + per-id window it replaces paid ~5 µs per joined
+    // row in var-length aggregation buffers
+    val centsArr = cents
+      .agg(sort_array(collect_list(struct(col("cell"), col("cvec")))).as("__cs"))
+      .select(transform(col("__cs"), x => x.getField("cell")).as("__cells"),
+        transform(col("__cs"), x => x.getField("cvec")).as("__cvecs"))
+    vecs.crossJoin(broadcast(centsArr))
+      .withColumn("__j", VF.nearestCosineIndex(col("vec"), col("__cvecs")))
+      .filter(col("__j") >= 0)
+      .withColumn("cell", element_at(col("__cells"), col("__j") + 1))
+      .drop("__cells", "__cvecs", "__j")
   }
 
   /** IVF-Flat approximate top-k: corpus vectors are bucketed by nearest
@@ -353,6 +367,10 @@ object Ann {
     * truncates at the array end, so every vector's m-th slice has the
     * same width and no dimension is silently dropped).
     */
+  /** test/forensics alias */
+  def subvecsPublic(df: DataFrame, idCol: String, subspaces: Int): DataFrame =
+    subvecs(df, idCol, subspaces)
+
   private def subvecs(df: DataFrame, idCol: String, subspaces: Int): DataFrame =
     df.select(col(idCol), col("vec"),
         explode(sequence(lit(0), lit(subspaces - 1))).as("m"))
@@ -374,6 +392,18 @@ object Ann {
                   iters: Int = 3, trainN: Int = 65536, seed: Int = 0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import graft.plan._
+    // The training set is a hash-bounded sample of AT MOST trainN rows —
+    // driver-safe BY CONSTRUCTION at any corpus scale (the cap is the
+    // design: codebook quality saturates long before the corpus does,
+    // and the reference trains all its indexes in memory). Running the
+    // Lloyd rounds on the collected sample replaces ~3 stages per round
+    // (codebook-array build, broadcast, update exchange) with ONE
+    // collect; arithmetic mirrors the distributed path op-for-op (same
+    // hash seeding order, same ascending-code strict-less argmin, double
+    // accumulation). The distributed loop below remains for callers that
+    // raise trainN beyond driver comfort.
+    if (trainN <= 2000000)
+      return pqCodebooksDriver(corpus, subspaces, codes, iters, trainN, seed)
     val train = corpus.select(col("id"), col("vec"))
       .withColumn("__h", xxhash64(col("id"), lit(seed)))
       .orderBy("__h", "id").limit(trainN).drop("__h")
@@ -390,27 +420,120 @@ object Ann {
       .select(col("m"), (col("__rk") - 1).cast("int").as("code"), col("sub").as("cvec"))
       .ckptLazy()
     for (_ <- 0 until iters) {
-      // assign: broadcast the (subspaces·codes) codebook, min_by picks
-      // the nearest code per (id, m) with a deterministic tie-break;
-      // map-side partial aggregation keeps the shuffle at N·M rows
-      val asg = sv.join(broadcast(cb), Seq("m"))
-        .withColumn("__d2", VF.l2Dist(col("sub"), col("cvec")))
-        .groupBy("id", "m")
-        // every row of the group carries the same sub (it is keyed by
-        // (id, m)), so first() is deterministic here
-        .agg(min_by(col("code"), struct(col("__d2"), col("code"))).as("code"),
-          first(col("sub")).as("sub"))
-      cb = asg.select(col("m"), col("code"), posexplode(col("sub"))).toDF("m", "code", "i", "v")
-        .groupBy("m", "code", "i").agg(avg("v").as("mu"))
-        .groupBy("m", "code")
-        // struct sorts by its first field, so array_sort orders by dim i
-        .agg(transform(array_sort(collect_list(struct(col("i"), col("mu")))),
-          x => x.getField("mu").cast("float")).as("cvec"))
+      // assign: argmin-L2 in one codegen'd scan per (id, m) row against
+      // the code-ascending codebook arrays (ties → lowest code, exactly
+      // the old min_by(code, struct(d2, code))) — the codes-way
+      // broadcast-join explosion + min_by/first aggregation it replaces
+      // paid ~5 µs per joined row in var-length aggregation buffers
+      val asg = sv.join(broadcast(codebookArrays(cb)), Seq("m"))
+        .withColumn("__j", VF.nearestL2Index(col("sub"), col("__cvecs")))
+        .filter(col("__j") >= 0)
+        .select(col("id"), col("m"),
+          element_at(col("__codes"), col("__j") + 1).as("code"), col("sub"))
+      // sub-centroid update as ONE partial-aggregating pass (see
+      // ivfCentroids — same two-exchange shape removed)
+      cb = asg.groupBy("m", "code")
+        .agg(graft.functions.VecSumAgg.vecSum(col("sub")).as("__s"),
+          count(lit(1)).as("__n"))
+        .select(col("m"), col("code"),
+          transform(col("__s"), x => (x / col("__n")).cast("float")).as("cvec"))
         .ckptLazy()
     }
     // returned codebooks fan out (encode + query LUT broadcasts) —
     // eager so concurrent consumers cannot race the lazy persist
     cb.ckpt()
+  }
+
+  /** In-memory mirror of the distributed Lloyd loop over the bounded
+    * training sample (see [[pqCodebooks]]): same xxhash64(id, seed)
+    * sample bound, same per-subspace xxhash64(id, seed, m) seeding
+    * order, same ascending-code strict-less L2 argmin, same double-sum
+    * mean, same empty-cluster drop. Returns a LOCAL relation — every
+    * downstream broadcast builds from memory without a cluster job. */
+  private def pqCodebooksDriver(corpus: DataFrame, subspaces: Int, codes: Int,
+                                iters: Int, trainN: Int, seed: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    // per-subspace seed hashes ride the collect (xxhash64 must be
+    // Spark's own — the seeding order is part of the contract)
+    val hs = array((0 until subspaces).map(m =>
+      xxhash64(col("id"), lit(seed), lit(m))): _*)
+    val collected = corpus.select(col("id"), col("vec"))
+      .withColumn("__h", xxhash64(col("id"), lit(seed)))
+      .orderBy("__h", "id").limit(trainN)
+      .select(col("id"), col("vec"), hs.as("__hs"))
+      .collect()
+    val n = collected.length
+    val vecs = new Array[Array[Float]](n)
+    val ids = new Array[Long](n)
+    val hsArr = new Array[Array[Long]](n)
+    var r = 0
+    while (r < n) {
+      val row = collected(r)
+      ids(r) = row.getLong(0)
+      vecs(r) = row.getSeq[Float](1).toArray
+      hsArr(r) = row.getSeq[Long](2).toArray
+      r += 1
+    }
+    val dim = if (n == 0) 0 else vecs.map(_.length).max
+    val d = math.ceil(dim.toDouble / subspaces).toInt
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Array[Float])]
+    // subspaces are independent — fan the Lloyd loops across driver cores
+    val perM = new Array[Seq[(Int, Int, Array[Float])]](subspaces)
+    java.util.stream.IntStream.range(0, subspaces).parallel().forEach { m =>
+      // m-th slice of each vector (slice truncates at the array end,
+      // exactly like the distributed subvecs)
+      val from = m * d
+      val subs = vecs.map { v =>
+        val to = math.min(from + d, v.length)
+        if (from >= to) Array.emptyFloatArray else java.util.Arrays.copyOfRange(v, from, to)
+      }
+      // seeding: first `codes` rows under (xxhash64(id, seed, m), id)
+      val order = (0 until n).sortBy(i => (hsArr(i)(m), ids(i)))
+      var cb: Array[(Int, Array[Float])] =
+        order.take(codes).zipWithIndex.map { case (i, c) => (c, subs(i)) }.toArray
+      for (_ <- 0 until iters) {
+        val sums = scala.collection.mutable.Map.empty[Int, (Array[Double], Long)]
+        var i = 0
+        while (i < n) {
+          val s = subs(i)
+          // ascending code order, strictly-less keeps the first — the
+          // exact min_by(code, struct(d2, code)) tie-break
+          var best = -1; var bestD = Double.PositiveInfinity
+          var j = 0
+          while (j < cb.length) {
+            val c = cb(j)._2
+            val len = math.min(s.length, c.length)
+            var d2 = 0.0; var t = 0
+            while (t < len) { val df = s(t).toDouble - c(t).toDouble; d2 += df * df; t += 1 }
+            if (d2 < bestD) { bestD = d2; best = j }
+            j += 1
+          }
+          if (best >= 0) {
+            val code = cb(best)._1
+            // buffer width = this subspace's slice width (the last
+            // slice is narrower when dim doesn't divide), matching the
+            // distributed VecSum's grown-to-longest-member buffer
+            val w = math.max(0, math.min(d, dim - from))
+            val (acc, cnt) = sums.getOrElseUpdate(code, (new Array[Double](w), 0L))
+            val len = math.min(s.length, acc.length)
+            var t = 0
+            while (t < len) { acc(t) += s(t).toDouble; t += 1 }
+            sums(code) = (acc, cnt + 1)
+          }
+          i += 1
+        }
+        cb = sums.toArray.sortBy(_._1).map { case (code, (acc, cnt)) =>
+          // trailing zero dims beyond a short slice divide like the
+          // distributed VecSum (grown buffer, zero contributions)
+          (code, acc.map(x => (x / cnt).toFloat))
+        }
+      }
+      perM(m) = cb.map { case (code, cvec) => (m, code, cvec) }.toSeq
+    }
+    perM.foreach(out ++= _)
+    import spark.implicits._
+    out.toSeq.toDF("m", "code", "cvec")
+      .select(col("m"), col("code"), col("cvec").cast("array<float>"))
   }
 
   /** Encode a corpus against trained codebooks: (id, m, code, selfdot)
@@ -425,11 +548,22 @@ object Ann {
   def pqEncode(corpus: DataFrame, codebooks: DataFrame, subspaces: Int): DataFrame =
     subvecs(graft.plan.Parallelism.ensureIngestParallelism(corpus, Seq(col("id")), light = true)
         .select(col("id"), col("vec")), "id", subspaces)
-      .join(broadcast(codebooks), Seq("m"))
-      .withColumn("__d2", VF.l2Dist(col("sub"), col("cvec")))
-      .groupBy("id", "m")
-      .agg(min_by(col("code"), struct(col("__d2"), col("code"))).as("code"),
-        first(VF.dot(col("sub"), col("sub"))).as("selfdot"))
+      .join(broadcast(codebookArrays(codebooks)), Seq("m"))
+      .withColumn("__j", VF.nearestL2Index(col("sub"), col("__cvecs")))
+      .filter(col("__j") >= 0)
+      .select(col("id"), col("m"),
+        element_at(col("__codes"), col("__j") + 1).as("code"),
+        VF.dot(col("sub"), col("sub")).as("selfdot"))
+
+  /** (m, codes[], cvecs[]) — the codebook pivoted to code-ascending
+    * parallel arrays per subspace, the shape [[NearestVecIndex]] scans
+    * (codes may be sparse after empty-cluster drops, hence the explicit
+    * code array rather than positional indexing). */
+  private def codebookArrays(cb: DataFrame): DataFrame =
+    cb.groupBy("m")
+      .agg(sort_array(collect_list(struct(col("code"), col("cvec")))).as("__cs"))
+      .select(col("m"), transform(col("__cs"), x => x.getField("code")).as("__codes"),
+        transform(col("__cs"), x => x.getField("cvec")).as("__cvecs"))
 
   /** PQ approximate top-k cosine with asymmetric distance computation
     * (ADC) and exact re-rank:

@@ -227,6 +227,26 @@ class AnnSpec extends AnyFunSuite {
     assert(joined.filter(col("a") =!= col("b")).isEmpty)
   }
 
+  test("driver pqCodebooks mirrors the distributed Lloyd loop") {
+    // trainN above the driver gate forces the distributed loop; both see
+    // the whole (small) corpus as the training set, the same seeding
+    // order and the same rounds — key sets must match exactly, centroid
+    // floats up to summation-order ulps
+    val emb = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    def keyed(df: org.apache.spark.sql.DataFrame): Map[(Int, Int), Array[Float]] =
+      df.collect().map(r => ((r.getInt(0), r.getInt(1)),
+        r.getSeq[Float](2).toArray)).toMap
+    val drv = keyed(Ann.pqCodebooks(corpus, subspaces = 8, codes = 16, iters = 2))
+    val dist = keyed(Ann.pqCodebooks(corpus, subspaces = 8, codes = 16, iters = 2,
+      trainN = 3000000))
+    assert(drv.keySet == dist.keySet)
+    for ((k, a) <- drv; b = dist(k)) {
+      assert(a.length == b.length, s"$k width")
+      a.zip(b).foreach { case (x, y) => assert(math.abs(x - y) <= 1e-4f, s"$k $x vs $y") }
+    }
+  }
+
   test("bruteForceTopK excludes self and ranks by cosine") {
     val emb = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))

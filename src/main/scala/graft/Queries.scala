@@ -505,14 +505,16 @@ object Queries {
       val li = T(s, d, "lineitem")
       // default rsd 0.05 is ONE standard deviation — observed errors at
       // sf0.001/0.01/0.1 are 0.7%/6.7%/5.1%, so the pinned bound is 2σ
-      val hll = o.agg(
+      // one scan carries both sketch configs + the exact count (the
+      // separate aggregations paid two more full scans of orders)
+      val hllBoth = o.agg(
         approx_count_distinct(col("o_custkey")).as("approx"),
-        count_distinct(col("o_custkey")).as("exact"))
+        call_function("approx_count_distinct", col("o_custkey"), lit(0.01)).as("approx_t"),
+        count_distinct(col("o_custkey")).as("exact")).ckptLazy()
+      val hll = hllBoth
         .select((abs(col("approx") - col("exact")) / col("exact") < 0.10).as("ok"))
-      val hllTight = o.agg(
-        call_function("approx_count_distinct", col("o_custkey"), lit(0.01)).as("approx"),
-        count_distinct(col("o_custkey")).as("exact"))
-        .select((abs(col("approx") - col("exact")) / col("exact") < 0.02).as("ok"))
+      val hllTight = hllBoth
+        .select((abs(col("approx_t") - col("exact")) / col("exact") < 0.02).as("ok"))
       // approx median must sit inside the exact [0.45, 0.55] quantile
       // bracket: rank the approx value against the full column
       val med = li.agg(percentile_approx(col("l_quantity"), lit(0.5), lit(10000)).as("m"))

@@ -157,7 +157,11 @@ case class NearestVecIndex(left: Expression, right: Expression, useCosine: Boole
     var bestScore = if (useCosine) Double.NegativeInfinity else Double.PositiveInfinity
     var j = 0
     while (j < k) {
-      val c = cs.getArray(j)
+      // a NULL candidate scores NULL in the join shape and never wins —
+      // skip it (it can't beat a real score, and -1 stays for all-null)
+      val c = if (cs.isNullAt(j)) null else cs.getArray(j)
+      if (c == null) { j += 1 }
+      else {
       val n = math.min(x.numElements(), c.numElements())
       var i = 0
       var score = 0.0
@@ -178,6 +182,7 @@ case class NearestVecIndex(left: Expression, right: Expression, useCosine: Boole
         if (score < bestScore) { bestScore = score; best = j }
       }
       j += 1
+      }
     }
     best
   }
@@ -219,6 +224,7 @@ case class NearestVecIndex(left: Expression, right: Expression, useCosine: Boole
         int $best = -1;
         double $bestScore = ${if (useCosine) "Double.NEGATIVE_INFINITY" else "Double.POSITIVE_INFINITY"};
         for (int $j = 0; $j < $k; $j++) {
+          if ($b.isNullAt($j)) continue;
           org.apache.spark.sql.catalyst.util.ArrayData $c = $b.getArray($j);
           int $n = java.lang.Math.min($a.numElements(), $c.numElements());
           $body

@@ -1240,13 +1240,14 @@ object Graphs {
     var depth = 0
     var go = true
     while (go && depth < maxIter) {
-      val next = frontier.join(und, frontier("node") === und("src"))
+      // materialization + emptiness probe fused into one job
+      val (next, nNext) = frontier.join(und, frontier("node") === und("src"))
         .select(col("start"), col("dst").as("node"), col("sigma"))
         .join(visited.select("start", "node"), Seq("start", "node"), "left_anti")
         .groupBy("start", "node").agg(sum(col("sigma")).as("sigma"))
         .withColumn("depth", lit(depth + 1))
-        .ckptLazy()
-      go = !next.isEmpty
+        .ckptCount()
+      go = nNext > 0
       if (go) {
         visited = visited.unionByName(next).ckptLazy()
         frontier = next.select("start", "node", "sigma")
@@ -1588,14 +1589,21 @@ object Graphs {
       .ckpt()
     var frontier = walk
     var s = 0
-    while (s < steps && !frontier.isEmpty) {
+    var nLive = -1L
+    while (s < steps && nLive != 0 && !(s == 0 && frontier.isEmpty)) {
       val cand = frontier.join(e, frontier("node") === e("src"))
         .select(col("walk_id"), col("start"), col("dst"), (col("step") + 1).as("step"),
           xxhash64(col("walk_id"), col("step"), col("dst")).as("__h"))
-      val w = Window.partitionBy(col("walk_id"), col("step")).orderBy(col("__h"), col("dst"))
-      frontier = cand.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
-        .select(col("walk_id"), col("start"), col("dst").as("node"), col("step"))
-        .ckptLazy() // isEmpty materializes it (doCheckpoint fills all partitions)
+      // min_by ≡ the old row_number()=1 under (h, dst) — same choice,
+      // but map-side partials shuffle one row per (walk, map task)
+      // instead of sorting every candidate edge through a window; the
+      // count fuses the materialization with the emptiness probe
+      val (f2, n2) = cand.groupBy(col("walk_id"), col("start"), col("step"))
+        .agg(min_by(col("dst"), struct(col("__h"), col("dst"))).as("node"))
+        .select(col("walk_id"), col("start"), col("node"), col("step"))
+        .ckptCount()
+      frontier = f2
+      nLive = n2
       walk = walk.union(frontier).ckptLazy()
       s += 1
     }

@@ -271,11 +271,23 @@ object Ann {
     * Returns (cell 0..nCells-1, cvec).
     */
   def ivfCentroids(corpus: DataFrame, nCells: Int, iters: Int = 2,
-                   seed: Int = 0): DataFrame = {
+                   seed: Int = 0, maxDriverVecs: Long = 200000L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import graft.plan._
     val base = Parallelism.ensureIngestParallelism(corpus, Seq(col("id")), light = true)
       .select(col("id"), col("vec"))
+    // Scale knee (one count decides): Lloyd training over a corpus that
+    // fits the driver runs in memory — each distributed round paid an
+    // assign pass + centroid-update exchange + broadcast build, ~3
+    // stages, for nCells centroids. The mirror reproduces the seeding
+    // (nCells smallest xxhash64(id, seed), cell = hash rank), the
+    // argmax-cosine / lowest-cell-tie assignment, the double-sum mean
+    // and the empty-cell drop; only float summation order differs, as
+    // it already does between AQE plans. Above the cap the distributed
+    // loop below is the 100 TB path (the assign pass is corpus-scale
+    // and must not leave the cluster).
+    if (base.count() <= maxDriverVecs)
+      return ivfCentroidsDriver(base, nCells, iters, seed)
     var cents = base
       .withColumn("__h", xxhash64(col("id"), lit(seed)))
       .orderBy("__h").limit(nCells)
@@ -303,6 +315,77 @@ object Ann {
     // the RETURNED centroids fan out (assign pass + query probes) —
     // eager here so concurrent consumers cannot race the lazy persist
     cents.ckpt()
+  }
+
+  /** In-memory mirror of the distributed ivfCentroids loop (see the
+    * scale-knee note there). Returns a LOCAL (cell, cvec) relation. */
+  private def ivfCentroidsDriver(base: DataFrame, nCells: Int, iters: Int,
+                                 seed: Int): DataFrame = {
+    val spark = base.sparkSession
+    val collected = base
+      .select(col("id"), col("vec"), xxhash64(col("id"), lit(seed)).as("__h"))
+      .collect()
+    val n = collected.length
+    val ids = new Array[Long](n)
+    val vecs = new Array[Array[Float]](n)
+    val hs = new Array[Long](n)
+    var r = 0
+    while (r < n) {
+      val row = collected(r)
+      ids(r) = row.getLong(0)
+      vecs(r) = Option(row.getSeq[Float](1)).map(_.toArray).orNull
+      hs(r) = row.getLong(2)
+      r += 1
+    }
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      if (a == null || b == null) return 0.0
+      val len = math.min(a.length, b.length)
+      var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
+      while (i < len) {
+        val xi = a(i).toDouble; val yi = b(i).toDouble
+        dot += xi * yi; nx += xi * xi; ny += yi * yi; i += 1
+      }
+      val dn = math.sqrt(nx) * math.sqrt(ny)
+      if (dn == 0.0) 0.0 else dot / dn
+    }
+    val order = (0 until n).sortBy(i => (hs(i), ids(i)))
+    var cents: Array[(Int, Array[Float])] =
+      order.take(nCells).zipWithIndex.map { case (i, c) => (c, vecs(i)) }.toArray
+    for (_ <- 0 until iters) {
+      val sums = scala.collection.mutable.Map.empty[Int, (Array[Double], Long)]
+      var i = 0
+      while (i < n) {
+        val v = vecs(i)
+        // ascending cell order, strictly-greater keeps the first — the
+        // old TopK.perGroup(__sim desc, cell asc, 1) tie-break
+        var best = -1; var bestS = Double.NegativeInfinity
+        var j = 0
+        while (j < cents.length) {
+          val s = cos(v, cents(j)._2)
+          if (s > bestS) { bestS = s; best = j }
+          j += 1
+        }
+        if (best >= 0 && v != null) {
+          val cell = cents(best)._1
+          val w = v.length
+          val (acc0, cnt) = sums.getOrElseUpdate(cell, (new Array[Double](w), 0L))
+          val acc = if (acc0.length >= w) acc0 else {
+            val nb = new Array[Double](w)
+            System.arraycopy(acc0, 0, nb, 0, acc0.length); nb
+          }
+          var t = 0
+          while (t < w) { acc(t) += v(t).toDouble; t += 1 }
+          sums(cell) = (acc, cnt + 1)
+        }
+        i += 1
+      }
+      cents = sums.toArray.sortBy(_._1).map { case (cell, (acc, cnt)) =>
+        (cell, acc.map(x => (x / cnt).toFloat))
+      }
+    }
+    import spark.implicits._
+    cents.toSeq.toDF("cell", "cvec")
+      .select(col("cell"), col("cvec").cast("array<float>"))
   }
 
   /** Nearest-centroid assignment: broadcast the (≤ a few K) centroids,

@@ -81,11 +81,77 @@ object Bpe {
     * (left, right). Returns the rules in rank order.
     */
   def train(docs: DataFrame, textCol: String, numMerges: Int,
-            batch: Int = 1): Seq[Merge] = {
+            batch: Int = 1, maxDriverWords: Long = 1000000L): Seq[Merge] = {
     require(numMerges >= 0 && batch >= 1)
-    var words = wordFreqs(docs, textCol)
+    // Scale knee: training state is the VOCABULARY (distinct words +
+    // frequencies), not the corpus — one corpus pass aggregates it, and
+    // below the cap the merge rounds run in memory (batch = 1 semantics
+    // exactly: same pair counts, same (count desc, l, r) tie-break, same
+    // left-to-right carry merge — BpeSpec pins this loop against the
+    // distributed one). The distributed rounds each paid a pair-count
+    // exchange + TakeOrdered collect over the folded symbol table: 24
+    // merges cost ~60 jobs where the driver loop costs two.
+    if (batch == 1) {
+      val (wf, nWords) = wordFreqs(docs, textCol).ckptCount()
+      if (nWords <= maxDriverWords) {
+        val rows = wf.collect().map(r => (r.getString(0), r.getLong(1)))
+        wf.unckpt()
+        return trainDriver(rows, numMerges)
+      }
+      // fall through distributed with the already-materialized freqs
+      var words = wf
+        .select(col("word"), col("freq"), charSyms(col("word")).as("syms"))
+        .ckpt()
+      return trainDistributed(words, numMerges, batch)
+    }
+    val words = wordFreqs(docs, textCol)
       .select(col("word"), col("freq"), charSyms(col("word")).as("syms"))
       .ckpt()
+    trainDistributed(words, numMerges, batch)
+  }
+
+  /** In-memory mirror of the batch-1 training loop over the collected
+    * vocabulary: identical pair statistics (freq-weighted adjacent
+    * pairs), identical (count desc, left, right) tie-break, identical
+    * left-to-right non-overlapping carry merge. */
+  private def trainDriver(vocab: Array[(String, Long)], numMerges: Int): Seq[Merge] = {
+    var words: Array[(Array[String], Long)] =
+      vocab.map { case (w, f) => (w.map(_.toString).toArray, f) }
+    val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
+    while (merges.size < numMerges) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      for ((syms, f) <- words) {
+        var i = 0
+        while (i < syms.length - 1) {
+          val k = (syms(i), syms(i + 1))
+          counts(k) = counts.getOrElse(k, 0L) + f
+          i += 1
+        }
+      }
+      if (counts.isEmpty) return merges.toSeq
+      val ((l, r), _) = counts.minBy { case ((l, r), c) => (-c, l, r) }
+      merges += Merge(merges.size, l, r)
+      words = words.map { case (syms, f) => (applyMergeDriver(syms, l, r), f) }
+    }
+    merges.toSeq
+  }
+
+  /** Driver mirror of [[applyMerge]]'s carry fold ("aaa" + (a,a) →
+    * ["aa","a"]). */
+  private[text] def applyMergeDriver(syms: Array[String], l: String, r: String): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var carry: String = null
+    for (s <- syms) {
+      if (carry == l && s == r) { out += l + r; carry = null }
+      else { if (carry != null) out += carry; carry = s }
+    }
+    if (carry != null) out += carry
+    out.toArray
+  }
+
+  private def trainDistributed(words0: DataFrame, numMerges: Int,
+                               batch: Int): Seq[Merge] = {
+    var words = words0
     val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
     var round = 0
     while (merges.size < numMerges) {

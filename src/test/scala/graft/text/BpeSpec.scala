@@ -68,6 +68,14 @@ class BpeSpec extends AnyFunSuite {
     assert(got == refTrain(wf, 25))
   }
 
+  test("driver trainer == distributed batch-1 loop on real text") {
+    // maxDriverWords = 0 forces the distributed rounds the driver loop shadows
+    val sample = docs.filter(col("doc_id") < 60)
+    val drv = Bpe.train(sample, "text", 25).map(m => (m.left, m.right))
+    val dist = Bpe.train(sample, "text", 25, maxDriverWords = 0L).map(m => (m.left, m.right))
+    assert(drv == dist)
+  }
+
   test("encode: textbook segmentation, unseen-word fallback, memo correctness") {
     val corpus = Map("low" -> 5L, "lower" -> 2L, "newest" -> 6L, "widest" -> 3L)
     val merges = Bpe.train(corpusDf(corpus), "text", 4)

@@ -28,12 +28,12 @@ object TextFunctions {
     val toks = tokens(text)
     if (n <= 1) array_distinct(toks)
     else {
-      // shingle i = toks[i] .. toks[i+n-1], for i in 0 .. size-n
-      // (guard: sequence(0, x<0) would produce a DESCENDING sequence)
-      when(size(toks) >= n,
-        array_distinct(transform(sequence(lit(0), size(toks) - lit(n)),
-          i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
-        .otherwise(array().cast("array<string>"))
+      // one-pass native expression: the higher-order composition this
+      // replaces re-ran the regex tokenizer once per WINDOW (lambdas
+      // re-evaluate captured expressions per element) — see
+      // WordShingleWindows for the measurement
+      import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+      column(WordShingleWindows(expression(toks), n))
     }
   }
 

@@ -69,17 +69,23 @@ object CozoFunctions {
     * filter-to-nothing trick keeps the expression generic (a literal
     * `array()` cast needs a concrete type name). */
   private def emptyNested(l: Column): Column = filter(array(l), _ => lit(false))
+  // chunks/windows Let-bind their list argument: the slicing lambdas
+  // would otherwise re-evaluate it per chunk/window — quadratic when a
+  // caller passes an expression (a tokenizer) instead of a column ref
   def chunksExact(l: Column, n: Int): Column = chunksExactC(l, lit(n))
-  def chunksExactC(l: Column, n: Column): Column = // 1693
+  def chunksExactC(l0: Column, n: Column): Column = Let.once(l0) { l => // 1693
     when(size(l) >= n, transform(sequence(lit(0), (size(l) / n).cast("int") - 1),
       i => slice(l, i * n + 1, n))).otherwise(emptyNested(l))
-  def chunks(l: Column, n: Column): Column = // 1677 (last chunk may be short)
+  }
+  def chunks(l0: Column, n: Column): Column = Let.once(l0) { l => // 1677 (last chunk may be short)
     when(size(l) > 0, transform(sequence(lit(0), ceil(size(l).cast("double") / n).cast("int") - 1),
       i => slice(l, i * n + 1, n))).otherwise(emptyNested(l))
+  }
   def windows(l: Column, n: Int): Column = windowsC(l, lit(n))
-  def windowsC(l: Column, n: Column): Column = // 1709
+  def windowsC(l0: Column, n: Column): Column = Let.once(l0) { l => // 1709
     when(size(l) >= n, transform(sequence(lit(0), size(l) - n),
       i => slice(l, i + 1, n))).otherwise(emptyNested(l))
+  }
   def intRange(from: Column, to: Column): Column = // 2257 [from, to)
     when(from < to, sequence(from, to - 1)).otherwise(array().cast("array<long>"))
   /** 3-arg int_range with signed step (2257): stop-exclusive in either

@@ -50,13 +50,16 @@ object TextFunctions {
     *    window — the chain's n−1 intermediate array materializations
     *    per document overtake the single string build (measured at
     *    n=10: chain 6.0 s vs string 3.1 s on the sf0.1 corpus). */
-  def windowHashes(toks: Column, n: Int): Column = {
+  def windowHashes(toks0: Column, n: Int): Column = Let.once(toks0) { toks =>
+    // Let-bound: with an EXPRESSION argument (a tokenizer) the n>4
+    // branch re-evaluated it per window and the n<=4 branch per part
     val combined =
       if (n <= 4) {
-        val th = transform(toks, t => xxhash64(t))
-        val len = size(toks) - lit(n - 1)
-        val parts = (0 until n).map(o => slice(th, lit(o + 1), len))
-        parts.reduce((a, b) => zip_with(a, b, (x, y) => xxhash64(x, y)))
+        Let.once(transform(toks, t => xxhash64(t))) { th =>
+          val len = size(toks) - lit(n - 1)
+          val parts = (0 until n).map(o => slice(th, lit(o + 1), len))
+          parts.reduce((a, b) => zip_with(a, b, (x, y) => xxhash64(x, y)))
+        }
       } else
         transform(sequence(lit(0), size(toks) - lit(n)),
           i => xxhash64(concat_ws(" ", slice(toks, i + 1, lit(n)))))

@@ -169,12 +169,14 @@ object Fts {
     * list (an empty text is one empty shingle — empty docs match each
     * other); else the distinct sliding windows. Window tokens join
     * with U+0001, which no tokenizer emits. */
-  def lshShingles(text: Column, p: Pipeline, n: Int): Column = {
-    val toks = tokenizeWith(text, p)
-    when(lit(n) >= size(toks), array(concat_ws("\u0001", toks)))
-      .otherwise(array_distinct(transform(sequence(lit(1), size(toks) - n + 1),
-        i => concat_ws("\u0001", slice(toks, i, lit(n))))))
-  }
+  def lshShingles(text: Column, p: Pipeline, n: Int): Column =
+    // Let.once: the window lambda would otherwise re-run the whole
+    // tokenizer pipeline per window (quadratic -- see Let)
+    graft.functions.Let.once(tokenizeWith(text, p)) { toks =>
+      when(lit(n) >= size(toks), array(concat_ws("\u0001", toks)))
+        .otherwise(array_distinct(transform(sequence(lit(1), size(toks) - n + 1),
+          i => concat_ws("\u0001", slice(toks, i, lit(n))))))
+    }
 
   /** Driver-side mirror of [[lshShingles]] for a constant query. */
   def lshShinglesStr(s: String, p: Pipeline, n: Int): Seq[String] = {
@@ -192,14 +194,18 @@ object Fts {
       case "NGram" =>
         // tantivy ngram tokenizes the raw text stream: all n-grams for
         // n in [min_gram, max_gram], or only prefixes when prefix_only
-        val grams = (p.minGram to p.maxGram).map { n =>
-          if (p.prefixOnly) when(length(lowered) >= n, array(lowered.substr(lit(1), lit(n))))
-            .otherwise(array().cast("array<string>"))
-          else when(length(lowered) >= n,
-            transform(sequence(lit(1), length(lowered) - n + 1), i => lowered.substr(i, lit(n))))
-            .otherwise(array().cast("array<string>"))
+        // Let.once: the gram lambdas would otherwise re-lowercase the
+        // raw text per gram position (quadratic — see Let)
+        graft.functions.Let.once(lowered) { lc =>
+          val grams = (p.minGram to p.maxGram).map { n =>
+            if (p.prefixOnly) when(length(lc) >= n, array(lc.substr(lit(1), lit(n))))
+              .otherwise(array().cast("array<string>"))
+            else when(length(lc) >= n,
+              transform(sequence(lit(1), length(lc) - n + 1), i => lc.substr(i, lit(n))))
+              .otherwise(array().cast("array<string>"))
+          }
+          grams.reduce(concat(_, _))
         }
-        grams.reduce(concat(_, _))
       case "Cangjie" =>
         // jieba-style CJK dictionary segmentation (fts/mod.rs:109-139);
         // the trie DP isn't a Column expression, so this tokenizer is a

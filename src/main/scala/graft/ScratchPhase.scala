@@ -37,6 +37,37 @@ object ScratchPhase {
     def sink(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
 
+    // A/B the random-walk step shapes
+    {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.load(spark, d, "events")
+      val e0 = Queries.eventEdges(ev).ckpt()
+      val starts = e0.filter(col("src") < 5).select(col("src").as("start")).distinct()
+        .withColumn("walk_id", col("start"))
+      def walkOld(e: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+        var walk = starts.select(col("walk_id"), col("start"), col("start").as("node"), lit(0).as("step")).ckpt()
+        var frontier = walk
+        var s = 0
+        while (s < 5 && !frontier.isEmpty) {
+          val cand = frontier.join(e, frontier("node") === e("src"))
+            .select(col("walk_id"), col("start"), col("dst"), (col("step") + 1).as("step"),
+              xxhash64(col("walk_id"), col("step"), col("dst")).as("__h"))
+          val w = Window.partitionBy(col("walk_id"), col("step")).orderBy(col("__h"), col("dst"))
+          frontier = cand.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+            .select(col("walk_id"), col("start"), col("dst").as("node"), col("step"))
+            .ckptLazy()
+          walk = walk.union(frontier).ckptLazy()
+          s += 1
+        }
+        walk
+      }
+      for (r <- 1 to 3) {
+        val e = e0
+        time("walk OLD window") { sink(walkOld(e)) }
+        time("walk NEW minby") { sink(graft.graphs.Graphs.randomWalk(e, starts, 5)) }
+      }
+    }
+
     val emb = Tables.load(spark, d, "embeddings")
     val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
     val queries = emb.filter(col("vec_id") < 20)

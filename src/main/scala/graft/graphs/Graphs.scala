@@ -341,9 +341,16 @@ object Graphs {
     * hop count from each start node, frontier-expanded, bounded by
     * `maxHops`. Returns (start, node, depth).
     */
-  def bfs(edges: DataFrame, starts: DataFrame, maxHops: Int): DataFrame =
-    bfsLevels(edges, starts, maxHops).getOrElse {
-      val e = edges.select("src", "dst").distinct()
+  def bfs(edges: DataFrame, starts: DataFrame, maxHops: Int,
+          maxDriverEdges: Long = 2000000L): DataFrame = {
+    // scale knee (the same pattern as pageRank/louvain/topSort — the
+    // reference's bfs.rs walks a fully materialized graph): below the
+    // cap the level walk runs in memory with identical min-hop
+    // semantics; distributed shapes (bitmap levels, meetMin fallback)
+    // above it
+    val (e, nE) = edges.select("src", "dst").distinct().ckptCount()
+    if (nE <= maxDriverEdges) return bfsDriver(e, starts, maxHops)
+    bfsLevels(e, starts, maxHops).getOrElse {
       val base = starts.select(col("start"), col("start").as("node"), lit(0).as("depth"))
       Fixpoint.meetMin(base,
         delta => delta.filter(col("depth") < maxHops)
@@ -351,6 +358,113 @@ object Graphs {
           .select(col("start"), col("dst").as("node"), (col("depth") + 1).as("depth")),
         Seq("start", "node"), "depth", maxIter = maxHops + 1)
     }
+  }
+
+  /** Generic (Any-keyed — FixedRules pass string graphs) collected
+    * adjacency of a DISTINCT (src, dst) edge relation. */
+  private def collectAdjAny(e: DataFrame): scala.collection.mutable.HashMap[Any, scala.collection.mutable.ArrayBuffer[Any]] = {
+    val adj = scala.collection.mutable.HashMap.empty[Any, scala.collection.mutable.ArrayBuffer[Any]]
+    e.collect().foreach { r =>
+      adj.getOrElseUpdate(r.get(0), scala.collection.mutable.ArrayBuffer.empty[Any]) += r.get(1)
+    }
+    adj
+  }
+
+  /** In-memory mirror of the level-synchronous BFS: min hop count per
+    * (start, node), bounded at maxHops, base (start, start, 0) rows for
+    * every start (in-graph or not) — exactly the bitmap/meetMin result.
+    * Long-keyed graphs (every bench graph) take a dense-int CSR walk —
+    * the Any-boxed HashMap walk costs ~50 ns/edge-visit in boxing alone,
+    * which a many-source sweep (closeness probes hundreds of sources)
+    * turns into whole seconds. */
+  private def bfsDriver(e: DataFrame, starts: DataFrame, maxHops: Int): DataFrame = {
+    import org.apache.spark.sql.types.LongType
+    val spark = e.sparkSession
+    if (e.schema("src").dataType == LongType && e.schema("dst").dataType == LongType &&
+        starts.schema("start").dataType == LongType)
+      return bfsDriverLong(e, starts, maxHops)
+    val adj = collectAdjAny(e)
+    val st = starts.select(col("start")).distinct().collect().map(_.get(0))
+    val out = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+    for (s <- st) {
+      val depthOf = scala.collection.mutable.HashMap[Any, Int](s -> 0)
+      var frontier: Seq[Any] = Seq(s)
+      var d = 0
+      while (frontier.nonEmpty && d < maxHops) {
+        d += 1
+        val next = scala.collection.mutable.ArrayBuffer.empty[Any]
+        for (v <- frontier; w <- adj.getOrElse(v, Nil)) if (!depthOf.contains(w)) {
+          depthOf(w) = d; next += w
+        }
+        frontier = next.toSeq
+      }
+      depthOf.foreach { case (n, dep) => out += org.apache.spark.sql.Row(s, n, dep) }
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("start", starts.schema("start").dataType),
+      org.apache.spark.sql.types.StructField("node", e.schema("src").dataType),
+      org.apache.spark.sql.types.StructField("depth", org.apache.spark.sql.types.IntegerType, nullable = false)))
+    spark.createDataFrame(spark.sparkContext.parallelize(out.toSeq,
+      math.max(1, math.min(spark.sparkContext.defaultParallelism, out.size / 4096 + 1))), schema)
+  }
+
+  private def bfsDriverLong(e: DataFrame, starts: DataFrame, maxHops: Int): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    val es = e.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val st = starts.select(col("start")).distinct().collect().map(_.getLong(0))
+    // dense ids
+    val dict = new java.util.HashMap[Long, Int]()
+    def idx(x: Long): Unit = if (!dict.containsKey(x)) dict.put(x, dict.size())
+    es.foreach { case (a, b) => idx(a); idx(b) }
+    val n = dict.size()
+    val ids = new Array[Long](n)
+    dict.forEach((k, v) => ids(v) = k)
+    // CSR adjacency
+    val deg = new Array[Int](n)
+    es.foreach { case (a, _) => deg(dict.get(a)) += 1 }
+    val off = new Array[Int](n + 1)
+    var i = 0
+    while (i < n) { off(i + 1) = off(i) + deg(i); i += 1 }
+    val fill = off.clone()
+    val tgt = new Array[Int](es.length)
+    es.foreach { case (a, b) => val ai = dict.get(a); tgt(fill(ai)) = dict.get(b); fill(ai) += 1 }
+    val depth = new Array[Int](n)
+    java.util.Arrays.fill(depth, -1)
+    val queue = new Array[Int](n)
+    val touched = new Array[Int](n)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int)]
+    for (s <- st) {
+      var nTouched = 0
+      val si = if (dict.containsKey(s)) dict.get(s) else -1
+      out += ((s, s, 0))
+      if (si >= 0) {
+        depth(si) = 0; queue(0) = si; touched(nTouched) = si; nTouched += 1
+        var head = 0; var tail = 1
+        while (head < tail) {
+          val v = queue(head); head += 1
+          val dv = depth(v)
+          if (dv < maxHops) {
+            var p = off(v)
+            while (p < off(v + 1)) {
+              val w = tgt(p)
+              if (depth(w) < 0) {
+                depth(w) = dv + 1
+                queue(tail) = w; tail += 1
+                touched(nTouched) = w; nTouched += 1
+                out += ((s, ids(w), dv + 1))
+              }
+              p += 1
+            }
+          }
+        }
+        // reset only the touched slots for the next source
+        var t = 0
+        while (t < nTouched) { depth(touched(t)) = -1; t += 1 }
+      }
+    }
+    out.toSeq.toDF("start", "node", "depth")
+  }
 
   /** Level-synchronous multi-source BFS over the bitmap frontier —
     * min-hop depths identical to the meetMin relaxation (unit weights:
@@ -366,9 +480,10 @@ object Graphs {
     * Returns (start, node, depth:int) with the (start,start,0) base
     * rows, exactly the meetMin result set.
     */
-  private def bfsLevels(edges: DataFrame, starts: DataFrame,
+  private def bfsLevels(e: DataFrame, starts: DataFrame,
                         maxHops: Int): Option[DataFrame] = {
-    val e = edges.select("src", "dst").distinct().ckpt()
+    // `e` arrives DISTINCT and checkpointed (both callers dedupe it for
+    // the driver-knee count)
     val fr = new Frontier(e)
     if (!fr.enabled) return None
     // every bitmap hop materializes (ckpt) inside the loop, so the whole
@@ -436,8 +551,13 @@ object Graphs {
     * ≤ `hops` edges. Equivalent to bfs(...).select(start,node) but kept
     * as the semi-naive transitive-closure shape of eval.rs:571-610.
     */
-  def reachable(edges: DataFrame, starts: DataFrame, hops: Int): DataFrame = {
-    val e = edges.select("src", "dst").distinct()
+  def reachable(edges: DataFrame, starts: DataFrame, hops: Int,
+                maxDriverEdges: Long = 2000000L): DataFrame = {
+    val (e, nE) = edges.select("src", "dst").distinct().ckptCount()
+    // scale knee: ≤ `hops` reachability over a driver-sized graph is
+    // the bfsDriver walk minus the depth column (same base rows)
+    if (nE <= maxDriverEdges)
+      return bfsDriver(e, starts, hops).select("start", "node")
     val base = starts.select(col("start"), col("start").as("node"))
     Fixpoint.boundedExpand(base,
       delta => delta.join(e, delta("node") === e("src"))
@@ -451,21 +571,64 @@ object Graphs {
     * on a materialized graph; a PQ is driver-sequential, relaxation
     * partitions. Unweighted edges get weight 1. Returns (start, node, cost).
     */
-  def shortestPaths(edges: DataFrame, starts: DataFrame, maxIter: Int = 30): DataFrame = {
-    // unit weights: min cost ≡ min hops — take the level-synchronous
-    // bitmap BFS when the dictionary fits (see bfsLevels)
-    if (!edges.columns.contains("weight")) {
-      bfsLevels(edges, starts, maxIter).foreach { lv =>
-        return lv.select(col("start"), col("node"), col("depth").cast("double").as("cost"))
-      }
-    }
-    val e = (if (edges.columns.contains("weight")) edges.select(col("src"), col("dst"), col("weight"))
-             else edges.select(col("src"), col("dst"), lit(1.0).as("weight"))).distinct()
+  def shortestPaths(edges: DataFrame, starts: DataFrame, maxIter: Int = 30,
+                    maxDriverEdges: Long = 2000000L): DataFrame = {
+    // unit weights: min cost ≡ min hops — the bfs knee/bitmap chain
+    // applies directly (bfs carries its own driver knee)
+    if (!edges.columns.contains("weight"))
+      return bfs(edges, starts, maxIter, maxDriverEdges)
+        .select(col("start"), col("node"), col("depth").cast("double").as("cost"))
+    val (e, nE) = edges.select(col("src"), col("dst"), col("weight").cast("double").as("weight"))
+      .distinct().ckptCount()
+    // scale knee: the in-memory loop mirrors the meetMin relaxation
+    // round-for-round — per round, candidates = improved set extended by
+    // one edge, folded with min; costs accumulate along the path in the
+    // same order, so values are bit-identical, including the maxIter
+    // hop bound
+    if (nE <= maxDriverEdges) return sspDriver(e, starts, maxIter)
     val base = starts.select(col("start"), col("start").as("node"), lit(0.0).as("cost"))
     Fixpoint.meetMin(base,
       delta => delta.join(e, delta("node") === e("src"))
         .select(col("start"), col("dst").as("node"), (col("cost") + col("weight")).as("cost")),
       Seq("start", "node"), "cost", maxIter)
+  }
+
+  /** In-memory mirror of the weighted meetMin loop (see shortestPaths). */
+  private def sspDriver(e: DataFrame, starts: DataFrame, maxIter: Int): DataFrame = {
+    val spark = e.sparkSession
+    val adj = scala.collection.mutable.HashMap.empty[Any, scala.collection.mutable.ArrayBuffer[(Any, Double)]]
+    e.collect().foreach { r =>
+      adj.getOrElseUpdate(r.get(0), scala.collection.mutable.ArrayBuffer.empty[(Any, Double)]) +=
+        ((r.get(1), r.getDouble(2)))
+    }
+    val st = starts.select(col("start")).distinct().collect().map(_.get(0))
+    val out = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+    for (s <- st) {
+      val dist = scala.collection.mutable.HashMap[Any, Double](s -> 0.0)
+      var delta: Iterable[Any] = Seq(s)
+      var iter = 0
+      while (delta.nonEmpty && iter < maxIter) {
+        // fold the round's candidates with min BEFORE comparing to the
+        // total, like meetMin's groupBy-min over (start, node)
+        val cand = scala.collection.mutable.HashMap.empty[Any, Double]
+        for (v <- delta; (w, wt) <- adj.getOrElse(v, Nil)) {
+          val c = dist(v) + wt
+          if (!cand.get(w).exists(_ <= c)) cand(w) = c
+        }
+        val improved = scala.collection.mutable.ArrayBuffer.empty[Any]
+        for ((w, c) <- cand) if (!dist.get(w).exists(_ <= c)) {
+          dist(w) = c; improved += w
+        }
+        delta = improved
+        iter += 1
+      }
+      dist.foreach { case (n, c) => out += org.apache.spark.sql.Row(s, n, c) }
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("start", starts.schema("start").dataType),
+      org.apache.spark.sql.types.StructField("node", e.schema("src").dataType),
+      org.apache.spark.sql.types.StructField("cost", org.apache.spark.sql.types.DoubleType, nullable = false)))
+    spark.createDataFrame(spark.sparkContext.parallelize(out.toSeq, 1), schema)
   }
 
   /** TopSort (algos/top_sort.rs): Kahn peeling of zero-in-degree layers.
@@ -1142,7 +1305,21 @@ object Graphs {
     * exists.
     */
   def closenessCentrality(edges: DataFrame, maxIter: Int = 30,
-                          sample: Int = 1000): DataFrame = {
+                          sample: Int = 1000,
+                          maxDriverEdges: Long = 2000000L): DataFrame = {
+    // scale knee: the multi-source sweep's OUTPUT is sources × reach
+    // pairs, so the generic bfs knee would ship corpus²-ish rows off the
+    // driver just to sum them — closeness aggregates per NODE, so the
+    // mirror accumulates the distance sums in memory and emits one row
+    // per node. Hop counts are exact integers, the closing division is
+    // the same single IEEE op. Distributed sweep above the cap.
+    val (und, nUnd) = undirected(edges).select("src", "dst").distinct().ckptCount()
+    import org.apache.spark.sql.types.LongType
+    if (nUnd <= maxDriverEdges && und.schema("src").dataType == LongType)
+      return closenessDriver(und, nodes(edges), maxIter, sample)
+    // node set of the RAW edges: undirected() drops self-loops, but a
+    // self-loop-only node still counts toward n and the sample (it just
+    // reaches nothing)
     val ns = nodes(edges).ckptLazy()
     val n = ns.count()
     val s = math.min(sample.toLong, n)
@@ -1150,7 +1327,7 @@ object Graphs {
       (if (s >= n) ns
        else ns.orderBy(xxhash64(col("node")), col("node")).limit(s.toInt))
         .select(col("node").as("start"))
-    val sp = shortestPaths(undirected(edges), sources, maxIter)
+    val sp = shortestPaths(und, sources, maxIter)
     // undirected symmetry: d(s, v) = d(v, s) — aggregate per REACHED
     // node so every node gets an estimate from the sampled sources
     val agg = sp.filter(col("start") =!= col("node"))
@@ -1160,6 +1337,76 @@ object Graphs {
         when(col("total_dist") > 0,
           lit((n - 1).toDouble * s) / (lit(n.toDouble) * col("total_dist")))
           .otherwise(lit(0.0)).as("closeness"))
+  }
+
+  /** In-memory mirror of the sampled multi-source closeness sweep:
+    * same hash-sampled sources, same bounded BFS hops, same
+    * (n−1)·s / (n·Σd) closing division. */
+  private def closenessDriver(und: DataFrame, ns: DataFrame,
+                              maxIter: Int, sample: Int): DataFrame = {
+    val spark = und.sparkSession
+    import spark.implicits._
+    val es = und.collect().map(r => (r.getLong(0), r.getLong(1)))
+    // the node universe comes from the RAW edge relation (self-loop-only
+    // nodes count toward n and the sample); und endpoints are a subset
+    val dict = new java.util.HashMap[Long, Int]()
+    def idx(x: Long): Unit = if (!dict.containsKey(x)) dict.put(x, dict.size())
+    ns.collect().foreach(r => idx(r.getLong(0)))
+    es.foreach { case (a, b) => idx(a); idx(b) }
+    val n = dict.size()
+    val ids = new Array[Long](n)
+    dict.forEach((k, v) => ids(v) = k)
+    val s = math.min(sample.toLong, n.toLong).toInt
+    val srcIdx: Array[Int] =
+      if (s >= n) (0 until n).toArray
+      else {
+        // same sample as orderBy(xxhash64(node), node).limit(s): hashes
+        // computed BY Spark so the draw matches the distributed plan
+        val hs = spark.createDataset(ids.toSeq).toDF("node")
+          .select(col("node"), xxhash64(col("node")).as("__h"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+        ids.zipWithIndex.sortBy { case (id, _) => (hs(id), id) }.take(s).map(_._2)
+      }
+    val deg = new Array[Int](n)
+    es.foreach { case (a, _) => deg(dict.get(a)) += 1 }
+    val off = new Array[Int](n + 1)
+    var i = 0
+    while (i < n) { off(i + 1) = off(i) + deg(i); i += 1 }
+    val fill = off.clone()
+    val tgt = new Array[Int](es.length)
+    es.foreach { case (a, b) => val ai = dict.get(a); tgt(fill(ai)) = dict.get(b); fill(ai) += 1 }
+    val total = new Array[Double](n)
+    val depth = new Array[Int](n)
+    java.util.Arrays.fill(depth, -1)
+    val queue = new Array[Int](n)
+    for (si <- srcIdx) {
+      depth(si) = 0; queue(0) = si
+      var head = 0; var tail = 1
+      while (head < tail) {
+        val v = queue(head); head += 1
+        val dv = depth(v)
+        if (dv < maxIter) {
+          var p = off(v)
+          while (p < off(v + 1)) {
+            val w = tgt(p)
+            if (depth(w) < 0) { depth(w) = dv + 1; queue(tail) = w; tail += 1 }
+            p += 1
+          }
+        }
+      }
+      var t = 0
+      while (t < tail) {
+        val v = queue(t)
+        if (v != si) total(v) += depth(v).toDouble
+        depth(v) = -1
+        t += 1
+      }
+    }
+    val num = (n - 1).toDouble * s
+    val out = (0 until n).map { v =>
+      (ids(v), if (total(v) > 0) num / (n.toDouble * total(v)) else 0.0)
+    }
+    out.toDF("node", "closeness")
   }
 
   /** BetweennessCentrality — Brandes' accumulation is inherently
@@ -1223,9 +1470,17 @@ object Graphs {
     * samples use the standard n/s contribution scaling. Same
     * undirected /2 convention as the driver version. */
   def betweennessCentralityApprox(edges: DataFrame, sample: Int = 1000,
-                                  maxIter: Int = 30): DataFrame = {
+                                  maxIter: Int = 30,
+                                  maxDriverEdges: Long = 2000000L): DataFrame = {
     val spark = edges.sparkSession
-    val und = undirected(edges).select("src", "dst").distinct().ckpt()
+    val (und, nUnd) = undirected(edges).select("src", "dst").distinct().ckptCount()
+    // scale knee: below the cap the SAME level-synchronous forward /
+    // backward sweeps run in memory (sigma counts are exact integers;
+    // delta sums differ from the distributed groupBy only in float
+    // summation order, which the 1e-6-relative referees tolerate — as
+    // AQE plan changes already did). Distributed sweeps above the cap.
+    if (nUnd <= maxDriverEdges)
+      return betweennessDriverLevels(und, sample, maxIter)
     val ns = nodes(und).ckptLazy()
     val n = ns.count()
     val s = math.min(sample.toLong, n)
@@ -1289,6 +1544,70 @@ object Graphs {
         .groupBy("node").agg((sum(col("delta")) * lit(scale) / lit(2.0)).as("betweenness"))
     ns.join(contrib, Seq("node"), "left")
       .select(col("node"), coalesce(col("betweenness"), lit(0.0)).as("betweenness"))
+  }
+
+  /** In-memory mirror of the level-synchronous Brandes sweeps (see
+    * betweennessCentralityApprox): same sampled sources (smallest
+    * (xxhash64(node), node)), same per-level sigma accumulation, same
+    * backward delta(v) = Σ_{(v,w) edge, depth(w)=depth(v)+1}
+    * σv/σw·(1+δw), same n/s scaling and /2 convention. */
+  private def betweennessDriverLevels(und: DataFrame, sample: Int,
+                                      maxIter: Int): DataFrame = {
+    val spark = und.sparkSession
+    val adj = collectAdjAny(und)
+    val withHash = und.select(col("src").as("node"))
+      .union(und.select(col("dst").as("node"))).distinct()
+      .select(col("node"), xxhash64(col("node")).as("__h"))
+      .collect().map(r => (r.get(0), r.getLong(1)))
+    val nodesAll = withHash.map(_._1)
+    val n = nodesAll.length
+    val s = math.min(sample.toLong, n.toLong).toInt
+    val sources =
+      if (s >= n) nodesAll.toSeq
+      else withHash.sortBy { case (nd, h) => (h, nd.toString) }.take(s).map(_._1).toSeq
+    // NOTE: the distributed sample orders by (xxhash64(node), node) with
+    // node's native ordering; hash ties are 2^-64 events, so the
+    // toString tiebreak is unreachable in practice
+    val acc = scala.collection.mutable.HashMap.empty[Any, Double]
+    for (src <- sources) {
+      val depth = scala.collection.mutable.HashMap[Any, Int](src -> 0)
+      val sigma = scala.collection.mutable.HashMap[Any, Double](src -> 1.0)
+      var levels = List[Seq[Any]](Seq(src))
+      var frontier: Seq[Any] = Seq(src)
+      var d = 0
+      while (frontier.nonEmpty && d < maxIter) {
+        d += 1
+        val nextSigma = scala.collection.mutable.LinkedHashMap.empty[Any, Double]
+        for (v <- frontier; w <- adj.getOrElse(v, Nil)) if (!depth.contains(w) || depth(w) == d) {
+          if (!depth.contains(w)) depth(w) = d
+          nextSigma(w) = nextSigma.getOrElse(w, 0.0) + sigma(v)
+        }
+        // only nodes FIRST reached at this level keep a sigma (the
+        // left_anti against visited in the distributed sweep)
+        val lvl = nextSigma.keys.filter(w => depth(w) == d).toSeq
+        lvl.foreach(w => sigma(w) = nextSigma(w))
+        frontier = lvl
+        if (lvl.nonEmpty) levels = lvl :: levels
+        else frontier = Nil
+      }
+      // backward: levels is deepest-first
+      val delta = scala.collection.mutable.HashMap.empty[Any, Double]
+      for (lvl <- levels; v <- lvl) {
+        var dv = 0.0
+        for (w <- adj.getOrElse(v, Nil)) if (depth.contains(w) && depth(w) == depth(v) + 1)
+          dv += sigma(v) / sigma(w) * (1.0 + delta.getOrElse(w, 0.0))
+        if (dv != 0.0) delta(v) = dv
+        if (v != src) acc(v) = acc.getOrElse(v, 0.0) + delta.getOrElse(v, 0.0)
+      }
+    }
+    val scale = if (s > 0) n.toDouble / s.toDouble else 1.0
+    val out = nodesAll.map(nd =>
+      org.apache.spark.sql.Row(nd, acc.getOrElse(nd, 0.0) * scale / 2.0))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("node", und.schema("src").dataType),
+      org.apache.spark.sql.types.StructField("betweenness",
+        org.apache.spark.sql.types.DoubleType, nullable = false)))
+    spark.createDataFrame(spark.sparkContext.parallelize(out.toSeq, 1), schema)
   }
 
   /** ShortestPathAStar (algos/astar.rs): driver-side A* over the

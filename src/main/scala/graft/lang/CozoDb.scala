@@ -379,6 +379,14 @@ class CozoDb(val spark: SparkSession) {
     * here a Spark job-group cancel). */
   private val runningQueries = new java.util.concurrent.ConcurrentHashMap[Long, String]()
   private val queryCounter = new java.util.concurrent.atomic.AtomicLong(0)
+  // Job-group names must be unique across EVERY CozoDb that ever shares
+  // a SparkContext, not just within one instance: ::kill poisons its
+  // group with cancelJobGroupAndFutureJobs, so a later instance reusing
+  // "graft-q<id>" would have its query cancelled at submission (95 test
+  // failures from exactly this — the shared-fixture suites create a
+  // fresh CozoDb per test, each restarting its counter at 0).
+  private val dbNonce: Long = CozoDb.dbCounter.incrementAndGet()
+  private def jobGroup(id: Long): String = s"graft-$dbNonce-q$id"
   private def accessRank(level: String): Int = level match {
     case "hidden" => 0
     case "read_only" => 1
@@ -425,7 +433,7 @@ class CozoDb(val spark: SparkSession) {
     val trimmed = script.trim
     val id = queryCounter.incrementAndGet()
     runningQueries.put(id, trimmed.linesIterator.nextOption().getOrElse("").take(120))
-    spark.sparkContext.setJobGroup(s"graft-q$id", s"graft query $id", interruptOnCancel = true)
+    spark.sparkContext.setJobGroup(jobGroup(id), s"graft query $id", interruptOnCancel = true)
     runDepth += 1
     try {
       // imperative script: { query } blocks with `as _temp`, %if/%loop/
@@ -646,7 +654,7 @@ class CozoDb(val spark: SparkSession) {
         // must be poisoned too, like the reference's per-step poison.check()
         // (db.rs:1506-1955). Group ids are unique per query, never reused.
         if (present) spark.sparkContext.cancelJobGroupAndFutureJobs(
-          s"graft-q$id", s"::kill $id")
+          jobGroup(id), s"::kill $id")
         Seq((if (present) "killed" else "not_found", id)).toDF("status", "id")
       case "fixed_rules" =>
         // (name, arity) like the reference registry's FixedRule::arity
@@ -2656,6 +2664,9 @@ class CozoDb(val spark: SparkSession) {
 }
 
 object CozoDb {
+
+  /** Monotone id for per-instance job-group nonces (see dbNonce). */
+  private[lang] val dbCounter = new java.util.concurrent.atomic.AtomicLong(0)
 
   /** Meet-semilattice aggregations — idempotent, commutative, monotone
     * folds safe inside recursion (aggr.rs:1190-1206 meet_op). */

@@ -241,6 +241,41 @@ class GraphFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("driver knees ≡ distributed loops: bfs / reachable / shortestPaths / betweenness (5 seeds)") {
+    for (seed <- 0 until 5) {
+      val rnd = new scala.util.Random(seed * 104729 + 11)
+      val raw = randEdges(rnd, 8 + rnd.nextInt(6), 14 + rnd.nextInt(14)).filter(e => e._1 != e._2)
+      if (raw.nonEmpty) {
+        val e = raw.toDF("src", "dst")
+        val starts = raw.map(_._1).distinct.take(3).toDF("start")
+        def rows3(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long)] =
+          df.collect().map(r => (r.getLong(0), r.getLong(1),
+            r.get(2).asInstanceOf[Number].longValue)).toSet
+        assert(rows3(Graphs.bfs(e, starts, 3)) ==
+          rows3(Graphs.bfs(e, starts, 3, maxDriverEdges = 0L)), s"bfs seed $seed")
+        def rows2(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+          df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        assert(rows2(Graphs.reachable(e, starts, 3)) ==
+          rows2(Graphs.reachable(e, starts, 3, maxDriverEdges = 0L)), s"reach seed $seed")
+        val we = raw.map { case (a, b) => (a, b, ((a * 7 + b * 13) % 5 + 1).toDouble) }
+          .toDF("src", "dst", "weight")
+        def costs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
+          df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+        assert(costs(Graphs.shortestPaths(we, starts, maxIter = 6)) ==
+          costs(Graphs.shortestPaths(we, starts, maxIter = 6, maxDriverEdges = 0L)),
+          s"ssp seed $seed")
+        val drvB = Graphs.betweennessCentralityApprox(e, sample = Int.MaxValue)
+          .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+        val distB = Graphs.betweennessCentralityApprox(e, sample = Int.MaxValue,
+            maxDriverEdges = 0L)
+          .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+        assert(drvB.keySet == distB.keySet, s"btw keys seed $seed")
+        for ((k, a) <- drvB; b = distB(k))
+          assert(math.abs(a - b) <= 1e-9 * (math.abs(b) + 1.0), s"btw seed $seed node $k: $a vs $b")
+      }
+    }
+  }
+
   test("distributed Borůvka ≡ driver Kruskal on unique-weight graphs (6 seeds)") {
     // unique weights → the MSF is unique, so the two paths must return
     // the exact same edge SET (maxDriverEdges = 0 forces the distributed

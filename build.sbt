@@ -11,6 +11,18 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench driver captures only the last ~3 KB of stdout and parses the
+// final JSON line; sbt's "[success] Total time ..." epilogue would eat
+// ~75 bytes of that window right after the line that matters.
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
+// Forked run output must reach stdout verbatim: the default output
+// strategy routes it through sbt's logger, which prefixes every line
+// with "[info] " — a JSON line that starts with "[info] {" fails a
+// strict last-line json parse. StdoutOutput also keeps the fork's
+// stderr (Spark WARN chatter) on stderr instead of logging it as
+// "[error]" lines into stdout after the JSON line.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

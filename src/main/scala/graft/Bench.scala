@@ -222,20 +222,47 @@ object Bench {
     val refS = opMedians.flatMap { case (k, v) =>
       totalByName.get(k).map(t => s"${jstr(k)}:${num(math.max(0.0, t - v))}")
     }.mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":${num(total)},"unit":"sec","reps":$reps,""" +
+    // Full-detail line (6-decimal medians, spread, operator/referee
+    // split, per-rep totals, steal meter) goes to the FILE only.
+    val fileLine = s"""{"metric":"total","value":${num(total)},"unit":"sec","reps":$reps,""" +
       (if (warm) """"warm":true,""" else "") +
       s""""codegen_cache":$codegenCache,"commit":${jstr(commit)},""" +
       s""""queries":$qs,"queries_min":$qmin,"queries_max":$qmax,""" +
       s""""operator_s":$opS,"referee_s":$refS,""" +
       s""""totals":$totals,"steal_pct":$steals,"errors":$errs,"ok_reps":$okReps,"sf":"$sfDir"}"""
-    println(line)
+    // STDOUT gets a COMPACT line (r12 verdict #1): the driver keeps only
+    // the last ~3 KB of console output and parses the final JSON line,
+    // so the 10.6 KB full line came back head-truncated and PERF was
+    // empty two rounds running. 133 query names alone are ~1.8 KB, so
+    // the budget is spent on them: medians at 2 decimals with trailing
+    // zeros trimmed, detail fields dropped (they live in the file), and
+    // build.sbt suppresses sbt's "[success]" epilogue so this line is
+    // the true tail. Measured size ~2.9 KB. Same numbers, same
+    // methodology — only the stdout serialization is compacted.
+    def num2(d: Double) = {
+      val s = String.format(java.util.Locale.ROOT, "%.2f", Double.box(d))
+      val t = s.reverse.dropWhile(_ == '0').reverse.stripSuffix(".")
+      if (t.isEmpty || t == "-") "0" else t
+    }
+    val qs2 = perQuery.collect { case (k, Right(vs)) => s"${jstr(k)}:${num2(median(vs))}" }
+      .mkString("{", ",", "}")
+    val errs2 = (perQuery.collect { case (k, Left(e)) => s"${jstr(k)}:${jstr(e.take(60))}" } ++
+      flaky.map { case (k, e, _) => s"${jstr(k)}:${jstr(e.take(60))}" })
+      .mkString("{", ",", "}")
+    val line = s"""{"metric":"total","value":${num2(total)},"unit":"sec","reps":$reps,""" +
+      (if (warm) """"warm":true,""" else "") +
+      s""""commit":${jstr(commit)},"queries":$qs2,"errors":$errs2,"sf":"$sfDir"}"""
     // also land the full line in a file: console capture has truncated
     // the (long) JSON before, clipping the committed artifact (r6
     // verdict). SPARK_GRAFT_BENCH_OUT overrides the default path.
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_last.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
-      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      (fileLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Throwable => System.err.println(s"bench file write failed: $e") }
-    spark.stop()
+    // stop BEFORE printing: spark.stop()'s own log chatter must not land
+    // after the JSON line the driver parses as the stdout tail
+    try spark.stop() catch { case _: Throwable => }
+    println(line)
+    System.out.flush()
   }
 }

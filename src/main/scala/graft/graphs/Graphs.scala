@@ -628,7 +628,11 @@ object Graphs {
       org.apache.spark.sql.types.StructField("start", starts.schema("start").dataType),
       org.apache.spark.sql.types.StructField("node", e.schema("src").dataType),
       org.apache.spark.sql.types.StructField("cost", org.apache.spark.sql.types.DoubleType, nullable = false)))
-    spark.createDataFrame(spark.sparkContext.parallelize(out.toSeq, 1), schema)
+    // size the output partitions like bfsDriver (r12 ADVICE: a single
+    // slice funnels every downstream stage of shortestPaths through one
+    // task for an output that can be sources × reachable nodes)
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(out.toSeq, (out.size / 4096 + 1).toInt), schema)
   }
 
   /** TopSort (algos/top_sort.rs): Kahn peeling of zero-in-degree layers.

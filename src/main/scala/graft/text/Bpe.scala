@@ -102,6 +102,11 @@ object Bpe {
       var words = wf
         .select(col("word"), col("freq"), charSyms(col("word")).as("syms"))
         .ckpt()
+      // words is eagerly ckpt'd FROM wf just above, so wf's blocks are
+      // dead from here — dropping them mirrors the driver branch (r12
+      // ADVICE: this branch leaked wf's pinned blocks for the rest of
+      // the query precisely at the large-vocabulary scale it serves)
+      wf.unckpt()
       return trainDistributed(words, numMerges, batch)
     }
     val words = wordFreqs(docs, textCol)

@@ -2,7 +2,8 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -28,7 +29,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * to the empty-array branch).
   */
 case class WordShingleWindows(child: Expression, n: Int)
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression {
   require(n >= 2, "n=1 degrades to array_distinct(tokens) — use that directly")
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
@@ -45,8 +46,14 @@ case class WordShingleWindows(child: Expression, n: Int)
   private val sep = UTF8String.fromString(" ")
   private val empty = new GenericArrayData(Array.empty[Any])
 
-  override def eval(input: InternalRow): Any = {
-    val v = child.eval(input)
+  override def eval(input: InternalRow): Any = compute(child.eval(input))
+
+  /** The one-pass kernel, shared by interpreted eval and the generated
+    * code — `doGenCode` emits a single call to it, so the expression no
+    * longer breaks WholeStageCodegen (r12 verdict #8: as a
+    * CodegenFallback the ENTIRE subtree, the regex tokenizer included,
+    * was evaluated interpreted and the projection stage de-fused). */
+  def compute(v: Any): ArrayData = {
     if (v == null) return empty
     val toks = v.asInstanceOf[ArrayData]
     val m = toks.numElements()
@@ -63,6 +70,18 @@ case class WordShingleWindows(child: Expression, n: Int)
       i += 1
     }
     new GenericArrayData(seen.toArray(new Array[AnyRef](seen.size())))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val ref = ctx.addReferenceObj("shingler", this, classOf[WordShingleWindows].getName)
+    ev.copy(
+      code = code"""
+        ${c.code}
+        org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+          $ref.compute(${c.isNull} ? null : ${c.value});
+      """,
+      isNull = FalseLiteral)
   }
 
   override protected def withNewChildInternal(newChild: Expression): WordShingleWindows =

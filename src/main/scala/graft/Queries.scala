@@ -1058,13 +1058,31 @@ object Queries {
       // louv/lp are driver-mirror locals under the scale knee at these
       // SFs — re-use is a broadcast join, so an eager ckpt only ADDS a
       // materialization pass (measured +0.3 s; r9 audit kept them bare)
-      val louv = Graphs.louvain(e, maxOuter = 2, maxInner = 5)
-      val lp = Graphs.labelPropagation(e)
+      // ONE shared undirected unit-weight graph for louvain + lp + the
+      // three modularity referees (r13, §2.4): the five per-call
+      // derivations of the same relation collapse into one ckpt
+      val und = Graphs.undirectedWeighted(e).ckpt()
+      val louv = Graphs.louvainOnUnd(und, maxOuter = 2, maxInner = 5)
+      val lp = Graphs.labelPropagationOnUnd(und.select("src", "dst"))
       val nodesDf = e.select(col("src").as("node"))
         .unionByName(e.select(col("dst").as("node"))).distinct()
-      val qLouv = Graphs.modularity(e, louv, "node", "community")
-      val qLp = Graphs.modularity(e, lp, "node", "label")
-      val qSingle = Graphs.modularity(e, nodesDf.withColumn("c", col("node")), "node", "c")
+      // the three referees fold into ONE tagged modularity pass (r13,
+      // §2.4): und joins the 3×-tagged assignment union once instead of
+      // three separate join+agg programs; per-(tag, comm) sums are of
+      // exact 1.0 doubles, so each tag's q equals its standalone value
+      // (final float sum order differs — absorbed by the 1e-9 epsilon
+      // the comparisons always carried)
+      val tagged = louv.select(col("node"), col("community").as("comm"), lit("louv").as("tag"))
+        .unionByName(lp.select(col("node"), col("label").as("comm"), lit("lp").as("tag")))
+        .unionByName(nodesDf.select(col("node"), col("node").as("comm"), lit("single").as("tag")))
+      val qByTag = Graphs.modularityByTag(und, tagged).ckptLazy()
+      // sum-of-one-row is exact; the global agg restores the
+      // always-one-row (q = 0.0 on an empty graph) contract
+      def qOf(t: String) = qByTag.filter(col("tag") === t)
+        .agg(coalesce(sum(col("q")), lit(0.0)).as("q"))
+      val qLouv = qOf("louv")
+      val qLp = qOf("lp")
+      val qSingle = qOf("single")
       invariants(
         "partition_total_and_unique" -> noViolationsAll(
           louv.groupBy("node").agg(count(lit(1)).as("c")).filter(col("c") =!= 1),

@@ -39,6 +39,18 @@ object Graphs {
       .filter(col("src") =!= col("dst"))
       .distinct()
 
+  /** The undirected simple UNIT-WEIGHT graph (src, dst, w=1.0), both
+    * directions, self-loops dropped — the shared input of louvain,
+    * labelPropagation and modularity. Building (and ckpt-ing) it ONCE
+    * per query lets the three consumers reuse one materialization
+    * instead of re-deriving the same relation per call. */
+  def undirectedWeighted(edges: DataFrame): DataFrame = {
+    val base = edges.select("src", "dst")
+    base.unionByName(base.select(col("dst").as("src"), col("src").as("dst")))
+      .filter(col("src") =!= col("dst"))
+      .groupBy("src", "dst").agg(lit(1.0).as("w"))
+  }
+
   def nodes(edges: DataFrame): DataFrame =
     edges.select(col("src").as("node")).union(edges.select(col("dst").as("node"))).distinct()
 
@@ -290,8 +302,14 @@ object Graphs {
     * the smaller label for determinism.
     */
   def labelPropagation(edges: DataFrame, iters: Int = 5,
-                       maxDriverEdges: Long = 2000000L): DataFrame = {
-    val und = undirected(edges).ckpt()
+                       maxDriverEdges: Long = 2000000L): DataFrame =
+    labelPropagationOnUnd(undirected(edges).ckpt(), iters, maxDriverEdges)
+
+  /** Label propagation over a PREPARED (already materialized) distinct
+    * undirected pair set — the (src, dst) projection of
+    * [[undirectedWeighted]] is exactly this relation. */
+  def labelPropagationOnUnd(und: DataFrame, iters: Int = 5,
+                            maxDriverEdges: Long = 2000000L): DataFrame = {
     // scale knee: votes are integers and the tie-break is total, so
     // the in-memory mirror is bit-identical to the distributed rounds
     if (longEndpoints(und) &&
@@ -813,24 +831,96 @@ object Graphs {
     * second, algorithmically different cross-check of louvain's output
     * (louvain.rs:1-318 greedily maximizes exactly this quantity). */
   def modularity(edges: DataFrame, assign: DataFrame,
-                 nodeCol: String, commCol: String): DataFrame = {
-    val base = edges.select("src", "dst")
-    val und = base.unionByName(base.select(col("dst").as("src"), col("src").as("dst")))
-      .filter(col("src") =!= col("dst"))
-      .groupBy("src", "dst").agg(lit(1.0).as("w"))
-    val a = assign.select(col(nodeCol).as("node"), col(commCol).as("comm"))
-    val deg = und.groupBy(col("src").as("node")).agg(sum(col("w")).as("k"))
-    val tot = deg.join(a, Seq("node")).groupBy("comm").agg(sum(col("k")).as("tot"))
+                 nodeCol: String, commCol: String): DataFrame =
+    modularityOnUnd(undirectedWeighted(edges), assign, nodeCol, commCol)
+
+  /** Modularity over a PREPARED [[undirectedWeighted]] relation.
+    * PRECONDITION: `assign` covers every endpoint of `und` (the
+    * louvain/lp contract, pinned by graph_louvain's
+    * partition_total_and_unique invariant) — tot_c now folds out of the
+    * endpoint-joined relation itself, so an uncovered endpoint would
+    * drop its degree where the former separate deg⋈assign join kept it.
+    *
+    * Shape (r13, guide §2.4): the old plan paid deg (1 exchange),
+    * tot = deg⋈assign (2), inw = und⋈a⋈a + groupBy (3), tot⋈inw (1)
+    * ≈ 7 exchanges per call. Both Σdegree per community (every
+    * (src,dst,w) row carries w into tot(comm(src))) and the internal
+    * weight (w when both endpoints agree) fold into ONE aggregation of
+    * the SAME endpoint-joined frame: 2 join exchanges + 1 groupBy.
+    * Sums are of exact 1.0 doubles (integer-valued, far under 2^53),
+    * so tot/inw/m2 — and hence q — are order-independent and equal to
+    * the old plan's values exactly. */
+  def modularityOnUnd(und: DataFrame, assign: DataFrame,
+                      nodeCol: String, commCol: String): DataFrame =
+    modularityByTag(und,
+      assign.select(col(nodeCol).as("node"), col(commCol).as("comm"),
+        lit("__only").as("tag")))
+      // sum-of-one-row is exact; the global agg restores the old
+      // always-one-row (q = 0.0 on an empty graph) contract that
+      // groupBy(tag) loses when there are no communities
+      .agg(coalesce(sum(col("q")), lit(0.0)).as("q"))
+
+  /** Several modularities in ONE pass: `tagged` is (node, comm, tag) —
+    * one assignment per distinct tag, each covering every endpoint of
+    * `und`. Returns (tag, q). One und⋈assign⋈assign + aggregate
+    * replaces a separate join+agg program per assignment. */
+  def modularityByTag(und: DataFrame, tagged: DataFrame,
+                      maxDriverEdges: Long = 2000000L): DataFrame = {
+    // scale knee (same pattern and gate as louvain/labelPropagation —
+    // both of which already collect this exact relation at bench SFs):
+    // the fold below is two collects + exact integer-in-double sums,
+    // replacing a 2-join + 2-aggregate distributed program whose every
+    // stage is scheduling floor at small contracted-graph sizes. Inner-
+    // join semantics mirrored: a row contributes only when BOTH
+    // endpoints carry the tag's assignment. Pinned driver==distributed
+    // by GraphsSpec.
+    if (longEndpoints(und) &&
+        und.schema("w").dataType == org.apache.spark.sql.types.DoubleType &&
+        tagged.schema("node").dataType == org.apache.spark.sql.types.LongType &&
+        tagged.schema("comm").dataType == org.apache.spark.sql.types.LongType &&
+        und.count() <= maxDriverEdges) {
+      val edges = und.select(col("src"), col("dst"), col("w")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      val byTag = tagged.select(col("tag"), col("node"), col("comm")).collect()
+        .groupBy(_.getString(0))
+        .map { case (t, rows) =>
+          t -> rows.iterator.map(r => r.getLong(1) -> r.getLong(2)).toMap
+        }
+      val spark = und.sparkSession
+      import spark.implicits._
+      val out = byTag.toSeq.sortBy(_._1).map { case (t, assign) =>
+        var m2 = 0.0
+        val tot = scala.collection.mutable.Map.empty[Long, Double].withDefaultValue(0.0)
+        val inw = scala.collection.mutable.Map.empty[Long, Double].withDefaultValue(0.0)
+        for ((s, d, w) <- edges) {
+          m2 += w
+          (assign.get(s), assign.get(d)) match {
+            case (Some(ca), Some(cb)) =>
+              tot(ca) += w
+              if (ca == cb) inw(ca) += w
+            case _ => // inner-join drop: either endpoint unassigned
+          }
+        }
+        // groupBy(tag) over an empty per-community frame yields no rows
+        // distributed — mirror that: a tag with no joined row (tot
+        // empty) emits nothing rather than a q=0.0 row
+        if (tot.isEmpty) None
+        else Some((t, tot.keys.toSeq.sorted.iterator
+          .map(c => inw(c) / m2 - math.pow(tot(c) / m2, 2.0)).sum))
+      }
+      return out.flatten.toDF("tag", "q")
+    }
+    val joined = und
+      .join(tagged.select(col("node").as("src"), col("comm").as("ca"), col("tag")), Seq("src"))
+      .join(tagged.select(col("node").as("dst"), col("comm").as("cb"), col("tag")), Seq("dst", "tag"))
     // both directions of each internal edge counted → inw = 2·in_c,
     // m2 = 2m, so inw/m2 = in_c/m exactly as the formula wants
-    val inw = und
-      .join(a.withColumnRenamed("node", "src").withColumnRenamed("comm", "ca"), Seq("src"))
-      .join(a.withColumnRenamed("node", "dst").withColumnRenamed("comm", "cb"), Seq("dst"))
-      .filter(col("ca") === col("cb"))
-      .groupBy(col("ca").as("comm")).agg(sum(col("w")).as("inw"))
-    tot.join(inw, Seq("comm"), "left")
-      .na.fill(Map("inw" -> 0.0))
-      .crossJoin(und.agg(sum(col("w")).as("m2")))
+    val perComm = joined.groupBy(col("tag"), col("ca").as("comm"))
+      .agg(sum(col("w")).as("tot"),
+        sum(when(col("ca") === col("cb"), col("w")).otherwise(lit(0.0))).as("inw"))
+    perComm
+      .crossJoin(broadcast(und.agg(sum(col("w")).as("m2"))))
+      .groupBy(col("tag"))
       .agg(coalesce(sum(col("inw") / col("m2") - pow(col("tot") / col("m2"), 2.0)), lit(0.0)).as("q"))
   }
 
@@ -843,19 +933,39 @@ object Graphs {
     * nodes and repeats. Returns (node, community).
     */
   def louvain(edges: DataFrame, maxOuter: Int = 3, maxInner: Int = 8,
-              maxDriverEdges: Long = 2000000L): DataFrame = {
-    val base = edges.select("src", "dst")
-    val und0 = base.unionByName(base.select(col("dst").as("src"), col("src").as("dst")))
-      .filter(col("src") =!= col("dst"))
-      .groupBy("src", "dst").agg(lit(1.0).as("w")).ckpt()
-    // mapping original node -> current community (refined per level)
-    var mapping = nodes(und0).withColumn("community", col("node")).ckpt()
+              maxDriverEdges: Long = 2000000L): DataFrame =
+    louvainOnUnd(undirectedWeighted(edges).ckpt(), maxOuter, maxInner, maxDriverEdges)
+
+  /** Louvain over a PREPARED (and already materialized)
+    * [[undirectedWeighted]] relation — lets graph_louvain share one
+    * ckpt across louvain + labelPropagation + three modularity
+    * referees instead of five derivations of the same graph. */
+  def louvainOnUnd(und0: DataFrame, maxOuter: Int = 3, maxInner: Int = 8,
+                   maxDriverEdges: Long = 2000000L): DataFrame = {
+    // mapping original node -> current community (refined per level).
+    // Built LAZILY (null until first needed): when the level-0 knee
+    // fires — every bench SF — the driver map's keys are exactly
+    // nodes(und0) and identity∘remap = remap, so the distributed node
+    // relation (and its ckpt jobs) never needs to exist.
+    var mapping: DataFrame = null
+    def mappingDf(): DataFrame = {
+      if (mapping == null)
+        mapping = nodes(und0).withColumn("community", col("node")).ckpt()
+      mapping
+    }
     var g = und0
     var level = 0
     var improvedOuter = true
     val longIds = longEndpoints(g) &&
       g.schema("w").dataType == org.apache.spark.sql.types.DoubleType
-    while (level < maxOuter && improvedOuter && !g.isEmpty) {
+    var done = false
+    while (level < maxOuter && improvedOuter && !done) {
+      // one count job per level doubles as the emptiness probe (was a
+      // separate isEmpty take(1) + count — g is ckpt'd at every level,
+      // so count is a block-metadata fold either way)
+      val gCount = g.count()
+      if (gCount == 0) { done = true }
+      else {
       // scale knee: levels whose (contracted) graph fits the driver run
       // the SAME move schedule in memory — the reference materializes
       // every graph driver-side (louvain.rs), and each contraction
@@ -864,16 +974,22 @@ object Graphs {
       // semantics (gain formula, parity gating, tie-breaks, thresholds,
       // convergence protocol) are mirrored line-for-line; only float
       // summation order differs, as it already does between AQE plans.
-      if (longIds && g.count() <= maxDriverEdges) {
+      if (longIds && gCount <= maxDriverEdges) {
         val rows = g.select(col("src"), col("dst"), col("w")).collect()
           .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
           .sortBy(t => (t._1, t._2)) // run-deterministic float accumulation
         val remap = louvainDriver(rows, maxOuter - level, maxInner)
         val spark = g.sparkSession
         import spark.implicits._
+        if (mapping == null)
+          // level-0 knee: identity∘remap = remap, whose keys are exactly
+          // nodes(und0) (louvainDriver seeds from every endpoint) — the
+          // same rows the join below would produce, with zero jobs
+          return remap.toSeq.sortBy(_._1).toDF("node", "community")
         val remapDf = remap.toSeq.toDF("__old", "__new")
-        return mapping
-          .join(broadcast(remapDf), mapping("community") === remapDf("__old"), "left")
+        val m = mappingDf()
+        return m
+          .join(broadcast(remapDf), m("community") === remapDf("__old"), "left")
           .select(col("node"),
             coalesce(col("__new"), col("community")).as("community"))
       }
@@ -923,7 +1039,7 @@ object Graphs {
         inner += 1
       }
       improvedOuter = inner > 2
-      mapping = mapping.join(comm.withColumnRenamed("node", "community"), Seq("community"))
+      mapping = mappingDf().join(comm.withColumnRenamed("node", "community"), Seq("community"))
         .select(col("node"), col("comm").as("community")).ckpt()
       // contract: communities become nodes, parallel edge weights sum.
       // Self-loops are KEPT — they carry the intra-community weight that
@@ -934,8 +1050,9 @@ object Graphs {
         .groupBy(col("csrc").as("src"), col("cdst").as("dst")).agg(sum(col("w")).as("w"))
         .ckpt()
       level += 1
+      }
     }
-    mapping.select(col("node"), col("community"))
+    mappingDf().select(col("node"), col("community"))
   }
 
   /** In-memory mirror of louvain's distributed level loop, used for

@@ -180,4 +180,31 @@ class GraphsSpec extends AnyFunSuite {
       assert(drv == dist, s"seed $seed: driver and distributed louvain diverged")
     }
   }
+
+  test("modularityByTag driver knee matches the distributed join+agg path") {
+    for (seed <- 0 until 5) {
+      val rnd = new scala.util.Random(seed * 6007 + 11)
+      val es = (0 until 150).map(_ =>
+        (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+        .filter { case (a, b) => a != b }.distinct
+      val e = es.toDF("src", "dst")
+      val und = Graphs.undirectedWeighted(e)
+      // two assignments: a random partition, and singletons (the shapes
+      // graph_louvain feeds); a partial assignment exercises the
+      // inner-join drop semantics on both engines
+      val nodes = es.flatMap(t => Seq(t._1, t._2)).distinct.sorted
+      val part = nodes.map(n => (n, (n % 3).toLong, "p")).toDF("node", "comm", "tag")
+      val single = nodes.map(n => (n, n, "s")).toDF("node", "comm", "tag")
+      val partial = nodes.filter(_ % 2 == 0).map(n => (n, 1L, "h")).toDF("node", "comm", "tag")
+      val tagged = part.unionByName(single).unionByName(partial)
+      def q(df: org.apache.spark.sql.DataFrame): Map[String, Double] =
+        df.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      val drv = q(Graphs.modularityByTag(und, tagged))
+      val dist = q(Graphs.modularityByTag(und, tagged, maxDriverEdges = 0L))
+      assert(drv.keySet == dist.keySet, s"seed $seed: tag sets diverged")
+      for ((t, v) <- drv)
+        assert(math.abs(v - dist(t)) <= 1e-12,
+          s"seed $seed tag $t: driver $v vs distributed ${dist(t)}")
+    }
+  }
 }

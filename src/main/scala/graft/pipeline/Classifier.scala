@@ -104,6 +104,72 @@ object Classifier {
     jm
   }
 
+  private def round8(d: Double): Double = java.math.BigDecimal.valueOf(d)
+    .setScale(8, java.math.RoundingMode.HALF_UP).doubleValue()
+  private def round6(d: Double): Double = java.math.BigDecimal.valueOf(d)
+    .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** The per-document GD step, SHARED by the distributed treeAggregate
+    * seqOp and the driver-knee loop so the two engines are arithmetic-
+    * identical per doc (they differ only in accumulation order):
+    * margin → σ (rounded @8) → loss rider into acc(nb+1) → gradient
+    * contributions into acc(bucket+1). */
+  private def accumulate(acc: Array[Double], bs: Array[Long], xs: Array[Double],
+                         y: Double, wa: Array[Double], nb: Int): Unit = {
+    var m = 0.0
+    var i = 0
+    while (i < bs.length) { m += xs(i) * wa((bs(i) + 1).toInt); i += 1 }
+    val p = round8(1.0 / (1.0 + math.exp(-m)))
+    // clamp only guards ln at saturated σ, it never feeds training
+    val pc = math.min(math.max(p, 1e-8), 1.0 - 1e-8)
+    acc(nb + 1) += -(y * math.log(pc) + (1.0 - y) * math.log(1.0 - pc))
+    i = 0
+    while (i < bs.length) { acc((bs(i) + 1).toInt) += (p - y) * xs(i); i += 1 }
+  }
+
+  /** Driver-knee GD over the collected (id, grams, label) projection:
+    * packing (the explode→groupBy→collect_list pipeline) happens here
+    * with [[md5BucketOf]] — the exact mirror of Sampling.md5Bucket the
+    * score UDF already relies on — and the GD loop replaces the
+    * per-iteration treeAggregate jobs. Same accumulate() kernel, same
+    * present-bucket weight carry, same rounding grid; only float
+    * accumulation order differs (σ@8 / @6 rounding absorbs it, the
+    * same argument the distributed shuffle aggregation made). */
+  private def trainDriver(gr: DataFrame, buckets: Int, iters: Int,
+                          lr: Double, ngrams: Int, n: Double): Model = {
+    val nb = buckets
+    val data = gr.collect().map { r =>
+      val id = String.valueOf(r.get(0))
+      val g = if (r.isNullAt(1)) null else r.getSeq[String](1)
+      val fm = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      if (g != null) for (t <- g) fm(md5BucketOf(nb, t)) += 1
+      val len = if (g == null) 0 else g.length
+      val bkt = fm.keys.toArray.sorted
+      // term-frequency features, bias (-1, 1.0) for EVERY doc — the
+      // exact rows hashedFeatures built (x = c_b / n_grams)
+      val bs = bkt :+ -1L
+      val xs = bkt.map(b => fm(b).toDouble / len) :+ 1.0
+      (id, bs, xs, r.getDouble(2))
+    }.sortBy(_._1) // run-deterministic accumulation order
+      .map(t => (t._2, t._3, t._4))
+    val present: Array[Long] = data.iterator.flatMap(_._1.iterator).toSet.toArray.sorted
+    var w = Map.empty[Long, Double]
+    val losses = Seq.newBuilder[Double]
+    for (_ <- 0 until iters) {
+      val wArr = new Array[Double](nb + 1)
+      for ((b, v) <- w) wArr((b + 1).toInt) = v
+      val acc = new Array[Double](nb + 2)
+      for ((bs, xs, y) <- data) accumulate(acc, bs, xs, y, wArr, nb)
+      losses += acc(nb + 1) / n
+      w = present.iterator.map { b =>
+        val g = round6(acc((b + 1).toInt) / n)
+        b -> BigDecimal(w.getOrElse(b, 0.0) - lr * g)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }.toMap
+    }
+    Model(buckets, w, losses.result(), ngrams)
+  }
+
   /** Exact Scala mirror of [[Sampling.md5Bucket]]: first 8 hex chars of
     * md5 = first 4 bytes as an unsigned 32-bit int, mod buckets. */
   private val md5Local = new ThreadLocal[java.security.MessageDigest] {
@@ -124,7 +190,32 @@ object Classifier {
     */
   def train(sample: DataFrame, idCol: String, textCol: String,
             labelCol: String, buckets: Int = 64, iters: Int = 5,
-            lr: Double = 2.0, ngrams: Int = 1): Model = {
+            lr: Double = 2.0, ngrams: Int = 1,
+            maxDriverFeatureBytes: Long = 256L * 1024 * 1024): Model = {
+    // Driver-knee probe (r13, guide §1 job floor): (id, grams, label)
+    // is a ZERO-SHUFFLE projection; one agg job measures the doc count
+    // and the collected payload (gram count + character volume). Under
+    // the byte gate — every bounded-sampleN deployment shape, by
+    // construction — the sample is collected ONCE and both the packing
+    // (explode→groupBy→collect_list pipeline) and the GD loop (20
+    // treeAggregate jobs for the holdout query) run locally, hashed
+    // with the exact md5 mirror the score UDF already uses. Above the
+    // gate (an unbounded 100 TB training set) the distributed pipeline
+    // below runs unchanged. Per-doc arithmetic is the SHARED
+    // accumulate() kernel, so the two engines differ only in float
+    // summation order — under the @6/@8 rounding grid documented
+    // above; ClassifierSpec pins driver==distributed weights.
+    val gr = sample.select(col(idCol).as("__id"),
+      gramsOf(col(textCol), ngrams).as("__g"),
+      col(labelCol).cast("double").as("__y"))
+    val st = gr.agg(count(lit(1)).as("__n"),
+      sum(size(col("__g"))).as("__grams"),
+      sum(aggregate(col("__g"), lit(0L), (a, x) => a + length(x))).as("__chars")).head()
+    val n = st.getLong(0).toDouble
+    val gramsN = if (st.isNullAt(1)) 0L else st.getLong(1)
+    val charsN = if (st.isNullAt(2)) 0L else st.getLong(2)
+    if (gramsN * 16L + charsN * 2L <= maxDriverFeatureBytes)
+      return trainDriver(gr, buckets, iters, lr, ngrams, n)
     val y = sample.select(col(idCol).as("__id"),
       col(labelCol).cast("double").as("__y"))
     val packed = hashedFeatures(sample, idCol, textCol, buckets, ngrams)
@@ -132,7 +223,7 @@ object Classifier {
       .agg(collect_list(struct(col("__b"), col("__x"))).as("__f"))
       .join(y, "__id")
       .persist()
-    val n = packed.count().toDouble
+    packed.count() // materialize under the persist before the RDD loop
 
     // GD iterations run as ONE RDD treeAggregate each — zero Catalyst
     // work per iteration. The Dataset loop this replaces built a fresh
@@ -161,10 +252,6 @@ object Classifier {
     // features (the oracle's w0 set); the dense gradient array can't
     // distinguish "absent" from "present, gradient exactly 0"
     val present: Array[Long] = data.flatMap(_._1.iterator).distinct().collect().sorted
-    def round8(d: Double): Double = java.math.BigDecimal.valueOf(d)
-      .setScale(8, java.math.RoundingMode.HALF_UP).doubleValue()
-    def round6(d: Double): Double = java.math.BigDecimal.valueOf(d)
-      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
 
     var w = Map.empty[Long, Double]
     val losses = Seq.newBuilder[Double]
@@ -178,16 +265,7 @@ object Classifier {
         val agg = data.treeAggregate(zero)(
           seqOp = (acc, doc) => {
             val (bs, xs, y) = doc
-            val wa = bcW.value
-            var m = 0.0
-            var i = 0
-            while (i < bs.length) { m += xs(i) * wa((bs(i) + 1).toInt); i += 1 }
-            val p = round8(1.0 / (1.0 + math.exp(-m)))
-            // clamp only guards ln at saturated σ, it never feeds training
-            val pc = math.min(math.max(p, 1e-8), 1.0 - 1e-8)
-            acc(nb + 1) += -(y * math.log(pc) + (1.0 - y) * math.log(1.0 - pc))
-            i = 0
-            while (i < bs.length) { acc((bs(i) + 1).toInt) += (p - y) * xs(i); i += 1 }
+            accumulate(acc, bs, xs, y, bcW.value, nb)
             acc
           },
           combOp = (a, b) => {

@@ -90,8 +90,10 @@ class ClassifierSpec extends AnyFunSuite {
     import spark.implicits._
     val docs = corpus(200)
     val df = docs.toDF("id", "text", "label")
+    // maxDriverFeatureBytes = 0 forces the distributed treeAggregate
+    // loop (the default would take the r13 driver knee on this corpus)
     val model = Classifier.train(df, "id", "text", "label",
-      buckets = 32, iters = 3, lr = 2.0)
+      buckets = 32, iters = 3, lr = 2.0, maxDriverFeatureBytes = 0L)
     val (refW, refLosses) = refTrain(docs, buckets = 32, iters = 3, lr = 2.0)
     assert(model.weights.keySet == refW.keySet)
     for ((b, w) <- refW)
@@ -104,6 +106,24 @@ class ClassifierSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     for ((id, t, _) <- docs)
       assert(math.abs(scores(id) - refScore(t, refW, 32)) <= 1.01e-6, s"doc $id")
+  }
+
+  test("driver-knee trainer equals the distributed treeAggregate loop") {
+    import spark.implicits._
+    for (ng <- Seq(1, 2)) {
+      val docs = corpus(150)
+      val df = docs.toDF("id", "text", "label")
+      val drv = Classifier.train(df, "id", "text", "label",
+        buckets = 32, iters = 4, lr = 2.0, ngrams = ng)
+      val dist = Classifier.train(df, "id", "text", "label",
+        buckets = 32, iters = 4, lr = 2.0, ngrams = ng, maxDriverFeatureBytes = 0L)
+      assert(drv.weights.keySet == dist.weights.keySet, s"ngrams=$ng")
+      for ((b, w) <- dist.weights)
+        assert(math.abs(drv.weights(b) - w) <= 1.01e-6, s"ngrams=$ng bucket $b")
+      assert(drv.losses.size == dist.losses.size)
+      for ((l, dl) <- drv.losses.zip(dist.losses))
+        assert(math.abs(l - dl) <= 1e-9, s"ngrams=$ng loss")
+    }
   }
 
   test("planted quality signal separates scores and the loss trace decreases") {

@@ -507,10 +507,18 @@ object Queries {
       // sf0.001/0.01/0.1 are 0.7%/6.7%/5.1%, so the pinned bound is 2σ
       // one scan carries both sketch configs + the exact count (the
       // separate aggregations paid two more full scans of orders)
-      val hllBoth = o.agg(
+      // r13 (§2.3 aggregate-before-shuffle): both HLL sketches and the
+      // exact count fold over the pre-deduped key relation — HLL
+      // register updates are idempotent, so the sketch over distinct
+      // keys is bit-identical to the sketch over all rows, and
+      // count(distinct keys) IS count_distinct. The distinct's partial
+      // aggregation dedups map-side, so the exchange carries unique
+      // keys per partition instead of the Expand-doubled row stream the
+      // single-frame count_distinct rewrite shuffled.
+      val hllBoth = o.select("o_custkey").distinct().agg(
         approx_count_distinct(col("o_custkey")).as("approx"),
         call_function("approx_count_distinct", col("o_custkey"), lit(0.01)).as("approx_t"),
-        count_distinct(col("o_custkey")).as("exact")).ckptLazy()
+        count(lit(1)).as("exact")).ckptLazy()
       val hll = hllBoth
         .select((abs(col("approx") - col("exact")) / col("exact") < 0.10).as("ok"))
       val hllTight = hllBoth
@@ -886,17 +894,24 @@ object Queries {
           .select(col("seed"), col("dst").as("n")).distinct()
         h1.union(h2).distinct()
       }
-      val nbr = nbrRows.join(broadcast(cust), Seq("n")).ckpt()
-      // split the distinct-aggregate out: one plain pass for count/sum,
-      // one dedup'd pass for segment cardinality — avoids Catalyst's
-      // Expand (which doubles the 2M-row shuffle) for mixed
-      // plain+distinct aggregates
-      val sums = nbr.groupBy("seed").agg(
-        count(lit(1)).as("nbr_count"),
-        round(sum(col("c_acctbal")), 2).as("acctbal_sum"))
-      val segs = nbr.select("seed", "c_mktsegment").distinct()
-        .groupBy("seed").agg(count(lit(1)).as("segments"))
-      sums.join(segs, Seq("seed"))
+      val nbr = nbrRows.join(broadcast(cust), Seq("n"))
+      // ONE two-level aggregation replaces the former plain-pass +
+      // distinct-pass + join (r13, §2.3/2.4): level 1 groups by
+      // (seed, segment) — map-side partials collapse the wide relation
+      // to seeds×segments rows before its exchange — and level 2 folds
+      // counts, the acctbal sum and the segment cardinality from that
+      // tiny frame. No Catalyst Expand (the reason the passes were
+      // split), no sums⋈segs join, and the broadcast-joined relation is
+      // consumed once so its ckpt materialization pass is gone. The
+      // acctbal total re-associates per segment first — inside the @2
+      // rounding grid, same argument as Spark's own partition-order
+      // nondeterminism.
+      nbr.groupBy("seed", "c_mktsegment")
+        .agg(count(lit(1)).as("__c"), sum(col("c_acctbal")).as("__s"))
+        .groupBy("seed").agg(
+          sum(col("__c")).as("nbr_count"),
+          round(sum(col("__s")), 2).as("acctbal_sum"),
+          count(lit(1)).as("segments"))
     },
       Some(s"""WITH $edgesSql,
               |h1 AS (SELECT DISTINCT src AS seed, dst AS n FROM edges),

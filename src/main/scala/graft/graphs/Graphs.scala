@@ -2023,8 +2023,51 @@ object Graphs {
     * seeded pseudo-random choice that is reproducible across engines and
     * cluster sizes (true RNG per task is not).
     */
-  def randomWalk(edges: DataFrame, starts: DataFrame, steps: Int): DataFrame = {
+  def randomWalk(edges: DataFrame, starts: DataFrame, steps: Int,
+                 maxDriverEdges: Long = 2000000L): DataFrame = {
     val e = edges.select("src", "dst").distinct().ckpt()
+    // scale knee (same gate as the other driver mirrors): the walk's
+    // "randomness" is xxhash64(walk_id, step, dst) — pure integer
+    // arithmetic — so the driver mirror is EXACT, not merely
+    // rounding-equivalent: per live walk it picks the dst minimizing
+    // (h, dst), the same total order min_by used. Pinned
+    // driver==distributed by GraphsSpec.
+    if (longEndpoints(e) &&
+        starts.schema("walk_id").dataType == org.apache.spark.sql.types.LongType &&
+        starts.schema("start").dataType == org.apache.spark.sql.types.LongType &&
+        e.count() <= maxDriverEdges) {
+      val adj = e.collect().map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).map { case (s0, arr) => s0 -> arr.map(_._2) }
+      val st = starts.select(col("walk_id"), col("start")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sortBy(identity)
+      import org.apache.spark.sql.catalyst.expressions.XXH64
+      // xxhash64(walk_id: long, step: int, dst: long) with the default
+      // seed 42, chained exactly as the XxHash64 expression chains its
+      // children (long → hashLong, int → hashInt)
+      def h3(wid: Long, step: Int, dst: Long): Long =
+        XXH64.hashLong(dst, XXH64.hashInt(step, XXH64.hashLong(wid, 42L)))
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Int)]
+      for ((wid, start) <- st) out += ((wid, start, start, 0))
+      var frontier: Array[(Long, Long, Long)] = st.map { case (wid, s0) => (wid, s0, s0) }
+      var s = 0
+      while (s < steps && frontier.nonEmpty) {
+        frontier = frontier.flatMap { case (wid, start, node) =>
+          adj.get(node) match {
+            case Some(ds) =>
+              // __h hashes the PRE-increment step (the frontier's step
+              // column), exactly as the DataFrame select computed it
+              val best = ds.iterator.map(d => (h3(wid, s, d), d)).min
+              Some((wid, start, best._2))
+            case None => None // sink: the walk ends here
+          }
+        }
+        s += 1
+        for ((wid, start, node) <- frontier) out += ((wid, start, node, s))
+      }
+      val spark = e.sparkSession
+      import spark.implicits._
+      return out.toSeq.toDF("walk_id", "start", "node", "step")
+    }
     var walk = starts.select(col("walk_id"), col("start"), col("start").as("node"), lit(0).as("step"))
       .ckpt()
     var frontier = walk

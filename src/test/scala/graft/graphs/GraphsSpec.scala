@@ -181,6 +181,23 @@ class GraphsSpec extends AnyFunSuite {
     }
   }
 
+  test("randomWalk driver knee emits rows identical to the distributed loop") {
+    for (seed <- 0 until 5) {
+      val rnd = new scala.util.Random(seed * 3301 + 13)
+      val es = (0 until 120).map(_ =>
+        (rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+        .filter { case (a, b) => a != b }.distinct
+      val e = es.toDF("src", "dst")
+      val starts = es.map(_._1).distinct.sorted.take(5)
+        .map(s => (s, s)).toDF("walk_id", "start")
+      def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long, Int)] =
+        df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+      assert(rows(Graphs.randomWalk(e, starts, steps = 4)) ==
+        rows(Graphs.randomWalk(e, starts, steps = 4, maxDriverEdges = 0L)),
+        s"seed $seed: walk diverged")
+    }
+  }
+
   test("modularityByTag driver knee matches the distributed join+agg path") {
     for (seed <- 0 until 5) {
       val rnd = new scala.util.Random(seed * 6007 + 11)

@@ -38,15 +38,23 @@ object Queries {
     // row — one tiny join over #buckets rows. Same edge set as the
     // single-partition lead, verified by every graph_* oracle.
     val bucketUs = 21600000000L // 6h in µs
+    // ONE explicit repartition on the window key feeds BOTH consumers
+    // below (r13, §2.4): the window's ENSURE_REQUIREMENTS exchange and
+    // the ends-aggregation's exchange collapse into this shared
+    // subtree, so the events scan + bucket projection run once and the
+    // shuffle is reused (was: a second full scan + partial-agg exchange
+    // for `ends`). The aggregation sees the key's required distribution
+    // already satisfied and runs exchange-free.
     val base = events.select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
       .withColumn("__b", expr(s"unix_micros(ts) div ${bucketUs}L"))
+      .repartition(col("event_type"), col("__b"))
     val wAsc = Window.partitionBy(col("event_type"), col("__b"))
       .orderBy(col("ts"), col("event_id"))
     val inBucket = base.withColumn("next_user", lead(col("user_id"), 1).over(wAsc))
       .filter(col("next_user").isNotNull)
       .select(col("user_id"), col("next_user"))
-    // first/last user per bucket as ONE partial-aggregating pass keyed
-    // like wAsc ((ts, event_id) is unique per bucket, so min_by/max_by
+    // first/last user per bucket as ONE aggregating pass keyed like
+    // wAsc ((ts, event_id) is unique per bucket, so min_by/max_by
     // pick exactly the rows row_number()=1 picked under each sort
     // direction) — this replaces a second full-data descending window
     // and a separate full-data distinct for the bucket list: `ends` IS

@@ -1669,10 +1669,12 @@ object Queries {
     // (soundness, over the FULL output).
     Spec("dedup_simhash", (s, d) => {
       val docs = T(s, d, "documents")
-      val banded = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3).ckpt()
-      // ckpt: the fingerprint relation (a full tokenize+hash pass) feeds
-      // the sampled brute-force referee AND two recompute joins (r9 audit)
+      // ckpt: the fingerprint relation feeds the banding operator, the
+      // sampled brute-force referee AND two recompute joins — ONE
+      // tokenize+hash pass where the operator and the referee each paid
+      // their own before r13
       val fp = Dedup.simhashFingerprints(docs, "doc_id", "text").ckpt()
+      val banded = Dedup.simhashPairsFromFp(fp, maxHamming = 3).ckpt()
       val sfp = fp.filter(col("id") < 1000)
       // explicit broadcast: the ckpt above resets leaf stats to the
       // default (huge), which would flip this ≤1000-row non-equi

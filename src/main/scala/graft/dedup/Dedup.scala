@@ -477,8 +477,14 @@ object Dedup {
     * Returns (id_a, id_b, hamming ≤ maxHamming).
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3): DataFrame = {
-    val fpAll = TF.simhashFingerprints(df, idCol, TF.tokens(col(textCol))).ckpt()
+                   maxHamming: Int = 3): DataFrame =
+    simhashPairsFromFp(
+      TF.simhashFingerprints(df, idCol, TF.tokens(col(textCol))).ckpt(), maxHamming)
+
+  /** [[simhashPairs]] over an ALREADY-MATERIALIZED (id, fp) relation —
+    * lets a caller that also needs the fingerprints (dedup_simhash's
+    * referee battery) pay the tokenize+hash pass once. */
+  def simhashPairsFromFp(fpAll: DataFrame, maxHamming: Int = 3): DataFrame = {
     // EXACT-TWIN COLLAPSE on the fingerprint itself (cf. twinCollapse):
     // this operator's entire output is a function of (fp_a, fp_b), so
     // equal-fp documents are interchangeable — group by fp (no new

@@ -119,15 +119,16 @@ object TextFunctions {
     * no row. Returns (id, fp: long).
     */
   def simhashFingerprints(df: DataFrame, idCol: String, toks: Column): DataFrame = {
-    val th = df.select(col(idCol).as("id"), explode(toks).as("t"))
-      .select(col("id"), xxhash64(col("t")).as("h"))
-    val votes = (0 until 64).map { b =>
-      sum(shiftright(col("h"), b).bitwiseAND(lit(1L)) * lit(2L) - lit(1L)).as(s"__b$b")
-    }
-    th.groupBy("id").agg(votes.head, votes.tail: _*)
-      .select(col("id"),
-        (0 until 64).map(b => when(col(s"__b$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L)))
-          .reduce(_ bitwiseOR _).as("fp"))
+    // one-pass per-doc projection (r13): the explode → xxhash64 →
+    // groupBy(id) + 64 vote-sum aggregate pipeline shuffled every token
+    // hash and paid a 64-slot aggregation buffer per doc; Simhash64
+    // computes the identical integer votes in one codegen'd pass with
+    // ZERO shuffle. The isNotNull filter reproduces the old
+    // dropped-row behavior for empty/NULL token arrays (explode emitted
+    // no row for them). TextSpec pins new == old per doc.
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    df.select(col(idCol).as("id"), column(Simhash64(expression(toks))).as("fp"))
+      .filter(col("fp").isNotNull)
   }
 
   /** LSH band keys: the signature split into `bands` groups of `rowsPerBand`,

@@ -348,4 +348,31 @@ class DedupSpec extends AnyFunSuite {
     assert(r(3L) && !r(4L))  // all-NULL cluster: min-id fallback
     assert(r(5L))            // singleton keeps itself
   }
+
+  test("one-pass Simhash64 expression equals the explode+vote-sum aggregate formula") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(4242)
+    val words = Array("alpha", "beta", "gamma", "delta", "epsilon", "Zeta9", "η7", "x")
+    val docs = ((1L to 60L).map { i =>
+      (i, Seq.fill(rnd.nextInt(40) + 1)(words(rnd.nextInt(words.length))).mkString(" "))
+    } :+ ((100L, "")) :+ ((101L, "   ..!!   "))) // empty-token docs drop on BOTH paths
+      .toDF("doc_id", "text")
+    val toks = TF.tokens(col("text"))
+    // the pre-r13 formula, verbatim
+    val th = docs.select(col("doc_id").as("id"), explode(toks).as("t"))
+      .select(col("id"), xxhash64(col("t")).as("h"))
+    val votes = (0 until 64).map { b =>
+      sum(shiftright(col("h"), b).bitwiseAND(lit(1L)) * lit(2L) - lit(1L)).as(s"__b$b")
+    }
+    val old = th.groupBy("id").agg(votes.head, votes.tail: _*)
+      .select(col("id"),
+        (0 until 64).map(b => when(col(s"__b$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L)))
+          .reduce(_ bitwiseOR _).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val neu = graft.functions.TextFunctions
+      .simhashFingerprints(docs, "doc_id", toks)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(neu == old, "one-pass simhash diverged from the aggregate formula")
+    assert(!neu.contains(100L) && !neu.contains(101L))
+  }
 }

@@ -88,7 +88,7 @@ object Graphs {
     // distributed loop below takes over. Collected edges are SORTED so
     // float accumulation order is run-deterministic.
     if (longEndpoints(e) &&
-        e.count() <= maxDriverEdges) {
+        graft.plan.Knee.gate("pageRank", e.count(), maxDriverEdges)) {
       val rows = e.collect().map(r => (r.getLong(0), r.getLong(1))).sorted
       val spark = e.sparkSession
       import spark.implicits._
@@ -184,7 +184,7 @@ object Graphs {
     // SET-determined — any correct algorithm emits identical rows — so
     // a union-find under the cap is a pure execution-engine switch
     if (longEndpoints(raw) &&
-        raw.count() <= maxDriverEdges) {
+        graft.plan.Knee.gate("connectedComponents", raw.count(), maxDriverEdges)) {
       val rows = raw.collect().map(r => (r.getLong(0), r.getLong(1)))
       val spark = raw.sparkSession
       import spark.implicits._
@@ -313,7 +313,7 @@ object Graphs {
     // scale knee: votes are integers and the tie-break is total, so
     // the in-memory mirror is bit-identical to the distributed rounds
     if (longEndpoints(und) &&
-        und.count() <= maxDriverEdges) {
+        graft.plan.Knee.gate("labelPropagation", und.count(), maxDriverEdges)) {
       val rows = und.collect().map(r => (r.getLong(0), r.getLong(1))).sorted
       val spark = und.sparkSession
       import spark.implicits._
@@ -367,7 +367,7 @@ object Graphs {
     // semantics; distributed shapes (bitmap levels, meetMin fallback)
     // above it
     val (e, nE) = edges.select("src", "dst").distinct().ckptCount()
-    if (nE <= maxDriverEdges) return bfsDriver(e, starts, maxHops)
+    if (graft.plan.Knee.gate("bfs", nE, maxDriverEdges)) return bfsDriver(e, starts, maxHops)
     bfsLevels(e, starts, maxHops).getOrElse {
       val base = starts.select(col("start"), col("start").as("node"), lit(0).as("depth"))
       Fixpoint.meetMin(base,
@@ -574,7 +574,7 @@ object Graphs {
     val (e, nE) = edges.select("src", "dst").distinct().ckptCount()
     // scale knee: ≤ `hops` reachability over a driver-sized graph is
     // the bfsDriver walk minus the depth column (same base rows)
-    if (nE <= maxDriverEdges)
+    if (graft.plan.Knee.gate("reachable", nE, maxDriverEdges))
       return bfsDriver(e, starts, hops).select("start", "node")
     val base = starts.select(col("start"), col("start").as("node"))
     Fixpoint.boundedExpand(base,
@@ -603,7 +603,7 @@ object Graphs {
     // one edge, folded with min; costs accumulate along the path in the
     // same order, so values are bit-identical, including the maxIter
     // hop bound
-    if (nE <= maxDriverEdges) return sspDriver(e, starts, maxIter)
+    if (graft.plan.Knee.gate("shortestPaths", nE, maxDriverEdges)) return sspDriver(e, starts, maxIter)
     val base = starts.select(col("start"), col("start").as("node"), lit(0.0).as("cost"))
     Fixpoint.meetMin(base,
       delta => delta.join(e, delta("node") === e("src"))
@@ -667,7 +667,7 @@ object Graphs {
     // from a source) is set-determined, so the in-memory peel emits
     // identical rows — and the same cycle/maxIter error contracts
     if (longEndpoints(distinctEdges) &&
-        distinctEdges.count() <= maxDriverEdges) {
+        graft.plan.Knee.gate("topSort", distinctEdges.count(), maxDriverEdges)) {
       val rows = distinctEdges.collect().map(r => (r.getLong(0), r.getLong(1)))
       val spark = distinctEdges.sparkSession
       import spark.implicits._
@@ -757,7 +757,7 @@ object Graphs {
     // iterative Tarjan under the cap emits identical rows to the
     // distributed FW-BW-MIN peeling
     if (longEndpoints(raw) &&
-        raw.count() <= maxDriverEdges) {
+        graft.plan.Knee.gate("scc", raw.count(), maxDriverEdges)) {
       val rows = raw.collect().map(r => (r.getLong(0), r.getLong(1)))
       val spark = raw.sparkSession
       import spark.implicits._
@@ -878,7 +878,7 @@ object Graphs {
         und.schema("w").dataType == org.apache.spark.sql.types.DoubleType &&
         tagged.schema("node").dataType == org.apache.spark.sql.types.LongType &&
         tagged.schema("comm").dataType == org.apache.spark.sql.types.LongType &&
-        und.count() <= maxDriverEdges) {
+        graft.plan.Knee.gate("modularity", und.count(), maxDriverEdges)) {
       val edges = und.select(col("src"), col("dst"), col("w")).collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
       val byTag = tagged.select(col("tag"), col("node"), col("comm")).collect()
@@ -974,7 +974,7 @@ object Graphs {
       // semantics (gain formula, parity gating, tie-breaks, thresholds,
       // convergence protocol) are mirrored line-for-line; only float
       // summation order differs, as it already does between AQE plans.
-      if (longIds && gCount <= maxDriverEdges) {
+      if (longIds && graft.plan.Knee.gate("louvain", gCount, maxDriverEdges)) {
         val rows = g.select(col("src"), col("dst"), col("w")).collect()
           .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
           .sortBy(t => (t._1, t._2)) // run-deterministic float accumulation
@@ -1307,7 +1307,7 @@ object Graphs {
     // distinct-weight graph is unique. O(E log E) in memory beats
     // O(log V) distributed rounds of joins by ~two orders of magnitude
     // at this scale; the Borůvka loop below stays the 100 TB path.
-    if (esN <= maxDriverEdges &&
+    if (graft.plan.Knee.gate("mst", esN, maxDriverEdges) &&
         es.schema("a").dataType == org.apache.spark.sql.types.LongType &&
         es.schema("b").dataType == org.apache.spark.sql.types.LongType) {
       val rows = es.collect().map(r => (r.getDouble(2), r.getLong(0), r.getLong(1)))
@@ -1436,7 +1436,7 @@ object Graphs {
     // the same single IEEE op. Distributed sweep above the cap.
     val (und, nUnd) = undirected(edges).select("src", "dst").distinct().ckptCount()
     import org.apache.spark.sql.types.LongType
-    if (nUnd <= maxDriverEdges && und.schema("src").dataType == LongType)
+    if (graft.plan.Knee.gate("closeness", nUnd, maxDriverEdges) && und.schema("src").dataType == LongType)
       return closenessDriver(und, nodes(edges), maxIter, sample)
     // node set of the RAW edges: undirected() drops self-loops, but a
     // self-loop-only node still counts toward n and the sample (it just
@@ -1600,7 +1600,7 @@ object Graphs {
     // delta sums differ from the distributed groupBy only in float
     // summation order, which the 1e-6-relative referees tolerate — as
     // AQE plan changes already did). Distributed sweeps above the cap.
-    if (nUnd <= maxDriverEdges)
+    if (graft.plan.Knee.gate("betweenness", nUnd, maxDriverEdges))
       return betweennessDriverLevels(und, sample, maxIter)
     val ns = nodes(und).ckptLazy()
     val n = ns.count()
@@ -2035,7 +2035,7 @@ object Graphs {
     if (longEndpoints(e) &&
         starts.schema("walk_id").dataType == org.apache.spark.sql.types.LongType &&
         starts.schema("start").dataType == org.apache.spark.sql.types.LongType &&
-        e.count() <= maxDriverEdges) {
+        graft.plan.Knee.gate("randomWalk", e.count(), maxDriverEdges)) {
       val adj = e.collect().map(r => (r.getLong(0), r.getLong(1)))
         .groupBy(_._1).map { case (s0, arr) => s0 -> arr.map(_._2) }
       val st = starts.select(col("walk_id"), col("start")).collect()

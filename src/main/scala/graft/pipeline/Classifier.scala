@@ -214,7 +214,7 @@ object Classifier {
     val n = st.getLong(0).toDouble
     val gramsN = if (st.isNullAt(1)) 0L else st.getLong(1)
     val charsN = if (st.isNullAt(2)) 0L else st.getLong(2)
-    if (gramsN * 16L + charsN * 2L <= maxDriverFeatureBytes)
+    if (graft.plan.Knee.gate("classifierTrain", gramsN * 16L + charsN * 2L, maxDriverFeatureBytes))
       return trainDriver(gr, buckets, iters, lr, ngrams, n)
     val y = sample.select(col(idCol).as("__id"),
       col(labelCol).cast("double").as("__y"))

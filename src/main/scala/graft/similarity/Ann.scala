@@ -291,7 +291,7 @@ object Ann {
     // keys, which must fall through to the type-agnostic distributed
     // loop instead of throwing ClassCastException.
     if (base.schema("id").dataType == org.apache.spark.sql.types.LongType &&
-        base.count() <= maxDriverVecs)
+        graft.plan.Knee.gate("ivfCentroids", base.count(), maxDriverVecs))
       return ivfCentroidsDriver(base, nCells, iters, seed)
     var cents = base
       .withColumn("__h", xxhash64(col("id"), lit(seed)))
@@ -516,7 +516,7 @@ object Ann {
         }
         trainN.toLong * (dim * 4L + 48L) <= 512L * 1024 * 1024
       }
-    if (trainN <= 2000000 && longIds && sampleFitsDriver)
+    if (graft.plan.Knee.gate("pqCodebooks", trainN, 2000000L) && longIds && sampleFitsDriver)
       return pqCodebooksDriver(corpus, subspaces, codes, iters, trainN, seed)
     val train = corpus.select(col("id"), col("vec"))
       .withColumn("__h", xxhash64(col("id"), lit(seed)))

@@ -93,7 +93,7 @@ object Bpe {
     // merges cost ~60 jobs where the driver loop costs two.
     if (batch == 1) {
       val (wf, nWords) = wordFreqs(docs, textCol).ckptCount()
-      if (nWords <= maxDriverWords) {
+      if (graft.plan.Knee.gate("bpe", nWords, maxDriverWords)) {
         val rows = wf.collect().map(r => (r.getString(0), r.getLong(1)))
         wf.unckpt()
         return trainDriver(rows, numMerges)

@@ -1919,9 +1919,16 @@ object Queries {
         .select(col("vec_id").as("query_id"), col("embedding").as("vec"))
       val cents = Ann.ivfCentroids(corpus, nCells = 16, iters = 2)
       val cb = Ann.pqCodebooks(corpus, subspaces = 16, codes = 64, iters = 2)
+      // the operator's index build and the index-shape referees below
+      // consume the SAME encode/assign relations — build each once
+      // (r13, §2.4; was: pqEncode + assignCells ran twice over the
+      // full corpus, once inside ivfPqTopK and once for the referees)
+      val enc = Ann.pqEncode(corpus, cb, subspaces = 16).ckpt()
+      val cellsDf = Ann.assignCells(corpus, cents).ckpt()
       val ivfpq = Ann.ivfPqTopK(corpus, queries, k = 5, nCells = 16, nProbe = 8,
         subspaces = 16, codes = 64, iters = 2, refine = 8,
-        centroids = Some(cents), codebooks = Some(cb)).ckpt()
+        centroids = Some(cents), codebooks = Some(cb),
+        encoded = Some(enc), cells = Some(cellsDf)).ckpt()
       val exact = Ann.bruteForceTopK(corpus, queries, k = 5).ckpt()
       val recallOk = ivfpq.select("query_id", "id").intersect(exact.select("query_id", "id"))
         .agg(count(lit(1)).as("__nh"))
@@ -1932,12 +1939,11 @@ object Queries {
           .withColumnRenamed("cosine", "__e"),
           Seq("query_id", "id"))
         .filter(abs(col("__c") - col("__e")) > 1e-9)
-      val enc = Ann.pqEncode(corpus, cb, subspaces = 16)
       val codesOk = enc.groupBy("id").agg(count(lit(1)).as("__n"))
         .filter(col("__n") =!= 16)
         .unionByName(enc.filter(col("code") < 0 || col("code") >= 64)
           .select(col("id"), lit(0L).as("__n")))
-      val cellsOk = Ann.assignCells(corpus, cents)
+      val cellsOk = cellsDf
         .groupBy("id").agg(count(lit(1)).as("__n"), min(col("cell")).as("__c"))
         .filter(col("__n") =!= 1 || col("__c") < 0 || col("__c") >= 16)
         .select("id", "__n")

@@ -748,16 +748,22 @@ object Ann {
                 subspaces: Int = 16, codes: Int = 64, iters: Int = 2,
                 refine: Int = 8, trainN: Int = 65536, seed: Int = 0,
                 centroids: Option[DataFrame] = None,
-                codebooks: Option[DataFrame] = None): DataFrame = {
+                codebooks: Option[DataFrame] = None,
+                encoded: Option[DataFrame] = None,
+                cells: Option[DataFrame] = None): DataFrame = {
     import graft.plan._
     val base = Parallelism.ensureIngestParallelism(corpus, Seq(col("id")), light = true)
       .select(col("id"), col("vec"))
     val cents = centroids.getOrElse(ivfCentroids(base, nCells, iters, seed))
-    val inverted = assignCells(base, cents)
+    // `cells`/`encoded` let a caller that ALSO consumes the assignment /
+    // code relations (ann_ivfpq's index-shape referees) build them once
+    // (r13, §2.4) — they must be exactly assignCells(corpus, cents) /
+    // pqEncode(corpus, cb, subspaces)
+    val inverted = cells.getOrElse(assignCells(base, cents))
     val cb = codebooks.getOrElse(pqCodebooks(base, subspaces, codes, iters, trainN, seed))
     // index build: codes + their cell (one id-keyed join, once at build
     // time; persisted form would write partitionBy(cell))
-    val enc = pqEncode(base, cb, subspaces)
+    val enc = encoded.getOrElse(pqEncode(base, cb, subspaces))
       .join(inverted.select(col("id"), col("cell")), Seq("id")).ckpt()
     val probes = queries.select(col("query_id"), col("vec").as("qvec"))
       .crossJoin(broadcast(cents))
